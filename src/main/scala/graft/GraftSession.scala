@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configs this engine assumes.
+  *
+  * Local mode stands in for a real cluster: we size shuffle partitions to the
+  * local parallelism (not the 200 default), enable AQE so skewed shuffles and
+  * undersized partitions re-plan at runtime, and keep the session timezone
+  * pinned to UTC so results hash-match the DuckDB oracle.
+  *
+  * At 100 TB these same settings translate directly: AQE coalescing +
+  * skew-join splitting are the knobs that keep a 1000-executor shuffle
+  * healthy, and `autoBroadcastJoinThreshold` governs dim-table broadcasts
+  * (region/nation/customer-sized sides never shuffle).
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

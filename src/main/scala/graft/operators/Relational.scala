@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's operator inventory (SURVEY §2, S1/T1–T4/F1–F2/A1/P1/K1)
+  * re-expressed in generic relational form over the oracle tables, plus the
+  * relational breadth a real engine needs (joins, group-by, windows, set ops,
+  * top-k) — every one a declarative DataFrame plan so Catalyst gets pushdown,
+  * pruning, partial aggregation and join-strategy selection for free.
+  *
+  * Scale notes are attached per query: which side broadcasts, where the
+  * shuffle lands, what AQE re-plans.
+  */
+object Relational {
+  import Tables._
+
+  /** S1/P1: scan with projection — column pruning must reach the parquet
+    * reader (ReadSchema carries only 2 of 11 columns). */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+
+  /** F1: equality filter (delivered-branch analog). Predicate pushes into
+    * the parquet scan (PushedFilters: EqualTo). */
+  def filterEq(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** F2: complement filter (other-status analog) — together with
+    * [[filterEq]] a disjoint two-way split of the parent. */
+  def filterNeq(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** A1: global count — partial per-partition counts + single final merge,
+    * the same combiner-lifted shape Beam runs. */
+  def countGlobal(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(count(lit(1)).as("cnt"))
+
+  /** T1+T2+T3+T4: the cleaning chain as expressions over a string column —
+    * strip one trailing colon, lowercase, delete [?%&], add constant. All
+    * four fuse into one codegen stage over the scan. */
+  def cleanChain(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      regexp_replace(
+        lower(regexp_replace(col("p_name"), ":$", "")), "[?%&]", "")
+        .as("cleaned_name"),
+      lit("1").as("new_col"))
+
+  /** P1: projection / schema-ify with explicit aliasing + string casts (the
+    * reference's all-STRING output contract). */
+  def projectSchema(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey").cast("string").as("order_id"),
+      col("o_custkey").cast("string").as("customer_id"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  /** Split + A1 counts: per-status record counts (the delivered/other count
+    * pair generalized). One shuffle on a low-cardinality key; partial
+    * aggregation makes the shuffle tiny regardless of input size. */
+  def splitCounts(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+
+  /** K1: day-partitioned sink analog — per-day row counts, i.e. exactly the
+    * partition manifest a day-partitioned append produces. */
+  def partitionCounts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Group-by aggregation (TPC-H Q1 shape): wide partial aggregation, tiny
+    * shuffle. Doubles rounded so the oracle hash is stable across engines. */
+  def aggGroupBy(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** Broadcast hash join: customer is the small dim side — broadcast() keeps
+    * the 100 TB fact side shuffle-free. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** Large-large join: lineitem ⋈ orders on the order key — a genuine
+    * shuffle join; AQE handles skew/coalescing. Aggregated output keeps the
+    * oracle compare small. */
+  def joinLarge(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+
+  /** Multi-way join through the dimension chain with two broadcasts:
+    * supplier ⋈ nation ⋈ region, then the fact side joins once. */
+  def joinMultiway(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value orders.
+    * Broadcast the distinct key set when it fits; otherwise shuffle-anti. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-semi join (EXISTS): parts that appear in any lineitem. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+
+  /** Window function: top-3 orders per customer by price (rank with full
+    * deterministic tie-break). One shuffle on the partition key; at scale
+    * this is the canonical skew candidate — AQE + key salting if a customer
+    * is hot. */
+  def topKPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rk"))
+  }
+
+  /** Distinct (exact dedup on key columns) + distinct count. */
+  def distinctKeys(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** Sort + limit (global top-k): AQE turns this into TakeOrderedAndProject —
+    * no full sort materialization. Deterministic total order. */
+  def orderByLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  /** Set op: union of two branch selections then grouped — exercises
+    * UNION ALL + re-aggregation. */
+  def unionAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val hi = o.filter(col("o_totalprice") > 200000)
+      .select(col("o_orderstatus"), lit("hi").as("band"))
+    val lo = o.filter(col("o_totalprice") <= 200000)
+      .select(col("o_orderstatus"), lit("lo").as("band"))
+    hi.unionAll(lo).groupBy(col("o_orderstatus"), col("band"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Event-time tumbling-window aggregation (batch form of the streaming
+    * windowed agg): per-hour event counts + value sums. */
+  def eventsWindowed(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        col("ts").cast("date").as("day"),
+        hour(col("ts")).as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Approximate distinct-count sketch (HLL++) alongside the exact count —
+    * the sketch is the 100 TB answer (no shuffle of distinct values, fixed
+    * memory). Exact value used for the oracle; sketch must be within 5%. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md). */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by default;
+    * read it as a long (legacy conf) and surface a microsecond TIMESTAMP
+    * column — same instants the oracle sees natively. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
