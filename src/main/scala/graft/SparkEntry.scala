@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators.{Relational, TextQueries}
+import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +44,19 @@ object SparkEntry {
     "q18_union_agg" -> (Relational.unionAgg(_, _)),
     "q19_events_windowed" -> (Relational.eventsWindowed(_, _)),
     "q20_count_distinct" -> (Relational.approxDistinct(_, _)),
+    "q21_text_stats" -> (TextQueries.textStats(_, _)),
+    "q22_langid" -> (TextQueries.langIdConfusion(_, _)),
+    "q23_fingerprint" -> (TextQueries.fingerprints(_, _)),
+    "q24_dedup_exact" -> (Dedup.exactStats(_, _)),
+    "q25_dedup_normalized" -> (Dedup.normalizedDupGroups(_, _)),
+    "q26_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q27_dedup_minhash" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
+    "q28_dedup_simhash" -> (Dedup.simhashGroups(_, _)),
+    "q29_embed_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
+    "q30_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q31_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q32_multimodal_meta" -> (Multimodal.metadata(_, _)),
+    "q33_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -86,5 +102,75 @@ object SparkEntry {
       "SELECT cast(ts AS date) AS day, cast(hour(ts) AS int) AS hr, event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2, 3",
     "q20_count_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS exact_parts, count(*) AS cnt FROM lineitem",
+    "q21_text_stats" ->
+      ("SELECT doc_id, " +
+        "len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, " +
+        "CAST(ceil(length(text)/4.0) AS INT) AS bpe_est, " +
+        "round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio, " +
+        "round(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in' OR t='is')) / CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE), 4) AS stop_ratio, " +
+        "round((1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.5 " +
+        "+ (len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in' OR t='is')) / CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE)) * 0.3 " +
+        "+ least(1.0, len(list_filter(string_split(text,' '), x -> x <> '')) / 100.0) * 0.2, 4) AS quality " +
+        "FROM documents"),
+    "q22_langid" ->
+      ("SELECT lang, pred_lang, count(*) AS n FROM (" +
+        "SELECT lang, CASE " +
+        "WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_es > 0 AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_fr > 0 AND c_fr >= c_zh THEN 'fr' " +
+        "WHEN c_zh > 0 THEN 'zh' ELSE 'unknown' END AS pred_lang FROM (" +
+        "SELECT lang, " +
+        "len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='is')) AS c_en, " +
+        "len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que')) AS c_es, " +
+        "len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='das')) AS c_de, " +
+        "len(list_filter(toks, t -> t='le' OR t='les' OR t='et' OR t='une')) AS c_fr, " +
+        "len(list_filter(toks, t -> t='的' OR t='是' OR t='不' OR t='在')) AS c_zh " +
+        "FROM (SELECT lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents))) " +
+        "GROUP BY lang, pred_lang"),
+    "q23_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(h, x) -> (h*31 + x) % 1000000007) AS fp FROM documents"),
+    "q24_dedup_exact" ->
+      "SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents GROUP BY source",
+    "q25_dedup_normalized" ->
+      ("SELECT keep_id, n_copies FROM (" +
+        "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM (" +
+        "SELECT doc_id, array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS canon " +
+        "FROM documents) GROUP BY canon) WHERE n_copies > 1"),
+    "q26_dedup_ngram_jaccard" ->
+      ("SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac " +
+        "FROM (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) a " +
+        "JOIN (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) b " +
+        "ON a.doc_id < b.doc_id) WHERE jac >= 0.6"),
+    "q29_embed_neardup" ->
+      ("SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (" +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0) WHERE sim >= 0.25"),
+    "q30_ann_bruteforce" ->
+      ("SELECT query_id, neighbor_id, sim, rk FROM (" +
+        "SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) AS rk " +
+        "FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id " +
+        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+    "q32_multimodal_meta" ->
+      ("SELECT doc_id AS asset_id, 'text/plain' AS mime, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS checksum FROM documents"),
+    "q33_frame_sample" ->
+      ("SELECT doc_id AS asset_id, CAST(fi AS INT) AS frame_idx, " +
+        "CAST(fi * 64 AS BIGINT) AS byte_offset, " +
+        "md5(substring(text, CAST(fi*64+1 AS INT), 64)) AS frame_checksum FROM (" +
+        "SELECT doc_id, text, unnest(range(0, " +
+        "GREATEST(CAST(floor(octet_length(encode(text))/64.0) AS BIGINT), 1), 4)) AS fi " +
+        "FROM documents)"),
   )
 }

@@ -1,0 +1,259 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Tables
+
+/** Deduplication operators for training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exact dedup is a hash-aggregate on the dedup key — one shuffle of
+  *    (key → min id); Catalyst's partial aggregation means each mapper sends
+  *    one row per local key, not one per document.
+  *  - MinHash/LSH dedup NEVER does all-pairs: documents explode to
+  *    (band, bandHash) keys, candidates are pairs that collide in ≥1 band —
+  *    a shuffle on the band key whose fan-out is bounded by bucket sizes.
+  *    Hot buckets (boilerplate docs) are the skew risk; cap pairs per bucket
+  *    or salt if a bucket exceeds a bound.
+  *  - SimHash is a pure map (one 64-bit signature per doc) + an exact
+  *    group-by on the signature: near-dup detection cost of an exact dedup.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
+
+  /** Exact-dedup statistics per source: total vs distinct texts — the
+    * standard "how much boilerplate does each crawl shard carry" question.
+    * One partial-aggregated shuffle. */
+  def exactStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"))
+
+  /** Exact dedup after canonicalization: key = sorted distinct token set.
+    * Catches reordered/repeated-token copies that byte-exact dedup misses.
+    * Emits one row per duplicate group (keeper = min doc_id). */
+  def normalizedDupGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_distinct(toks(col("text")))))
+          .as("canon"))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact near-dup pairs by n-gram Jaccard over distinct unigram token
+    * sets, on the deterministic doc_id % 4 sample (the oracle-checkable
+    * ground truth that the LSH path approximates). Pair generation is a
+    * range-predicate self-join over the sample — fine for a sample, and
+    * exactly what LSH avoids doing on the full corpus. */
+  def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6)
+      : DataFrame = {
+    val t = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("jac",
+        col("inter") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Number of hash functions in the MinHash signature and the LSH banding
+    * (Bands × RowsPerBand = NumHashes). b=8, r=4 targets the ~0.6 Jaccard
+    * s-curve threshold ((1/b)^(1/r) ≈ 0.59). */
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  /** Word shingles of size `n` (falls back to whole-token-set for short
+    * docs) — the feature space for MinHash, its verification step, and the
+    * exact ground truth, so all three agree. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = toks(text)
+    when(size(tk) < n, array_distinct(tk))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(tk) - lit(n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n))))))
+  }
+
+  /** `NumHashes` independent min-hashes over the shingle set, as a
+    * DataFrame-level transform: shingles explode to rows, each is hashed
+    * ONCE with xxhash64, and the `NumHashes` hash families are cheap affine
+    * transforms `pmod(a_i * h + b_i, p)` of that single hash (the standard
+    * MinHash construction). The per-doc minima come from one partial-
+    * aggregated groupBy — map-side combine keeps the shuffle at one row per
+    * (doc, partition), and nothing is quadratic in shingle count.
+    *
+    * (A naive per-seed `array_min(transform(shingles, xxhash64(...)))`
+    * column expression recomputes the shingle array for every seed — HOF
+    * expressions don't whole-stage-codegen, so that costs 32 interpreted
+    * passes per doc and benchmarked ~50× slower.) */
+  val MinhashPrime = 2305843009213693951L // 2^61 - 1
+
+  private val hashFamilies: Seq[(Long, Long)] =
+    (0 until NumHashes).map { i =>
+      (2L * i + 1234567891L, 9876543210987L * (i + 1) + 11L)
+    }
+
+  /** (doc_id, m0..m{NumHashes-1}) from a (doc_id, shingle-array) frame.
+    * The base hash is first reduced mod 1e9+7 (~2^30) so the affine
+    * transforms stay far from long overflow — Spark 4 runs ANSI arithmetic,
+    * so wrap-around tricks throw instead of wrapping. */
+  def minhashSignatureDf(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(1000000007L)).as("h"))
+    val minCols = hashFamilies.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Exact all-pairs shingle-Jaccard on the % 4 sample — the ground truth
+    * the LSH path is measured against (same feature space). */
+  def shingleJaccardPairs(s: SparkSession, d: String, threshold: Double)
+      : DataFrame = {
+    val t = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac",
+        col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** LSH candidate pairs: explode each doc's signature into `Bands` band
+    * hashes, group by (band, hash), pair within buckets. Returns candidate
+    * pairs with their exact token-set Jaccard attached (verify step), kept
+    * when ≥ threshold. */
+  /** Buckets larger than this are dropped before pairing: a bucket of g
+    * docs makes g² candidate pairs, and mega-buckets (boilerplate / filler
+    * text sharing a global min-hash) turn LSH into all-pairs. Dropping them
+    * is the standard practice — a real corpus routes them to a dedicated
+    * boilerplate pass. Recall for genuinely similar pairs survives because
+    * such pairs collide in several independent bands. */
+  val MaxBucket = 64
+
+  def minhashDupPairs(s: SparkSession, d: String, threshold: Double = 0.6)
+      : DataFrame = {
+    // ids + band hashes only — shingle arrays do NOT ride through the
+    // shuffle; they are re-attached for the (small) candidate set at the end
+    val sigs = minhashSignatureDf(
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("sh")))
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
+    }
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+
+    // prune buckets: need >= 2 to pair, cap at MaxBucket to bound skew.
+    // Window count over the bucket key = one shuffle, and the upstream
+    // signature aggregation is computed once (a join against a separate
+    // bucket-count aggregate would recompute it per consumer).
+    val bucketW = Window.partitionBy(col("band"), col("bandhash"))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
+
+    val pairs = pruned.select(col("band"), col("bandhash"),
+        col("doc_id").as("doc_a"))
+      .join(pruned.select(col("band"), col("bandhash"),
+        col("doc_id").as("doc_b")), Seq("band", "bandhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()   // a pair may collide in several bands
+
+    // verify candidates with exact shingle Jaccard (arrays attached here,
+    // for candidates only)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac",
+        col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the token set: per-token xxhash64, sum ±1 per bit,
+    * sign → bit. Pure per-row map built from higher-order functions. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(array_distinct(toks(text)), t => xxhash64(t))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => array((0 until 64).map { i =>
+        element_at(acc, i + 1) +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+            .otherwise(lit(-1))
+      }: _*))
+    (0 until 64).map { i =>
+      when(element_at(bitSums, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Scalable SimHash: distinct tokens explode to rows, each hashed once;
+    * the 64 per-bit ±1 sums are partial-aggregated columns of one groupBy
+    * (same semantics as the column-level [[simhash]], which serves as its
+    * per-row reference in the specs). */
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L),
+        lit(1)).otherwise(lit(-1))).as(s"b$i")
+    }
+    val grouped = exploded.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    grouped.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash signature per document plus duplicate-signature groups —
+    * near-dup detection at exact-dedup cost. */
+  def simhashGroups(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashDf(Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks")))
+    val w = Window.partitionBy(col("sig"))
+    sigs.withColumn("n_same_sig", count(lit(1)).over(w))
+      .filter(col("n_same_sig") > 1)
+      .select(col("doc_id"), col("sig"), col("n_same_sig"))
+  }
+}

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built entirely
+  * from higher-order built-ins (`zip_with` / `aggregate`) so it stays in
+  * codegen — no UDF, no ml.linalg conversion, no serialization cliff.
+  *
+  * All arithmetic is double-precision (inputs upcast once) so results are
+  * bit-comparable with the DuckDB oracle's DOUBLE[] computations.
+  */
+object VectorFunctions {
+
+  /** Upcast an array<float> column to array<double>. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+
+  /** Cosine similarity; callers should pass already-upcast columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+}

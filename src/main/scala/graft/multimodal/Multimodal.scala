@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Multimodal-column plumbing: opaque `binary` media columns with typed
+  * metadata, plus the decode / feature-extract / frame-sample operator
+  * shapes a training-data pipeline needs.
+  *
+  * The Spark-side mechanics here are real and tested — schema, partitioning,
+  * per-partition batch processing — while the actual codec step is a
+  * clearly-marked deterministic stub ([[StubCodec]]): the container has no
+  * image/audio libraries, and at 100 TB the codec is a pluggable leaf anyway
+  * (swap in a JNI/ffmpeg/JPEG decoder behind the same signature).
+  *
+  * Ingestion paths: `spark.read.format("binaryFile")` for real asset dirs;
+  * here the `documents` table stands in, with each text's UTF-8 bytes as the
+  * media payload — deterministic, so metadata/checksum results are
+  * oracle-checkable in DuckDB.
+  */
+object Multimodal {
+
+  /** Typed asset row: opaque payload + metadata columns. */
+  final case class Asset(asset_id: Long, media: Array[Byte], mime: String,
+      n_bytes: Long)
+
+  /** Fixed-size fake "decoded frame" feature. */
+  final case class AssetFeature(asset_id: Long, n_bytes: Long,
+      feature: Array[Float])
+
+  /** Build the asset table from documents: media = UTF-8 bytes of text.
+    * Partitioned by asset_id so downstream per-asset work is co-located. */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("text/plain").as("mime"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** Metadata + checksum extraction — pure column expressions, no decode:
+    * the "cheap pass" that runs over all 100 TB before any codec work. */
+  def metadata(s: SparkSession, d: String): DataFrame =
+    assets(s, d).select(
+      col("asset_id"), col("mime"), col("n_bytes"),
+      md5(col("media")).as("checksum"))
+
+  /** The codec seam. Deterministic stand-in for a real image/audio decoder:
+    * derives a fixed-length feature from payload bytes. Swap for a real
+    * codec (JNI/ffmpeg) behind the same `Array[Byte] => Array[Float]`
+    * signature; everything around it (partitioning, batching, schema) stays
+    * unchanged. */
+  object StubCodec {
+    val FeatureDim = 8
+    def decodeFeature(media: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < media.length) {
+        f(i % FeatureDim) += (media(i) & 0xff) / 255.0f
+        i += 1
+      }
+      f
+    }
+  }
+
+  /** Feature extraction over partition-local batches: `mapPartitions` over
+    * the typed Dataset — the Scala analog of `mapInPandas` (one iterator per
+    * partition, codec amortized across the batch, no per-row UDF overhead).
+    * Repartitions by asset_id first so work is evenly spread and co-located
+    * for downstream joins. */
+  def extractFeatures(s: SparkSession, d: String): Dataset[AssetFeature] = {
+    import s.implicits._
+    assets(s, d)
+      .repartition(col("asset_id"))
+      .as[Asset]
+      .mapPartitions { it =>
+        it.map { a =>
+          AssetFeature(a.asset_id, a.n_bytes,
+            StubCodec.decodeFeature(a.media))
+        }
+      }
+  }
+
+  /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
+    * "frames", emit every `stride`-th frame's offset + a frame checksum —
+    * the explode-shape of video frame extraction (one input row → n frame
+    * rows), without a real container parser. */
+  def sampleFrames(s: SparkSession, d: String, frameSize: Int = 64,
+      stride: Int = 4): DataFrame =
+    assets(s, d)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest((col("n_bytes") / frameSize).cast("int") - 1, lit(0)),
+          lit(stride))))
+      .select(
+        col("asset_id"), col("frame_idx").cast("int").as("frame_idx"),
+        (col("frame_idx") * frameSize).cast("long").as("byte_offset"),
+        md5(expr(s"substring(media, frame_idx * $frameSize + 1, $frameSize)"))
+          .as("frame_checksum"))
+}

@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>[64], label).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one pass, no shuffle of the corpus, a
+  *    per-query top-k via window. The 100 TB story: queries broadcast, corpus
+  *    streams; cost is one full scan per batch of queries.
+  *  - [[ivfTopK]]: IVF-style bucketed ANN — corpus vectors are assigned to
+  *    their nearest centroid once (map-side), queries probe only the
+  *    `nprobe` nearest buckets, turning full scans into
+  *    |corpus|·nprobe/|centroids| work. Centroids here are a deterministic
+  *    sample of the corpus (vec_id % CentroidStep), standing in for a
+  *    k-means pass.
+  */
+object Similarity {
+
+  /** Deterministic query subset: every 100th vector. */
+  val QueryStep = 100
+  val CentroidStep = 97
+  val NProbe = 4
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+
+  /** Exact cosine near-dup pairs on the deterministic % 10 sample (the
+    * embedding-space analog of ngram Jaccard dedup). */
+  def cosineNearDupPairs(s: SparkSession, d: String,
+      threshold: Double = 0.25): DataFrame = {
+    val v = vectors(s, d).filter(col("vec_id") % 10 === 0)
+    val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Exact top-k nearest neighbors (cosine) for each query vector.
+    * Ranking is on the 6-decimal-rounded similarity with vec_id tie-break so
+    * the order is reproducible across engines. */
+  def bruteForceTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val v = vectors(s, d)
+    val q = v.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rk").cast("int").as("rk"))
+  }
+
+  /** IVF-bucketed approximate top-k: assign every vector to its nearest
+    * centroid (broadcast centroids, map-side argmax), probe the query's
+    * `NProbe` nearest buckets only. Same output shape as brute force;
+    * recall measured in the spec against [[bruteForceTopK]]. */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val v = vectors(s, d)
+    val cents = v.filter(col("vec_id") % CentroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
+
+    // nearest-centroid assignment: broadcast join + per-vector argmax
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int)
+        : DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cdist").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cdist", cosine(col(embCol), col("cent_emb")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .drop("cent_emb", "cdist", "crk")
+    }
+
+    val assigned = assign(v, "vec_id", "emb", 1)          // 1 bucket per vec
+    val q = v.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = assign(q, "query_id", "q_emb", NProbe)    // nprobe buckets
+
+    val scored = assigned
+      .join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rk").cast("int").as("rk"))
+  }
+}

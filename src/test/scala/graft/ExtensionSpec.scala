@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.operators.{Tables, TextQueries}
+import graft.similarity.Similarity
+
+/** Specs for the LLM-pipeline extension operators (dedup, similarity,
+  * text analysis, multimodal). Oracle hash-matching runs via the driver;
+  * these assert structural/semantic invariants the oracle can't. */
+class ExtensionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = sf0001
+
+  // ------------------------------------------------------------------ text
+
+  test("token count equals manual whitespace split") {
+    val row = Tables.documents(spark, d)
+      .select(col("text"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .head()
+    val expected = row.getString(0).split(" ").count(_.nonEmpty)
+    assert(row.getInt(1) === expected)
+  }
+
+  test("fingerprint matches a reference Scala implementation") {
+    val rows = Tables.documents(spark, d)
+      .select(col("text"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .limit(20).collect()
+    rows.foreach { r =>
+      val expected = r.getString(0).foldLeft(0L)((h, c) =>
+        (h * 31 + c.toInt) % TextAnalysis.FingerprintMod)
+      assert(r.getLong(1) === expected)
+    }
+  }
+
+  test("fingerprint is order-sensitive (anagrams differ)") {
+    val fps = Seq("a b", "b a").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) !== fps(1))
+  }
+
+  test("langid returns a value from the closed set") {
+    val preds = TextQueries.langIdConfusion(spark, d)
+      .select(col("pred_lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "fr", "zh", "unknown")))
+  }
+
+  test("quality score is within [0, 1]") {
+    val bad = TextQueries.textStats(spark, d)
+      .filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad === 0)
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  test("exact stats: distinct <= total per source") {
+    val bad = Dedup.exactStats(spark, d)
+      .filter(col("n_distinct") > col("n_docs")).count()
+    assert(bad === 0)
+  }
+
+  test("minhash candidates contain every high-jaccard exact pair (recall)") {
+    // ground truth on the % 4 sample at threshold .8 (well above the LSH
+    // s-curve midpoint, so recall should be ~1) — same shingle space as the
+    // signature
+    val exact = Dedup.shingleJaccardPairs(spark, d, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDupPairs(spark, d, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall; missed ${exact -- lsh}")
+  }
+
+  test("minhash pairs are all >= threshold and exact-verified") {
+    val bad = Dedup.minhashDupPairs(spark, d, threshold = 0.6)
+      .filter(col("jaccard") < 0.6).count()
+    assert(bad === 0)
+  }
+
+  test("simhash: identical token sets get identical signatures") {
+    val sigs = Seq("spark fast join", "join spark fast spark")
+      .toDF("text").select(Dedup.simhash(col("text")))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("scalable simhashDf agrees with the per-row reference simhash") {
+    val docs = Tables.documents(spark, d).limit(50)
+    val ref = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val fast = Dedup.simhashDf(docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("toks")))
+      .as[(Long, Long)].collect().toMap
+    assert(fast === ref)
+  }
+
+  test("simhash: near-identical texts are within small hamming distance") {
+    val sigs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again now")
+      .toDF("text").select(Dedup.simhash(col("text")))
+      .collect().map(_.getLong(0))
+    val hamming = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+    assert(hamming <= 16, s"hamming=$hamming")
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  test("brute-force topk: k neighbors per query, ranks 1..k, sim in [-1,1]") {
+    val t = Similarity.bruteForceTopK(spark, d).cache()
+    val perQuery = t.groupBy(col("query_id")).count()
+      .select(max(col("count"))).head().getLong(0)
+    assert(perQuery === 5)
+    assert(t.filter(col("sim") < -1 || col("sim") > 1).count() === 0)
+    assert(t.filter(col("rk") < 1 || col("rk") > 5).count() === 0)
+  }
+
+  test("IVF topk recall vs brute force is useful (> 0.4) and self-consistent") {
+    val bf = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall > 0.4, s"IVF recall $recall")
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  test("asset metadata: checksum is a valid md5, n_bytes matches text") {
+    val m = Multimodal.metadata(spark, d).cache()
+    assert(m.filter(length(col("checksum")) =!= 32).count() === 0)
+    val doc = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val joined = m.join(doc, m("asset_id") === doc("doc_id"))
+      .filter(octet_length(col("text")) =!= col("n_bytes"))
+    assert(joined.count() === 0)
+  }
+
+  test("feature extraction runs partition-local and is deterministic") {
+    val f1 = Multimodal.extractFeatures(spark, d).collect()
+      .map(a => a.asset_id -> a.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(spark, d).collect()
+      .map(a => a.asset_id -> a.feature.toSeq).toMap
+    assert(f1 === f2)
+    assert(f1.values.head.length === Multimodal.StubCodec.FeatureDim)
+  }
+
+  test("frame sampling strides frames and checksums each slice") {
+    val f = Multimodal.sampleFrames(spark, d).cache()
+    assert(f.filter(col("byte_offset") =!= col("frame_idx") * 64).count() === 0)
+    assert(f.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    // every asset contributes at least frame 0
+    val nAssets = Tables.documents(spark, d).count()
+    assert(f.filter(col("frame_idx") === 0).count() === nAssets)
+  }
+}
