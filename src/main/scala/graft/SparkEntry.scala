@@ -57,6 +57,11 @@ object SparkEntry {
     "q31_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q32_multimodal_meta" -> (Multimodal.metadata(_, _)),
     "q33_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "q34_asof_join" -> (Relational.asofJoin(_, _)),
+    "q35_rollup" -> (Relational.rollupAgg(_, _)),
+    "q36_json_extract" -> (Relational.jsonExtract(_, _)),
+    "q37_explode_items" -> (Relational.explodeItems(_, _)),
+    "q38_sessionize" -> (graft.streaming.Sessionize.batch(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -172,5 +177,36 @@ object SparkEntry {
         "SELECT doc_id, text, unnest(range(0, " +
         "GREATEST(CAST(floor(octet_length(encode(text))/64.0) AS BIGINT), 1), 4)) AS fi " +
         "FROM documents)"),
+    "q34_asof_join" ->
+      ("SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, " +
+        "(SELECT max(epoch_ms(p.ts)) FROM events p WHERE p.user_id = e.user_id " +
+        "AND p.event_type = 'purchase' AND epoch_ms(p.ts) <= epoch_ms(e.ts)) AS last_purchase_ms, " +
+        "(SELECT count(*) FROM events p WHERE p.user_id = e.user_id " +
+        "AND p.event_type = 'purchase' AND epoch_ms(p.ts) <= epoch_ms(e.ts)) AS n_purchases_before " +
+        "FROM events e WHERE e.event_type = 'error'"),
+    "q35_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS revenue FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    "q36_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k " +
+        "FROM events GROUP BY event_type"),
+    "q37_explode_items" ->
+      ("SELECT word, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(p_name, ' ')) AS word FROM part) " +
+        "WHERE word <> '' GROUP BY word"),
+    "q38_sessionize" ->
+      ("SELECT user_id, session_id, min(ts_ms) AS session_start_ms, " +
+        "max(ts_ms) AS session_end_ms, count(*) AS n_events FROM (" +
+        "SELECT user_id, ts_ms, CAST(sum(new_session) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_ms " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (" +
+        "SELECT user_id, ts_ms, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM (" +
+        "SELECT user_id, epoch_ms(ts) AS ts_ms, " +
+        "lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms " +
+        "FROM events))) GROUP BY user_id, session_id"),
   )
 }

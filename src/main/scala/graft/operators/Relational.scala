@@ -181,6 +181,59 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** As-of join (point-in-time lookup): for each error event, the latest
+    * purchase of the same user at-or-before it. Expressed as the union-
+    * window composition — one shuffle on the key, running max over event
+    * time — rather than a pairwise time-range join: O(n log n) per key vs
+    * O(n·m), and it survives any skew AQE can't fix because there is no
+    * join fan-out at all. Millisecond timestamps for cross-engine hashing. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"),
+      when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_p").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev
+      .withColumn("last_purchase_ms",
+        max(when(col("is_p") === 1, col("ts_ms"))).over(w))
+      .withColumn("n_purchases_before",
+        sum(col("is_p")).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("last_purchase_ms"), col("n_purchases_before"))
+  }
+
+  /** Rollup aggregation (hierarchical subtotals): status × priority with
+    * per-status and grand totals — Catalyst expands to a single Expand +
+    * one aggregation, not one scan per level. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** Semi-structured extraction: pull a typed value out of the JSON props
+    * column and aggregate — the schema-on-read path for event payloads. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  /** Packed-list explosion (the reference's `items` field generalized,
+    * SURVEY §2.3): explode a delimited string column to per-element rows
+    * and aggregate element frequencies. */
+  def explodeItems(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
   /** Approximate distinct-count sketch (HLL++) alongside the exact count —
     * the sketch is the 100 TB answer (no shuffle of distinct values, fixed
     * memory). Exact value used for the oracle; sketch must be within 5%. */

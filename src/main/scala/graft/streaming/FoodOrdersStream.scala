@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{Clean, FoodSchema, Sink, Split}
+
+/** The reference's orchestration loop (GCS sensor → claim one file → run
+  * batch job every 10 min, `code/airflow_pipe.py:63-94`) re-expressed as a
+  * Structured Streaming file source — the robust exactly-once form:
+  * checkpointed file-source offsets replace the sensor+move claim protocol,
+  * `maxFilesPerTrigger=1` reproduces one-file-per-run, and
+  * `cleanSource=archive` reproduces move-to-processed.
+  *
+  * The transform chain is the SAME [[Clean]]/[[Split]] code as the batch
+  * path — one definition of the semantics, two execution modes.
+  */
+object FoodOrdersStream {
+
+  /** Start the stream: watch `inputDir` for CSVs, clean, split, append both
+    * branches day-partitioned under `outDir` via foreachBatch (reusing the
+    * batch sink, one write action per micro-batch). */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, archiveDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 minutes"))
+      : StreamingQuery = {
+    val raw = spark.readStream
+      .schema(FoodSchema.raw)
+      .option("header", "true")
+      .option("quote", "")
+      .option("mode", "PERMISSIVE")
+      .option("maxFilesPerTrigger", "1")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .csv(inputDir)
+
+    Clean(raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sink.writeTaggedSinglePass(Split.tagged(batch), outDir)
+      }
+      .start()
+  }
+
+  /** Event-time windowed aggregation over a streaming source — watermarked
+    * tumbling windows (the streaming form of Relational.eventsWindowed).
+    * Used by the spec with a memory sink; in production the same plan runs
+    * against Kafka/files with `outputMode(Append)` after the watermark
+    * closes windows. */
+  def windowedEventCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.operators.Tables
+
+/** Streaming-mode specs: the file-source pipeline (sense/claim/process
+  * parity), watermarked windowed aggregation, and stateful sessionization —
+  * all driven synchronously with processAllAvailable. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  test("file-source stream: one micro-batch per file, both branches written, source archived") {
+    val in = tmp("stream-in"); val out = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt"); val arch = tmp("stream-arch")
+    Files.copy(
+      java.nio.file.Paths.get(resource("food_daily.csv")),
+      in.resolve("food_daily_1.csv"))
+
+    val q = FoodOrdersStream.start(spark, in.toString, out.toString,
+      ckpt.toString, arch.toString, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val del = spark.read.parquet(s"$out/branch=delivered")
+    val oth = spark.read.parquet(s"$out/branch=other")
+    assert(del.count() === 869)
+    assert(oth.count() === 22)
+
+    // restart with a second file: only the new file is processed (offsets
+    // checkpointed — the exactly-once claim the reference approximates by
+    // move-to-processed)
+    Files.copy(
+      java.nio.file.Paths.get(resource("food_daily.csv")),
+      in.resolve("food_daily_2.csv"))
+    val q2 = FoodOrdersStream.start(spark, in.toString, out.toString,
+      ckpt.toString, arch.toString, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/branch=delivered").count() === 2 * 869)
+  }
+
+  test("watermarked windowed aggregation over a streamed events table") {
+    val src = tmp("ev-src")
+    // stage sf0.001 events (ts already micros) as the streaming source
+    Tables.events(spark, sf0001).write.mode("overwrite")
+      .parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+
+    val q = FoodOrdersStream.windowedEventCounts(stream)
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // append mode only emits watermark-closed windows; batch equivalent
+    // bounds it above
+    val streamed = spark.table("wincounts")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() <= batch.count())
+    assert(streamed.count() > 0)
+    // every emitted (window, type, n) matches the batch computation
+    val joined = streamed.select(col("window_start"), col("event_type"), col("n"))
+      .join(batch.select(col("window.start").as("window_start"),
+        col("event_type"), col("n").as("n_batch")),
+        Seq("window_start", "event_type"))
+    assert(joined.filter(col("n") =!= col("n_batch")).count() === 0)
+  }
+
+  test("streaming sessionization agrees with the batch window-function form") {
+    val batchSessions = Sessionize.batch(spark, sf0001)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val src = tmp("sess-src")
+    Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .as[Sessionize.Event]
+
+    val q = Sessionize.streaming(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // open sessions at end-of-stream aren't emitted in append mode; every
+    // emitted (closed) session must be a batch session
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchSessions),
+      s"streaming emitted sessions not in batch: ${streamed -- batchSessions}")
+  }
+}
