@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
+import graft.functions.SortedIntersectSize.sortedIntersectSize
 import graft.operators.Tables
 
 /** Deduplication operators for training-data pipelines, over the
@@ -57,12 +58,17 @@ object Dedup {
       : DataFrame = {
     val t = Tables.documents(s, d)
       .filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(toks(col("text")))).as("toks"))
+    // the sample is one small partition; without an explicit repartition the
+    // broadcast-NL pair loop runs in a single task no matter how many cores
+    // the cluster has — the parallelism must be forced on the streamed side
     val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      .repartition(col("doc_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+        sortedIntersectSize(col("toks_a"), col("toks_b")).cast("double"))
       .withColumn("jac",
         col("inter") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
@@ -130,12 +136,13 @@ object Dedup {
       : DataFrame = {
     val t = Tables.documents(s, d)
       .filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
     val a = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .repartition(col("doc_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jac",
         col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -192,14 +199,14 @@ object Dedup {
     // verify candidates with exact shingle Jaccard (arrays attached here,
     // for candidates only)
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jac",
         col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
