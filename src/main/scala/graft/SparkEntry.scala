@@ -62,6 +62,10 @@ object SparkEntry {
     "q36_json_extract" -> (Relational.jsonExtract(_, _)),
     "q37_explode_items" -> (Relational.explodeItems(_, _)),
     "q38_sessionize" -> (graft.streaming.Sessionize.batch(_, _)),
+    "q39_percentiles" -> (Relational.percentiles(_, _)),
+    "q40_cube" -> (Relational.cubeAgg(_, _)),
+    "q41_salted_join" -> (Relational.saltedJoin(_, _)),
+    "q42_tfidf" -> (Relational.tfidf(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -208,5 +212,29 @@ object SparkEntry {
         "SELECT user_id, epoch_ms(ts) AS ts_ms, " +
         "lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms " +
         "FROM events))) GROUP BY user_id, session_id"),
+    "q39_percentiles" ->
+      ("SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25, " +
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.75), 2) AS p75, " +
+        "round(max(o_totalprice), 2) AS p100 FROM orders"),
+    "q40_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "q41_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "round(sum(l_extendedprice), 2) AS total_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
+    "q42_tfidf" ->
+      ("SELECT p.doc_id, p.word, p.tf, " +
+        "round(p.tf * (ln((n.nd + 1.0) / (d.df + 1.0)) + 1.0), 4) AS tfidf " +
+        "FROM (SELECT doc_id, word, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
+        "FROM documents) GROUP BY doc_id, word) p " +
+        "JOIN (SELECT word, count(*) AS df FROM (" +
+        "SELECT DISTINCT doc_id, word FROM (" +
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
+        "FROM documents)) GROUP BY word) d ON p.word = d.word " +
+        "CROSS JOIN (SELECT count(*) AS nd FROM documents) n"),
   )
 }

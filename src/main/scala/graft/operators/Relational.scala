@@ -234,6 +234,62 @@ object Relational {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
 
+  /** Exact interpolated percentiles (quartiles of order value). At 100 TB
+    * the drop-in is approx_percentile (t-digest, fixed memory, no sort);
+    * exact is used here because the oracle compares values. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+      round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+      round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+      round(max(col("o_totalprice")), 2).as("p100"))
+
+  /** Cube aggregation: all 2^k grouping combinations in one Expand pass. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Skew-salted large join: the left (fact) side is salted into
+    * `SaltBuckets` sub-keys and the right side replicated per salt, so one
+    * hot join key spreads over `SaltBuckets` reducers. Semantically
+    * transparent — the oracle is the plain join. (AQE's skew-join handles
+    * moderate skew automatically; explicit salting is the belt-and-braces
+    * form for pathological keys.) */
+  val SaltBuckets = 8
+
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(SaltBuckets)))
+    val o = orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+  }
+
+  /** TF-IDF featurization, fully relational: explode tokens, TF by
+    * (doc, term), DF by term via a window over the pair frame, smooth-IDF.
+    * Two shuffles ((doc,term) agg + term window); no ml.feature stage. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val docs = documents(s, d)
+    val pairs = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val withDf = pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("word"))))
+    withDf.crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") *
+          (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4)
+          .as("tfidf"))
+  }
+
   /** Approximate distinct-count sketch (HLL++) alongside the exact count —
     * the sketch is the 100 TB answer (no shuffle of distinct values, fixed
     * memory). Exact value used for the oracle; sketch must be within 5%. */
