@@ -64,7 +64,7 @@ object Dedup {
     // broadcast-NL pair loop runs in a single task no matter how many cores
     // the cluster has — the parallelism must be forced on the streamed side
     val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      .repartition(col("doc_a"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("inter",
@@ -96,49 +96,75 @@ object Dedup {
         i => concat_ws(" ", slice(tk, i, lit(n))))))
   }
 
-  /** `NumHashes` independent min-hashes over the shingle set, as a
-    * DataFrame-level transform: shingles explode to rows, each is hashed
-    * ONCE with xxhash64, and the `NumHashes` hash families are cheap affine
-    * transforms `pmod(a_i * h + b_i, p)` of that single hash (the standard
-    * MinHash construction). The per-doc minima come from one partial-
-    * aggregated groupBy — map-side combine keeps the shuffle at one row per
-    * (doc, partition), and nothing is quadratic in shingle count.
-    *
-    * (A naive per-seed `array_min(transform(shingles, xxhash64(...)))`
-    * column expression recomputes the shingle array for every seed — HOF
-    * expressions don't whole-stage-codegen, so that costs 32 interpreted
-    * passes per doc and benchmarked ~50× slower.) */
+  /** MinHash hashing scheme. Shingle STRINGS are never materialized:
+    * building n-gram strings is O(tokens²) per doc in slice copies and
+    * benchmarked as the dominant cost of the whole LSH query (6 of 8.5 s at
+    * sf0.1). Instead each token is xxhash64'd once, and a 3-gram shingle's
+    * hash is an arithmetic mix of three consecutive token hashes via a
+    * lead-window — O(tokens) per doc, all-numeric. The `NumHashes` hash
+    * families are affine transforms `pmod(a_i * h + b_i, p)` of the shingle
+    * hash (the standard MinHash construction). All hash domains are reduced
+    * mod 1e9+7 first so Spark 4's ANSI arithmetic can never overflow.
+    * Duplicate shingles need no dedup — min over a multiset equals min over
+    * its set. */
   val MinhashPrime = 2305843009213693951L // 2^61 - 1
+  val HashDomain = 1000000007L
 
   private val hashFamilies: Seq[(Long, Long)] =
     (0 until NumHashes).map { i =>
       (2L * i + 1234567891L, 9876543210987L * (i + 1) + 11L)
     }
 
-  /** (doc_id, m0..m{NumHashes-1}) from a (doc_id, shingle-array) frame.
-    * The base hash is first reduced mod 1e9+7 (~2^30) so the affine
-    * transforms stay far from long overflow — Spark 4 runs ANSI arithmetic,
-    * so wrap-around tricks throw instead of wrapping. */
-  def minhashSignatureDf(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  /** (doc_id, h) — one row per 3-gram shingle hash, from a (doc_id, toks)
+    * frame. Docs shorter than 3 tokens fall back to unigram/bigram mixes
+    * (trailing positions with missing leads), so no doc is left without a
+    * signature. Window + downstream groupBy share the doc_id partitioning —
+    * one shuffle total. */
+  def hashedShingles(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), size(col("toks")).as("ntok"),
+        posexplode(col("toks")))
+      .select(col("doc_id"), col("ntok"), col("pos"),
+        pmod(xxhash64(col("col")), lit(HashDomain)).as("h0"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .withColumn("h1", lead(col("h0"), 1).over(w))
+      .withColumn("h2", lead(col("h0"), 2).over(w))
+      .filter(col("h2").isNotNull || col("ntok") < 3)
       .select(col("doc_id"),
-        pmod(xxhash64(col("shingle")), lit(1000000007L)).as("h"))
+        pmod(col("h0") * lit(961L) +
+          coalesce(col("h1"), lit(0L)) * lit(31L) +
+          coalesce(col("h2"), lit(0L)), lit(HashDomain)).as("h"))
+  }
+
+  /** Sorted distinct shingle-hash set per doc — the verification/ground-
+    * truth feature space (long arrays; merge-walk intersect via
+    * sorted_intersect_size). */
+  def hashedShingleSets(docs: DataFrame): DataFrame =
+    hashedShingles(docs).groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("sh"))
+
+  /** (doc_id, m0..m{NumHashes-1}): per-doc minima of the affine hash
+    * families, partial-aggregated. */
+  def minhashSignatureDf(docs: DataFrame): DataFrame = {
     val minCols = hashFamilies.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$i")
     }
-    exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    hashedShingles(docs).groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
   }
 
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("toks"))
+
   /** Exact all-pairs shingle-Jaccard on the % 4 sample — the ground truth
-    * the LSH path is measured against (same feature space). */
+    * the LSH path is measured against (same hashed feature space). */
   def shingleJaccardPairs(s: SparkSession, d: String, threshold: Double)
       : DataFrame = {
-    val t = Tables.documents(s, d)
-      .filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
+    val t = hashedShingleSets(
+      docTokens(s, d).filter(col("doc_id") % 4 === 0))
     val a = t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .repartition(col("doc_a"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("inter",
@@ -166,9 +192,7 @@ object Dedup {
       : DataFrame = {
     // ids + band hashes only — shingle arrays do NOT ride through the
     // shuffle; they are re-attached for the (small) candidate set at the end
-    val sigs = minhashSignatureDf(
-      Tables.documents(s, d)
-        .select(col("doc_id"), shingles(col("text")).as("sh")))
+    val sigs = minhashSignatureDf(docTokens(s, d))
     val bandCols = (0 until Bands).map { b =>
       xxhash64(concat_ws(",",
         (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
@@ -198,8 +222,7 @@ object Dedup {
 
     // verify candidates with exact shingle Jaccard (arrays attached here,
     // for candidates only)
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
+    val sh = hashedShingleSets(docTokens(s, d))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))

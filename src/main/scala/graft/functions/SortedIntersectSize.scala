@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT string
-  * arrays, via a merge walk — O(|A|+|B|) with zero allocation.
+/** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT arrays of
+  * strings or longs, via a merge walk — O(|A|+|B|) with zero allocation.
   *
   * This is the set-similarity hot path: `size(array_intersect(a, b))`
   * allocates a hash set and a result array per evaluated pair, which on an
@@ -18,24 +18,37 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * surrounding join/projection stays inside whole-stage codegen.
   */
 @ExpressionDescription(
-  usage = "sorted_intersect_size(a, b) - intersection size of two sorted distinct string arrays")
+  usage = "sorted_intersect_size(a, b) - intersection size of two sorted distinct arrays (string or bigint elements)")
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
+  private lazy val isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0
     val an = a.numElements(); val bn = b.numElements()
-    while (i < an && j < bn) {
-      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < an && j < bn) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < an && j < bn) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -45,10 +58,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val cmp =
+        if (isLong)
+          s"int $c = Long.compare($a.getLong($i), $b.getLong($j));"
+        else
+          s"int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));"
       s"""
          |int $i = 0; int $j = 0; int $n = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  $cmp
          |  if ($c == 0) { $n++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

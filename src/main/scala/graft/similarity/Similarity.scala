@@ -41,7 +41,7 @@ object Similarity {
     // force parallelism: the sample is one input split, and a broadcast-NL
     // join otherwise runs its whole quadratic loop in a single task
     val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-      .repartition(col("vec_a"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_a"))
     val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
@@ -56,7 +56,7 @@ object Similarity {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") % QueryStep === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val scored = v.repartition(col("vec_id"))
+    val scored = v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -82,7 +82,7 @@ object Similarity {
         : DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cdist").desc, col("cent_id"))
-      df.repartition(col(idCol)).crossJoin(broadcast(cents))
+      df.repartition(s.sparkContext.defaultParallelism, col(idCol)).crossJoin(broadcast(cents))
         .withColumn("cdist", cosine(col(embCol), col("cent_emb")))
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") <= keep)
