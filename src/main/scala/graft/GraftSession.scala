@@ -18,6 +18,7 @@ object GraftSession {
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       : SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
