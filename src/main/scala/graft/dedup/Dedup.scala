@@ -53,25 +53,40 @@ object Dedup {
     * sets, on the deterministic doc_id % 4 sample (the oracle-checkable
     * ground truth that the LSH path approximates). Pair generation is a
     * range-predicate self-join over the sample — fine for a sample, and
-    * exactly what LSH avoids doing on the full corpus. */
+    * exactly what LSH avoids doing on the full corpus.
+    *
+    * Exactness-preserving optimizations (results identical to the naive
+    * string form, which is what the oracle computes):
+    *  - tokens are hashed to longs once per doc (injective on any real
+    *    vocabulary): the per-pair merge walk compares 8-byte longs instead
+    *    of UTF8Strings, and the joined rows carry long arrays, not strings;
+    *  - size-ratio prefilter in the JOIN CONDITION: jac ≤ min(|A|,|B|) /
+    *    max(|A|,|B|), so pairs whose sizes differ by more than the
+    *    threshold ratio can be skipped before any intersection work. */
   def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6)
       : DataFrame = {
     val t = Tables.documents(s, d)
       .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"),
-        array_sort(array_distinct(toks(col("text")))).as("toks"))
+        array_sort(transform(array_distinct(toks(col("text"))),
+          tk => xxhash64(tk))).as("toks"))
+      .withColumn("sz", size(col("toks")))
     // the sample is one small partition; without an explicit repartition the
     // broadcast-NL pair loop runs in a single task no matter how many cores
     // the cluster has — the parallelism must be forced on the streamed side
-    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("sz").as("sz_b"))
+    a.join(broadcast(b),
+        col("doc_a") < col("doc_b") &&
+          col("sz_a") >= col("sz_b") * lit(threshold) &&
+          col("sz_b") >= col("sz_a") * lit(threshold))
       .withColumn("inter",
         sortedIntersectSize(col("toks_a"), col("toks_b")).cast("double"))
       .withColumn("jac",
-        col("inter") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Plan audits: assert the physical-plan properties the 100 TB design
+  * depends on, so a regression in plan shape fails CI, not the cluster.
+  * (Filter pushdown / column pruning / broadcast assertions live in
+  * RelationalSpec; codegen-span assertion in SortedIntersectSizeSpec.) */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("group-by agg runs partial+final (map-side combine before shuffle)") {
+    val p = plan(Relational.aggGroupBy(spark, sf0001))
+    // two HashAggregate nodes around one exchange = combiner lifting
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(p.contains("Exchange"))
+  }
+
+  test("global count never shuffles rows, only partial counts") {
+    val p = plan(Relational.countGlobal(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    // the exchange moves one row per partition (SinglePartition), not data
+    assert(p.contains("SinglePartition"), p.take(1500))
+  }
+
+  test("dimension-chain join broadcasts all three dims, no shuffle join") {
+    val p = plan(Relational.joinMultiway(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("LSH dedup plan contains no nested-loop join (candidates only)") {
+    val p = plan(Dedup.minhashDupPairs(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("scan of a two-column projection reads only those columns") {
+    val p = plan(Relational.scanProject(spark, sf0001))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
+      p.take(1500))
+  }
+
+  test("documents text-stats scan prunes to the text columns used") {
+    val p = plan(TextQueries.textStats(spark, sf0001))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1500))
+  }
+
+  test("orderByLimit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.orderByLimit(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    val p = plan(Similarity.bruteForceTopK(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+}
