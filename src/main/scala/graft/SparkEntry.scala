@@ -66,6 +66,10 @@ object SparkEntry {
     "q40_cube" -> (Relational.cubeAgg(_, _)),
     "q41_salted_join" -> (Relational.saltedJoin(_, _)),
     "q42_tfidf" -> (Relational.tfidf(_, _)),
+    "q43_intersect" -> (Relational.intersectKeys(_, _)),
+    "q44_except" -> (Relational.exceptKeys(_, _)),
+    "q45_predicates" -> (Relational.predicates(_, _)),
+    "q46_pivot" -> (Relational.pivotAgg(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -236,5 +240,25 @@ object SparkEntry {
         "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
         "FROM documents)) GROUP BY word) d ON p.word = d.word " +
         "CROSS JOIN (SELECT count(*) AS nd FROM documents) n"),
+    "q43_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_totalprice > 150000 " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE o_totalprice <= 150000"),
+    "q44_except" ->
+      ("SELECT o_custkey FROM orders WHERE o_totalprice > 150000 " +
+        "EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_totalprice <= 150000"),
+    "q45_predicates" ->
+      ("SELECT p_partkey, p_brand, " +
+        "CASE WHEN p_size < 20 THEN 'small' ELSE 'large' END AS size_band " +
+        "FROM part WHERE p_name LIKE '%al%' " +
+        "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') " +
+        "AND p_size BETWEEN 5 AND 40 AND p_retailprice IS NOT NULL"),
+    "q46_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent, " +
+        "count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high, " +
+        "count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS n_other " +
+        "FROM orders GROUP BY o_orderstatus"),
   )
 }

@@ -30,6 +30,24 @@ object Multimodal {
   final case class AssetFeature(asset_id: Long, n_bytes: Long,
       feature: Array[Float])
 
+  /** Real-asset ingestion path: a directory of media files via Spark's
+    * binaryFile source — (path, modificationTime, length, content) with
+    * content as the opaque binary column; normalized into the same Asset
+    * schema as [[assets]], so everything downstream (metadata pass, codec,
+    * frame sampling) is source-agnostic. `pathGlobFilter` prunes by
+    * extension at listing time — no bytes read for skipped files. */
+  def assetsFromDir(s: SparkSession, dir: String, glob: String = "*")
+      : DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        abs(xxhash64(col("path"))).as("asset_id"),
+        col("content").as("media"),
+        lit("application/octet-stream").as("mime"),
+        col("length").as("n_bytes"),
+        col("path"))
+
   /** Build the asset table from documents: media = UTF-8 bytes of text.
     * Partitioned by asset_id so downstream per-asset work is co-located. */
   def assets(s: SparkSession, d: String): DataFrame =

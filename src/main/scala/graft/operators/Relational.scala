@@ -234,6 +234,48 @@ object Relational {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
 
+  /** Set ops: customers with orders in BOTH halves of the price range
+    * (INTERSECT) — planned as a semi-join pair, no materialized distinct. */
+  def intersectKeys(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      .intersect(
+        o.filter(col("o_totalprice") <= 150000).select(col("o_custkey")))
+  }
+
+  /** Set ops: customer keys appearing only above the price split (EXCEPT). */
+  def exceptKeys(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      .except(
+        o.filter(col("o_totalprice") <= 150000).select(col("o_custkey")))
+  }
+
+  /** Predicate battery: LIKE, IN, BETWEEN, IS NULL handling, CASE — the
+    * scalar-predicate surface the reference never needed but a complete
+    * engine must push down / evaluate correctly. */
+  def predicates(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_name").like("%al%") &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size").between(5, 40) &&
+        col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_brand"),
+        when(col("p_size") < 20, lit("small")).otherwise(lit("large"))
+          .as("size_band"))
+
+  /** Pivot-style conditional aggregation: order counts per status spread
+    * across priority columns — one pass, FILTER-style aggregates (portable
+    * to any SQL engine, unlike engine-specific PIVOT syntax). */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        count(when(col("o_orderpriority") === "2-HIGH", 1)).as("n_high"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("n_other"))
+
   /** Exact interpolated percentiles (quartiles of order value). At 100 TB
     * the drop-in is approx_percentile (t-digest, fixed memory, no sort);
     * exact is used here because the oracle compares values. */

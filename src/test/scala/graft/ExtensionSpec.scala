@@ -142,6 +142,17 @@ class ExtensionSpec extends SparkTestBase {
     assert(joined.count() === 0)
   }
 
+  test("binaryFile ingestion yields opaque media rows with correct sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("assets")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.bin"), Array.fill[Byte](100)(7))
+    java.nio.file.Files.writeString(dir.resolve("skip.txt"), "not media")
+    val a = Multimodal.assetsFromDir(spark, dir.toString, "*.bin").cache()
+    assert(a.count() === 2)
+    assert(a.filter(octet_length(col("media")) =!= col("n_bytes")).count() === 0)
+    assert(a.select(sum(col("n_bytes"))).head().getLong(0) === 103)
+  }
+
   test("feature extraction runs partition-local and is deterministic") {
     val f1 = Multimodal.extractFeatures(spark, d).collect()
       .map(a => a.asset_id -> a.feature.toSeq).toMap
