@@ -70,6 +70,7 @@ object SparkEntry {
     "q44_except" -> (Relational.exceptKeys(_, _)),
     "q45_predicates" -> (Relational.predicates(_, _)),
     "q46_pivot" -> (Relational.pivotAgg(_, _)),
+    "q47_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

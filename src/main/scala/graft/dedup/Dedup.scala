@@ -206,8 +206,21 @@ object Dedup {
   def minhashDupPairs(s: SparkSession, d: String, threshold: Double = 0.6)
       : DataFrame = {
     // ids + band hashes only — shingle arrays do NOT ride through the
-    // shuffle; they are re-attached for the (small) candidate set at the end
-    val sigs = minhashSignatureDf(docTokens(s, d))
+    // shuffle; they are re-attached for the (small) candidate set at the end.
+    // The signature+set aggregation feeds three consumers (banding and both
+    // verify joins); localCheckpoint materializes it once instead of
+    // re-running the explode+window pipeline per consumer — at scale this
+    // is the difference between one and three passes over the corpus.
+    val combined = {
+      val minCols = hashFamilies.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$i")
+      }
+      val aggCols = minCols :+ sort_array(collect_set(col("h"))).as("sh")
+      hashedShingles(docTokens(s, d)).groupBy(col("doc_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint()
+    }
+    val sigs = combined.drop("sh")
     val bandCols = (0 until Bands).map { b =>
       xxhash64(concat_ws(",",
         (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
@@ -237,7 +250,7 @@ object Dedup {
 
     // verify candidates with exact shingle Jaccard (arrays attached here,
     // for candidates only)
-    val sh = hashedShingleSets(docTokens(s, d))
+    val sh = combined.select(col("doc_id"), col("sh"))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
@@ -269,6 +282,54 @@ object Dedup {
     (0 until 64).map { i =>
       when(element_at(bitSums, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** Apply dedup: collapse near-dup pairs into groups (connected
+    * components) and elect the minimum doc_id of each component as its
+    * canonical document. Components come from iterated min-label
+    * propagation over the undirected pair graph — each round is one
+    * shuffle (groupBy node), rounds = graph diameter, which for dup
+    * clusters is tiny (they are near-cliques: LSH links most members
+    * directly). Returns (doc_id, canonical_id) for every doc in some dup
+    * group; docs absent from the result are already unique. */
+  def assignCanonical(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+      .unionAll(edges.select(col("src").as("node"), col("dst").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // pull the smallest label among each node's neighbors (and itself)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = neighborLabels.join(labels.withColumnRenamed("label", "old"),
+        Seq("node")).filter(col("label") =!= col("old")).isEmpty
+      labels = neighborLabels
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** End-to-end dedup of the documents table: LSH pairs → components →
+    * per-source counts of kept (canonical or unique) vs dropped docs. */
+  def dedupApply(s: SparkSession, d: String, threshold: Double = 0.6)
+      : DataFrame = {
+    val assignments = assignCanonical(minhashDupPairs(s, d, threshold))
+    Tables.documents(s, d)
+      .join(assignments, Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_dropped"))
   }
 
   /** Scalable SimHash: distinct tokens explode to rows, each hashed once;

@@ -83,6 +83,25 @@ class ExtensionSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("dedup-apply: canonical assignment is transitive and minimal") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.assignCanonical(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup-apply on documents: kept + dropped == total, dropped matches groups") {
+    val res = Dedup.dedupApply(spark, d).cache()
+    assert(res.filter(col("n_kept") + col("n_dropped") =!= col("n_docs"))
+      .count() === 0)
+    val dropped = res.agg(sum(col("n_dropped"))).head().getLong(0)
+    // every dropped doc corresponds to a non-canonical member of some group
+    val pairs = Dedup.minhashDupPairs(spark, d)
+    val grouped = Dedup.assignCanonical(pairs)
+      .filter(col("doc_id") =!= col("canonical_id")).count()
+    assert(dropped === grouped)
+  }
+
   test("simhash: identical token sets get identical signatures") {
     val sigs = Seq("spark fast join", "join spark fast spark")
       .toDF("text").select(Dedup.simhash(col("text")))
