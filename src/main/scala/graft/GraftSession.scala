@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+      // runtime row-level filtering: build a bloom filter from the small
+      // side of a shuffle join and push it into the large side's scan —
+      // at 100 TB this prunes fact-table IO before the shuffle
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")

@@ -191,10 +191,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** LSH candidate pairs: explode each doc's signature into `Bands` band
-    * hashes, group by (band, hash), pair within buckets. Returns candidate
-    * pairs with their exact token-set Jaccard attached (verify step), kept
-    * when ≥ threshold. */
   /** Buckets larger than this are dropped before pairing: a bucket of g
     * docs makes g² candidate pairs, and mega-buckets (boilerplate / filler
     * text sharing a global min-hash) turn LSH into all-pairs. Dropping them
@@ -203,6 +199,8 @@ object Dedup {
     * such pairs collide in several independent bands. */
   val MaxBucket = 64
 
+  /** LSH near-dup pairs: band the signatures, pair within capped buckets,
+    * exact-verify candidates with shingle Jaccard ≥ threshold. */
   def minhashDupPairs(s: SparkSession, d: String, threshold: Double = 0.6)
       : DataFrame = {
     // ids + band hashes only — shingle arrays do NOT ride through the

@@ -56,8 +56,8 @@ object FoodOrdersJob {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val obs = Observation()
-      Sink.writePartitioned(observed(Split.delivered(cleaned), obs)
-        .drop("nothing"), deliveredPath)
+      Sink.writePartitioned(observed(Split.delivered(cleaned), obs),
+        deliveredPath)
       Sink.writePartitioned(Split.other(cleaned), otherPath)
       // obs carries total==delivered here (branch already filtered); compute
       // full counts from the cached parent cheaply instead.
