@@ -29,10 +29,15 @@ object Bench {
 
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(n)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      // a failing query must not masquerade as a fast success: mark it -1
+      val ok =
+        try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}"); false }
+      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val qs = results
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -56,7 +56,7 @@ object SparkEntry {
     "q30_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q31_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q32_multimodal_meta" -> (Multimodal.metadata(_, _)),
-    "q33_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "q33_frame_sample" -> ((s, d) => Multimodal.sampleFramesAscii(s, d)),
     "q34_asof_join" -> (Relational.asofJoin(_, _)),
     "q35_rollup" -> (Relational.rollupAgg(_, _)),
     "q36_json_extract" -> (Relational.jsonExtract(_, _)),
@@ -71,6 +71,7 @@ object SparkEntry {
     "q45_predicates" -> (Relational.predicates(_, _)),
     "q46_pivot" -> (Relational.pivotAgg(_, _)),
     "q47_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "q48_approx_distinct" -> (Relational.approxDistinctSketch(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -120,10 +121,10 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, " +
         "CAST(ceil(length(text)/4.0) AS INT) AS bpe_est, " +
-        "round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio, " +
-        "round(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in' OR t='is')) / CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE), 4) AS stop_ratio, " +
-        "round((1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.5 " +
-        "+ (len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in' OR t='is')) / CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE)) * 0.3 " +
+        "round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / nullif(CAST(length(text) AS DOUBLE), 0), 4) AS punct_ratio, " +
+        "round(len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in' OR t='is')) / nullif(CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE), 0), 4) AS stop_ratio, " +
+        "round((1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / nullif(CAST(length(text) AS DOUBLE), 0)) * 0.5 " +
+        "+ (len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='to' OR t='in' OR t='is')) / nullif(CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE), 0)) * 0.3 " +
         "+ least(1.0, len(list_filter(string_split(text,' '), x -> x <> '')) / 100.0) * 0.2, 4) AS quality " +
         "FROM documents"),
     "q22_langid" ->
@@ -185,7 +186,7 @@ object SparkEntry {
         "md5(substring(text, CAST(fi*64+1 AS INT), 64)) AS frame_checksum FROM (" +
         "SELECT doc_id, text, unnest(range(0, " +
         "GREATEST(CAST(floor(octet_length(encode(text))/64.0) AS BIGINT), 1), 4)) AS fi " +
-        "FROM documents)"),
+        "FROM documents WHERE octet_length(encode(text)) = length(text))"),
     "q34_asof_join" ->
       ("SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, " +
         "(SELECT max(epoch_ms(p.ts)) FROM events p WHERE p.user_id = e.user_id " +

@@ -85,8 +85,9 @@ object Dedup {
           col("sz_b") >= col("sz_a") * lit(threshold))
       .withColumn("inter",
         sortedIntersectSize(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("den", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jac",
-        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter") / when(col("den") > 0, col("den")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
@@ -99,17 +100,6 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8
   val RowsPerBand = 4
-
-  /** Word shingles of size `n` (falls back to whole-token-set for short
-    * docs) — the feature space for MinHash, its verification step, and the
-    * exact ground truth, so all three agree. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tk = toks(text)
-    when(size(tk) < n, array_distinct(tk))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(tk) - lit(n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n))))))
-  }
 
   /** MinHash hashing scheme. Shingle STRINGS are never materialized:
     * building n-gram strings is O(tokens²) per doc in slice copies and
@@ -159,16 +149,6 @@ object Dedup {
     hashedShingles(docs).groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h"))).as("sh"))
 
-  /** (doc_id, m0..m{NumHashes-1}): per-doc minima of the affine hash
-    * families, partial-aggregated. */
-  def minhashSignatureDf(docs: DataFrame): DataFrame = {
-    val minCols = hashFamilies.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$i")
-    }
-    hashedShingles(docs).groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-  }
-
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("toks"))
 
@@ -184,9 +164,8 @@ object Dedup {
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("inter",
         sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("jac",
-        col("inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .withColumn("den", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jac", col("inter") / when(col("den") > 0, col("den")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
@@ -256,9 +235,8 @@ object Dedup {
         Seq("doc_b"))
       .withColumn("inter",
         sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("jac",
-        col("inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .withColumn("den", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jac", col("inter") / when(col("den") > 0, col("den")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
@@ -290,7 +268,7 @@ object Dedup {
     * clusters is tiny (they are near-cliques: LSH links most members
     * directly). Returns (doc_id, canonical_id) for every doc in some dup
     * group; docs absent from the result are already unique. */
-  def assignCanonical(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+  def assignCanonical(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("node"), col("src").as("label"))

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT arrays of
   * strings or longs, via a merge walk — O(|A|+|B|) with zero allocation.
@@ -24,6 +25,21 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+
+  /** Analysis-time validation (the function is SQL-registered, so arbitrary
+    * argument types reach it): both sides must be arrays of the SAME
+    * supported element type, or the getLong/getUTF8String accessors below
+    * would misread the array bytes at runtime. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> or two array<bigint> " +
+          s"arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
 
   private lazy val isLong: Boolean = left.dataType match {
     case ArrayType(LongType, _) => true

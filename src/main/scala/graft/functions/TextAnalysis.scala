@@ -39,25 +39,32 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Ratio of non-alphanumeric, non-space characters. */
+  /** Null-guarded denominator: Spark 4's default ANSI mode turns x/0 into a
+    * runtime DIVIDE_BY_ZERO that kills the whole query; a null denominator
+    * yields null for just the degenerate row (matching SQL `nullif(d, 0)`
+    * in the oracle). */
+  private def nonZero(d: Column): Column =
+    when(d =!= 0, d)
+
+  /** Ratio of non-alphanumeric, non-space characters (null on empty text). */
   def punctRatio(text: Column): Column =
     round(
       (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))) /
-        length(text).cast("double"), 4)
+        nonZero(length(text).cast("double")), 4)
 
-  /** Stopword ratio over whitespace tokens. */
+  /** Stopword ratio over whitespace tokens (null on zero tokens). */
   def stopwordRatio(text: Column): Column =
     round(markerCount(tokens(text), Stopwords) /
-      tokenCount(text).cast("double"), 4)
+      nonZero(tokenCount(text).cast("double")), 4)
 
   /** Composite quality score in [0,1]: favors low punctuation noise, a
     * natural stopword rate, and non-trivial length. Weights are fixed and
-    * mirrored exactly in the oracle SQL. */
+    * mirrored exactly in the oracle SQL. Null on empty/whitespace text. */
   def qualityScore(text: Column): Column = {
     val punct = (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))) /
-      length(text).cast("double")
+      nonZero(length(text).cast("double"))
     val stop = markerCount(tokens(text), Stopwords) /
-      tokenCount(text).cast("double")
+      nonZero(tokenCount(text).cast("double"))
     val len = least(lit(1.0), tokenCount(text) / lit(100.0))
     round((lit(1.0) - punct) * lit(0.5) + stop * lit(0.3) + len * lit(0.2), 4)
   }

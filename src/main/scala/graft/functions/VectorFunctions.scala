@@ -21,7 +21,10 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
 
-  /** Cosine similarity; callers should pass already-upcast columns. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity; callers should pass already-upcast columns.
+    * Null (not a DIVIDE_BY_ZERO abort under ANSI mode) for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm2(a) * norm2(b)
+    dot(a, b) / when(den =!= 0.0, den)
+  }
 }

@@ -48,14 +48,27 @@ object Multimodal {
         col("length").as("n_bytes"),
         col("path"))
 
-  /** Build the asset table from documents: media = UTF-8 bytes of text.
-    * Partitioned by asset_id so downstream per-asset work is co-located. */
-  def assets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+  /** Build an asset table from a documents frame: media = UTF-8 bytes of
+    * text. Partitioned by asset_id so downstream per-asset work is
+    * co-located. */
+  def assetsFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("asset_id"),
       encode(col("text"), "UTF-8").as("media"),
       lit("text/plain").as("mime"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  def assets(s: SparkSession, d: String): DataFrame =
+    assetsFrom(Tables.documents(s, d))
+
+  /** ASCII-scoped variant for the byte-exact oracle: frame slicing is
+    * byte-based, but SQL engines slice characters — restricting to docs
+    * where octet_length == char length makes the two provably identical
+    * (the oracle applies the same predicate). */
+  def sampleFramesAscii(s: SparkSession, d: String): DataFrame =
+    sampleFramesDf(assetsFrom(Tables.documents(s, d)
+      .filter(octet_length(encode(col("text"), "UTF-8")) ===
+        length(col("text"))))) 
 
   /** Metadata + checksum extraction — pure column expressions, no decode:
     * the "cheap pass" that runs over all 100 TB before any codec work. */
@@ -105,8 +118,11 @@ object Multimodal {
     * the explode-shape of video frame extraction (one input row → n frame
     * rows), without a real container parser. */
   def sampleFrames(s: SparkSession, d: String, frameSize: Int = 64,
+      stride: Int = 4): DataFrame = sampleFramesDf(assets(s, d), frameSize, stride)
+
+  def sampleFramesDf(assetsDf: DataFrame, frameSize: Int = 64,
       stride: Int = 4): DataFrame =
-    assets(s, d)
+    assetsDf
       .withColumn("frame_idx",
         explode(sequence(lit(0),
           greatest((col("n_bytes") / frameSize).cast("int") - 1, lit(0)),

@@ -332,11 +332,20 @@ object Relational {
           .as("tfidf"))
   }
 
-  /** Approximate distinct-count sketch (HLL++) alongside the exact count —
-    * the sketch is the 100 TB answer (no shuffle of distinct values, fixed
-    * memory). Exact value used for the oracle; sketch must be within 5%. */
+  /** Exact distinct count (oracle-comparable). The approximate companion is
+    * [[approxDistinctSketch]] — sketches aren't cross-engine comparable, so
+    * the two are separate queries. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
       count(lit(1)).as("cnt"))
+
+  /** HLL++ distinct-count sketch alongside the exact value — the sketch is
+    * the 100 TB answer (no shuffle of distinct values, fixed memory per
+    * partition). Rows-only for the driver; the spec asserts the sketch is
+    * within 5% of exact. */
+  def approxDistinctSketch(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
 }

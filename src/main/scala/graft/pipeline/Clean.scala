@@ -48,12 +48,17 @@ object Clean {
   def addConstantColumn(df: DataFrame): DataFrame =
     df.withColumn("new_col", lit("1"))
 
-  /** Drop rows that did not carry all physical fields (intent of the
-    * reference's `<12 fields` guard). With PERMISSIVE CSV parsing a short
-    * row nulls out its trailing columns, so "last raw column present" is the
-    * faithful predicate. */
+  /** Drop rows that did not carry all physical fields (the reference's
+    * `<12 fields after T4` guard, `code/beam.py:50-51`). [[Ingest]] retains
+    * the raw comma-split field count, which distinguishes a row whose last
+    * field is EMPTY (11 fields — kept, like the reference) from a row whose
+    * last field is MISSING (10 fields — dropped); frames from other sources
+    * without the count fall back to last-column-present. */
   def dropMalformed(df: DataFrame): DataFrame =
-    df.filter(col(FoodSchema.rawColumns.last).isNotNull)
+    if (df.columns.contains(Ingest.NFieldsCol))
+      df.filter(col(Ingest.NFieldsCol) >= FoodSchema.rawColumns.length)
+    else
+      df.filter(col(FoodSchema.rawColumns.last).isNotNull)
 
   /** Full chain in reference order: T1 → T2 → T3 → T4, then malformed-row
     * drop, projected to the declared 12-column output order. */

@@ -32,7 +32,10 @@ object FoodOrdersJob {
       obs,
       count(lit(1)).as("total"),
       count(when(col("status") === Split.DeliveredStatus, 1)).as("delivered"),
-      count(when(col("status") =!= Split.DeliveredStatus, 1)).as("other"))
+      // null-safe: a null status routes to the other branch (Split.other),
+      // so it must count as other here too or total != delivered + other
+      count(when(col("status") =!= Split.DeliveredStatus ||
+        col("status").isNull, 1)).as("other"))
 
   private def counts(obs: Observation): Counts = {
     val m = obs.get

@@ -1,28 +1,47 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** CSV ingestion with the reference's exact scan semantics.
   *
   * The reference reads the file as raw text lines with the header skipped and
   * recovers columns by a naive `row.split(',')` — no quoting, no escaping
   * (reference `code/beam.py:113-116`, split at `:36,:44,:126`). We reproduce
-  * that with Spark's CSV source with quoting disabled, which is both faithful
-  * and scan-parallel (a 100 TB input splits by HDFS/GCS block, unlike a
-  * driver-side line loop).
+  * that literally: lines are read whole (a separator that can't occur keeps
+  * Spark's CSV reader to one column while still skipping one header line per
+  * file), then split on bare commas with trailing empties preserved.
+  *
+  * Doing our own split is not just fidelity — it is the only way to keep the
+  * reference's malformed-row semantics: Spark's CSV parser maps BOTH an
+  * empty trailing field and a missing trailing field to null, so "all 11
+  * fields present, feedback empty" (kept by the reference) and "10 fields"
+  * (dropped) would be indistinguishable. The retained field count
+  * ([[NFieldsCol]]) lets [[Clean.dropMalformed]] apply the reference's
+  * `< 12 fields` rule exactly.
+  *
+  * Scan-parallel: the text read splits by file block exactly like any CSV
+  * scan, and the split/projection fuses into whole-stage codegen.
   */
 object Ingest {
 
-  /** Read the raw food-orders CSV: header skipped, no quote handling,
-    * PERMISSIVE (short rows yield nulls; [[Clean]] drops them, matching the
-    * documented intent of the reference's `<12 fields` guard,
-    * `code/beam.py:50-51`). */
-  def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(FoodSchema.raw)
-      .option("header", "true")         // skip_header_lines=1
-      .option("quote", "")              // bare comma split, like row.split(',')
-      .option("mode", "PERMISSIVE")
-      .option("encoding", "UTF-8")      // BOM rides on the skipped header line
+  /** Internal column carrying the raw comma-split field count. */
+  val NFieldsCol = "_n_fields"
+
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
+    val lineSchema = StructType(Seq(StructField("line", StringType)))
+    val lines = spark.read
+      .schema(lineSchema)
+      .option("header", "true")        // skip_header_lines=1, per file
+      .option("sep", "\u0001")         // never occurs -> whole line, one col
+      .option("quote", "")
+      .option("encoding", "UTF-8")     // BOM rides on the skipped header line
       .csv(path)
+    val parts = split(col("line"), ",", -1)   // limit -1 keeps trailing ""
+    val fields = FoodSchema.rawColumns.zipWithIndex.map { case (c, i) =>
+      parts.getItem(i).as(c)
+    }
+    lines.select(fields :+ size(parts).as(NFieldsCol): _*)
+  }
 }

@@ -83,6 +83,13 @@ class ExtensionSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("HLL++ sketch is within 5% of the exact distinct count") {
+    val r = graft.operators.Relational.approxDistinctSketch(spark, d).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("dedup-apply: canonical assignment is transitive and minimal") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val got = Dedup.assignCanonical(pairs)

@@ -16,7 +16,8 @@ class FoodPipelineSpec extends SparkTestBase {
 
   test("fixture loads all 891 data rows with the header skipped") {
     assert(raw.count() === 891)
-    assert(raw.columns.toSeq === FoodSchema.rawColumns)
+    assert(raw.columns.toSeq ===
+      FoodSchema.rawColumns :+ Ingest.NFieldsCol)
   }
 
   test("golden counts: total=891, delivered=869, other=22") {
@@ -108,6 +109,35 @@ class FoodPipelineSpec extends SparkTestBase {
     val out = Clean(Ingest.readRaw(spark, f.toString))
     assert(out.count() === 1)
     assert(out.select("items").head().getString(0) === "pizza")
+  }
+
+  test("empty trailing field is kept; missing trailing field is dropped") {
+    import java.nio.file.Files.writeString
+    val f = Files.createTempFile("emptyvsmissing", ".csv")
+    writeString(f,
+      "Customer_id,date,time,order_id,items,amount,mode,restaurnt,Status,ratings,feedback\n" +
+        // all 11 fields present, feedback EMPTY -> must be kept
+        "C1,1/1/2024,1.2.3,O1,a:,10,Card,R1,Delivered,5,\n" +
+        // only 10 fields (feedback missing entirely) -> dropped
+        "C2,1/1/2024,1.2.3,O2,b:,10,Card,R1,Delivered,4\n")
+    val out = Clean(Ingest.readRaw(spark, f.toString))
+    assert(out.count() === 1)
+    assert(out.select("customer_id").head().getString(0) === "c1")
+    assert(out.select("feedback").head().getString(0) === "")
+  }
+
+  test("counts invariant holds for empty-status rows (routed to other)") {
+    import java.nio.file.Files.writeString
+    val in = Files.createTempFile("emptystatus", ".csv")
+    writeString(in,
+      "Customer_id,date,time,order_id,items,amount,mode,restaurnt,Status,ratings,feedback\n" +
+        "C1,1/1/2024,1.2.3,O1,a:,10,Card,R1,Delivered,5,ok\n" +
+        "C2,1/1/2024,1.2.3,O2,b:,10,Card,R1,,4,ok\n")
+    val out = Files.createTempDirectory("emptystatus-out").toString
+    val c = FoodOrdersJob.runSinglePass(spark, in.toString, out)
+    assert(c === FoodOrdersJob.Counts(2, 1, 1))
+    assert(c.total === c.delivered + c.other)
+    assert(spark.read.parquet(s"$out/branch=other").count() === 1)
   }
 
   test("status junk routes correctly: 'Delivered?' lands in delivered") {
