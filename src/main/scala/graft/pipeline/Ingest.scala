@@ -29,19 +29,27 @@ object Ingest {
   /** Internal column carrying the raw comma-split field count. */
   val NFieldsCol = "_n_fields"
 
-  def readRaw(spark: SparkSession, path: String): DataFrame = {
-    val lineSchema = StructType(Seq(StructField("line", StringType)))
-    val lines = spark.read
-      .schema(lineSchema)
-      .option("header", "true")        // skip_header_lines=1, per file
-      .option("sep", "\u0001")         // never occurs -> whole line, one col
-      .option("quote", "")
-      .option("encoding", "UTF-8")     // BOM rides on the skipped header line
-      .csv(path)
+  /** One-column line schema + reader options shared by batch and streaming
+    * so both modes have IDENTICAL scan semantics. */
+  val LineSchema: StructType =
+    StructType(Seq(StructField("line", StringType)))
+
+  val ReaderOptions: Map[String, String] = Map(
+    "header" -> "true",       // skip_header_lines=1, per file
+    "sep" -> "\u0001",        // never occurs -> whole line stays one column
+    "quote" -> "",
+    "encoding" -> "UTF-8")    // BOM rides on the skipped header line
+
+  /** The naive comma-split projection over a (line: string) frame. */
+  def parseLines(lines: DataFrame): DataFrame = {
     val parts = split(col("line"), ",", -1)   // limit -1 keeps trailing ""
     val fields = FoodSchema.rawColumns.zipWithIndex.map { case (c, i) =>
       parts.getItem(i).as(c)
     }
     lines.select(fields :+ size(parts).as(NFieldsCol): _*)
   }
+
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    parseLines(
+      spark.read.schema(LineSchema).options(ReaderOptions).csv(path))
 }

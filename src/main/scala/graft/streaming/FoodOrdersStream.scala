@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.pipeline.{Clean, FoodSchema, Sink, Split}
+import graft.pipeline.{Clean, Ingest, Sink, Split}
 
 /** The reference's orchestration loop (GCS sensor → claim one file → run
   * batch job every 10 min, `code/airflow_pipe.py:63-94`) re-expressed as a
@@ -24,17 +24,17 @@ object FoodOrdersStream {
       checkpointDir: String, archiveDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 minutes"))
       : StreamingQuery = {
-    val raw = spark.readStream
-      .schema(FoodSchema.raw)
-      .option("header", "true")
-      .option("quote", "")
-      .option("mode", "PERMISSIVE")
+    // same line-split scan as the batch path (Ingest.parseLines), so batch
+    // and streaming have identical malformed-row and empty-field semantics
+    val lines = spark.readStream
+      .schema(Ingest.LineSchema)
+      .options(Ingest.ReaderOptions)
       .option("maxFilesPerTrigger", "1")
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
       .csv(inputDir)
 
-    Clean(raw).writeStream
+    Clean(Ingest.parseLines(lines)).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
