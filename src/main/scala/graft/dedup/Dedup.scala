@@ -170,17 +170,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** Buckets larger than this are dropped before pairing: a bucket of g
-    * docs makes g² candidate pairs, and mega-buckets (boilerplate / filler
-    * text sharing a global min-hash) turn LSH into all-pairs. Dropping them
-    * is the standard practice — a real corpus routes them to a dedicated
-    * boilerplate pass. Recall for genuinely similar pairs survives because
-    * such pairs collide in several independent bands. */
+  /** Buckets larger than this switch from all-pairs to STAR pairing: a
+    * bucket of g docs makes g²/2 candidate pairs, and mega-buckets
+    * (boilerplate / filler text sharing a global min-hash) would turn LSH
+    * into all-pairs. Star pairing (bucket-min doc ↔ every other member,
+    * g−1 pairs) bounds the fan-out linearly while preserving CONNECTIVITY:
+    * for dedup-by-components a homogeneous mega-bucket still collapses into
+    * one group through its hub, and heterogeneous members simply fail the
+    * exact-verification step. */
   val MaxBucket = 64
 
   /** LSH near-dup pairs: band the signatures, pair within capped buckets,
     * exact-verify candidates with shingle Jaccard ≥ threshold. */
   def minhashDupPairs(s: SparkSession, d: String, threshold: Double = 0.6)
+      : DataFrame =
+    minhashDupPairsDf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), threshold)
+
+  /** Same, over any (doc_id, text) frame. */
+  def minhashDupPairsDf(documents: DataFrame, threshold: Double = 0.6)
       : DataFrame = {
     // ids + band hashes only — shingle arrays do NOT ride through the
     // shuffle; they are re-attached for the (small) candidate set at the end.
@@ -193,7 +201,8 @@ object Dedup {
         min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$i")
       }
       val aggCols = minCols :+ sort_array(collect_set(col("h"))).as("sh")
-      hashedShingles(docTokens(s, d)).groupBy(col("doc_id"))
+      hashedShingles(documents.select(col("doc_id"),
+          toks(col("text")).as("toks"))).groupBy(col("doc_id"))
         .agg(aggCols.head, aggCols.tail: _*)
         .localCheckpoint()
     }
@@ -207,22 +216,29 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
 
-    // prune buckets: need >= 2 to pair, cap at MaxBucket to bound skew.
-    // Window count over the bucket key = one shuffle, and the upstream
-    // signature aggregation is computed once (a join against a separate
-    // bucket-count aggregate would recompute it per consumer).
+    // annotate buckets: need >= 2 to pair; window count + min over the
+    // bucket key = one shuffle, and the upstream signature aggregation is
+    // computed once (a join against a separate bucket aggregate would
+    // recompute it per consumer).
     val bucketW = Window.partitionBy(col("band"), col("bandhash"))
-    val pruned = banded
+    val annotated = banded
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") >= 2 && col("bucket_n") <= MaxBucket)
-      .drop("bucket_n")
+      .withColumn("bucket_min", min(col("doc_id")).over(bucketW))
+      .filter(col("bucket_n") >= 2)
 
-    val pairs = pruned.select(col("band"), col("bandhash"),
+    // small buckets: all pairs; mega buckets: star pairs around the hub
+    val small = annotated.filter(col("bucket_n") <= MaxBucket)
+    val allPairs = small.select(col("band"), col("bandhash"),
         col("doc_id").as("doc_a"))
-      .join(pruned.select(col("band"), col("bandhash"),
+      .join(small.select(col("band"), col("bandhash"),
         col("doc_id").as("doc_b")), Seq("band", "bandhash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+    val starPairs = annotated.filter(col("bucket_n") > MaxBucket)
+      .filter(col("doc_id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("doc_a"), col("doc_id").as("doc_b"))
+
+    val pairs = allPairs.unionAll(starPairs)
       .distinct()   // a pair may collide in several bands
 
     // verify candidates with exact shingle Jaccard (arrays attached here,

@@ -27,7 +27,7 @@ object Similarity {
   /** Deterministic query subset: every 100th vector. */
   val QueryStep = 100
   val CentroidStep = 97
-  val NProbe = 4
+  val NProbe = 6
 
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -72,10 +72,44 @@ object Similarity {
     * centroid (broadcast centroids, map-side argmax), probe the query's
     * `NProbe` nearest buckets only. Same output shape as brute force;
     * recall measured in the spec against [[bruteForceTopK]]. */
+  /** Lloyd refinement rounds for the IVF centroids. */
+  val KMeansIters = 3
+
+  /** Deterministically-seeded k-means over the corpus: init = the
+    * vec_id % CentroidStep sample, then `iters` rounds of
+    * assign (broadcast argmax) + recompute (element-wise mean via
+    * posexplode + per-dimension avg). Everything is DataFrame ops — no
+    * ml.clustering, no RNG — so centroids are reproducible. */
+  def kmeansCentroids(s: SparkSession, v: DataFrame, iters: Int = KMeansIters)
+      : DataFrame = {
+    var cents = v.filter(col("vec_id") % CentroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist").desc, col("cent_id"))
+      val assigned = v
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist", cosine(col("emb"), col("cent_emb")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("cent_id"), col("emb"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("emb")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cent_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
-    val cents = v.filter(col("vec_id") % CentroidStep === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
+    val cents = kmeansCentroids(s, v)
 
     // nearest-centroid assignment: broadcast join + per-vector argmax
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int)

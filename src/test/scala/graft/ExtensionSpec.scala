@@ -83,6 +83,22 @@ class ExtensionSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("mega-bucket boilerplate collapses via star pairing, not dropped") {
+    // 80 identical docs (one band bucket of 80 > MaxBucket=64) + 2 distinct
+    val boiler = (0L until 80L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = Seq(
+      (100L, "completely different content about spark joins and shuffles here"),
+      (101L, "yet another unrelated document that talks about parquet files"))
+    val docs = (boiler ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairsDf(docs, threshold = 0.9)
+    // star pairing keeps the component connected: all 80 collapse to one
+    val groups = Dedup.assignCanonical(pairs)
+    assert(groups.filter(col("canonical_id") === 0L).count() === 80)
+    // distinct docs don't get pulled in
+    assert(groups.filter(col("doc_id") >= 100L).count() === 0)
+  }
+
   test("HLL++ sketch is within 5% of the exact distinct count") {
     val r = graft.operators.Relational.approxDistinctSketch(spark, d).head()
     val (approx, exact) = (r.getLong(0), r.getLong(1))
@@ -147,14 +163,17 @@ class ExtensionSpec extends SparkTestBase {
     assert(t.filter(col("rk") < 1 || col("rk") > 5).count() === 0)
   }
 
-  test("IVF topk recall vs brute force is useful (> 0.4) and self-consistent") {
+  test("IVF topk recall vs brute force is useful (> 0.5) and self-consistent") {
+    // measured: 1.0 at sf0.01, ~0.65 at sf0.1 with kmeans centroids +
+    // nprobe=6 over ~21 buckets (random vectors — a uniform-bucket baseline
+    // would sit at nprobe/ncentroids ≈ 0.29)
     val bf = Similarity.bruteForceTopK(spark, d)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(spark, d)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall > 0.4, s"IVF recall $recall")
+    assert(recall > 0.5, s"IVF recall $recall")
   }
 
   // ------------------------------------------------------------ multimodal
