@@ -43,6 +43,19 @@ object FoodOrdersStream {
       .start()
   }
 
+  /** Streaming deduplication: drop repeat events by key within the
+    * watermark horizon — state stores one entry per key seen inside the
+    * watermark, so memory is bounded by the horizon's key cardinality, not
+    * history. The streaming form of exact dedup (SURVEY §2.3). */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id"))
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select((keys :+ "ts").map(col): _*)
+  }
+
   /** Event-time windowed aggregation over a streaming source — watermarked
     * tumbling windows (the streaming form of Relational.eventsWindowed).
     * Used by the spec with a memory sink; in production the same plan runs

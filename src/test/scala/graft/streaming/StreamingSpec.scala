@@ -74,6 +74,25 @@ class StreamingSpec extends SparkTestBase {
     assert(joined.filter(col("n") =!= col("n_batch")).count() === 0)
   }
 
+  test("streaming dedup within watermark drops duplicate event ids") {
+    val src = tmp("dedup-src")
+    val ev = Tables.events(spark, sf0001)
+    // duplicate the whole table: every event_id appears twice in the stream
+    ev.unionAll(ev).write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+
+    val q = FoodOrdersStream.dedupEvents(stream)
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val n = spark.table("dedup_ev").count()
+    val distinct = ev.select("event_id").distinct().count()
+    assert(n === distinct, s"streamed $n vs distinct $distinct")
+  }
+
   test("streaming sessionization agrees with the batch window-function form") {
     val batchSessions = Sessionize.batch(spark, sf0001)
       .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
