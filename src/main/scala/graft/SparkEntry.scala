@@ -72,6 +72,7 @@ object SparkEntry {
     "q46_pivot" -> (Relational.pivotAgg(_, _)),
     "q47_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q48_approx_distinct" -> (Relational.approxDistinctSketch(_, _)),
+    "q49_hotkey_salted_join" -> ((s, d) => Relational.hotKeySaltedJoin(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -262,5 +263,10 @@ object SparkEntry {
         "count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high, " +
         "count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS n_other " +
         "FROM orders GROUP BY o_orderstatus"),
+    "q49_hotkey_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "round(sum(l_extendedprice), 2) AS total_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
   )
 }

@@ -285,8 +285,12 @@ object Dedup {
     * directly). Returns (doc_id, canonical_id) for every doc in some dup
     * group; docs absent from the result are already unique. */
   def assignCanonical(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the edge list once: every propagation round joins it, and
+    // without this the whole upstream pair pipeline (for dedupApply, the
+    // entire LSH) would re-run per iteration
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node"), col("src").as("label"))
       .unionAll(edges.select(col("src").as("node"), col("dst").as("label")))
       .groupBy(col("node")).agg(min(col("label")).as("label"))

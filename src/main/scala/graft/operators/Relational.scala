@@ -312,6 +312,45 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("total_price"))
   }
 
+  /** Hot-key-only salted join — the production shape of q41: detect keys
+    * whose row count exceeds a threshold (one partial-aggregated pass),
+    * salt ONLY those (cold keys join plainly, no replication), union the
+    * two joins. Replication cost is paid for the skewed sliver instead of
+    * the whole dim side. Oracle = the plain join, proving the rewrite
+    * transparent. */
+  def hotKeySaltedJoin(s: SparkSession, d: String, hotThreshold: Long = 5)
+      : DataFrame = {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    val hotKeys = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotThreshold)
+      .select(col("l_orderkey").as("hot_key"))
+
+    val liTagged = li.join(broadcast(hotKeys),
+      col("l_orderkey") === col("hot_key"), "left")
+    val liHot = liTagged.filter(col("hot_key").isNotNull)
+      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(SaltBuckets)))
+    val liCold = liTagged.filter(col("hot_key").isNull).drop("hot_key")
+
+    val oTagged = o.join(broadcast(hotKeys),
+      col("o_orderkey") === col("hot_key"), "left")
+    val oHot = oTagged.filter(col("hot_key").isNotNull)
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+    val oCold = oTagged.filter(col("hot_key").isNull).drop("hot_key")
+
+    val hot = liHot.join(oHot,
+      liHot("l_orderkey") === oHot("o_orderkey") &&
+        liHot("salt") === oHot("salt"))
+    val cold = liCold.join(oCold, col("l_orderkey") === col("o_orderkey"))
+
+    hot.select(col("o_orderpriority"), col("l_extendedprice"))
+      .unionAll(cold.select(col("o_orderpriority"), col("l_extendedprice")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+  }
+
   /** TF-IDF featurization, fully relational: explode tokens, TF by
     * (doc, term), DF by term via a window over the pair frame, smooth-IDF.
     * Two shuffles ((doc,term) agg + term window); no ml.feature stage. */

@@ -50,6 +50,51 @@ object Sessionize {
   final case class Session(user_id: Long, session_start_ms: Long,
       session_end_ms: Long, n_events: Long)
 
+  /** Event-time streaming sessionization: the watermark, not wall-clock,
+    * closes idle sessions — late events inside the watermark still extend
+    * their session, and a session is emitted exactly when the watermark
+    * passes its end + gap. Requires an event-time column with a watermark
+    * on the input. */
+  def streamingEventTime(events: Dataset[EventT]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(st => Session(userId, st.start, st.end, st.n)).toList
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption
+            val closed = List.newBuilder[Session]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val ms = e.ts.getTime
+              cur match {
+                case Some(st) if ms - st.end <= GapMs =>
+                  cur = Some(st.copy(end = math.max(st.end, ms),
+                    n = st.n + 1))
+                case Some(st) =>
+                  closed += Session(userId, st.start, st.end, st.n)
+                  cur = Some(SessionState(ms, ms, 1))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // fire when the WATERMARK (event time) passes session end+gap
+              state.setTimeoutTimestamp(st.end + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  final case class EventT(user_id: Long, ts: java.sql.Timestamp)
+
   /** Streaming sessionization: per-user state holds only the open session;
     * events extend it or close it (emitting the finished session). Timeout
     * flushes idle sessions. */

@@ -93,6 +93,35 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinct, s"streamed $n vs distinct $distinct")
   }
 
+  test("event-time sessionization closes sessions via the watermark") {
+    val src = tmp("sess-et-src")
+    Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"))
+      .write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .withWatermark("ts", "1 minute")
+      .as[Sessionize.EventT]
+
+    val q = Sessionize.streamingEventTime(stream)
+      .writeStream.format("memory").queryName("sessions_et")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val batchSessions = Sessionize.batch(spark, sf0001)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = spark.table("sessions_et")
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchSessions),
+      s"event-time sessions not in batch: ${(streamed -- batchSessions).take(3)}")
+  }
+
   test("streaming sessionization agrees with the batch window-function form") {
     val batchSessions = Sessionize.batch(spark, sf0001)
       .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
