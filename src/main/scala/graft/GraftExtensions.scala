@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SortedIntersectSize
+import graft.functions.{CosineSimilarity, MinHashSignature, ShingleSet, SimHash64, SortedIntersectSize}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -12,16 +12,36 @@ import graft.functions.SortedIntersectSize
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (GraftSession
   * does) or spark.sql.extensions=graft.GraftExtensions on spark-submit. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
+
+  private def register1(e: SparkSessionExtensions, name: String,
+      clazz: Class[_], build: Expression => Expression): Unit =
     e.injectFunction((
-      FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSize].getName,
-        "sorted_intersect_size"),
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          "sorted_intersect_size takes exactly 2 arguments")
-        SortedIntersectSize(exprs.head, exprs(1))
+        require(exprs.length == 1, s"$name takes exactly 1 argument")
+        build(exprs.head)
       }))
+
+  private def register2(e: SparkSessionExtensions, name: String,
+      clazz: Class[_], build: (Expression, Expression) => Expression): Unit =
+    e.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$name takes exactly 2 arguments")
+        build(exprs.head, exprs(1))
+      }))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    register2(e, "sorted_intersect_size", classOf[SortedIntersectSize],
+      SortedIntersectSize(_, _))
+    register2(e, "cosine_similarity", classOf[CosineSimilarity],
+      CosineSimilarity(_, _))
+    register1(e, "minhash_signature", classOf[MinHashSignature],
+      MinHashSignature(_))
+    register1(e, "shingle_set", classOf[ShingleSet], ShingleSet(_))
+    register1(e, "simhash64", classOf[SimHash64], SimHash64(_))
   }
 }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
+import graft.functions.MinHashExpressions.{minhashSignature, shingleSet, simhash64}
 import graft.functions.SortedIntersectSize.sortedIntersectSize
 import graft.operators.Tables
 
@@ -120,11 +121,21 @@ object Dedup {
       (2L * i + 1234567891L, 9876543210987L * (i + 1) + 11L)
     }
 
+  /** Spec accessor: the affine family coefficients (also mirrored by the
+    * native MinHashKernel — the agreement spec recomputes signatures from
+    * these against both implementations). */
+  def hashFamiliesForSpec: Seq[(Long, Long)] = hashFamilies
+
   /** (doc_id, h) — one row per 3-gram shingle hash, from a (doc_id, toks)
     * frame. Docs shorter than 3 tokens fall back to unigram/bigram mixes
     * (trailing positions with missing leads), so no doc is left without a
-    * signature. Window + downstream groupBy share the doc_id partitioning —
-    * one shuffle total. */
+    * signature.
+    *
+    * This exploded formulation is the SPEC REFERENCE for the native
+    * per-row kernel (graft.functions.MinHashKernel) that the production
+    * paths below use: the kernel computes the identical hashes with zero
+    * shuffle, while this version pays an explode + window + aggregate. The
+    * agreement spec (MinHashKernelSpec) pins the two together. */
   def hashedShingles(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), size(col("toks")).as("ntok"),
@@ -144,10 +155,11 @@ object Dedup {
 
   /** Sorted distinct shingle-hash set per doc — the verification/ground-
     * truth feature space (long arrays; merge-walk intersect via
-    * sorted_intersect_size). */
+    * sorted_intersect_size). Computed per-row by the native kernel: a pure
+    * projection, no explode/shuffle. */
   def hashedShingleSets(docs: DataFrame): DataFrame =
-    hashedShingles(docs).groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("sh"))
+    docs.select(col("doc_id"), shingleSet(col("toks")).as("sh"))
+      .filter(col("sh").isNotNull)
 
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("toks"))
@@ -192,24 +204,22 @@ object Dedup {
       : DataFrame = {
     // ids + band hashes only — shingle arrays do NOT ride through the
     // shuffle; they are re-attached for the (small) candidate set at the end.
-    // The signature+set aggregation feeds three consumers (banding and both
-    // verify joins); localCheckpoint materializes it once instead of
-    // re-running the explode+window pipeline per consumer — at scale this
-    // is the difference between one and three passes over the corpus.
-    val combined = {
-      val minCols = hashFamilies.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$i")
-      }
-      val aggCols = minCols :+ sort_array(collect_set(col("h"))).as("sh")
-      hashedShingles(documents.select(col("doc_id"),
-          toks(col("text")).as("toks"))).groupBy(col("doc_id"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .localCheckpoint()
-    }
-    val sigs = combined.drop("sh")
+    // Signature + shingle set are per-row kernel projections (no explode, no
+    // window, no aggregate — the corpus is never shuffled to build them);
+    // localCheckpoint materializes the scan once for the three consumers
+    // (banding and both verify joins).
+    val combined = documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        minhashSignature(col("toks")).as("sig"),
+        shingleSet(col("toks")).as("sh"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint()
+    val sigs = combined.select(col("doc_id"), col("sig"))
     val bandCols = (0 until Bands).map { b =>
       xxhash64(concat_ws(",",
-        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*))
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
     }
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
@@ -349,10 +359,16 @@ object Dedup {
   }
 
   /** SimHash signature per document plus duplicate-signature groups —
-    * near-dup detection at exact-dedup cost. */
+    * near-dup detection at exact-dedup cost. Signatures come from the
+    * native per-row kernel (one pass over the token array, inside codegen);
+    * the only shuffle is the group count over the 64-bit signature. The
+    * `size(toks) > 0` filter mirrors the explode-based [[simhashDf]], where
+    * tokenless docs produce no rows. */
   def simhashGroups(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashDf(Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks")))
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), simhash64(col("toks")).as("sig"))
     val w = Window.partitionBy(col("sig"))
     sigs.withColumn("n_same_sig", count(lit(1)).over(w))
       .filter(col("n_same_sig") > 1)

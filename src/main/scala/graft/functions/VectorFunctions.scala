@@ -3,12 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, built entirely
-  * from higher-order built-ins (`zip_with` / `aggregate`) so it stays in
-  * codegen — no UDF, no ml.linalg conversion, no serialization cliff.
+/** Dense-vector math over `array<float>` embedding columns.
   *
   * All arithmetic is double-precision (inputs upcast once) so results are
   * bit-comparable with the DuckDB oracle's DOUBLE[] computations.
+  *
+  * [[cosine]] is the native fused-loop Catalyst expression
+  * ([[CosineSimilarity]]); the higher-order-function formulation is kept as
+  * [[cosineHof]] — it computes bit-identical results (same accumulation
+  * order) and serves as the spec reference, but lambda expressions don't
+  * whole-stage-codegen and walk the arrays three times, which on ANN cross
+  * joins is the hot path.
   */
 object VectorFunctions {
 
@@ -21,9 +26,14 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
 
-  /** Cosine similarity; callers should pass already-upcast columns.
-    * Null (not a DIVIDE_BY_ZERO abort under ANSI mode) for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity (native expression); callers pass already-upcast
+    * columns. Null (not a DIVIDE_BY_ZERO abort under ANSI mode) for zero
+    * vectors. */
+  def cosine(a: Column, b: Column): Column =
+    CosineSimilarity.cosineSimilarity(a, b)
+
+  /** Higher-order-function cosine — the spec reference for [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = {
     val den = norm2(a) * norm2(b)
     dot(a, b) / when(den =!= 0.0, den)
   }

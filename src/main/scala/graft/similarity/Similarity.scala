@@ -51,14 +51,18 @@ object Similarity {
 
   /** Exact top-k nearest neighbors (cosine) for each query vector.
     * Ranking is on the 6-decimal-rounded similarity with vec_id tie-break so
-    * the order is reproducible across engines. */
+    * the order is reproducible across engines. The scored rows are slimmed
+    * to (query_id, vec_id, sim) BEFORE the ranking window: the window
+    * shuffle moves 24-byte triples, not embedding arrays — at corpus scale
+    * that is a ~10× shuffle-size cut. */
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") % QueryStep === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val scored = v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored
@@ -79,21 +83,29 @@ object Similarity {
     * vec_id % CentroidStep sample, then `iters` rounds of
     * assign (broadcast argmax) + recompute (element-wise mean via
     * posexplode + per-dimension avg). Everything is DataFrame ops — no
-    * ml.clustering, no RNG — so centroids are reproducible. */
+    * ml.clustering, no RNG — so centroids are reproducible.
+    *
+    * The argmax is a partial-aggregated `max_by` over the scored cross
+    * join, NOT a ranking window: a window would shuffle |corpus|×|cents|
+    * rows (each carrying two embedding arrays) per Lloyd round, while
+    * map-side max_by collapses to one row per vector before the shuffle —
+    * a |cents|× reduction in shuffled rows. The `(cdist, -cent_id)`
+    * ordering struct reproduces the window's deterministic tie-break
+    * (highest similarity, then lowest centroid id). */
   def kmeansCentroids(s: SparkSession, v: DataFrame, iters: Int = KMeansIters)
       : DataFrame = {
     var cents = v.filter(col("vec_id") % CentroidStep === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdist").desc, col("cent_id"))
       val assigned = v
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .crossJoin(broadcast(cents))
         .withColumn("cdist", cosine(col("emb"), col("cent_emb")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") === 1)
-        .select(col("cent_id"), col("emb"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"),
+            struct(col("cdist"), -col("cent_id"))).as("cent_id"),
+          first(col("emb")).as("emb"))
       cents = assigned
         .select(col("cent_id"), posexplode(col("emb")))
         .groupBy(col("cent_id"), col("pos"))
@@ -111,27 +123,39 @@ object Similarity {
     val v = vectors(s, d)
     val cents = kmeansCentroids(s, v)
 
-    // nearest-centroid assignment: broadcast join + per-vector argmax
-    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int)
-        : DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cdist").desc, col("cent_id"))
-      df.repartition(s.sparkContext.defaultParallelism, col(idCol)).crossJoin(broadcast(cents))
-        .withColumn("cdist", cosine(col(embCol), col("cent_emb")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .drop("cent_emb", "cdist", "crk")
-    }
+    // corpus → nearest bucket: map-side max_by argmax (see kmeansCentroids),
+    // one shuffled row per vector
+    val assigned = v
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", cosine(col("emb"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"),
+          struct(col("cdist"), -col("cent_id"))).as("cent_id"),
+        first(col("emb")).as("emb"))
 
-    val assigned = assign(v, "vec_id", "emb", 1)          // 1 bucket per vec
+    // queries → NProbe nearest buckets: the query set is tiny, so a ranking
+    // window is fine — but over slim (query_id, cent_id, cdist) triples,
+    // with q_emb re-attached by a broadcast join afterwards
     val q = v.filter(col("vec_id") % QueryStep === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val probes = assign(q, "query_id", "q_emb", NProbe)    // nprobe buckets
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        cosine(col("q_emb"), col("cent_emb")).as("cdist"))
+      .withColumn("crk", row_number().over(pw))
+      .filter(col("crk") <= NProbe)
+      .select(col("query_id"), col("cent_id"))
+      .join(broadcast(q), Seq("query_id"))
 
+    // probe-bucket scoring, slimmed to triples before the top-k window
     val scored = assigned
       .join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored

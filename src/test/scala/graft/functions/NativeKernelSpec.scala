@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.functions.MinHashExpressions.{minhashSignature, shingleSet, simhash64}
+import graft.functions.VectorFunctions
+import graft.operators.Tables
+
+/** Agreement specs: each native per-row kernel must produce bit-identical
+  * results to the exploded/higher-order reference formulation it replaced.
+  * The references are the spec here — the kernels exist purely to remove
+  * shuffles and interpreted expression trees, never to change semantics. */
+class NativeKernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = sf0001
+
+  private def docToks = Tables.documents(spark, d)
+    .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+
+  test("native minhash signature equals the exploded window+agg reference") {
+    val ref = Dedup.hashedShingles(docToks)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, hs) =>
+        id -> Dedup.hashFamiliesForSpec.map { case (a, b) =>
+          hs.map(h => ((h * a) + b) % Dedup.MinhashPrime).min
+        }
+      }.toMap
+    val native = docToks
+      .select(col("doc_id"), minhashSignature(col("toks")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet === ref.keySet)
+    native.foreach { case (id, sig) => assert(sig === ref(id), s"doc $id") }
+  }
+
+  test("native shingle set equals the exploded collect_set reference") {
+    val ref = Dedup.hashedShingles(docToks)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = docToks
+      .select(col("doc_id"), shingleSet(col("toks")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === ref)
+  }
+
+  test("native kernels: short-doc fallbacks match the reference (1 and 2 tokens)") {
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three token doc"),
+      (4L, "a slightly longer document with several tokens in it"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val ref = Dedup.hashedShingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = docs.select(col("doc_id"), shingleSet(col("toks")).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === ref)
+  }
+
+  test("native kernels are null for tokenless docs (explode-drop semantics)") {
+    val e = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(minhashSignature(col("toks")).as("sig"),
+        shingleSet(col("toks")).as("sh"))
+      .collect()
+    e.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
+  test("native simhash64 equals simhashDf (and the per-row HOF simhash)") {
+    val docs = Tables.documents(spark, d).limit(100)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+    val ref = Dedup.simhashDf(docs).as[(Long, Long)].collect().toMap
+    val native = docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), simhash64(col("toks")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(native === ref)
+  }
+
+  test("native cosine equals the HOF cosine bit-for-bit") {
+    val pairs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("e"))
+      .limit(50)
+    val a = pairs.select(col("vec_id").as("ia"), col("e").as("ea"))
+    val b = pairs.select(col("vec_id").as("ib"), col("e").as("eb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        VectorFunctions.cosine(col("ea"), col("eb")).as("native"),
+        VectorFunctions.cosineHof(col("ea"), col("eb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native cosine: zero vector yields null, not an ANSI error") {
+    val r = Seq((Array(0.0, 0.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("SQL registry exposes the native kernels") {
+    Tables.documents(spark, d).limit(5).createOrReplaceTempView("nk_docs")
+    val out = spark.sql(
+      """SELECT simhash64(array_distinct(filter(split(text, ' '), t -> length(t) > 0))) AS s,
+        |       minhash_signature(filter(split(text, ' '), t -> length(t) > 0)) AS m,
+        |       shingle_set(filter(split(text, ' '), t -> length(t) > 0)) AS sh,
+        |       cosine_similarity(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c
+        |FROM nk_docs""".stripMargin).collect()
+    assert(out.length === 5)
+    out.foreach { r => assert(math.abs(r.getDouble(3) - 1.0) < 1e-12) }
+  }
+}
