@@ -31,6 +31,8 @@ object GraftSession {
       // at 100 TB this prunes fact-table IO before the shuffle
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table warehouse (q54): keep catalog data under target/
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{Relational, TextQueries}
+import graft.operators.{Advanced, Relational, TextQueries}
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -73,6 +73,16 @@ object SparkEntry {
     "q47_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q48_approx_distinct" -> (Relational.approxDistinctSketch(_, _)),
     "q49_hotkey_salted_join" -> ((s, d) => Relational.hotKeySaltedJoin(s, d)),
+    "q50_window_battery" -> (Advanced.windowBattery(_, _)),
+    "q51_grouping_sets" -> (Advanced.groupingSetsAgg(_, _)),
+    "q52_range_join" -> (Advanced.rangeJoin(_, _)),
+    "q53_corr_subquery" -> (Advanced.correlatedSubquery(_, _)),
+    "q54_bucketed_join" -> (Advanced.bucketedJoin(_, _)),
+    "q55_regex_extract" -> (Advanced.regexExtractAgg(_, _)),
+    "q56_minmax_by" -> (Advanced.minMaxBy(_, _)),
+    "q57_histogram" -> (Advanced.histogram(_, _)),
+    "q58_format_roundtrip" -> (Advanced.formatRoundtrip(_, _)),
+    "q59_fuzzy_levenshtein" -> ((s, d) => Advanced.fuzzyLevenshtein(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -268,5 +278,72 @@ object SparkEntry {
         "round(sum(l_extendedprice), 2) AS total_price " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority"),
+    "q50_window_battery" ->
+      ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, " +
+        "round(lag(o_totalprice, 1) OVER w, 2) AS prev_price, " +
+        "round(lead(o_totalprice, 1) OVER w, 2) AS next_price, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total, " +
+        "round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3 " +
+        "FROM orders WHERE o_custkey % 50 = 0 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"),
+    "q51_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS revenue, " +
+        "CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid " +
+        "FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q52_range_join" ->
+      ("SELECT band_id, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN (SELECT i AS band_id, i*50000.0 AS lo, " +
+        "(i+1)*50000.0 AS hi FROM range(0, 10) t(i)) b " +
+        "ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id"),
+    "q53_corr_subquery" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders, " +
+        "round(coalesce((SELECT sum(o_totalprice) FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey), 0.0), 2) AS total_spent " +
+        "FROM customer c WHERE c_custkey % 10 = 0"),
+    "q54_bucketed_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "round(sum(l_quantity), 2) AS total_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
+    "q55_regex_extract" ->
+      ("SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num, " +
+        "count(*) AS n, round(avg(p_retailprice), 2) AS avg_price " +
+        "FROM part GROUP BY 1"),
+    "q56_minmax_by" ->
+      ("WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, " +
+        "row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin FROM orders) " +
+        "SELECT s.o_orderstatus, mx.o_orderkey AS max_order, " +
+        "mn.o_orderkey AS min_order, round(s.maxp, 2) AS max_price, " +
+        "round(s.minp, 2) AS min_price " +
+        "FROM (SELECT o_orderstatus, max(o_totalprice) AS maxp, " +
+        "min(o_totalprice) AS minp FROM orders GROUP BY o_orderstatus) s " +
+        "JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmax = 1) mx " +
+        "USING (o_orderstatus) " +
+        "JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmin = 1) mn " +
+        "USING (o_orderstatus)"),
+    "q57_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, " +
+        "count(*) AS n FROM orders GROUP BY 1"),
+    "q58_format_roundtrip" ->
+      ("SELECT 'json' AS fmt, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT 'csv' AS fmt, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT 'orc' AS fmt, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 10 = 0"),
+    "q59_fuzzy_levenshtein" ->
+      ("SELECT key_a, key_b, CAST(dist AS INT) AS dist FROM (" +
+        "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, " +
+        "levenshtein(a.p_name, b.p_name) AS dist " +
+        "FROM part a JOIN part b ON a.p_partkey < b.p_partkey " +
+        "WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0) WHERE dist <= 2"),
   )
 }

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** Second wave of relational breadth: analytic window functions, grouping
+  * sets, range joins, correlated subqueries, bucketed co-located joins,
+  * deterministic argmin/argmax, histograms, multi-format source/sink round
+  * trips, and edit-distance fuzzy matching. Every query is oracle-checked
+  * against DuckDB; transparency rewrites (bucketing, round trips) use the
+  * plain formulation as their oracle, proving the physical rewrite doesn't
+  * change semantics. */
+object Advanced {
+  import Tables._
+
+  /** Analytic window battery over per-customer order history: lag/lead,
+    * running sum, moving average — one shuffle on the partition key, all
+    * four functions evaluated in a single window pass (same partitioning
+    * and ordering ⇒ Catalyst collapses them into one Window operator).
+    * Deterministic: ordered by primary key; sampled so the oracle compare
+    * stays small. */
+  def windowBattery(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val mv = w.rowsBetween(-2, 0)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    orders(s, d)
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(sum(col("o_totalprice")).over(run), 2).as("run_total"),
+        round(avg(col("o_totalprice")).over(mv), 4).as("mov_avg3"))
+  }
+
+  /** GROUPING SETS: three explicit grouping combinations in one Expand +
+    * one aggregation pass (not one scan per set). grouping_id disambiguates
+    * subtotal rows from genuine nulls. */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        grouping_id().cast("long").as("gid"))
+
+  /** Range (band) join: orders land in price bands via a non-equi BETWEEN
+    * join against a tiny in-plan dimension. The dim side broadcasts, so the
+    * physical plan is a broadcast nested-loop over 10 rows per order — the
+    * right plan for band lookup at any fact-side scale (never shuffle the
+    * fact table for a 10-row dim). */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val bands = (0 until 10)
+      .map(i => (i.toLong, i * 50000.0, (i + 1) * 50000.0))
+      .toDF("band_id", "lo", "hi")
+    orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** Correlated scalar subqueries (the SQL surface): per-customer order
+    * count and total via subqueries referencing the outer row. Catalyst
+    * de-correlates both into left outer joins over pre-aggregated orders —
+    * the plan a hand-written join would produce, from declarative SQL. */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("adv_customer")
+    orders(s, d).createOrReplaceTempView("adv_orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT count(*) FROM adv_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  round(coalesce((SELECT sum(o_totalprice) FROM adv_orders o
+        |   WHERE o.o_custkey = c.c_custkey), 0.0), 2) AS total_spent
+        |FROM adv_customer c
+        |WHERE c_custkey % 10 = 0""".stripMargin)
+  }
+
+  /** Bucketed co-located join: both sides are written bucketed (8 buckets,
+    * sorted) on the join key, then joined with NO exchange before the join —
+    * `.explain` shows sort-merge join over bucketed scans, zero shuffle.
+    * This is the 100 TB pattern for repeated fact-fact joins: pay the
+    * bucketing once at write time, never shuffle at read time. Oracle = the
+    * plain join, proving the physical rewrite transparent. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, ot) = (s"graft_li_b$suffix", s"graft_o_b$suffix")
+    // the in-memory catalog is per-session but the warehouse dir persists:
+    // drop any registered table AND clear a stale location from a previous
+    // session, or CREATE fails with LOCATION_ALREADY_EXISTS
+    Seq(lt, ot).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(lt)
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(ot)
+    s.table(lt)
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("total_qty"))
+  }
+
+  /** Typed regex extraction: parse the numeric id out of a formatted code
+    * column and aggregate by it — schema-on-read for string-encoded keys. */
+  def regexExtractAgg(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+        .cast("int").as("brand_num"), col("p_retailprice"))
+      .groupBy(col("brand_num"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"))
+
+  /** Deterministic argmax/argmin per group: the order carrying each status's
+    * highest/lowest price. max_by/min_by with a composite ordering struct
+    * ((price, orderkey)) — partial-aggregatable (one shuffled row per group
+    * per mapper), unlike the window formulation, and deterministic under
+    * price ties. */
+  def minMaxBy(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("max_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+
+  /** Fixed-width histogram: one partial-aggregated pass, bucket =
+    * floor(value/width) — the scalable histogram (no sort, no per-value
+    * shuffle; bucket cardinality is bounded by the value range). */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Multi-format source/sink round trip: the same sampled projection is
+    * written as JSON lines, headered CSV, and ORC, read back with an
+    * explicit schema, and re-aggregated per format. The oracle is the
+    * direct aggregation — three identical rows prove every write/read pair
+    * lossless (long/double/string typed columns survive all three codecs). */
+  def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = "/root/repo/target/tmp/roundtrip"
+    val sample = orders(s, d).filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    sample.write.mode(SaveMode.Overwrite).json(s"$base/json")
+    sample.write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$base/csv")
+    sample.write.mode(SaveMode.Overwrite).orc(s"$base/orc")
+    val back = Seq(
+      "json" -> s.read.schema(schema).json(s"$base/json"),
+      "csv" -> s.read.schema(schema).option("header", "true")
+        .csv(s"$base/csv"),
+      "orc" -> s.read.schema(schema).orc(s"$base/orc"))
+    back.map { case (fmt, df) =>
+      df.agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(fmt).as("fmt"), col("n"), col("total"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Edit-distance fuzzy matching over a deterministic sample: name pairs
+    * within 2 edits. The quadratic pair loop runs on the sampled slice only
+    * (the scale path for full-corpus fuzzy matching is LSH, Dedup.*) — and
+    * the streamed side is repartitioned so the broadcast-NL loop
+    * parallelizes instead of running in one task per input split. */
+  def fuzzyLevenshtein(s: SparkSession, d: String, maxDist: Int = 2)
+      : DataFrame = {
+    val p = part(s, d).filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      .repartition(s.sparkContext.defaultParallelism, col("key_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("dist"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Specs for the second-wave relational operators (Advanced.*): semantic
+  * invariants plus the plan-shape properties the 100 TB story depends on
+  * (bucketed join without exchanges, broadcast range join, de-correlated
+  * subqueries). Value-level correctness is the DuckDB oracle's job. */
+class AdvancedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("window battery: running total is monotone within each customer") {
+    val bad = Advanced.windowBattery(spark, d)
+      .withColumn("prev_run",
+        lag(col("run_total"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .filter(col("prev_run").isNotNull &&
+        col("run_total") < col("prev_run"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("grouping sets: per-set row counts sum, grand total carries gid 3") {
+    val rows = Advanced.groupingSetsAgg(spark, d).collect()
+    val byGid = rows.groupBy(_.getLong(4))
+    // gid 1 = (status), gid 2 = (priority), gid 3 = grand total
+    assert(byGid.keySet === Set(1L, 2L, 3L))
+    val total = byGid(3L).head.getLong(2)
+    assert(byGid(1L).map(_.getLong(2)).sum === total)
+    assert(byGid(2L).map(_.getLong(2)).sum === total)
+  }
+
+  test("range join: every order lands in exactly one band (counts partition)") {
+    val n = Tables.orders(spark, d).count()
+    val banded = Advanced.rangeJoin(spark, d)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(banded === n)
+  }
+
+  test("range join broadcasts the band dimension") {
+    val p = plan(Advanced.rangeJoin(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("correlated subqueries de-correlate into joins (no per-row subplans)") {
+    val df = Advanced.correlatedSubquery(spark, d)
+    val p = plan(df)
+    // Catalyst rewrites both scalar subqueries to aggregated outer joins
+    assert(!p.contains("Subquery"), p.take(2000))
+    // spot-check one customer against a direct aggregation
+    val row = df.orderBy(col("c_custkey")).limit(1).head()
+    val direct = Tables.orders(spark, d)
+      .filter(col("o_custkey") === row.getLong(0))
+      .agg(count(lit(1)), round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2))
+      .head()
+    assert(row.getLong(2) === direct.getLong(0))
+    assert(row.getDouble(3) === direct.getDouble(1))
+  }
+
+  test("bucketed join plans with no shuffle exchange before the join") {
+    // force the shuffle-join path (at spec scale the small side would
+    // broadcast, which hides the property under test: bucketed scans feed
+    // a sort-merge join with NO exchange on either side)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Advanced.bucketedJoin(spark, d)
+      val p = plan(df)
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+        p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+        p.take(2000))
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      // and it matches the plain join
+      val plain = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+      assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("min/max by: deterministic argmax matches the window formulation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val viaWindow = Tables.orders(spark, d)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderkey").as("max_order"))
+      .as[(String, Long)].collect().toMap
+    val viaAgg = Advanced.minMaxBy(spark, d)
+      .select(col("o_orderstatus"), col("max_order"))
+      .as[(String, Long)].collect().toMap
+    assert(viaAgg === viaWindow)
+  }
+
+  test("format roundtrip: all three formats agree with the source exactly") {
+    val rows = Advanced.formatRoundtrip(spark, d).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(1)).distinct.length === 1)
+    assert(rows.map(_.getDouble(2)).distinct.length === 1)
+  }
+
+  test("fuzzy levenshtein: symmetric-free pairs, all within threshold") {
+    val pairs = Advanced.fuzzyLevenshtein(spark, d).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 2)
+    }
+  }
+}
