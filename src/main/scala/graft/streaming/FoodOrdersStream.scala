@@ -56,6 +56,36 @@ object FoodOrdersStream {
       .select((keys :+ "ts").map(col): _*)
   }
 
+  /** Stream-stream interval join: purchases ⋈ errors of the same user where
+    * the error falls within 30 minutes after the purchase. Both sides are
+    * watermarked and the join condition carries an explicit event-time
+    * range, so Spark bounds the join state: each side buffers only rows
+    * inside (watermark + interval), the production-safe form of a
+    * stream-stream join — unbounded-state joins don't survive day one at
+    * scale. Inner-join matches are emitted as they occur; the watermark
+    * governs state eviction only, so the result equals the batch join
+    * (spec-checked). */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(errors,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        unix_millis(col("p_ts")).as("p_ms"),
+        unix_millis(col("e_ts")).as("e_ms"))
+  }
+
   /** Event-time windowed aggregation over a streaming source — watermarked
     * tumbling windows (the streaming form of Relational.eventsWindowed).
     * Used by the spec with a memory sink; in production the same plan runs

@@ -93,6 +93,37 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinct, s"streamed $n vs distinct $distinct")
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val src = tmp("ssj-src")
+    Tables.events(spark, sf0001).write.mode("overwrite")
+      .parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+
+    val q = FoodOrdersStream.purchaseErrorJoin(stream)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val streamed = spark.table("ssj")
+      .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+    val batch = p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture should produce purchase→error matches")
+    assert(streamed === batch)
+  }
+
   test("event-time sessionization closes sessions via the watermark") {
     val src = tmp("sess-et-src")
     Tables.events(spark, sf0001)
