@@ -83,6 +83,11 @@ object SparkEntry {
     "q57_histogram" -> (Advanced.histogram(_, _)),
     "q58_format_roundtrip" -> (Advanced.formatRoundtrip(_, _)),
     "q59_fuzzy_levenshtein" -> ((s, d) => Advanced.fuzzyLevenshtein(s, d)),
+    "q60_datetime_battery" -> (Advanced.datetimeBattery(_, _)),
+    "q61_string_battery" -> (Advanced.stringBattery(_, _)),
+    "q62_null_battery" -> (Advanced.nullBattery(_, _)),
+    "q63_stratified_sample" -> ((s, d) => Advanced.stratifiedSample(s, d)),
+    "q64_shard_pack" -> ((s, d) => Advanced.shardPack(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -345,5 +350,45 @@ object SparkEntry {
         "levenshtein(a.p_name, b.p_name) AS dist " +
         "FROM part a JOIN part b ON a.p_partkey < b.p_partkey " +
         "WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0) WHERE dist <= 2"),
+    "q60_datetime_battery" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr, " +
+        "CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr, " +
+        "CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mo, " +
+        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        "CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS wd, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-01') AS INT) AS days_to_mid95, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m " +
+        "FROM orders WHERE o_orderkey % 20 = 0"),
+    "q61_string_battery" ->
+      ("SELECT p_partkey, upper(p_name) AS up_name, " +
+        "substring(p_name, 1, 5) AS prefix5, reverse(p_name) AS rev_name, " +
+        "lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key, " +
+        "translate(p_name, 'aeiou', 'AEIOU') AS trans_name, " +
+        "split_part(p_name, ' ', 1) AS first_word, " +
+        "CAST(length(p_name) AS INT) AS name_len, " +
+        "replace(p_name, ' ', '_') AS snake_name, " +
+        "concat_ws('|', p_brand, p_type) AS brand_type " +
+        "FROM part WHERE p_partkey % 10 = 0"),
+    "q62_null_battery" ->
+      ("SELECT c_custkey, " +
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, " +
+        "round(greatest(c_acctbal, 0.0), 2) AS bal_floor, " +
+        "round(least(c_acctbal, 1000.0), 2) AS bal_cap, " +
+        "CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS pos_bal " +
+        "FROM customer WHERE c_custkey % 10 = 0"),
+    "q63_stratified_sample" ->
+      ("SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (" +
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 20"),
+    "q64_shard_pack" ->
+      ("SELECT shard, count(*) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS shard_tokens FROM (" +
+        "SELECT doc_id, ntok, CAST(floor((sum(ntok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok) / 10000.0) AS BIGINT) AS shard " +
+        "FROM (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok " +
+        "FROM documents)) GROUP BY shard"),
   )
 }

@@ -180,6 +180,104 @@ object Advanced {
     }.reduce(_ unionAll _)
   }
 
+  /** Date/time function battery: extraction, truncation, month-end, ISO
+    * weekday, day arithmetic, month arithmetic — the temporal scalar
+    * surface, each mirrored exactly in the oracle (weekday normalized to
+    * Monday=0 on both engines). */
+  def datetimeBattery(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .select(col("o_orderkey"), col("d"),
+        year(col("d")).as("yr"),
+        quarter(col("d")).as("qtr"),
+        month(col("d")).as("mo"),
+        trunc(col("d"), "month").as("month_start"),
+        last_day(col("d")).as("month_end"),
+        weekday(col("d")).as("wd"),
+        datediff(lit("1995-06-01").cast("date"), col("d")).as("days_to_mid95"),
+        add_months(col("d"), 3).as("plus3m"))
+
+  /** String function battery: case, substring, reverse, padding,
+    * translation, field splitting, replacement, concatenation — all
+    * codegen'd built-ins over one projection. */
+  def stringBattery(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        reverse(col("p_name")).as("rev_name"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("trans_name"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Null-handling battery: NULLIF/COALESCE fallback chains, bounded values
+    * via GREATEST/LEAST, CASE-produced nulls — the three-valued-logic
+    * surface. */
+  def nullBattery(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_floor"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(round(col("c_acctbal"), 2)).as("pos_bal"))
+
+  /** Stratified deterministic sampling: top-N documents per language by a
+    * cross-engine-stable pseudo-random order (md5 of the id) — the
+    * reproducible "sample k per stratum" every training-data pipeline
+    * needs. One shuffle on the stratum key; no RNG, so any engine (and any
+    * rerun) draws the same sample. */
+  def stratifiedSample(s: SparkSession, d: String, perStratum: Int = 20)
+      : DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Token-budget shard packing: assign documents (in deterministic doc_id
+    * order) to training shards of ~`budget` tokens via a DISTRIBUTED prefix
+    * sum — range-repartition by id, local running sums per partition, a
+    * tiny per-partition offset table (P rows) broadcast back, global prefix
+    * = offset + local. A bare global-order window would drag the whole
+    * corpus into one partition; this two-pass form is how running totals
+    * scale to 100 TB. Output is the shard manifest (docs + tokens per
+    * shard). */
+  def shardPack(s: SparkSession, d: String, budget: Long = 10000L)
+      : DataFrame = {
+    val t = documents(s, d).select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).as("ntok"))
+    val parts = t
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parts.withColumn("local_cum",
+      sum(col("ntok")).over(
+        Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+    val offsets = local.groupBy(col("pid"))
+      .agg(max(col("local_cum")).as("psum"))
+      .withColumn("offset",
+        coalesce(sum(col("psum")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_before", col("offset") + col("local_cum") - col("ntok"))
+      .withColumn("shard",
+        floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
+  }
+
   /** Edit-distance fuzzy matching over a deterministic sample: name pairs
     * within 2 edits. The quadratic pair loop runs on the sampled slice only
     * (the scale path for full-corpus fuzzy matching is LSH, Dedup.*) — and

