@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.MinHashExpressions.simhash64
+import graft.functions.TextAnalysis
+import graft.functions.VectorFunctions
+import graft.operators.{Advanced, Tables}
+
+/** Synthetic scale-up probes: replicate the sf inputs in-plan ×N (perturbed
+  * ids, perturbed text so replicas aren't trivial duplicates) and time the
+  * engine's heavy paths — checking for NONLINEAR cliffs (spill, state
+  * blowup, skew collapse), not absolute speed. This is the committed,
+  * reproducible form of the scale evidence in BASELINE.md: local[32] can't
+  * demonstrate 1000 executors, but it can demonstrate that cost grows
+  * linearly in input size with plans whose shuffle structure is
+  * scale-independent.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factors...]
+  * (default factors: 16 64). Prints one JSON line.
+  */
+object ScaleProbe {
+
+  /** Replicate a docs frame ×n with unique ids and perturbed text (replica
+    * tag appended → shingle/token sets differ, so dedup probes measure the
+    * real mostly-unique-corpus workload, not n-way duplicate clusters). */
+  def replicateDocs(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(n - 1L))).as("rep"))
+      .select((col("doc_id") * n + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+
+  def replicateKeyed(df: DataFrame, key: String, n: Int): DataFrame =
+    df.withColumn("rep", explode(sequence(lit(0L), lit(n - 1L))))
+      .withColumn(key, col(key) * n + col("rep"))
+      .drop("rep")
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(16, 64)
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for runtime
+    // SQL confs (join strategy, partition counts) without code edits
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Long)]()
+
+    for (n <- factors) {
+      val docs = replicateDocs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), n)
+
+      // LSH minhash dedup over the replicated corpus (native kernels)
+      val (tMh, rMh) = time(Dedup.minhashDupPairsDf(docs).count())
+      results += (("minhash_lsh_pairs", n, tMh, rMh))
+
+      // SimHash signature + group count
+      val (tSh, rSh) = time {
+        docs.select(col("doc_id"),
+            array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(simhash64(col("toks")).as("sig"))
+          .groupBy(col("sig")).count()
+          .filter(col("count") > 1).count()
+      }
+      results += (("simhash_groups", n, tSh, rSh))
+
+      // token-count + distributed shard packing over the replicated corpus
+      val (tSp, rSp) = time {
+        val t = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"))
+        val parts = t
+          .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val local = parts.withColumn("local_cum",
+          sum(col("ntok")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pid")).orderBy(col("doc_id"))))
+        val offsets = local.groupBy(col("pid"))
+          .agg(max(col("local_cum")).as("psum"))
+          .withColumn("offset", coalesce(
+            sum(col("psum")).over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("pid"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("pid"), col("offset"))
+        local.join(broadcast(offsets), Seq("pid"))
+          .withColumn("shard", floor(
+            (col("offset") + col("local_cum") - col("ntok")) / lit(10000.0))
+            .cast("long"))
+          .groupBy(col("shard")).count().count()
+      }
+      results += (("shard_pack", n, tSp, rSp))
+
+      // nearest-centroid assignment (ANN ingest path): native cosine cross
+      // join + map-side max_by argmax over the replicated embedding corpus
+      val (tIvf, rIvf) = time {
+        val v = replicateKeyed(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("emb")),
+          "vec_id", n)
+        val cents = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("cent_id"),
+            VectorFunctions.asDouble(col("embedding")).as("cent_emb"))
+        v.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cdist", VectorFunctions.cosine(col("emb"), col("cent_emb")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cent_id"), struct(col("cdist"), -col("cent_id")))
+            .as("cent_id"))
+          .groupBy(col("cent_id")).count().count()
+      }
+      results += (("ivf_assign", n, tIvf, rIvf))
+
+      // shuffle join + agg (the relational heavyweight)
+      val (tJ, rJ) = time {
+        val li = replicateKeyed(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey", n)
+        val o = replicateKeyed(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey", n)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)), sum(col("l_extendedprice"))).count()
+      }
+      results += (("join_agg", n, tJ, rJ))
+    }
+
+    val body = results.map { case (p, n, sec, rows) =>
+      f"""{"probe":"$p","factor":$n,"sec":$sec%.2f,"rows":$rows}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"scale_probe","sf":"$sfDir","results":$body}""")
+    spark.stop()
+  }
+}
