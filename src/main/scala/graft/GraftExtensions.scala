@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, ShingleSet, SimHash64, SortedIntersectSize}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, MinHashSignature, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -42,6 +45,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature(_))
     register1(e, "shingle_set", classOf[ShingleSet], ShingleSet(_))
     register1(e, "simhash64", classOf[SimHash64], SimHash64(_))
+    // aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression automatically
+    register1(e, "vector_sum", classOf[VectorSum], VectorSum(_))
+    e.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "topk_by_score takes (score, id, k)")
+        val k = exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score: k must be an integer literal, got $other")
+        }
+        TopKByScore(exprs.head, exprs(1), k)
+      }))
   }
 }
 

@@ -1,0 +1,279 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom typed-imperative AGGREGATE functions — the partial-aggregation
+  * counterpart of the scalar kernels. Both exist to make map-side combine
+  * do the heavy lifting, so the shuffle carries one small buffer per group
+  * per mapper instead of one row per input:
+  *
+  *  - [[TopKByScore]]: bounded top-k heap. The ranking-window formulation
+  *    of per-key top-k shuffles EVERY scored row and sorts each partition;
+  *    the heap aggregate shuffles ≤k entries per (group, mapper). For ANN
+  *    over a 100 TB corpus that is the difference between shuffling
+  *    |corpus|·|queries| candidate rows and |queries|·mappers·k.
+  *  - [[VectorSum]]: element-wise Σ over `array<double>`. The explode
+  *    formulation of centroid recompute shuffles |rows|·dim (row, pos,
+  *    value) triples; this buffers one dim-length vector per group per
+  *    mapper.
+  */
+object AggregateKernels {
+
+  /** Column API: top-k (score desc, id asc) pairs per group as a sorted
+    * array<struct<score,id>>. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByScore(ColumnBridge.expression(score),
+        ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** Column API: element-wise sum of array<double> rows (null rows
+    * ignored; null when the group has no non-null rows). */
+  def vectorSum(v: Column): Column =
+    ColumnBridge.column(
+      VectorSum(ColumnBridge.expression(v)).toAggregateExpression())
+}
+
+/** Bounded top-k aggregate: keeps the k largest (score, id) pairs by
+  * (score desc, id asc) — a deterministic total order, so results are
+  * reproducible and tie-stable across partitionings. Buffer is two parallel
+  * arrays managed as a binary min-heap (root = current worst), O(log k)
+  * per update, 16·k bytes serialized. */
+@ExpressionDescription(
+  usage = "topk_by_score(score, id, k) - k largest (score,id) pairs, score desc / id asc, as array<struct<score double, id bigint>>")
+case class TopKByScore(
+    scoreExpr: Expression, idExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k > 0, "topk_by_score requires k > 0")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(TopKByScore.EntryType, containsNull = false)
+  override def prettyName: String = "topk_by_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scoreExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint), got " +
+          s"${s.simpleString(10)}, ${i.simpleString(10)}")
+    }
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null)
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKHeap, b: TopKHeap): TopKHeap = { a.absorb(b); a }
+
+  override def eval(buf: TopKHeap): Any = {
+    val (scores, ids) = buf.sortedDesc()
+    val out = new Array[Any](scores.length)
+    var i = 0
+    while (i < scores.length) {
+      out(i) = InternalRow(scores(i), ids(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKHeap): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKHeap =
+    TopKHeap.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : TopKByScore = copy(scoreExpr = c(0), idExpr = c(1))
+}
+
+object TopKByScore {
+  val EntryType: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+}
+
+/** Min-heap of (score, id) under (score desc, id asc) priority: the root is
+  * the WORST retained entry, evicted when a better one arrives. */
+final class TopKHeap(val k: Int) {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  /** true if (s1,i1) ranks WORSE than (s2,i2): lower score, or equal score
+    * and higher id. */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long)
+      : Boolean = s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def offer(s: Double, id: Long): Unit = {
+    if (n < k) {
+      scores(n) = s; ids(n) = id; n += 1
+      var c = n - 1
+      while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
+        swap(c, (c - 1) / 2); c = (c - 1) / 2
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown()
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  private def siftDown(): Unit = {
+    var p = 0
+    var done = false
+    while (!done) {
+      val l = 2 * p + 1; val r = l + 1
+      var w = p
+      if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+      if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+      if (w == p) done = true else { swap(p, w); p = w }
+    }
+  }
+
+  def absorb(other: TopKHeap): Unit = {
+    var i = 0
+    while (i < other.n) { offer(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** Entries ordered best-first (score desc, id asc). */
+  def sortedDesc(): (Array[Double], Array[Long]) = {
+    val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    (idx.map(scores).toArray, idx.map(ids).toArray)
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(scores(i)); bb.putLong(ids(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopKHeap {
+  def fromBytes(k: Int, bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val h = new TopKHeap(k)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { h.offer(bb.getDouble, bb.getLong); i += 1 }
+    h
+  }
+}
+
+/** Element-wise Σ over array<double> rows. Dimension is taken from the
+  * first non-null row; mismatched rows raise (vector columns are
+  * fixed-dim). */
+@ExpressionDescription(
+  usage = "vector_sum(v) - element-wise sum of array<double> rows")
+case class VectorSum(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VectorSumBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vector_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.simpleString(10)}")
+    }
+
+  override def createAggregationBuffer(): VectorSumBuffer =
+    new VectorSumBuffer
+
+  override def update(buf: VectorSumBuffer, input: InternalRow)
+      : VectorSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(a: VectorSumBuffer, b: VectorSumBuffer)
+      : VectorSumBuffer = { a.absorb(b); a }
+
+  override def eval(buf: VectorSumBuffer): Any =
+    if (buf.sums == null) null else new GenericArrayData(buf.sums)
+
+  override def serialize(buf: VectorSumBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): VectorSumBuffer =
+    VectorSumBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : VectorSum = copy(child = c(0))
+}
+
+final class VectorSumBuffer {
+  var sums: Array[Double] = _
+
+  def add(v: ArrayData): Unit = {
+    val n = v.numElements()
+    if (sums == null) sums = new Array[Double](n)
+    else require(sums.length == n,
+      s"vector_sum: dimension mismatch (${sums.length} vs $n)")
+    var i = 0
+    while (i < n) { sums(i) += v.getDouble(i); i += 1 }
+  }
+
+  def absorb(other: VectorSumBuffer): Unit =
+    if (other.sums != null) {
+      if (sums == null) sums = other.sums.clone()
+      else {
+        require(sums.length == other.sums.length,
+          s"vector_sum: dimension mismatch (${sums.length} vs ${other.sums.length})")
+        var i = 0
+        while (i < sums.length) { sums(i) += other.sums(i); i += 1 }
+      }
+    }
+
+  def toBytes: Array[Byte] = {
+    if (sums == null) return Array(0, 0, 0, 0)
+    val bb = ByteBuffer.allocate(4 + 8 * sums.length)
+    bb.putInt(sums.length)
+    sums.foreach(bb.putDouble)
+    bb.array()
+  }
+}
+
+object VectorSumBuffer {
+  def fromBytes(bytes: Array[Byte]): VectorSumBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new VectorSumBuffer
+    val n = bb.getInt
+    if (n > 0) {
+      b.sums = new Array[Double](n)
+      var i = 0
+      while (i < n) { b.sums(i) = bb.getDouble; i += 1 }
+    }
+    b
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.AggregateKernels.{topKByScore, vectorSum}
 import graft.functions.VectorFunctions._
 import graft.operators.Tables
 
@@ -51,25 +52,27 @@ object Similarity {
 
   /** Exact top-k nearest neighbors (cosine) for each query vector.
     * Ranking is on the 6-decimal-rounded similarity with vec_id tie-break so
-    * the order is reproducible across engines. The scored rows are slimmed
-    * to (query_id, vec_id, sim) BEFORE the ranking window: the window
-    * shuffle moves 24-byte triples, not embedding arrays — at corpus scale
-    * that is a ~10× shuffle-size cut. */
+    * the order is reproducible across engines.
+    *
+    * Top-k is the bounded-heap AGGREGATE (topk_by_score), not a ranking
+    * window: partial aggregation keeps a k-entry heap per query per mapper,
+    * so the shuffle carries |queries|·mappers·k entries instead of every
+    * scored (query, candidate) row — at corpus scale the scored stream
+    * never leaves the mappers. Ordering (score desc, id asc) matches the
+    * window formulation exactly (spec + oracle pinned). */
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") % QueryStep === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val scored = v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("sim"), col("rk").cast("int").as("rk"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** IVF-bucketed approximate top-k: assign every vector to its nearest
@@ -106,14 +109,14 @@ object Similarity {
           max_by(col("cent_id"),
             struct(col("cdist"), -col("cent_id"))).as("cent_id"),
           first(col("emb")).as("emb"))
+      // element-wise mean via the vector_sum aggregate: one dim-length
+      // buffer per centroid per mapper, vs the posexplode formulation's
+      // |rows|·dim shuffled triples + second aggregation
       cents = assigned
-        .select(col("cent_id"), posexplode(col("emb")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
         .groupBy(col("cent_id"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cent_emb"))
+        .agg(vectorSum(col("emb")).as("vsum"), count(lit(1)).as("cnt"))
+        .select(col("cent_id"),
+          transform(col("vsum"), x => x / col("cnt")).as("cent_emb"))
         .localCheckpoint()
     }
     cents
@@ -150,18 +153,17 @@ object Similarity {
       .select(col("query_id"), col("cent_id"))
       .join(broadcast(q), Seq("query_id"))
 
-    // probe-bucket scoring, slimmed to triples before the top-k window
-    val scored = assigned
+    // probe-bucket scoring, top-k via the bounded-heap aggregate (see
+    // bruteForceTopK — scored rows never shuffle, only k-entry heaps)
+    assigned
       .join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("sim"), col("rk").cast("int").as("rk"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.AggregateKernels.{topKByScore, vectorSum}
+import graft.operators.Tables
+
+/** Agreement specs for the custom typed-imperative aggregates: results must
+  * match the window/explode formulations they replace, including tie-break
+  * determinism, and must be invariant to partitioning (the partial-merge
+  * path is exercised by repartitioning the input). */
+class AggregateKernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = sf0001
+
+  private def scored = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("emb"))
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("q_emb"), col("emb")), 6).as("sim"))
+  }
+
+  test("topk_by_score equals the ranking-window top-k, ties included") {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val viaWindow = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaAgg = scored
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), 5).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id"), col("col.score"),
+        (col("pos") + 1).cast("int"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("topk_by_score is partitioning-invariant (partial merges exercised)") {
+    val base = scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), 5).as("nn"))
+      .select(col("query_id"), col("nn"))
+      .as[(Long, Seq[(Double, Long)])].collect().toMap
+    val repart = scored.repartition(13)
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), 5).as("nn"))
+      .select(col("query_id"), col("nn"))
+      .as[(Long, Seq[(Double, Long)])].collect().toMap
+    assert(base === repart)
+  }
+
+  test("topk_by_score with fewer rows than k returns all, sorted") {
+    val out = Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 9L))
+      .toDF("g", "sim", "id")
+      .groupBy(col("g")).agg(topKByScore(col("sim"), col("id"), 5).as("nn"))
+      .select(col("nn")).as[Seq[(Double, Long)]].head()
+    assert(out === Seq((0.9, 9L), (0.9, 11L), (0.5, 10L)))
+  }
+
+  test("vector_sum equals the posexplode per-dimension sum") {
+    val v = Tables.embeddings(spark, d)
+      .select((col("vec_id") % 7).as("g"),
+        VectorFunctions.asDouble(col("embedding")).as("emb"))
+    val viaAgg = v.groupBy(col("g")).agg(vectorSum(col("emb")).as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaExplode = v.select(col("g"), posexplode(col("emb")))
+      .groupBy(col("g"), col("pos")).agg(sum(col("col")).as("m"))
+      .groupBy(col("g"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (g, s) =>
+      val e = viaExplode(g)
+      assert(s.length === e.length)
+      s.zip(e).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"group $g")
+      }
+    }
+  }
+
+  test("vector_sum of an empty group side is null, not an error") {
+    val out = Seq((1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)))
+      .toDF("g", "v")
+      .filter(col("g") === 2L)
+      .groupBy(col("g")).agg(vectorSum(col("v")))
+      .collect()
+    assert(out.isEmpty) // no groups at all — and no runtime failure
+  }
+
+  test("aggregates are callable from SQL") {
+    Seq((1L, 0.3, 7L), (1L, 0.8, 8L)).toDF("g", "sim", "id")
+      .createOrReplaceTempView("agg_t")
+    val r = spark.sql(
+      "SELECT topk_by_score(sim, id, 1) AS nn FROM agg_t GROUP BY g")
+      .as[Seq[(Double, Long)]].head()
+    assert(r === Seq((0.8, 8L)))
+    Seq((Array(1.0, 2.0)), (Array(3.0, 4.0))).toDF("v")
+      .createOrReplaceTempView("agg_v")
+    val v = spark.sql("SELECT vector_sum(v) AS s FROM agg_v")
+      .as[Seq[Double]].head()
+    assert(v === Seq(4.0, 6.0))
+  }
+}
