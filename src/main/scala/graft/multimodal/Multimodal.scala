@@ -10,10 +10,13 @@ import graft.operators.Tables
   * shapes a training-data pipeline needs.
   *
   * The Spark-side mechanics here are real and tested — schema, partitioning,
-  * per-partition batch processing — while the actual codec step is a
-  * clearly-marked deterministic stub ([[StubCodec]]): the container has no
-  * image/audio libraries, and at 100 TB the codec is a pluggable leaf anyway
-  * (swap in a JNI/ffmpeg/JPEG decoder behind the same signature).
+  * per-partition batch processing. The codec seam has one REAL arm and one
+  * stub arm: BMP payloads decode through [[BmpCodec]] (pure-JVM 24-bit BMP:
+  * decode / mean color / thumbnail features / resize+re-encode), everything
+  * else through the clearly-marked deterministic [[StubCodec]] — the
+  * container has no image/audio libraries for other formats, and at 100 TB
+  * the codec is a pluggable leaf anyway (a JNI/ffmpeg/JPEG decoder adds a
+  * dispatch arm behind the same signature).
   *
   * Ingestion paths: `spark.read.format("binaryFile")` for real asset dirs;
   * here the `documents` table stands in, with each text's UTF-8 bytes as the
@@ -109,6 +112,54 @@ object Multimodal {
         it.map { a =>
           AssetFeature(a.asset_id, a.n_bytes,
             StubCodec.decodeFeature(a.media))
+        }
+      }
+  }
+
+  /** Decoded-image row: dimensions, mean color, fixed-length grayscale
+    * thumbnail feature. */
+  final case class ImageInfo(asset_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])
+
+  /** REAL decode path: BMP payloads are decoded by [[BmpCodec]] (pure-JVM
+    * 24-bit BMP), non-BMP payloads are skipped — same mapPartitions batch
+    * shape as [[extractFeatures]], so a JPEG/ffmpeg decoder composes in by
+    * adding a dispatch arm. ThumbSize² grayscale grid is the image-space
+    * feature for downstream similarity/dedup (see Similarity — the thumb is
+    * an embedding column like any other). */
+  val ThumbSize = 8
+
+  def decodeImages(assetsDf: DataFrame, s: SparkSession)
+      : Dataset[ImageInfo] = {
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("media"))
+      .repartition(col("asset_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, media) =>
+          BmpCodec.decode(media).map { img =>
+            val (r, g, b) = BmpCodec.meanColor(img)
+            ImageInfo(id, img.width, img.height, r, g, b,
+              BmpCodec.grayThumb(img, ThumbSize))
+          }
+        }
+      }
+  }
+
+  /** Distributed thumbnailing: decode → nearest-neighbor resize → re-encode,
+    * emitting a new asset table of valid BMP payloads (the "resize a
+    * billion images" job). Pure map work — scales with input splits. */
+  def resizeImages(assetsDf: DataFrame, s: SparkSession, w: Int, h: Int)
+      : Dataset[Asset] = {
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, media) =>
+          BmpCodec.decode(media).map { img =>
+            val out = BmpCodec.encode(BmpCodec.resizeNearest(img, w, h))
+            Asset(id, out, "image/bmp", out.length.toLong)
+          }
         }
       }
   }
