@@ -34,4 +34,53 @@ object Sink {
       .mode("append")
       .partitionBy(Split.BranchCol, IngestDateCol)
       .parquet(basePath)
+
+  /** Idempotent day-partitioned write: dynamic partition overwrite replaces
+    * ONLY the partitions present in `df`, so re-running a day's job (after
+    * a failure, a backfill, a bad deploy) converges to one copy instead of
+    * appending duplicates — the exactly-once-per-partition contract plain
+    * append can't give. Untouched historical partitions are left intact. */
+  def writePartitionedIdempotent(df: DataFrame, path: String): Unit =
+    withIngestDate(df).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(IngestDateCol)
+      .parquet(path)
+
+  /** Small-file compaction for a partitioned sink: streaming/incremental
+    * appends leave one-file-per-micro-batch debris that kills scan
+    * performance at scale (footer reads + scheduling overhead dominate).
+    * Rewrites each partition's data into ~`targetFileBytes` files, computed
+    * from the partition's actual byte size, preserving the partition
+    * layout. Returns (files_before, files_after). */
+  def compactPartitioned(s: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String = IngestDateCol,
+      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val targetFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = s.read.parquet(path)
+    // repartition on the partition column spreads rows of each partition
+    // over the fewest tasks that hit the size target; the rewrite goes to a
+    // temp dir first so a failure can't destroy the original
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(targetFiles, org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
+    fs.rename(new org.apache.hadoop.fs.Path(path), bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    fs.delete(bak, true)
+    (before.size.toLong, dataFiles().size.toLong)
+  }
 }
