@@ -88,6 +88,9 @@ object SparkEntry {
     "q62_null_battery" -> (Advanced.nullBattery(_, _)),
     "q63_stratified_sample" -> ((s, d) => Advanced.stratifiedSample(s, d)),
     "q64_shard_pack" -> ((s, d) => Advanced.shardPack(s, d)),
+    "q65_percentile_groups" -> (Advanced.percentileGroups(_, _)),
+    "q66_funnel" -> (Advanced.funnel(_, _)),
+    "q67_cohort_retention" -> (Advanced.cohortRetention(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -390,5 +393,30 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok) / 10000.0) AS BIGINT) AS shard " +
         "FROM (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok " +
         "FROM documents)) GROUP BY shard"),
+    "q65_percentile_groups" ->
+      ("SELECT o_orderstatus, " +
+        "round(quantile_cont(o_totalprice, 0.25), 2) AS p25, " +
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.75), 2) AS p75, " +
+        "count(*) AS n FROM orders GROUP BY o_orderstatus"),
+    "q66_funnel" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +
+        "v AS (SELECT user_id, min(ms) AS v_ms FROM ev WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT ev.user_id, min(ms) AS c_ms FROM ev JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND ms > v_ms GROUP BY ev.user_id), " +
+        "p AS (SELECT ev.user_id, min(ms) AS p_ms FROM ev JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ms > c_ms GROUP BY ev.user_id) " +
+        "SELECT '1_view' AS stage, count(*) AS n_users FROM v " +
+        "UNION ALL SELECT '2_view_click' AS stage, count(*) AS n_users FROM c " +
+        "UNION ALL SELECT '3_view_click_purchase' AS stage, count(*) AS n_users FROM p"),
+    "q67_cohort_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +
+        "SELECT cohort_day, " +
+        "CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, " +
+        "count(DISTINCT e.user_id) AS n_users " +
+        "FROM e JOIN f USING (user_id) " +
+        "WHERE date_diff('day', cohort_day, day) <= 7 " +
+        "GROUP BY cohort_day, day_offset"),
   )
 }

@@ -278,6 +278,61 @@ object Advanced {
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
   }
 
+  /** Exact percentiles per group (q39 is global-only): the per-key
+    * distribution summary. At 100 TB the drop-in is approx_percentile
+    * (t-digest, fixed memory — spec-checked against exact within
+    * tolerance); exact here because the oracle compares values. */
+  def percentileGroups(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        count(lit(1)).as("n"))
+
+  /** Event funnel: view → click → purchase, each stage strictly after the
+    * user's entry into the previous one. Three aggregation stages, each
+    * joining the (small, one-row-per-user) previous stage back to events —
+    * the standard scalable funnel shape (no per-user event sorting, no
+    * window over the full stream). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ms") > col("v_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ms") > col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+    val session = s
+    import session.implicits._
+    Seq(("1_view", v), ("2_view_click", c), ("3_view_click_purchase", p))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * per day offset (0..7). Two shuffles: first-day per user, then the
+    * (cohort, offset) distinct-user count. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.join(firstDay, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Edit-distance fuzzy matching over a deterministic sample: name pairs
     * within 2 edits. The quadratic pair loop runs on the sampled slice only
     * (the scale path for full-corpus fuzzy matching is LSH, Dedup.*) — and

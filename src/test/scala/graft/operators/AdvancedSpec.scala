@@ -145,6 +145,36 @@ class AdvancedSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile tracks exact grouped percentiles within 5%") {
+    val exact = Advanced.percentileGroups(spark, d)
+      .select(col("o_orderstatus"), col("p50"))
+      .as[(String, Double)].collect().toMap
+    val approx = Tables.orders(spark, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("a50"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e <= 0.05, s"status $k: $e vs ${approx(k)}")
+    }
+  }
+
+  test("funnel stages are monotonically decreasing") {
+    val n = Advanced.funnel(spark, d).orderBy(col("stage"))
+      .select(col("n_users")).as[Long].collect()
+    assert(n.length === 3)
+    assert(n(0) >= n(1) && n(1) >= n(2))
+    assert(n(2) > 0, "fixture should convert some users through the funnel")
+  }
+
+  test("cohort retention: offset-0 count equals the cohort's size") {
+    val day0 = Advanced.cohortRetention(spark, d)
+      .filter(col("day_offset") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = Tables.events(spark, d).select(col("user_id"))
+      .distinct().count()
+    assert(day0 === users) // every user is active on their own first day
+  }
+
   test("fuzzy levenshtein: symmetric-free pairs, all within threshold") {
     val pairs = Advanced.fuzzyLevenshtein(spark, d).collect()
     pairs.foreach { r =>
