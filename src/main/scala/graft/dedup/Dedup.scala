@@ -308,15 +308,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // pull the smallest label among each node's neighbors (and itself)
+      // pull the smallest label among each node's neighbors (and itself).
+      // The old label rides along so convergence is OBSERVED during the
+      // same job that materializes the checkpoint — one action per round,
+      // not a separate isEmpty() pass over a diff join.
+      val obs = new org.apache.spark.sql.Observation(s"lp_iter_$iter")
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("label"))
         .unionAll(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .observe(obs,
+          count(when(col("label") =!= col("old"), 1)).as("n_changed"))
+        .select(col("node"), col("label"))
         .localCheckpoint()
-      converged = neighborLabels.join(labels.withColumnRenamed("label", "old"),
-        Seq("node")).filter(col("label") =!= col("old")).isEmpty
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = neighborLabels
       iter += 1
     }
