@@ -91,6 +91,7 @@ object SparkEntry {
     "q65_percentile_groups" -> (Advanced.percentileGroups(_, _)),
     "q66_funnel" -> (Advanced.funnel(_, _)),
     "q67_cohort_retention" -> (Advanced.cohortRetention(_, _)),
+    "q68_array_battery" -> (Advanced.arrayBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -418,5 +419,15 @@ object SparkEntry {
         "FROM e JOIN f USING (user_id) " +
         "WHERE date_diff('day', cohort_day, day) <= 7 " +
         "GROUP BY cohort_day, day_offset"),
+    "q68_array_battery" ->
+      ("SELECT doc_id, CAST(len(toks) AS INT) AS n, " +
+        "array_to_string(list_slice(toks, 1, 3), ',') AS first3, " +
+        "list_contains(toks, 'the') AS has_the, " +
+        "CAST(nullif(list_position(toks, 'the'), 0) AS INT) AS the_pos, " +
+        "array_to_string(list_slice(list_sort(toks), 1, 2), ',') AS sorted2, " +
+        "CAST(len(list_distinct(toks)) AS INT) AS n_distinct, " +
+        "toks[-1] AS last_tok FROM (" +
+        "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+        "FROM documents WHERE doc_id % 10 = 0)"),
   )
 }

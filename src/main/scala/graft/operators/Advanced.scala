@@ -278,6 +278,26 @@ object Advanced {
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
   }
 
+  /** Array-function battery over token arrays: size, slice, membership,
+    * position (normalized to null-when-absent on both engines), sort,
+    * distinct, last element — array outputs stringified so the oracle
+    * compares scalars. try_element_at (not element_at) so an empty array
+    * yields null instead of an ANSI out-of-bounds error. */
+  def arrayBattery(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n"),
+        concat_ws(",", slice(col("toks"), 1, 3)).as("first3"),
+        array_contains(col("toks"), "the").as("has_the"),
+        nullif(array_position(col("toks"), "the"), lit(0L)).cast("int")
+          .as("the_pos"),
+        concat_ws(",", slice(sort_array(col("toks")), 1, 2)).as("sorted2"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        try_element_at(col("toks"), lit(-1)).as("last_tok"))
+
   /** Exact percentiles per group (q39 is global-only): the per-key
     * distribution summary. At 100 TB the drop-in is approx_percentile
     * (t-digest, fixed memory — spec-checked against exact within

@@ -61,4 +61,39 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("minhash signature construction is a pure map — no shuffle, no window, no explode") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MinHashExpressions.{minhashSignature, shingleSet}
+    import graft.functions.TextAnalysis
+    val p = plan(Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), minhashSignature(col("toks")).as("sig"),
+        shingleSet(col("toks")).as("sh"))
+      .filter(col("sig").isNotNull))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+  }
+
+  test("ANN top-k plans as partial+final typed aggregate, not a ranking window") {
+    val p = plan(Similarity.bruteForceTopK(spark, sf0001))
+    assert(!p.contains("Window"), p.take(2000))
+    // TypedImperativeAggregate runs in ObjectHashAggregate, partial + final
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("shard pack: corpus windows partition by pid — the only global window is the P-row offset table") {
+    val df = Advanced.shardPack(spark, sf0001)
+    val p = plan(df)
+    // the per-partition running sum must be a pid-partitioned window
+    assert(p.contains("windowspecdefinition(pid"), p.take(3000))
+    // exactly one empty-partition (global) window spec: the tiny offsets
+    // frame; the corpus itself never falls into a single partition
+    val globalWindows = "windowspecdefinition\\(pid".r.findAllIn(p).length
+    assert(globalWindows >= 1, p.take(3000))
+    val singlePartitionExchanges =
+      "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singlePartitionExchanges <= 1, p.take(3000))
+  }
+
 }
