@@ -56,6 +56,26 @@ object FoodOrdersStream {
       .select((keys :+ "ts").map(col): _*)
   }
 
+  /** Streaming NEAR-dedup: per-row SimHash64 signature (native kernel, pure
+    * map — no shuffle to build it) + dropDuplicatesWithinWatermark on the
+    * signature. Documents whose near-dup class (identical token SET, i.e.
+    * reordered/repeated-token copies) was seen inside the watermark horizon
+    * are dropped — near-dedup at streaming-exact-dedup state cost (one
+    * 8-byte signature per class in state, bounded by the horizon). The
+    * streaming form of Dedup.simhashGroups. */
+  def dedupNearSimhash(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MinHashExpressions.simhash64
+    import graft.functions.TextAnalysis
+    docs
+      .withColumn("toks", array_distinct(TextAnalysis.tokens(col("text"))))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", simhash64(col("toks")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("sig")
+      .select(col("doc_id"), col("sig"), col("ts"))
+  }
+
   /** Stream-stream interval join: purchases ⋈ errors of the same user where
     * the error falls within 30 minutes after the purchase. Both sides are
     * watermarked and the join condition carries an explicit event-time

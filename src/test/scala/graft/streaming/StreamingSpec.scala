@@ -93,6 +93,35 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinct, s"streamed $n vs distinct $distinct")
   }
 
+  test("streaming near-dedup drops simhash-equal docs within the watermark") {
+    val src = tmp("neardup-src")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    Seq(
+      (1L, "spark shuffles data between stages", ts(0)),
+      (2L, "between stages spark shuffles data data", ts(1)), // same token SET
+      (3L, "a completely different document body", ts(2)),
+      (4L, "spark shuffles data between stages", ts(3))       // exact dup
+    ).toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+
+    val q = FoodOrdersStream.dedupNearSimhash(stream)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val kept = spark.table("neardup").select("doc_id")
+      .as[Long].collect().toSet
+    // docs 1, 2, 4 share one near-dup class (same token SET) → exactly one
+    // survivor (which one is arrival-order within the micro-batch, not
+    // guaranteed); doc 3 is its own class and must survive
+    assert(kept.contains(3L), s"kept=$kept")
+    assert(kept.size === 2, s"kept=$kept")
+    assert((kept - 3L).subsetOf(Set(1L, 2L, 4L)), s"kept=$kept")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val src = tmp("ssj-src")
     Tables.events(spark, sf0001).write.mode("overwrite")
