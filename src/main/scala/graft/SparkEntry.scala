@@ -92,6 +92,7 @@ object SparkEntry {
     "q66_funnel" -> (Advanced.funnel(_, _)),
     "q67_cohort_retention" -> (Advanced.cohortRetention(_, _)),
     "q68_array_battery" -> (Advanced.arrayBattery(_, _)),
+    "q69_contamination" -> (Advanced.contamination(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -429,5 +430,14 @@ object SparkEntry {
         "toks[-1] AS last_tok FROM (" +
         "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
         "FROM documents WHERE doc_id % 10 = 0)"),
+    "q69_contamination" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, CAST(u.i AS INT), CAST(u.i AS INT) + 7), ' ') AS g " +
+        "FROM t, unnest(range(1, len(toks) - 6)) AS u(i) WHERE len(toks) >= 8), " +
+        "b AS (SELECT doc_id AS bdoc, g FROM g WHERE doc_id % 7 = 0), " +
+        "c AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0) " +
+        "SELECT c.doc_id, count(DISTINCT c.g) AS n_shared, " +
+        "count(DISTINCT b.bdoc) AS n_bench_docs " +
+        "FROM c JOIN b ON c.g = b.g GROUP BY c.doc_id"),
   )
 }

@@ -278,6 +278,31 @@ object Advanced {
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any 8-token
+    * window with a (small, deterministic) benchmark set — the screening
+    * stage that keeps eval data out of training corpora. 8-grams are built
+    * PER ROW (transform over positions, one pass, no window/shuffle); the
+    * benchmark side's exploded n-gram set is small and broadcasts, so the
+    * corpus is touched exactly once however large it is. Reports shared
+    * n-gram and benchmark-doc counts per contaminated document. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 7),
+          i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("g"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("bdoc"), col("g"))
+    val corpus = grams.filter(col("doc_id") % 7 =!= 0)
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("bdoc")).as("n_bench_docs"))
+  }
+
   /** Array-function battery over token arrays: size, slice, membership,
     * position (normalized to null-when-absent on both engines), sort,
     * distinct, last element — array outputs stringified so the oracle
