@@ -65,45 +65,18 @@ object ScaleProbe {
       val (tMh, rMh) = time(Dedup.minhashDupPairsDf(docs).count())
       results += (("minhash_lsh_pairs", n, tMh, rMh))
 
-      // SimHash signature + group count
-      val (tSh, rSh) = time {
-        docs.select(col("doc_id"),
-            array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
-          .filter(size(col("toks")) > 0)
-          .select(simhash64(col("toks")).as("sig"))
-          .groupBy(col("sig")).count()
-          .filter(col("count") > 1).count()
-      }
+      // SimHash near-dup groups — the PRODUCTION path (Dedup.simhashGroupsDf)
+      val (tSh, rSh) = time(Dedup.simhashGroupsDf(docs).count())
       results += (("simhash_groups", n, tSh, rSh))
 
-      // token-count + distributed shard packing over the replicated corpus
-      val (tSp, rSp) = time {
-        val t = docs.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("ntok"))
-        val parts = t
-          .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val local = parts.withColumn("local_cum",
-          sum(col("ntok")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("pid")).orderBy(col("doc_id"))))
-        val offsets = local.groupBy(col("pid"))
-          .agg(max(col("local_cum")).as("psum"))
-          .withColumn("offset", coalesce(
-            sum(col("psum")).over(org.apache.spark.sql.expressions.Window
-              .orderBy(col("pid"))
-              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .select(col("pid"), col("offset"))
-        local.join(broadcast(offsets), Seq("pid"))
-          .withColumn("shard", floor(
-            (col("offset") + col("local_cum") - col("ntok")) / lit(10000.0))
-            .cast("long"))
-          .groupBy(col("shard")).count().count()
-      }
+      // distributed-prefix-sum shard packing — production path
+      // (Advanced.shardPackDf)
+      val (tSp, rSp) = time(
+        graft.operators.Advanced.shardPackDf(spark, docs).count())
       results += (("shard_pack", n, tSp, rSp))
 
-      // nearest-centroid assignment (ANN ingest path): native cosine cross
-      // join + map-side max_by argmax over the replicated embedding corpus
+      // nearest-centroid assignment (ANN ingest path) — production path
+      // (Similarity.nearestCentroid)
       val (tIvf, rIvf) = time {
         val v = replicateKeyed(
           Tables.embeddings(spark, sfDir)
@@ -113,12 +86,7 @@ object ScaleProbe {
           .filter(col("vec_id") % 97 === 0)
           .select(col("vec_id").as("cent_id"),
             VectorFunctions.asDouble(col("embedding")).as("cent_emb"))
-        v.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-          .crossJoin(broadcast(cents))
-          .withColumn("cdist", VectorFunctions.cosine(col("emb"), col("cent_emb")))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cent_id"), struct(col("cdist"), -col("cent_id")))
-            .as("cent_id"))
+        graft.similarity.Similarity.nearestCentroid(spark, v, cents)
           .groupBy(col("cent_id")).count().count()
       }
       results += (("ivf_assign", n, tIvf, rIvf))

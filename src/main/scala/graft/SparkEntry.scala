@@ -434,8 +434,8 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, CAST(u.i AS INT), CAST(u.i AS INT) + 7), ' ') AS g " +
         "FROM t, unnest(range(1, len(toks) - 6)) AS u(i) WHERE len(toks) >= 8), " +
-        "b AS (SELECT doc_id AS bdoc, g FROM g WHERE doc_id % 7 = 0), " +
-        "c AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0) " +
+        "b AS (SELECT doc_id AS bdoc, g FROM g WHERE doc_id % 7 = 0 AND doc_id < 3500), " +
+        "c AS (SELECT doc_id, g FROM g WHERE NOT (doc_id % 7 = 0 AND doc_id < 3500)) " +
         "SELECT c.doc_id, count(DISTINCT c.g) AS n_shared, " +
         "count(DISTINCT b.bdoc) AS n_bench_docs " +
         "FROM c JOIN b ON c.g = b.g GROUP BY c.doc_id"),

@@ -371,8 +371,13 @@ object Dedup {
     * the only shuffle is the group count over the 64-bit signature. The
     * `size(toks) > 0` filter mirrors the explode-based [[simhashDf]], where
     * tokenless docs produce no rows. */
-  def simhashGroups(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.documents(s, d)
+  def simhashGroups(s: SparkSession, d: String): DataFrame =
+    simhashGroupsDf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Same, over any (doc_id, text) frame — shared by the driver query and
+    * the scale probe, so what the probe measures IS the production path. */
+  def simhashGroupsDf(documents: DataFrame): DataFrame = {
+    val sigs = documents
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), simhash64(col("toks")).as("sig"))

@@ -118,9 +118,18 @@ final class TopKHeap(val k: Int) {
   private var n = 0
 
   /** true if (s1,i1) ranks WORSE than (s2,i2): lower score, or equal score
-    * and higher id. */
+    * and higher id. NaN ranks strictly worst (a plain `<` comparator is
+    * false for every NaN comparison, which would let a NaN entered while
+    * filling the heap sit at the root and reject all later entries). */
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long)
-      : Boolean = s1 < s2 || (s1 == s2 && i1 > i2)
+      : Boolean = {
+    val n1 = java.lang.Double.isNaN(s1)
+    val n2 = java.lang.Double.isNaN(s2)
+    if (n1 != n2) n1
+    else if (!n1 && s1 < s2) true
+    else if (!n1 && s1 > s2) false
+    else i1 > i2
+  }
 
   def offer(s: Double, id: Long): Unit = {
     if (n < k) {

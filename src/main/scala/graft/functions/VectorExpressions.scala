@@ -47,7 +47,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // mismatched lengths yield null, matching the HOF form (zip_with pads
+    // the shorter side with null → null product → null sum) — never a
+    // silently-truncated "similarity" over the common prefix
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -67,15 +71,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val den = ctx.freshName("den")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $den = Math.sqrt($na) * Math.sqrt($nb);
+         |  if ($den == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $den; }
          |}
-         |double $den = Math.sqrt($na) * Math.sqrt($nb);
-         |if ($den == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / $den; }
        """.stripMargin
     })
 

@@ -37,13 +37,20 @@ object BmpCodec {
     if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0) return None
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (off < 54 || off.toLong + rowSize.toLong * h > b.length) return None
-    val out = new Array[Byte](w * h * 3)
+    // crafted headers can claim dimensions whose products overflow Int and
+    // turn the bounds check into a pass followed by a crash — validate in
+    // Long arithmetic and bound the decoded size before any allocation
+    if (w > (1 << 20) || h > (1 << 20)) return None
+    val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+    val pixelBytes = w.toLong * h * 3
+    if (off < 54 || pixelBytes > Int.MaxValue ||
+      off.toLong + rowSize * h > b.length) return None
+    val out = new Array[Byte](pixelBytes.toInt)
+    val rowSizeI = rowSize.toInt // validated above: fits comfortably in Int
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
-      System.arraycopy(b, off + srcRow * rowSize, out, y * w * 3, w * 3)
+      System.arraycopy(b, off + srcRow * rowSizeI, out, y * w * 3, w * 3)
       y += 1
     }
     Some(Decoded(w, h, out))

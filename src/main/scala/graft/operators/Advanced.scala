@@ -255,8 +255,14 @@ object Advanced {
     * scale to 100 TB. Output is the shard manifest (docs + tokens per
     * shard). */
   def shardPack(s: SparkSession, d: String, budget: Long = 10000L)
+      : DataFrame =
+    shardPackDf(s, documents(s, d).select(col("doc_id"), col("text")), budget)
+
+  /** Same, over any (doc_id, text) frame — shared by the driver query and
+    * the scale probe, so what the probe measures IS the production path. */
+  def shardPackDf(s: SparkSession, docs: DataFrame, budget: Long = 10000L)
       : DataFrame = {
-    val t = documents(s, d).select(col("doc_id"),
+    val t = docs.select(col("doc_id"),
       graft.functions.TextAnalysis.tokenCount(col("text")).as("ntok"))
     val parts = t
       .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -281,10 +287,15 @@ object Advanced {
   /** Benchmark decontamination: flag corpus documents sharing any 8-token
     * window with a (small, deterministic) benchmark set — the screening
     * stage that keeps eval data out of training corpora. 8-grams are built
-    * PER ROW (transform over positions, one pass, no window/shuffle); the
-    * benchmark side's exploded n-gram set is small and broadcasts, so the
-    * corpus is touched exactly once however large it is. Reports shared
-    * n-gram and benchmark-doc counts per contaminated document. */
+    * PER ROW (transform over positions, one pass, no window/shuffle). The
+    * broadcast-join shape assumes the BENCHMARK side is small — true for
+    * real eval suites (fixed, thousands of docs), and enforced here by a
+    * hard id cap on the stand-in slice so the broadcast stays bounded no
+    * matter how large the corpus grows; only the corpus side scales, and
+    * it is scanned exactly once. Reports shared n-gram and benchmark-doc
+    * counts per contaminated document. */
+  val BenchIdCap = 3500L
+
   def contamination(s: SparkSession, d: String): DataFrame = {
     val grams = documents(s, d)
       .select(col("doc_id"),
@@ -294,9 +305,10 @@ object Advanced {
         explode(transform(sequence(lit(1), size(col("toks")) - 7),
           i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("g"))
       .distinct()
-    val bench = grams.filter(col("doc_id") % 7 === 0)
+    val isBench = col("doc_id") % 7 === 0 && col("doc_id") < BenchIdCap
+    val bench = grams.filter(isBench)
       .select(col("doc_id").as("bdoc"), col("g"))
-    val corpus = grams.filter(col("doc_id") % 7 =!= 0)
+    val corpus = grams.filter(!isBench)
     corpus.join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"),

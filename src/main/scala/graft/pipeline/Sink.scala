@@ -71,11 +71,21 @@ object Sink {
     val totalBytes = before.map(_.getLen).sum
     val targetFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = s.read.parquet(path)
-    // repartition on the partition column spreads rows of each partition
-    // over the fewest tasks that hit the size target; the rewrite goes to a
-    // temp dir first so a failure can't destroy the original
+    // hash on (partition column, spread key): the spread key lets a single
+    // oversized partition split across up to `targetFiles` tasks/files —
+    // hashing on the partition column alone would force every row of a
+    // partition into ONE task and one file, ignoring the size target
+    val spread = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.monotonically_increasing_id(),
+      org.apache.spark.sql.functions.lit(targetFiles.toLong))
+    // the rewrite goes to a temp dir first; the two renames below are NOT
+    // one atomic swap — a crash between them leaves the data under
+    // `<path>__compact_bak` (recovery: rename it back). A true atomic swap
+    // needs a table format with a metadata pointer (Iceberg/Delta); for a
+    // plain parquet dir this bak-then-swap is the strongest available.
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    df.repartition(targetFiles, org.apache.spark.sql.functions.col(partitionCol))
+    df.repartition(targetFiles,
+        org.apache.spark.sql.functions.col(partitionCol), spread)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
     fs.rename(new org.apache.hadoop.fs.Path(path), bak)

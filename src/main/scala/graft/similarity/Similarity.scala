@@ -59,7 +59,13 @@ object Similarity {
     * so the shuffle carries |queries|·mappers·k entries instead of every
     * scored (query, candidate) row — at corpus scale the scored stream
     * never leaves the mappers. Ordering (score desc, id asc) matches the
-    * window formulation exactly (spec + oracle pinned). */
+    * window formulation exactly (spec + oracle pinned).
+    *
+    * Null-similarity contract: candidates whose cosine is null (zero-norm
+    * vectors) are EXCLUDED by the aggregate — a degenerate query whose
+    * every candidate scores null returns no rows for that query_id, rather
+    * than the window form's k null-ranked rows. Undefined similarity is
+    * not a neighbor. */
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") % QueryStep === 0)
@@ -100,15 +106,7 @@ object Similarity {
     var cents = v.filter(col("vec_id") % CentroidStep === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     for (_ <- 0 until iters) {
-      val assigned = v
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cdist", cosine(col("emb"), col("cent_emb")))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("cent_id"),
-            struct(col("cdist"), -col("cent_id"))).as("cent_id"),
-          first(col("emb")).as("emb"))
+      val assigned = nearestCentroid(s, v, cents)
       // element-wise mean via the vector_sum aggregate: one dim-length
       // buffer per centroid per mapper, vs the posexplode formulation's
       // |rows|·dim shuffled triples + second aggregation
@@ -122,14 +120,13 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val v = vectors(s, d)
-    val cents = kmeansCentroids(s, v)
-
-    // corpus → nearest bucket: map-side max_by argmax (see kmeansCentroids),
-    // one shuffled row per vector
-    val assigned = v
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+  /** Nearest-centroid assignment: broadcast cross join + map-side max_by
+    * argmax with deterministic (cdist, -cent_id) tie-break — one shuffled
+    * row per vector. Shared by the k-means loop, ivfTopK, and the scale
+    * probe. Input v: (vec_id, emb); cents: (cent_id, cent_emb). */
+  def nearestCentroid(s: SparkSession, v: DataFrame, cents: DataFrame)
+      : DataFrame =
+    v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", cosine(col("emb"), col("cent_emb")))
       .groupBy(col("vec_id"))
@@ -137,6 +134,13 @@ object Similarity {
         max_by(col("cent_id"),
           struct(col("cdist"), -col("cent_id"))).as("cent_id"),
         first(col("emb")).as("emb"))
+
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val v = vectors(s, d)
+    val cents = kmeansCentroids(s, v)
+
+    // corpus → nearest bucket (see nearestCentroid)
+    val assigned = nearestCentroid(s, v, cents)
 
     // queries → NProbe nearest buckets: the query set is tiny, so a ranking
     // window is fine — but over slim (query_id, cent_id, cdist) triples,

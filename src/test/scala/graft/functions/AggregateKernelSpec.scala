@@ -64,6 +64,17 @@ class AggregateKernelSpec extends SparkTestBase {
     assert(out === Seq((0.9, 9L), (0.9, 11L), (0.5, 10L)))
   }
 
+  test("topk_by_score: NaN scores rank last and never block better entries") {
+    // NaN arrives first (while the heap is filling) — a naive < comparator
+    // would leave it at the root rejecting everything after it
+    val out = Seq((1L, Double.NaN, 1L), (1L, 0.2, 2L), (1L, 0.9, 3L),
+      (1L, 0.5, 4L), (1L, Double.NaN, 5L))
+      .toDF("g", "sim", "id")
+      .groupBy(col("g")).agg(topKByScore(col("sim"), col("id"), 3).as("nn"))
+      .select(col("nn")).as[Seq[(Double, Long)]].head()
+    assert(out.map(_._2) === Seq(3L, 4L, 2L))
+  }
+
   test("vector_sum equals the posexplode per-dimension sum") {
     val v = Tables.embeddings(spark, d)
       .select((col("vec_id") % 7).as("g"),

@@ -102,6 +102,15 @@ class NativeKernelSpec extends SparkTestBase {
     }
   }
 
+  test("native cosine: mismatched lengths yield null (agreeing with HOF), never a truncated similarity") {
+    val r = Seq((Array(1.0, 5.0), Array(1.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("native"),
+        VectorFunctions.cosineHof(col("a"), col("b")).as("hof"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native cosine: zero vector yields null, not an ANSI error") {
     val r = Seq((Array(0.0, 0.0), Array(1.0, 2.0)))
       .toDF("a", "b")

@@ -40,6 +40,14 @@ class BmpCodecSpec extends SparkTestBase {
     // truncated: valid header claiming more data than present
     val enc = BmpCodec.encode(solid(10, 10, 1, 2, 3))
     assert(BmpCodec.decode(enc.take(80)).isEmpty)
+    // crafted header whose width*3 overflows Int: must be None, not a crash
+    val evil = BmpCodec.encode(solid(2, 2, 0, 0, 0)).clone()
+    evil(18) = 0x00; evil(19) = 0x00; evil(20) = 0x00; evil(21) = 0x40 // w=2^30
+    assert(BmpCodec.decode(evil).isEmpty)
+    // dimensions over the sanity bound are rejected too
+    val big = BmpCodec.encode(solid(2, 2, 0, 0, 0)).clone()
+    big(18) = 0x00; big(19) = 0x00; big(20) = 0x20; big(21) = 0x00 // w=2^21
+    assert(BmpCodec.decode(big).isEmpty)
   }
 
   test("mean color and grayscale thumbnail are exact on solid images") {

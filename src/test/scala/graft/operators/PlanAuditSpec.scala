@@ -85,12 +85,11 @@ class PlanAuditSpec extends SparkTestBase {
   test("shard pack: corpus windows partition by pid — the only global window is the P-row offset table") {
     val df = Advanced.shardPack(spark, sf0001)
     val p = plan(df)
-    // the per-partition running sum must be a pid-partitioned window
+    // the corpus running sum must be a pid-PARTITIONED window (a regression
+    // to a global window would drop this spec string and trip the assert)
     assert(p.contains("windowspecdefinition(pid"), p.take(3000))
-    // exactly one empty-partition (global) window spec: the tiny offsets
-    // frame; the corpus itself never falls into a single partition
-    val globalWindows = "windowspecdefinition\\(pid".r.findAllIn(p).length
-    assert(globalWindows >= 1, p.take(3000))
+    // at most one SinglePartition exchange: the P-row offset table's global
+    // window — the corpus itself never collapses into one partition
     val singlePartitionExchanges =
       "Exchange SinglePartition".r.findAllIn(p).length
     assert(singlePartitionExchanges <= 1, p.take(3000))

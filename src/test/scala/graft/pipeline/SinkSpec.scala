@@ -55,4 +55,18 @@ class SinkSpec extends SparkTestBase {
     // partition layout preserved (ingest_date still a partition column dir)
     assert(afterDf.columns.contains(Sink.IngestDateCol))
   }
+
+  test("compaction splits one oversized partition into multiple files") {
+    val out = Files.createTempDirectory("compact-split").toString + "/t"
+    Sink.writePartitioned(
+      (0 until 500).map(i => (i.toLong, s"value$i")).toDF("id", "v"), out)
+    // size the target to a third of the partition: the spread key must
+    // fan one ingest_date's rows across several files
+    val total = spark.read.parquet(out).inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).length()).sum
+    val (_, nAfter) = Sink.compactPartitioned(spark, out,
+      targetFileBytes = math.max(1L, total / 3))
+    assert(nAfter >= 2 && nAfter <= 6, s"nAfter=$nAfter")
+    assert(spark.read.parquet(out).count() === 500)
+  }
 }
