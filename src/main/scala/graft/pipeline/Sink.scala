@@ -47,6 +47,42 @@ object Sink {
       .partitionBy(IngestDateCol)
       .parquet(path)
 
+  /** Upsert (merge) into a day-partitioned parquet sink: for each key the
+    * LATEST version wins (deterministic max_by on (version, key)). Only the
+    * partitions present in the incoming batch are rewritten (dynamic
+    * partition overwrite reads just those partitions back, merges, and
+    * replaces them) — the CDC-apply primitive on plain parquet: touched-
+    * partition IO instead of full-table rewrite, converging under re-runs
+    * like [[writePartitionedIdempotent]]. Columns: `keyCol` identifies the
+    * row, `versionCol` (monotone) picks the winner. */
+  def upsertByKey(s: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+      path: String, keyCol: String, versionCol: String): Unit = {
+    val inc = withIngestDate(incoming)
+    val dates = inc.select(col(IngestDateCol)).distinct()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        s.read.parquet(path)
+          .join(broadcast(dates), Seq(IngestDateCol), "left_semi")
+          .select(inc.columns.map(col).toSeq: _*)
+      else inc.limit(0)
+    val merged = existing.unionByName(inc)
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(inc.columns.map(col).toSeq: _*),
+        struct(col(versionCol), col(keyCol))).as("r"))
+      .select(col("r.*"))
+      // materialize before writing: the plan reads the same path it is
+      // about to overwrite
+      .localCheckpoint()
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(IngestDateCol)
+      .parquet(path)
+  }
+
   /** Small-file compaction for a partitioned sink: streaming/incremental
     * appends leave one-file-per-micro-batch debris that kills scan
     * performance at scale (footer reads + scheduling overhead dominate).

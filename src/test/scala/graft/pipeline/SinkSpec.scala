@@ -56,6 +56,34 @@ class SinkSpec extends SparkTestBase {
     assert(afterDf.columns.contains(Sink.IngestDateCol))
   }
 
+  test("upsert by key: latest version wins, re-runs converge, inserts append") {
+    val out = Files.createTempDirectory("upsert").toString + "/t"
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+    Sink.upsertByKey(spark, v1, out, "id", "ver")
+    // update key 1, insert key 3
+    val v2 = Seq((1L, "a2", 2L), (3L, "c", 2L)).toDF("id", "v", "ver")
+    Sink.upsertByKey(spark, v2, out, "id", "ver")
+    Sink.upsertByKey(spark, v2, out, "id", "ver") // re-run converges
+
+    val rows = spark.read.parquet(out)
+      .select("id", "v", "ver").as[(Long, String, Long)]
+      .collect().toSet
+    assert(rows === Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 2L)))
+  }
+
+  test("schema evolution: mergeSchema reads old + new files as a superset") {
+    val out = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("append").parquet(out)
+    Seq((2L, "b", 0.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(out)
+    val df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(df.columns.toSet === Set("id", "v", "score"))
+    val byId = df.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(0.5))
+  }
+
   test("compaction splits one oversized partition into multiple files") {
     val out = Files.createTempDirectory("compact-split").toString + "/t"
     Sink.writePartitioned(
