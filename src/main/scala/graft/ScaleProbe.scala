@@ -4,10 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.functions.MinHashExpressions.simhash64
-import graft.functions.TextAnalysis
 import graft.functions.VectorFunctions
-import graft.operators.{Advanced, Tables}
+import graft.operators.Tables
 
 /** Synthetic scale-up probes: replicate the sf inputs in-plan ×N (perturbed
   * ids, perturbed text so replicas aren't trivial duplicates) and time the

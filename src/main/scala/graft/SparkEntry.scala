@@ -93,6 +93,8 @@ object SparkEntry {
     "q67_cohort_retention" -> (Advanced.cohortRetention(_, _)),
     "q68_array_battery" -> (Advanced.arrayBattery(_, _)),
     "q69_contamination" -> (Advanced.contamination(_, _)),
+    "q70_cumulative_users" -> (Advanced.cumulativeUsers(_, _)),
+    "q71_rank_battery" -> (Advanced.rankBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -439,5 +441,26 @@ object SparkEntry {
         "SELECT c.doc_id, count(DISTINCT c.g) AS n_shared, " +
         "count(DISTINCT b.bdoc) AS n_bench_docs " +
         "FROM c JOIN b ON c.g = b.g GROUP BY c.doc_id"),
+    "q70_cumulative_users" ->
+      ("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day " +
+        "FROM events GROUP BY user_id), " +
+        "p AS (SELECT first_day AS day, count(*) AS new_users FROM f " +
+        "GROUP BY first_day) " +
+        "SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+        "FROM p"),
+    "q71_rank_battery" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "CAST(floor(o_totalprice / 100000) AS BIGINT) AS bucket, " +
+        "CAST(rank() OVER wt AS INT) AS rk, " +
+        "CAST(dense_rank() OVER wt AS INT) AS drk, " +
+        "round(percent_rank() OVER wt, 6) AS prk, " +
+        "round(cume_dist() OVER wt, 6) AS cd, " +
+        "CAST(ntile(4) OVER wo AS INT) AS quartile " +
+        "FROM orders WHERE o_custkey % 25 = 0 " +
+        "WINDOW wt AS (PARTITION BY o_orderstatus " +
+        "ORDER BY floor(o_totalprice / 100000) DESC), " +
+        "wo AS (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice DESC, o_orderkey)"),
   )
 }

@@ -390,6 +390,42 @@ object Advanced {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Cumulative distinct users by day WITHOUT a running set: a user counts
+    * from their first-seen day onward, so cumulative-distinct = running sum
+    * of first-seen counts — two partial-aggregated shuffles plus a window
+    * over the (tiny) per-day frame. The scalable form of "DAU-to-date"
+    * (a naive windowed COUNT(DISTINCT) is not partial-aggregatable at all). */
+  def cumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val firstDay = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val perDay = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** Rank-function battery: rank / dense_rank / percent_rank / cume_dist
+    * over a REAL-ties ordering (price bucket — tie-stable functions), plus
+    * ntile over a total order (ntile is position-based, so cross-engine
+    * determinism requires a tie-free ordering). */
+  def rankBattery(s: SparkSession, d: String): DataFrame = {
+    val wTies = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("bucket").desc)
+    val wTotal = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") % 25 === 0)
+      .withColumn("bucket", floor(col("o_totalprice") / 100000).cast("long"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("bucket"),
+        rank().over(wTies).cast("int").as("rk"),
+        dense_rank().over(wTies).cast("int").as("drk"),
+        round(percent_rank().over(wTies), 6).as("prk"),
+        round(cume_dist().over(wTies), 6).as("cd"),
+        ntile(4).over(wTotal).cast("int").as("quartile"))
+  }
+
   /** Edit-distance fuzzy matching over a deterministic sample: name pairs
     * within 2 edits. The quadratic pair loop runs on the sampled slice only
     * (the scale path for full-corpus fuzzy matching is LSH, Dedup.*) — and
