@@ -13,15 +13,24 @@ object Diagnostics {
     * explicit salting (Relational.hotKeySaltedJoin) the pathological ones.
     * One partial-aggregated pass + a tiny summary aggregation. */
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 5): DataFrame = {
+    // two consumers (summary + top keys): checkpoint the per-key counts so
+    // the scan + aggregation over df runs once, not once per branch
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val summary = counts.agg(
       max(col("n")).as("max_n"),
       round(expr("percentile(n, 0.99)"), 2).as("p99_n"),
       round(expr("percentile(n, 0.5)"), 2).as("median_n"),
       count(lit(1)).as("n_keys"))
+    // collect_list does not preserve the pre-limit sort order; sort the
+    // collected (−n, key) structs so top_keys is contractually heaviest-
+    // first (ties by key ascending)
     val top = counts.orderBy(col("n").desc, col(keyCol))
       .limit(topN)
-      .agg(collect_list(col(keyCol).cast("string")).as("top_keys"))
+      .agg(transform(
+        sort_array(collect_list(
+          struct((-col("n")).as("negn"), col(keyCol).cast("string").as("k")))),
+        x => x.getField("k")).as("top_keys"))
     summary.crossJoin(top)
       .withColumn("skew_ratio",
         round(col("max_n") / col("median_n"), 2))
@@ -30,9 +39,11 @@ object Diagnostics {
   /** Size-estimate for broadcast decisions: bytes per row (sampled) ×
     * row count, compared against the session's broadcast threshold. */
   def broadcastAdvice(s: SparkSession, df: DataFrame): DataFrame = {
-    // the conf may carry a size suffix ("10485760b", "32m")
-    val threshold = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    // the conf may carry a size suffix ("10485760b", "32m") or be the
+    // plain "-1" disable idiom, which the byte-string parser rejects
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val threshold = raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val session = s
     import session.implicits._

@@ -48,17 +48,21 @@ object ZOrder {
     * constants come from one scalar aggregation (broadcast via crossJoin). */
   def writeClustered(df: DataFrame, colA: String, colB: String,
       path: String, nFiles: Int): Unit = {
+    // collision-proof internal names: a user column named zv/amn/… must
+    // survive the rewrite untouched
+    val (amn, amx, bmn, bmx, zv) = ("__graft_amn", "__graft_amx",
+      "__graft_bmn", "__graft_bmx", "__graft_zv")
     val bounds = df.agg(
-      min(col(colA)).as("amn"), max(col(colA)).as("amx"),
-      min(col(colB)).as("bmn"), max(col(colB)).as("bmx"))
+      min(col(colA)).as(amn), max(col(colA)).as(amx),
+      min(col(colB)).as(bmn), max(col(colB)).as(bmx))
     df.crossJoin(broadcast(bounds))
-      .withColumn("zv", zValue(
-        col(colA), col("amn"), col("amx"),
-        col(colB), col("bmn"), col("bmx")))
-      .drop("amn", "amx", "bmn", "bmx")
-      .repartitionByRange(nFiles, col("zv"))
-      .sortWithinPartitions(col("zv"))
-      .drop("zv")
+      .withColumn(zv, zValue(
+        col(colA), col(amn), col(amx),
+        col(colB), col(bmn), col(bmx)))
+      .drop(amn, amx, bmn, bmx)
+      .repartitionByRange(nFiles, col(zv))
+      .sortWithinPartitions(col(zv))
+      .drop(zv)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -47,31 +47,41 @@ object Sink {
       .partitionBy(IngestDateCol)
       .parquet(path)
 
-  /** Upsert (merge) into a day-partitioned parquet sink: for each key the
-    * LATEST version wins (deterministic max_by on (version, key)). Only the
-    * partitions present in the incoming batch are rewritten (dynamic
-    * partition overwrite reads just those partitions back, merges, and
-    * replaces them) — the CDC-apply primitive on plain parquet: touched-
-    * partition IO instead of full-table rewrite, converging under re-runs
-    * like [[writePartitionedIdempotent]]. Columns: `keyCol` identifies the
-    * row, `versionCol` (monotone) picks the winner. */
+  /** Upsert (merge) into a KEY-BUCKETED parquet sink: for each key the
+    * latest version wins. The table is partitioned by a hash bucket of the
+    * key (NOT by ingest date) — the layout that makes touched-partition
+    * merging CORRECT: a key always lives in exactly one bucket, so reading
+    * back just the buckets present in the incoming batch sees every prior
+    * version of every incoming key, and dynamic partition overwrite
+    * rewrites only those buckets. (A date-partitioned layout cannot support
+    * partial-merge upserts: a key's prior version may live in any day.)
+    * Ties on (key, version) — e.g. a replayed batch carrying two payloads —
+    * resolve deterministically by the full-row ordering. Converges under
+    * re-runs. */
+  val UpsertBuckets = 16
+
   def upsertByKey(s: org.apache.spark.sql.SparkSession, incoming: DataFrame,
       path: String, keyCol: String, versionCol: String): Unit = {
-    val inc = withIngestDate(incoming)
-    val dates = inc.select(col(IngestDateCol)).distinct()
+    val dataCols = incoming.columns.toSeq
+    val inc = incoming.withColumn("key_bucket",
+      pmod(xxhash64(col(keyCol)), lit(UpsertBuckets.toLong)))
+    val buckets = inc.select(col("key_bucket")).distinct()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val existing =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         s.read.parquet(path)
-          .join(broadcast(dates), Seq(IngestDateCol), "left_semi")
+          .join(broadcast(buckets), Seq("key_bucket"), "left_semi")
           .select(inc.columns.map(col).toSeq: _*)
       else inc.limit(0)
+    val rowStruct = struct(dataCols.map(col): _*)
     val merged = existing.unionByName(inc)
       .groupBy(col(keyCol))
-      .agg(max_by(
-        struct(inc.columns.map(col).toSeq: _*),
-        struct(col(versionCol), col(keyCol))).as("r"))
+      .agg(
+        max_by(struct((dataCols :+ "key_bucket").map(col): _*),
+          // version first; full row as the deterministic tie-break (keyCol
+          // alone would be constant within the group, i.e. no tie-break)
+          struct(col(versionCol), rowStruct)).as("r"))
       .select(col("r.*"))
       // materialize before writing: the plan reads the same path it is
       // about to overwrite
@@ -79,7 +89,7 @@ object Sink {
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(IngestDateCol)
+      .partitionBy("key_bucket")
       .parquet(path)
   }
 

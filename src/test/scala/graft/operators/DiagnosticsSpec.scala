@@ -22,4 +22,14 @@ class DiagnosticsSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("would_broadcast"))
     assert(BigInt(r.getAs[String]("estimated_bytes")) > 0)
   }
+
+  test("broadcast advice survives the -1 disable idiom") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r = Diagnostics.broadcastAdvice(spark, Tables.nation(spark, sf0001))
+        .head()
+      assert(!r.getAs[Boolean]("would_broadcast"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

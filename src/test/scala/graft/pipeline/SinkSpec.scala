@@ -69,6 +69,25 @@ class SinkSpec extends SparkTestBase {
       .select("id", "v", "ver").as[(Long, String, Long)]
       .collect().toSet
     assert(rows === Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 2L)))
+
+    // key-bucketed layout: each key appears exactly once however many
+    // batches touched it (the correctness a date-partitioned partial merge
+    // cannot give)
+    val dups = spark.read.parquet(out).groupBy(col("id")).count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0)
+  }
+
+  test("upsert tie on (key, version) resolves deterministically") {
+    val out = Files.createTempDirectory("upsert-tie").toString + "/t"
+    val batch = Seq((1L, "x", 5L), (1L, "y", 5L)).toDF("id", "v", "ver")
+    Sink.upsertByKey(spark, batch, out, "id", "ver")
+    val first = spark.read.parquet(out).select("v").as[String].collect().toSeq
+    // re-running the identical ambiguous batch yields the identical choice
+    Sink.upsertByKey(spark, batch, out, "id", "ver")
+    val second = spark.read.parquet(out).select("v").as[String].collect().toSeq
+    assert(first.length === 1 && first === second)
+    assert(first.head === "y") // max over the full-row tie-break
   }
 
   test("schema evolution: mergeSchema reads old + new files as a superset") {
