@@ -95,6 +95,7 @@ object SparkEntry {
     "q69_contamination" -> (Advanced.contamination(_, _)),
     "q70_cumulative_users" -> (Advanced.cumulativeUsers(_, _)),
     "q71_rank_battery" -> (Advanced.rankBattery(_, _)),
+    "q72_ewma" -> ((s, d) => Advanced.ewmaPerUser(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -462,5 +463,11 @@ object SparkEntry {
         "ORDER BY floor(o_totalprice / 100000) DESC), " +
         "wo AS (PARTITION BY o_orderstatus " +
         "ORDER BY o_totalprice DESC, o_orderkey)"),
+    "q72_ewma" ->
+      ("SELECT user_id, CAST(len(vs) AS INT) AS n_events, " +
+        "round(list_reduce(vs, (acc, v) -> 0.3 * v + 0.7 * acc), 4) AS ewma " +
+        "FROM (SELECT user_id, list_transform(list_sort(" +
+        "list(struct_pack(ms := epoch_ms(ts), v := value))), x -> x.v) AS vs " +
+        "FROM events GROUP BY user_id)"),
   )
 }

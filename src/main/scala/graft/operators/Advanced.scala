@@ -426,6 +426,30 @@ object Advanced {
         ntile(4).over(wTotal).cast("int").as("quartile"))
   }
 
+  /** Exponentially-weighted moving average of event values per user — an
+    * order-dependent recursive fold, which no built-in window aggregate
+    * expresses. Events collect per user (bounded: one user's history),
+    * sort by (time, value), and fold e ← α·v + (1−α)·e seeded with the
+    * first value. The fold arithmetic and ordering are replicated exactly
+    * in the oracle (DuckDB list_reduce seeds with the first element), so
+    * doubles match bit-for-bit before rounding. */
+  def ewmaPerUser(s: SparkSession, d: String, alpha: Double = 0.3)
+      : DataFrame = {
+    val vs = transform(
+      sort_array(collect_list(struct(col("ms"), col("v")))),
+      x => x.getField("v"))
+    events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("value").as("v"))
+      .groupBy(col("user_id"))
+      .agg(vs.as("vs"))
+      .select(col("user_id"), size(col("vs")).as("n_events"),
+        round(aggregate(
+          slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+          element_at(col("vs"), 1),
+          (acc, v) => lit(alpha) * v + lit(1 - alpha) * acc), 4).as("ewma"))
+  }
+
   /** Edit-distance fuzzy matching over a deterministic sample: name pairs
     * within 2 edits. The quadratic pair loop runs on the sampled slice only
     * (the scale path for full-corpus fuzzy matching is LSH, Dedup.*) — and
