@@ -96,6 +96,7 @@ object SparkEntry {
     "q70_cumulative_users" -> (Advanced.cumulativeUsers(_, _)),
     "q71_rank_battery" -> (Advanced.rankBattery(_, _)),
     "q72_ewma" -> ((s, d) => Advanced.ewmaPerUser(s, d)),
+    "q73_hopping_windows" -> (Advanced.hoppingWindows(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -469,5 +470,12 @@ object SparkEntry {
         "FROM (SELECT user_id, list_transform(list_sort(" +
         "list(struct_pack(ms := epoch_ms(ts), v := value))), x -> x.v) AS vs " +
         "FROM events GROUP BY user_id)"),
+    "q73_hopping_windows" ->
+      ("SELECT ws_ms, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS total_value FROM (" +
+        "SELECT unnest([epoch_ms(ts) - epoch_ms(ts) % 1800000, " +
+        "epoch_ms(ts) - epoch_ms(ts) % 1800000 - 1800000]) AS ws_ms, " +
+        "event_type, value FROM events) " +
+        "GROUP BY ws_ms, event_type"),
   )
 }

@@ -390,6 +390,19 @@ object Advanced {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Hopping (sliding) event-time windows: 1-hour windows every 30 minutes
+    * — each event lands in exactly two overlapping windows. Spark's
+    * `window()` generates the window set in-plan (an Expand, ×2 rows, then
+    * one partial-aggregated shuffle); the same plan runs unchanged as a
+    * watermarked streaming aggregation. Window starts surface as epoch
+    * millis for cross-engine hashing. */
+  def hoppingWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("window.start")).as("ws_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Cumulative distinct users by day WITHOUT a running set: a user counts
     * from their first-seen day onward, so cumulative-distinct = running sum
     * of first-seen counts — two partial-aggregated shuffles plus a window
