@@ -93,6 +93,35 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinct, s"streamed $n vs distinct $distinct")
   }
 
+  test("hopping windows: the q73 plan runs as a watermarked streaming aggregation") {
+    val src = tmp("hop-src")
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws_ms"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("hopwin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val streamed = spark.table("hopwin")
+    assert(streamed.count() > 0)
+    val batch = graft.operators.Advanced.hoppingWindows(spark, sf0001)
+      .select(col("ws_ms"), col("event_type"), col("n").as("n_batch"))
+    // append mode emits only watermark-closed windows; each must equal batch
+    val mismatched = streamed.join(batch, Seq("ws_ms", "event_type"))
+      .filter(col("n") =!= col("n_batch")).count()
+    assert(mismatched === 0)
+    assert(streamed.join(batch, Seq("ws_ms", "event_type"), "left_anti")
+      .count() === 0)
+  }
+
   test("streaming near-dedup drops simhash-equal docs within the watermark") {
     val src = tmp("neardup-src")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
