@@ -92,29 +92,66 @@ object Advanced {
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
     val (lt, ot) = (s"graft_li_b$suffix", s"graft_o_b$suffix")
-    // the in-memory catalog is per-session but the warehouse dir persists:
-    // drop any registered table AND clear a stale location from a previous
-    // session, or CREATE fails with LOCATION_ALREADY_EXISTS
-    Seq(lt, ot).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable(lt)
-    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable(ot)
+    ensureBucketed(s, lt, "l_orderkey",
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      sourceFingerprint(s, d, "lineitem.parquet"))
+    ensureBucketed(s, ot, "o_orderkey",
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      sourceFingerprint(s, d, "orders.parquet"))
     s.table(lt)
       .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_quantity")), 2).as("total_qty"))
+  }
+
+  /** mtime+length of the source file — cheap invalidation key for derived
+    * bucketed layouts (same contract a table format's snapshot id serves
+    * at cluster scale). */
+  private def sourceFingerprint(s: SparkSession, d: String, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, file)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getModificationTime}:${st.getLen}"
+  }
+
+  /** Create-or-reuse a bucketed table derived from `df`. The expensive
+    * clustered write runs only when the source fingerprint changed; a valid
+    * on-disk layout from a previous session (in-memory catalog, persistent
+    * warehouse dir) is re-registered as an external bucketed table over the
+    * existing files — metadata-only, no data rewrite. */
+  private def ensureBucketed(s: SparkSession, tbl: String, key: String,
+      df: DataFrame, fp: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fpFile = new org.apache.hadoop.fs.Path(loc, "_graft_fingerprint")
+    val cachedFp =
+      if (!fs.exists(fpFile)) None
+      else {
+        val in = fs.open(fpFile)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    if (cachedFp.contains(fp)) {
+      if (!s.catalog.tableExists(tbl))
+        s.sql(s"CREATE TABLE $tbl (${df.schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+          s"LOCATION '${loc.toString}'")
+    } else {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      // external (explicit path): DROP TABLE leaves the files, so a later
+      // session can re-register instead of rewriting
+      df.write.mode(SaveMode.Overwrite)
+        .option("path", loc.toString)
+        .bucketBy(8, key).sortBy(key)
+        .format("parquet").saveAsTable(tbl)
+      val out = fs.create(fpFile, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Typed regex extraction: parse the numeric id out of a formatted code

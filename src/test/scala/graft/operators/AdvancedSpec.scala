@@ -93,6 +93,41 @@ class AdvancedSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed tables are reused when the source is unchanged, and " +
+    "re-registered from disk after catalog loss") {
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, ot) = (s"graft_li_b$suffix", s"graft_o_b$suffix")
+    val expected = Advanced.bucketedJoin(spark, d).collect().toSet
+    // capture the on-disk state the first build produced
+    def mtimes(): Map[String, Long] = Seq(lt, ot).map { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      t -> fs.listStatus(loc).filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getModificationTime).max
+    }.toMap
+    val before = mtimes()
+    // second call: same source fingerprint ⇒ no rewrite (data files untouched)
+    assert(Advanced.bucketedJoin(spark, d).collect().toSet === expected)
+    assert(mtimes() === before, "cached call must not rewrite data files")
+    // catalog loss (e.g. new session over the persistent warehouse dir):
+    // drop the catalog entries but keep files; next call re-registers an
+    // external bucketed table and the join still plans exchange-free
+    Seq(lt, ot).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Advanced.bucketedJoin(spark, d)
+      assert(mtimes() === before, "re-register must be metadata-only")
+      val p = plan(df)
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(2000))
+      assert(df.collect().toSet === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("min/max by: deterministic argmax matches the window formulation") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderstatus"))
