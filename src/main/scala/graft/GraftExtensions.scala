@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join's planner strategy
+    // (logical node graft.plans.AsOfJoinPlan → physical AsOfJoinExec)
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     register2(e, "sorted_intersect_size", classOf[SortedIntersectSize],
       SortedIntersectSize(_, _))
     register2(e, "cosine_similarity", classOf[CosineSimilarity],

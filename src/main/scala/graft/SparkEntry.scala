@@ -97,6 +97,7 @@ object SparkEntry {
     "q71_rank_battery" -> (Advanced.rankBattery(_, _)),
     "q72_ewma" -> ((s, d) => Advanced.ewmaPerUser(s, d)),
     "q73_hopping_windows" -> (Advanced.hoppingWindows(_, _)),
+    "q74_asof_native" -> (Relational.asofJoinNative(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -477,5 +478,12 @@ object SparkEntry {
         "epoch_ms(ts) - epoch_ms(ts) % 1800000 - 1800000]) AS ws_ms, " +
         "event_type, value FROM events) " +
         "GROUP BY ws_ms, event_type"),
+    "q74_asof_native" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events), " +
+        "c AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts_ms, round(max(value), 2) AS view_value " +
+        "FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms) " +
+        "SELECT c.event_id, c.user_id, c.ts_ms, v.ts_ms AS view_ms, v.view_value " +
+        "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms"),
   )
 }

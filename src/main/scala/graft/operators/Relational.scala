@@ -205,6 +205,29 @@ object Relational {
         col("last_purchase_ms"), col("n_purchases_before"))
   }
 
+  /** As-of join on the NATIVE operator (graft.plans.AsOfJoinExec): each
+    * click event picks up the most recent view event of the same user
+    * at-or-before it. Same distribution/ordering contract as a sort-merge
+    * join (hash on user, sort by (user, time)), then a single O(|L|+|R|)
+    * merge pass per partition with one buffered row — no time-range
+    * fan-out. The view side is first collapsed to one row per (user, ts)
+    * so tie-breaks are engine-independent; oracle is DuckDB's built-in
+    * ASOF LEFT JOIN. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+    graft.plans.AsOf.join(clicks, views, Seq("user_id"),
+      "ts_ms", "ts_ms", rightSuffix = "_v")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("ts_ms_v").as("view_ms"), col("view_value_v").as("view_value"))
+  }
+
   /** Rollup aggregation (hierarchical subtotals): status × priority with
     * per-status and grand totals — Catalyst expands to a single Expand +
     * one aggregation, not one scan per level. */

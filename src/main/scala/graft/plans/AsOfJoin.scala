@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+/** Native AS-OF join — the full custom-operator chain: logical node →
+  * planner strategy → physical operator, registered through
+  * `GraftExtensions` (`injectPlannerStrategy`).
+  *
+  * Semantics (LEFT OUTER as-of): for every left row, attach the right row
+  * with the greatest `rightTime <= leftTime` among rows with equal keys;
+  * left rows without a match keep null right columns. Rows whose key or
+  * time is null never match (SQL equality semantics) but left rows are
+  * still emitted. This matches DuckDB's `ASOF LEFT JOIN` — which is also
+  * the oracle for the driver-checked query (q74).
+  *
+  * Physical design (the 100 TB story): both sides hash-cluster on the join
+  * keys and sort within partitions by (keys, time) — exactly the
+  * distribution/ordering contract a sort-merge join uses, declared via
+  * `requiredChildDistribution`/`requiredChildOrdering` so Catalyst's
+  * EnsureRequirements plants the exchanges and sorts (and AQE can re-plan
+  * them). The operator itself is then a single forward merge pass per
+  * partition: O(|L| + |R|) with one buffered right row — no time-range
+  * fan-out, no per-key window state beyond a single row, arbitrarily wide
+  * partitions stream without materializing.
+  *
+  * The reference has no joins at all (SURVEY §2: "Joins: none"); this
+  * operator belongs to the extension surface (SURVEY §2.3) where event
+  * streams are stitched to the latest dimension/state snapshot.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs matching non-empty key lists")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy`. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Per-partition merge pass. Children are co-partitioned on the keys and
+  * sorted by (keys, time) — guaranteed by the declared requirements — so a
+  * two-pointer walk with one buffered candidate row is complete: when the
+  * cursor passes a right row it is either buffered (<= current left time,
+  * same key) or dead (smaller key). */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of matched rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTimeE = leftTime
+    val rTimeE = rightTime
+    val out = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+        val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+        val lTimeProj = UnsafeProjection.create(Seq(lTimeE), lOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTimeE), rOut)
+        val keyOrd =
+          RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        val timeOrd =
+          RowOrdering.createNaturalAscendingOrdering(Seq(lTimeE.dataType))
+        val resultProj = UnsafeProjection.create(out, out)
+        val nullRight = new GenericInternalRow(rOut.size)
+        val joined = new JoinedRow
+
+        new Iterator[InternalRow] {
+          // cursor: next unconsumed right row (copied out of the sorter's
+          // reused buffer, since it must survive across left rows)
+          private var rRow: InternalRow = _
+          private var rKey: InternalRow = _
+          private var rTime: InternalRow = _
+          // buffered candidate: last right row consumed with its key
+          private var bufRow: InternalRow = _
+          private var bufKey: InternalRow = _
+          advanceRight()
+
+          private def advanceRight(): Unit = {
+            rRow = null
+            while (rRow == null && rIter.hasNext) {
+              val r = rIter.next()
+              val k = rKeyProj(r)
+              val t = rTimeProj(r)
+              // null key/time can never match: drop at the cursor
+              if (!k.anyNull && !t.anyNull) {
+                rRow = r.copy(); rKey = k.copy(); rTime = t.copy()
+              }
+            }
+          }
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lTime = lTimeProj(l)
+            var matched: InternalRow = null
+            if (!lKey.anyNull && !lTime.anyNull) {
+              var done = false
+              while (!done && rRow != null) {
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) {
+                  // dead key: everything buffered for it is dead too
+                  bufRow = null; bufKey = null
+                  advanceRight()
+                } else if (c == 0 && timeOrd.compare(rTime, lTime) <= 0) {
+                  bufRow = rRow; bufKey = rKey
+                  advanceRight()
+                } else {
+                  done = true
+                }
+              }
+              // the buffer may be left over from an earlier key the right
+              // side ran out of rows for — verify it belongs to this key
+              if (bufRow != null && keyOrd.compare(bufKey, lKey) == 0) {
+                matched = bufRow
+              }
+            }
+            numOutputRows += 1
+            if (matched != null) numMatched += 1
+            joined(l, if (matched != null) matched else nullRight)
+            resultProj(joined)
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API over the native operator. */
+object AsOf {
+
+  /** LEFT OUTER as-of join: for each left row, the right row with the
+    * greatest `rightTimeCol <= leftTimeCol` among equal `keys`. Right-side
+    * columns come back suffixed (`rightSuffix`), which also makes
+    * self-joins safe: the re-alias mints fresh attribute ids.
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(rightSuffix.nonEmpty, "rightSuffix must be non-empty")
+    // works in any session, not just GraftExtensions-built ones: install
+    // the planner strategy on first use (idempotent)
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    val r = right.select(right.columns.map(c =>
+      right(c).as(c + rightSuffix)).toSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column `$n` on the $side side " +
+          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _, "left")),
+      keys.map(k => attr(rPlan, k + rightSuffix, "right")),
+      attr(lPlan, leftTimeCol, "left"),
+      attr(rPlan, rightTimeCol + rightSuffix, "right"))
+    GraftSqlBridge.ofRows(left.sparkSession, plan)
+  }
+}
