@@ -98,6 +98,11 @@ object SparkEntry {
     "q72_ewma" -> ((s, d) => Advanced.ewmaPerUser(s, d)),
     "q73_hopping_windows" -> (Advanced.hoppingWindows(_, _)),
     "q74_asof_native" -> (Relational.asofJoinNative(_, _)),
+    "q75_gopher_quality" -> (TextQueries.gopherQuality(_, _)),
+    "q76_dup_spans" -> (TextQueries.dupSpans(_, _)),
+    "q77_pii_redact" -> (TextQueries.piiRedact(_, _)),
+    "q78_bm25" -> (TextQueries.bm25(_, _)),
+    "q79_inverted_index" -> (TextQueries.invertedIndex(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -485,5 +490,62 @@ object SparkEntry {
         "FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms) " +
         "SELECT c.event_id, c.user_id, c.ts_ms, v.ts_ms AS view_ms, v.view_value " +
         "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms"),
+    "q75_gopher_quality" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws, w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b) AS char_sum, " +
+        "CAST(len(list_distinct(ws)) AS INT) AS n_distinct, " +
+        "CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS INT) AS top_cnt, " +
+        "CAST(CASE WHEN len(ws) > 1 THEN len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))) ELSE 0 END AS INT) AS d2 " +
+        "FROM t WHERE len(ws) >= 1) " +
+        "SELECT doc_id, n_words, " +
+        "round(char_sum / CAST(n_words AS DOUBLE), 4) AS mean_word_len, " +
+        "round(n_distinct / CAST(n_words AS DOUBLE), 4) AS ttr, " +
+        "round(top_cnt / CAST(n_words AS DOUBLE), 4) AS top_word_frac, " +
+        "round(1.0 - d2 / CAST(nullif(n_words - 1, 0) AS DOUBLE), 4) AS dup_2gram_frac, " +
+        "(n_words >= 30 AND char_sum / CAST(n_words AS DOUBLE) >= 2.0 " +
+        "AND char_sum / CAST(n_words AS DOUBLE) <= 10.0 " +
+        "AND top_cnt / CAST(n_words AS DOUBLE) <= 0.2 " +
+        "AND (1.0 - d2 / CAST(nullif(n_words - 1, 0) AS DOUBLE)) <= 0.6) AS keep " +
+        "FROM s"),
+    "q76_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3), " +
+        "i -> array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' '))) AS g " +
+        "FROM t WHERE len(ws) >= 5), " +
+        "d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g) WHERE nd >= 2) " +
+        "SELECT g.doc_id, count(*) AS n_grams, CAST(count(d.g) AS BIGINT) AS n_dup, " +
+        "round(count(d.g) / CAST(count(*) AS DOUBLE), 4) AS dup_frac " +
+        "FROM g LEFT JOIN d ON g.g = d.g GROUP BY g.doc_id"),
+    "q77_pii_redact" ->
+      ("WITH t AS (SELECT c_custkey, 'reach ' || c_name || " +
+        "CASE WHEN c_custkey % 3 = 0 THEN ' at user' || c_custkey || '@mail.example.com' ELSE '' END || " +
+        "CASE WHEN c_custkey % 4 = 0 THEN ' call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(c_nationkey AS VARCHAR), 4, '0') ELSE '' END || " +
+        "' end' AS text FROM customer) " +
+        "SELECT c_custkey, " +
+        "CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '555-[0-9]{4}-[0-9]{4}')) AS INT) AS n_phones, " +
+        "regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), '555-[0-9]{4}-[0-9]{4}', '[PHONE]', 'g') AS redacted " +
+        "FROM t"),
+    "q78_bm25" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(ws) AS INT) AS dl, " +
+        "CAST(len(list_filter(ws, x -> x = 'spark')) AS INT) AS tf0, " +
+        "CAST(len(list_filter(ws, x -> x = 'table')) AS INT) AS tf1, " +
+        "CAST(len(list_filter(ws, x -> x = 'join')) AS INT) AS tf2 FROM t), " +
+        "s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, " +
+        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0, " +
+        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1, " +
+        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM b) " +
+        "SELECT doc_id, dl, tf0, tf1, tf2, " +
+        "round(ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) " +
+        "+ ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) " +
+        "+ ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25 " +
+        "FROM b, s WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"),
+    "q79_inverted_index" ->
+      ("SELECT word, count(*) AS df, " +
+        "array_to_string(list_sort(list(doc_id)), ',') AS postings FROM (" +
+        "SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS word " +
+        "FROM documents) GROUP BY word"),
   )
 }

@@ -32,4 +32,154 @@ object TextQueries {
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1),
+    * adapted to this corpus's newline-free text: per-document mean word
+    * length, type-token ratio, most-common-word fraction, and duplicate
+    * 2-gram fraction, plus the composite keep flag. Pure per-row array
+    * expression work — zero shuffle, scales embarrassingly: each document
+    * is scored independently of the corpus. The O(distinct·n) top-word
+    * scan is bounded by document length (fine for page-sized docs; a
+    * 100 TB run with book-sized docs would switch that one signal to the
+    * explode→count formulation). */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val ws = expr("filter(split(text, ' '), x -> x != '')")
+    val mwl = col("char_sum") / col("n_words")
+    val d2f = lit(1.0) -
+      col("d2") / when(col("n_words") > 1, col("n_words") - 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 1) // ANSI: no /0 on degenerate empty docs
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("char_sum"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        expr("array_max(transform(array_distinct(ws), " +
+          "w -> size(filter(ws, x -> x = w))))").as("top_cnt"),
+        expr("CASE WHEN size(ws) > 1 THEN " +
+          "size(array_distinct(transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))) " +
+          "ELSE 0 END").as("d2"))
+      .select(col("doc_id"), col("n_words"),
+        round(mwl, 4).as("mean_word_len"),
+        round(col("n_distinct") / col("n_words"), 4).as("ttr"),
+        round(col("top_cnt") / col("n_words"), 4).as("top_word_frac"),
+        round(d2f, 4).as("dup_2gram_frac"),
+        (col("n_words") >= 30 && mwl >= 2.0 && mwl <= 10.0 &&
+          col("top_cnt") / col("n_words") <= 0.2 && d2f <= 0.6)
+          .as("keep"))
+  }
+
+  /** PII detection + redaction (regex scrubbing — the standard pretraining
+    * privacy pass). The corpus tables carry no natural PII, so the query
+    * synthesizes a deterministic contact string from customer fields (the
+    * oracle builds the identical string) and then runs the real operator:
+    * count emails/phones via regexp_extract_all, mask them via
+    * regexp_replace. Pure per-row regex work — codegen'd, zero shuffle,
+    * embarrassingly parallel at any scale. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "555-[0-9]{4}-[0-9]{4}"
+    val text = concat(
+      lit("reach "), col("c_name"),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit(" at user"), col("c_custkey"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("c_custkey") % 4 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit("-"),
+          lpad(col("c_nationkey").cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" end"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), text.as("text"))
+      .select(col("c_custkey"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+          phone, "[PHONE]").as("redacted"))
+  }
+
+  /** BM25 ranking (Robertson/Okapi, k1=1.2 b=0.75) for a fixed query-term
+    * set. Scale shape: per-document term frequencies are array-filter
+    * counts computed in the scan projection (no posting-list explode), and
+    * the corpus statistics (N, avgdl, per-term document frequencies) are
+    * ONE extra aggregate broadcast back as a single row — two passes over
+    * the corpus total, no shuffle proportional to tokens. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "table", "join")
+    val (k1, b) = (1.2, 0.75)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .select(Seq(col("doc_id"), size(col("ws")).as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(ws, x -> x = '$t'))").as(s"tf$i")
+        }: _*)
+    val statCols =
+      Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.join(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      idf * (col(s"tf$i") * (k1 + 1.0)) /
+        (col(s"tf$i") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("dl"),
+        col("tf0"), col("tf1"), col("tf2"),
+        round(score, 4).as("bm25"))
+  }
+
+  /** Inverted-index construction: term → document frequency + sorted
+    * posting list. One explode of per-document DISTINCT terms (so the
+    * shuffle carries |doc|·|vocab-per-doc| slim pairs, not token
+    * multiplicity), one aggregation. Posting lists ship as sorted
+    * comma-joined strings for engine-independent comparison; at 100 TB the
+    * same plan emits array<bigint> postings partitioned by term. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(filter(split(text, ' '), " +
+          "x -> x != ''))")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+
+  /** Corpus-duplicated span detection (the C4 three-sentence-span dedup
+    * re-expressed for span = word 5-gram): a span is "duplicated" when it
+    * occurs in ≥2 distinct documents; each document reports what fraction
+    * of its spans are corpus duplicates. Shuffle shape at 100 TB: one
+    * explode to slim (doc_id, gram) pairs, one count-distinct aggregation
+    * per gram, one broadcast-unfriendly but partial-aggregated join back —
+    * gram strings would become 64-bit hashes at scale (collision-tolerable
+    * for a fraction estimate), which removes the wide string shuffle. */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 4), " +
+          "i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), lit(1).as("isdup"))
+    grams.join(dup, Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup") / col("n_grams"), 4).as("dup_frac"))
+  }
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Hand-computed fixtures for the training-data quality filters
+  * (gopherQuality q75, dupSpans q76). Cross-engine value correctness is
+  * the DuckDB oracle's job; these pin the signal definitions on inputs
+  * small enough to verify by hand, via a temp documents.parquet. */
+class QualityFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("qf").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("gopher signals on a hand-checked doc") {
+    // 6 words: lengths 2,2,2,2,2,5; "ab" x3 -> top frac 0.5
+    // 2-grams: [ab ab, ab cd, cd ab, ab cd, cd world] -> 4 distinct of 5
+    val d = writeDocs(Seq((1L, "ab ab cd ab cd world")))
+    val r = TextQueries.gopherQuality(spark, d).head()
+    assert(r.getAs[Int]("n_words") === 6)
+    assert(r.getAs[Double]("mean_word_len") === 2.5) // 15 chars / 6
+    assert(r.getAs[Double]("ttr") === 0.5) // ab, cd, world
+    assert(r.getAs[Double]("top_word_frac") === 0.5)
+    assert(r.getAs[Double]("dup_2gram_frac") === 0.2) // 1 - 4/5
+    assert(!r.getAs[Boolean]("keep")) // n_words < 30 and top frac > 0.2
+  }
+
+  test("gopher keep flag accepts a clean doc") {
+    val words = (1 to 40).map(i => s"w${i}word").mkString(" ")
+    val d = writeDocs(Seq((1L, words)))
+    val r = TextQueries.gopherQuality(spark, d).head()
+    assert(r.getAs[Int]("n_words") === 40)
+    assert(r.getAs[Double]("top_word_frac") === 0.025)
+    assert(r.getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("dup spans: shared 5-gram across docs is flagged, unique is not") {
+    val shared = "alpha beta gamma delta epsilon"
+    val d = writeDocs(Seq(
+      (1L, s"$shared one two three four"),
+      (2L, s"zero $shared nine eight seven"),
+      (3L, "totally different words here entirely now")))
+    val r = TextQueries.dupSpans(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // doc1: 5 grams (9 words), only the leading one is shared
+    assert(r(1L)._1 === 5L)
+    assert(r(1L)._2 === 1L)
+    // doc2: 5 grams (9 words), the shared gram sits at position 2
+    assert(r(2L)._1 === 5L)
+    assert(r(2L)._2 === 1L)
+    // doc3: 2 grams (6 words), nothing shared
+    assert(r(3L) === ((2L, 0L)))
+  }
+
+  test("pii redaction masks every detected pattern and only those") {
+    val r = TextQueries.piiRedact(spark, sf0001)
+      .withColumn("leak",
+        $"redacted".rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}") ||
+          $"redacted".rlike("555-[0-9]{4}-[0-9]{4}"))
+    assert(r.filter($"leak").count() === 0)
+    // every counted hit produced a mask token, and vice versa
+    val bad = r.filter(
+      ($"n_emails" > 0) =!= $"redacted".contains("[EMAIL]") ||
+        ($"n_phones" > 0) =!= $"redacted".contains("[PHONE]")).count()
+    assert(bad === 0)
+    // the synthesized corpus really exercises both branches
+    assert(r.filter($"n_emails" > 0).count() > 0)
+    assert(r.filter($"n_phones" > 0).count() > 0)
+  }
+
+  test("bm25: only docs containing a query term, idf orders rare above common") {
+    val docs = (1 to 20).map(i => (i.toLong,
+      if (i <= 10) "spark " + ("filler word soup here " * 5).trim
+      else "filler word soup here nothing")) :+
+      (21L, "join " + ("filler word soup here " * 5).trim)
+    val d = writeDocs(docs)
+    val r = TextQueries.bm25(spark, d).collect()
+    // docs 11..20 contain no query term: absent
+    assert(r.map(_.getLong(0)).toSet === ((1L to 10L).toSet + 21L))
+    // 'join' appears in 1/21 docs, 'spark' in 10/21: same tf and dl, so
+    // the rare term scores strictly higher
+    val sparkScore = r.find(_.getLong(0) === 1L).get.getAs[Double]("bm25")
+    val joinScore = r.find(_.getLong(0) === 21L).get.getAs[Double]("bm25")
+    assert(joinScore > sparkScore)
+  }
+
+  test("inverted index: df equals posting length, postings sorted") {
+    val d = writeDocs(Seq((3L, "b a"), (1L, "a b"), (2L, "b c b")))
+    val r = TextQueries.invertedIndex(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r("a") === ((2L, "1,3")))
+    assert(r("b") === ((3L, "1,2,3")))
+    assert(r("c") === ((1L, "2")))
+  }
+
+  test("docs shorter than the span width produce no gram rows") {
+    val d = writeDocs(Seq((1L, "only four words here"),
+      (2L, "alpha beta gamma delta epsilon")))
+    val ids = TextQueries.dupSpans(spark, d).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L))
+  }
+}
