@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashSignature, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
+import graft.functions.{CosineSimilarity, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -62,6 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"topk_by_score: k must be an integer literal, got $other")
         }
         TopKByScore(exprs.head, exprs(1), k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "misra_gries takes (item, k)")
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"misra_gries: k must be an integer literal, got $other")
+        }
+        MisraGries(exprs.head, k)
       }))
   }
 }

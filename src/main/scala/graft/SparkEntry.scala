@@ -103,6 +103,9 @@ object SparkEntry {
     "q77_pii_redact" -> (TextQueries.piiRedact(_, _)),
     "q78_bm25" -> (TextQueries.bm25(_, _)),
     "q79_inverted_index" -> (TextQueries.invertedIndex(_, _)),
+    "q80_char_entropy" -> (TextQueries.charEntropy(_, _)),
+    "q81_heavy_hitters" -> (TextQueries.heavyHitters(_, _)),
+    "q82_column_profile" -> (Advanced.columnProfile(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -547,5 +550,30 @@ object SparkEntry {
         "array_to_string(list_sort(list(doc_id)), ',') AS postings FROM (" +
         "SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS word " +
         "FROM documents) GROUP BY word"),
+    "q80_char_entropy" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, '') AS ch, " +
+        "list_sort(list_distinct(string_split(text, ''))) AS cs " +
+        "FROM documents WHERE length(text) > 0) " +
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
+        "CAST(len(cs) AS INT) AS n_distinct_chars, " +
+        "round(-list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(cs, c -> " +
+        "(len(list_filter(ch, x -> x = c)) / CAST(length(text) AS DOUBLE)) * " +
+        "log2(len(list_filter(ch, x -> x = c)) / CAST(length(text) AS DOUBLE)))), " +
+        "(a, x) -> a + x), 4) AS entropy FROM t"),
+    "q81_heavy_hitters" ->
+      ("WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM w) " +
+        "SELECT word, count(*) AS cnt, " +
+        "round(count(*) / CAST(n.n AS DOUBLE), 4) AS frac " +
+        "FROM w, n GROUP BY word, n.n HAVING count(*) > n.n * 0.01"),
+    "q82_column_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map(c =>
+        s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
+          s"count($c) AS n_non_null, count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, " +
+          s"CAST(max($c) AS VARCHAR) AS max_value FROM orders")
+        .mkString(" UNION ALL "),
   )
 }

@@ -40,6 +40,149 @@ object AggregateKernels {
   def vectorSum(v: Column): Column =
     ColumnBridge.column(
       VectorSum(ColumnBridge.expression(v)).toAggregateExpression())
+
+  /** Column API: Misra-Gries heavy-hitter summary (≤k candidates with
+    * estimated counts; any item with true frequency > n/(k+1) is
+    * guaranteed present). */
+  def misraGries(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGries(ColumnBridge.expression(item), k).toAggregateExpression())
+}
+
+/** Misra-Gries frequent-items sketch over string items: at most k
+  * (item, count) entries; an incoming miss on a full summary decrements
+  * every counter (amortized O(1) — each decrement cancels a prior
+  * increment). Merge per Agarwal et al., "Mergeable Summaries" (PODS'12):
+  * sum counters, then subtract the (k+1)-largest and drop non-positives.
+  * Guarantees after any merge tree: f(x) ≥ est(x) ≥ f(x) − n/(k+1), so
+  * every item with f(x) > n/(k+1) is present — the candidate set is a
+  * provable superset of the true heavy hitters, which is what lets q81
+  * verify against an EXACT oracle. Shuffle cost: one ≤k-entry map per
+  * group per mapper, independent of input size. */
+@ExpressionDescription(
+  usage = "misra_gries(item, k) - frequent-item candidates as array<struct<item string, est bigint>>")
+case class MisraGries(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MGSummary] {
+
+  require(k > 0, "misra_gries requires k > 0")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(MisraGries.EntryType, containsNull = false)
+  override def prettyName: String = "misra_gries"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def createAggregationBuffer(): MGSummary = new MGSummary(k)
+
+  override def update(buf: MGSummary, input: InternalRow): MGSummary = {
+    val v = child.eval(input)
+    if (v != null) buf.offer(v.toString)
+    buf
+  }
+
+  override def merge(a: MGSummary, b: MGSummary): MGSummary = {
+    a.absorb(b); a
+  }
+
+  override def eval(buf: MGSummary): Any = {
+    val entries = buf.entries.toArray.sortBy { case (i, c) => (-c, i) }
+    val out: Array[Any] = entries.map { case (i, c) =>
+      InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(i), c): Any
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MGSummary): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): MGSummary =
+    MGSummary.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGries =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : MisraGries = copy(child = c(0))
+}
+
+object MisraGries {
+  val EntryType: StructType = StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false)))
+}
+
+final class MGSummary(val k: Int) {
+  val entries = scala.collection.mutable.HashMap.empty[String, Long]
+
+  def offer(item: String): Unit = {
+    entries.get(item) match {
+      case Some(c) => entries(item) = c + 1L
+      case None if entries.size < k => entries(item) = 1L
+      case None =>
+        // decrement-all: pair this arrival off against one prior
+        // arrival of each tracked item
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        entries.mapValuesInPlace((_, c) => c - 1L)
+        entries.foreach { case (i, c) => if (c <= 0) dead += i }
+        dead.foreach(entries.remove)
+    }
+  }
+
+  def absorb(other: MGSummary): Unit = {
+    other.entries.foreach { case (i, c) =>
+      entries(i) = entries.getOrElse(i, 0L) + c
+    }
+    if (entries.size > k) {
+      // subtract the (k+1)-th largest count, drop non-positives
+      val counts = entries.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = counts(k)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      entries.mapValuesInPlace((_, c) => c - cut)
+      entries.foreach { case (i, c) => if (c <= 0) dead += i }
+      dead.foreach(entries.remove)
+    }
+  }
+
+  def toBytes: Array[Byte] = {
+    val items = entries.toArray
+    val itemBytes = items.map(_._1.getBytes("UTF-8"))
+    val size = 4 + itemBytes.map(_.length + 12).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(items.length)
+    var i = 0
+    while (i < items.length) {
+      bb.putInt(itemBytes(i).length)
+      bb.put(itemBytes(i))
+      bb.putLong(items(i)._2)
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object MGSummary {
+  def fromBytes(k: Int, bytes: Array[Byte]): MGSummary = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new MGSummary(k)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      s.entries(new String(b, "UTF-8")) = bb.getLong
+      i += 1
+    }
+    s
+  }
 }
 
 /** Bounded top-k aggregate: keeps the k largest (score, id) pairs by

@@ -154,6 +154,28 @@ object Advanced {
     }
   }
 
+  /** Data profiling: per-column row/null/distinct counts and min/max (as
+    * strings) for the orders table, computed in ONE scan — all 6×4
+    * aggregates evaluate in a single aggregation pass (the multiple exact
+    * count-distincts share one Expand), then pivot to one row per column
+    * via stack(). At 100 TB the exact distinct counts become
+    * approx_count_distinct and the pass goes fully partial-aggregated. */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_cnt"),
+      count_distinct(col(c)).as(s"${c}_dst"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    orders(s, d).agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(" + cols.length + ", " +
+        cols.map(c => s"'$c', n_rows, ${c}_cnt, ${c}_dst, ${c}_min, ${c}_max")
+          .mkString(", ") +
+        ") as (column_name, n_rows, n_non_null, n_distinct, min_value, max_value)")
+  }
+
   /** Typed regex extraction: parse the numeric id out of a formatted code
     * column and aggregate by it — schema-on-read for string-encoded keys. */
   def regexExtractAgg(s: SparkSession, d: String): DataFrame =

@@ -155,6 +155,52 @@ object TextQueries {
         concat_ws(",", sort_array(collect_list(col("doc_id"))))
           .as("postings"))
 
+  /** Shannon character entropy per document — the compressibility/quality
+    * signal (gibberish and boilerplate both show up as entropy outliers).
+    * Per-row array expression work only; the per-character term list is
+    * SORTED before summation so the float fold order is engine-independent
+    * (unordered summation would break the cross-engine hash). */
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        expr("array_sort(array_distinct(split(text, '')))").as("cs"),
+        expr("split(text, '')").as("ch"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("cs")).as("n_distinct_chars"),
+        round(-expr(
+          "aggregate(transform(cs, c -> " +
+            "(size(filter(ch, x -> x = c)) / cast(length(text) as double)) * " +
+            "log2(size(filter(ch, x -> x = c)) / cast(length(text) as double))), " +
+            "cast(0 as double), (a, x) -> a + x)"), 4).as("entropy"))
+
+  /** Exact heavy hitters via a two-pass sketch-then-verify pipeline:
+    * pass 1 runs the custom Misra-Gries aggregate (graft.functions
+    * .MisraGries, ≤k-entry mergeable summary per mapper — shuffle cost
+    * independent of corpus size) whose candidate set provably contains
+    * every item with frequency > n/(k+1); pass 2 exact-counts ONLY the
+    * candidates (broadcast semi join) and applies the real threshold.
+    * Result is exactly the true heavy hitters — which is why a plain
+    * exact GROUP BY oracle can check it — but at 100 TB the wide
+    * aggregation runs over ~k items instead of the full vocabulary. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AggregateKernels.misraGries
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("word"))
+    val sketch = toks.agg(
+      misraGries(col("word"), 200).as("mg"), count(lit(1)).as("n"))
+    val cands = sketch.select(col("n"), explode(col("mg")).as("e"))
+      .select(col("n"), col("e").getField("item").as("word"))
+    toks.join(broadcast(cands.select(col("word"))), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(sketch.select(col("n"))))
+      .filter(col("cnt") > col("n") * 0.01)
+      .select(col("word"), col("cnt"),
+        round(col("cnt") / col("n").cast("double"), 4).as("frac"))
+  }
+
   /** Corpus-duplicated span detection (the C4 three-sentence-span dedup
     * re-expressed for span = word 5-gram): a span is "duplicated" when it
     * occurs in ≥2 distinct documents; each document reports what fraction

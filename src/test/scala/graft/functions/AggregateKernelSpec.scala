@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.functions.AggregateKernels.{topKByScore, vectorSum}
+import graft.functions.AggregateKernels.{misraGries, topKByScore, vectorSum}
 import graft.operators.Tables
 
 /** Agreement specs for the custom typed-imperative aggregates: results must
@@ -105,6 +105,54 @@ class AggregateKernelSpec extends SparkTestBase {
       .groupBy(col("g")).agg(vectorSum(col("v")))
       .collect()
     assert(out.isEmpty) // no groups at all — and no runtime failure
+  }
+
+  test("misra_gries: every true heavy hitter survives, estimates bounded") {
+    // zipf-ish: item i appears (50-i)^2 times, i in 0..49 — plus noise of
+    // 2000 singletons; sketch capacity 20 « 2050 distinct items
+    val rows = (0 until 50).flatMap(i =>
+      Seq.fill((50 - i) * (50 - i))(s"hot$i")) ++
+      (0 until 2000).map(i => s"noise$i")
+    val df = rows.toDF("w").repartition(8)
+    val got = df.agg(misraGries(col("w"), 20).as("mg"))
+      .selectExpr("explode(mg) AS e").select("e.item", "e.est")
+      .as[(String, Long)].collect().toMap
+    val n = rows.length
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // MG guarantee: f(x) >= est >= f(x) - n/(k+1)
+    got.foreach { case (item, est) =>
+      assert(est <= exact(item), item)
+      assert(est >= exact(item) - n / 21, item)
+    }
+    // anything with f > n/(k+1) MUST be present
+    exact.filter(_._2 > n / 21).keys.foreach(x => assert(got.contains(x), x))
+  }
+
+  test("misra_gries candidates are partitioning-invariant supersets") {
+    val rows = (0 until 30).flatMap(i => Seq.fill(40 - i)(s"w$i"))
+    val heavies = rows.groupBy(identity).filter(_._2.size > rows.length / 6)
+      .keySet
+    Seq(1, 3, 16).foreach { p =>
+      val got = rows.toDF("w").repartition(p)
+        .agg(misraGries(col("w"), 5).as("mg"))
+        .selectExpr("explode(mg) AS e").select("e.item")
+        .as[String].collect().toSet
+      assert(heavies.subsetOf(got), s"partitions=$p")
+    }
+  }
+
+  test("heavy-hitters pipeline equals plain exact group-by-and-filter") {
+    val d = sf0001
+    val exact = graft.operators.Tables.documents(spark, d)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over())
+      .filter(col("cnt") > col("n") * 0.01)
+      .select(col("word"), col("cnt"))
+    val got = graft.operators.TextQueries.heavyHitters(spark, d)
+      .select(col("word"), col("cnt"))
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty)
   }
 
   test("aggregates are callable from SQL") {
