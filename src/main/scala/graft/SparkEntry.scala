@@ -106,6 +106,8 @@ object SparkEntry {
     "q80_char_entropy" -> (TextQueries.charEntropy(_, _)),
     "q81_heavy_hitters" -> (TextQueries.heavyHitters(_, _)),
     "q82_column_profile" -> (Advanced.columnProfile(_, _)),
+    "q83_rp_lsh_neardup" -> ((s, d) => Similarity.rpLshNearDup(s, d)),
+    "q84_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

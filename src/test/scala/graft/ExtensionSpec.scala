@@ -176,6 +176,32 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall > 0.5, s"IVF recall $recall")
   }
 
+  test("RP-LSH near-dup: recovers planted duplicates with high recall") {
+    val found = Similarity.rpLshNearDup(spark, d)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val nVecs = Tables.embeddings(spark, d).count()
+    // every planted pair is (id, id + 1e6) with cosine ≈ 0.999; 4 bands ×
+    // 8 bits at that similarity ⇒ per-pair detection ~0.9998
+    val planted = (0L until nVecs).map(i => (i, i + 1000000L)).toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    assert(recall >= 0.95, s"planted recall $recall")
+    // verification step: everything reported really is above threshold
+    assert(Similarity.rpLshNearDup(spark, d)
+      .filter(col("sim") < 0.9).count() === 0)
+  }
+
+  test("PQ topk recall vs brute force is useful (> 0.5), ranks consistent") {
+    val bf = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty)
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall > 0.5, s"PQ recall $recall")
+    val t = Similarity.pqTopK(spark, d)
+    assert(t.filter(col("rk") < 1 || col("rk") > 5).count() === 0)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   test("asset metadata: checksum is a valid md5, n_bytes matches text") {
