@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{Advanced, Relational, TextQueries}
+import graft.operators.{Advanced, Graph, Relational, TextQueries}
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -108,6 +108,8 @@ object SparkEntry {
     "q82_column_profile" -> (Advanced.columnProfile(_, _)),
     "q83_rp_lsh_neardup" -> ((s, d) => Similarity.rpLshNearDup(s, d)),
     "q84_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q85_gap_fill" -> (Advanced.gapFill(_, _)),
+    "q86_pagerank" -> (Graph.pagerank(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -577,5 +579,31 @@ object SparkEntry {
           s"CAST(min($c) AS VARCHAR) AS min_value, " +
           s"CAST(max($c) AS VARCHAR) AS max_value FROM orders")
         .mkString(" UNION ALL "),
+    "q85_gap_fill" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "round(sum(value), 2) AS day_value FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)) " +
+        "SELECT s.user_id, s.day, coalesce(d.n, 0) AS n_events, " +
+        "(d.n IS NULL) AS filled, " +
+        "last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value " +
+        "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"),
+    "q86_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"$cur AS (SELECT e.dst AS node, " +
+          s"round(0.15 / nn.n + 0.85 * sum($prev.pr / deg.outdeg), 8) AS pr " +
+          s"FROM e JOIN $prev ON e.src = $prev.node " +
+          s"JOIN deg ON e.src = deg.src, nn GROUP BY e.dst, nn.n)"
+      "WITH uk AS (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk UNION ALL SELECT b, a FROM uk), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "nn AS (SELECT count(DISTINCT src) AS n FROM e), " +
+        "p0 AS (SELECT DISTINCT e.src AS node, round(1.0 / nn.n, 8) AS pr FROM e, nn), " +
+        (1 to 5).map(i => iter(s"p${i - 1}", s"p$i")).mkString(", ") +
+        " SELECT node, round(pr, 6) AS pr FROM p5"
+    },
   )
 }

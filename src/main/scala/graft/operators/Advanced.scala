@@ -154,6 +154,29 @@ object Advanced {
     }
   }
 
+  /** Time-series gap fill: per-user daily activity with missing days
+    * materialized (count 0) and the last seen daily value carried forward.
+    * The day spine is generated per user with sequence() — no driver-side
+    * calendar, no cross join against a global date dimension — and the
+    * forward fill is one last(ignoreNulls) window pass per user. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
+  }
+
   /** Data profiling: per-column row/null/distinct counts and min/max (as
     * strings) for the orders table, computed in ONE scan — all 6×4
     * aggregates evaluate in a single aggregation pass (the multiple exact

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pagerank conserves probability mass and stays positive") {
+    val pr = Graph.pagerank(spark, sf0001).cache()
+    // undirected graph, no dangling mass: total rank stays ~1 (up to the
+    // per-round re-quantization, which moves < n * 5e-9)
+    val total = pr.agg(sum($"pr")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-3, s"total mass $total")
+    assert(pr.filter($"pr" <= 0).count() === 0)
+    // both node namespaces present
+    assert(pr.filter($"node".startsWith("u")).count() > 0)
+    assert(pr.filter($"node".startsWith("k")).count() > 0)
+  }
+
+  test("pagerank ranks higher-degree nodes above leaf nodes on a fixture") {
+    // star: hub h connects to s1..s4; extra chain a-b. Hub must outrank
+    // every spoke; within the 4-cycle-free star, spokes tie.
+    val uk = Seq(("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"),
+      ("a", "b")).toDF("a", "b")
+    val e = uk.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(uk.select($"b".as("src"), $"a".as("dst")))
+    // run the same per-round computation Graph.pagerank does, on the
+    // fixture edges (pagerank() itself is bound to the events table)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select($"src".as("node")).distinct()
+    val n = nodes.count()
+    var pr = nodes.select($"node", round(lit(1.0) / n, 8).as("pr"))
+    for (_ <- 0 until Graph.Iters) {
+      pr = e.join(pr, e("src") === pr("node")).join(deg, Seq("src"))
+        .select($"dst", ($"pr" / $"outdeg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("mass"))
+        .select($"dst".as("node"),
+          round(lit(0.15) / n + lit(Graph.Damping) * $"mass", 8).as("pr"))
+    }
+    val m = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("h") > m("s1") && m("h") > m("a"))
+    assert(m("s1") === m("s2"))
+  }
+
+  test("gap fill: spine is dense per user, fill flags and ffill correct") {
+    val gf = Advanced.gapFill(spark, sf0001).cache()
+    // dense: per user, day count == span length
+    val bad = gf.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        (datediff(max($"day"), min($"day")) + 1).as("span"))
+      .filter($"n" =!= $"span").count()
+    assert(bad === 0)
+    // filled rows have zero events and carry a previously-seen value
+    assert(gf.filter($"filled" && $"n_events" =!= 0).count() === 0)
+    assert(gf.filter(!$"filled" && $"ffill_value".isNull).count() === 0)
+    // at least some gaps actually exist in the event data
+    assert(gf.filter($"filled").count() > 0)
+  }
+}
