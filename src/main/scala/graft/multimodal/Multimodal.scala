@@ -121,13 +121,20 @@ object Multimodal {
   final case class ImageInfo(asset_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])
 
-  /** REAL decode path: BMP payloads are decoded by [[BmpCodec]] (pure-JVM
-    * 24-bit BMP), non-BMP payloads are skipped — same mapPartitions batch
+  /** REAL decode path: magic-byte dispatch over the codec arms — BMP
+    * payloads decode through [[BmpCodec]], PNG through [[PngCodec]] (both
+    * pure-JVM), everything else is skipped — same mapPartitions batch
     * shape as [[extractFeatures]], so a JPEG/ffmpeg decoder composes in by
     * adding a dispatch arm. ThumbSize² grayscale grid is the image-space
     * feature for downstream similarity/dedup (see Similarity — the thumb is
     * an embedding column like any other). */
   val ThumbSize = 8
+
+  /** One decoded representation (BGR top-down) behind all codec arms. */
+  def decodeAny(media: Array[Byte]): Option[BmpCodec.Decoded] =
+    if (BmpCodec.isBmp(media)) BmpCodec.decode(media)
+    else if (PngCodec.isPng(media)) PngCodec.decode(media)
+    else None
 
   def decodeImages(assetsDf: DataFrame, s: SparkSession)
       : Dataset[ImageInfo] = {
@@ -137,7 +144,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, media) =>
-          BmpCodec.decode(media).map { img =>
+          decodeAny(media).map { img =>
             val (r, g, b) = BmpCodec.meanColor(img)
             ImageInfo(id, img.width, img.height, r, g, b,
               BmpCodec.grayThumb(img, ThumbSize))
@@ -147,8 +154,9 @@ object Multimodal {
   }
 
   /** Distributed thumbnailing: decode → nearest-neighbor resize → re-encode,
-    * emitting a new asset table of valid BMP payloads (the "resize a
-    * billion images" job). Pure map work — scales with input splits. */
+    * emitting a new asset table of valid image payloads in the SOURCE
+    * format (the "resize a billion images" job). Pure map work — scales
+    * with input splits. */
   def resizeImages(assetsDf: DataFrame, s: SparkSession, w: Int, h: Int)
       : Dataset[Asset] = {
     import s.implicits._
@@ -156,9 +164,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, media) =>
-          BmpCodec.decode(media).map { img =>
-            val out = BmpCodec.encode(BmpCodec.resizeNearest(img, w, h))
-            Asset(id, out, "image/bmp", out.length.toLong)
+          val isPng = PngCodec.isPng(media)
+          decodeAny(media).map { img =>
+            val small = BmpCodec.resizeNearest(img, w, h)
+            val out =
+              if (isPng) PngCodec.encode(small) else BmpCodec.encode(small)
+            Asset(id, out, if (isPng) "image/png" else "image/bmp",
+              out.length.toLong)
           }
         }
       }

@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** PNG codec pinned against the JDK's own ImageIO PNG implementation —
+  * an independent, spec-complete reference that ships in every JVM: our
+  * decoder must reproduce ImageIO's pixels (ImageIO encodes with
+  * non-trivial scanline filters, exercising the sub/up/average/paeth
+  * paths), and ImageIO must read back what our encoder writes. */
+class PngCodecSpec extends AnyFunSuite {
+
+  /** Deterministic test pattern with gradients + hard edges (gradients
+    * make average/paeth filters profitable, so ImageIO uses them). */
+  private def pattern(w: Int, h: Int): BmpCodec.Decoded = {
+    val bgr = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bgr(i) = ((x * 255) / w).toByte // B gradient
+      bgr(i + 1) = ((y * 255) / h).toByte // G gradient
+      bgr(i + 2) = (if ((x / 4 + y / 4) % 2 == 0) 230 else 20).toByte // R checker
+    }
+    BmpCodec.Decoded(w, h, bgr)
+  }
+
+  private def toBuffered(img: BmpCodec.Decoded): BufferedImage = {
+    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.height; x <- 0 until img.width) {
+      val i = (y * img.width + x) * 3
+      val rgb = ((img.bgr(i + 2) & 0xff) << 16) |
+        ((img.bgr(i + 1) & 0xff) << 8) | (img.bgr(i) & 0xff)
+      bi.setRGB(x, y, rgb)
+    }
+    bi
+  }
+
+  private def pixelsEqual(a: BmpCodec.Decoded, bi: BufferedImage): Boolean =
+    a.width == bi.getWidth && a.height == bi.getHeight &&
+      (0 until a.height).forall(y => (0 until a.width).forall { x =>
+        val i = (y * a.width + x) * 3
+        val rgb = bi.getRGB(x, y) & 0xffffff
+        rgb == (((a.bgr(i + 2) & 0xff) << 16) |
+          ((a.bgr(i + 1) & 0xff) << 8) | (a.bgr(i) & 0xff))
+      })
+
+  test("decodes ImageIO-encoded RGB PNGs pixel-exact (filters exercised)") {
+    val img = pattern(37, 23) // odd sizes: no stride alignment luck
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(toBuffered(img), "png", out)
+    val decoded = PngCodec.decode(out.toByteArray)
+    assert(decoded.isDefined)
+    assert(decoded.get.bgr.sameElements(img.bgr))
+  }
+
+  test("decodes RGBA (color type 6) PNGs, dropping alpha") {
+    val img = pattern(16, 16)
+    val argb = new BufferedImage(16, 16, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      argb.setRGB(x, y, (0x80 << 24) | (toBuffered(img).getRGB(x, y) & 0xffffff))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(argb, "png", out)
+    val decoded = PngCodec.decode(out.toByteArray)
+    assert(decoded.isDefined)
+    assert(decoded.get.bgr.sameElements(img.bgr))
+  }
+
+  test("ImageIO reads back our encoder's output pixel-exact") {
+    val img = pattern(41, 17)
+    val png = PngCodec.encode(img)
+    assert(PngCodec.isPng(png))
+    val bi = ImageIO.read(new ByteArrayInputStream(png))
+    assert(bi != null, "ImageIO rejected our PNG")
+    assert(pixelsEqual(img, bi))
+  }
+
+  test("round trip through our own encode/decode is exact") {
+    val img = pattern(64, 48)
+    val back = PngCodec.decode(PngCodec.encode(img))
+    assert(back.isDefined)
+    assert(back.get.width === 64 && back.get.height === 48)
+    assert(back.get.bgr.sameElements(img.bgr))
+  }
+
+  test("rejects garbage, truncation, and unsupported profiles") {
+    assert(PngCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PngCodec.decode(null).isEmpty)
+    val good = PngCodec.encode(pattern(20, 20))
+    assert(PngCodec.decode(good.take(good.length / 2)).isEmpty)
+    // 16-bit depth (unsupported profile) via ImageIO: TYPE_USHORT_GRAY
+    val gray16 = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(gray16, "png", out)
+    assert(PngCodec.decode(out.toByteArray).isEmpty)
+  }
+}
+
+/** Dispatch integration: mixed BMP + PNG asset batches decode through one
+  * path, resize re-encodes in the source format. */
+class PngDispatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mixedAssets = {
+    val img = BmpCodec.Decoded(12, 8, Array.tabulate(12 * 8 * 3)(i => (i * 7).toByte))
+    Seq(
+      Multimodal.Asset(1L, BmpCodec.encode(img), "image/bmp",
+        BmpCodec.encode(img).length.toLong),
+      Multimodal.Asset(2L, PngCodec.encode(img), "image/png",
+        PngCodec.encode(img).length.toLong),
+      Multimodal.Asset(3L, Array[Byte](9, 9, 9), "application/octet-stream", 3L)
+    ).toDF()
+  }
+
+  test("decodeImages handles BMP and PNG arms, skips opaque payloads") {
+    val got = Multimodal.decodeImages(mixedAssets, spark).collect()
+      .map(i => i.asset_id -> i).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // same source pixels ⇒ identical features from both codecs
+    assert(got(1L).mean_r === got(2L).mean_r)
+    assert(got(1L).thumb.sameElements(got(2L).thumb))
+  }
+
+  test("resizeImages re-encodes in the source format") {
+    val out = Multimodal.resizeImages(mixedAssets, spark, 6, 4).collect()
+      .map(a => a.asset_id -> a).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).mime === "image/bmp" && BmpCodec.isBmp(out(1L).media))
+    assert(out(2L).mime === "image/png" && PngCodec.isPng(out(2L).media))
+    val p = PngCodec.decode(out(2L).media).get
+    assert(p.width === 6 && p.height === 4)
+    assert(p.bgr.sameElements(BmpCodec.decode(out(1L).media).get.bgr))
+  }
+}
