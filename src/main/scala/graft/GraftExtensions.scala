@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectSize(_, _))
     register2(e, "cosine_similarity", classOf[CosineSimilarity],
       CosineSimilarity(_, _))
+    register2(e, "dot_product", classOf[DotProduct], DotProduct(_, _))
     register1(e, "minhash_signature", classOf[MinHashSignature],
       MinHashSignature(_))
     register1(e, "shingle_set", classOf[ShingleSet], ShingleSet(_))

@@ -97,3 +97,70 @@ object CosineSimilarity {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Native dot product of two `array<double>` vectors — same fused-loop /
+  * codegen treatment as [[CosineSimilarity]], for the kernels that want the
+  * raw inner product (PQ codebook assignment and ADC scoring, LSH
+  * hyperplane projections). The HOF formulation
+  * (`aggregate(zip_with(a,b,*))`) allocates a zipped array per evaluation
+  * and blocks whole-stage codegen — measured 3-4× slower on the
+  * |subvectors|×|centroids| assignment joins. Null on length mismatch,
+  * matching zip_with's null-padding semantics. */
+@ExpressionDescription(
+  usage = "dot_product(a, b) - inner product of two array<double> vectors; null on length mismatch")
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column API; both inputs must already be `array<double>`. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

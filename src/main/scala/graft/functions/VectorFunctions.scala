@@ -20,7 +20,11 @@ object VectorFunctions {
   /** Upcast an array<float> column to array<double>. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Inner product (native fused-loop expression, [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
+
+  /** Higher-order-function dot — the spec reference for [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
 
   def norm2(a: Column): Column =
@@ -35,6 +39,6 @@ object VectorFunctions {
   /** Higher-order-function cosine — the spec reference for [[cosine]]. */
   def cosineHof(a: Column, b: Column): Column = {
     val den = norm2(a) * norm2(b)
-    dot(a, b) / when(den =!= 0.0, den)
+    dotHof(a, b) / when(den =!= 0.0, den)
   }
 }

