@@ -89,6 +89,35 @@ object ScaleProbe {
       }
       results += (("ivf_assign", n, tIvf, rIvf))
 
+      // native as-of join (AsOfJoinExec): replicated event stream, the
+      // per-partition merge must stay linear — its state is ONE buffered
+      // row regardless of key width or time density
+      val (tAsof, rAsof) = time {
+        val ev = replicateKeyed(
+          Tables.events(spark, sfDir).select(col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("event_type")),
+          "user_id", n)
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms"))
+        val r = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_ms"))
+          .agg(count(lit(1)).as("nv"))
+        graft.plans.AsOf.join(l, r, Seq("user_id"), "ts_ms", "ts_ms", "_v")
+          .count()
+      }
+      results += (("asof_join", n, tAsof, rAsof))
+
+      // Misra-Gries heavy-hitter sketch over the replicated token stream —
+      // sketch state is ≤k entries per mapper, so cost must track the
+      // token count, never the vocabulary
+      val (tMg, rMg) = time {
+        docs.select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+            .as("word"))
+          .agg(graft.functions.AggregateKernels.misraGries(col("word"), 200))
+          .count()
+      }
+      results += (("misra_gries", n, tMg, rMg))
+
       // shuffle join + agg (the relational heavyweight)
       val (tJ, rJ) = time {
         val li = replicateKeyed(Tables.lineitem(spark, sfDir)

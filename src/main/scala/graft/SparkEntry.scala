@@ -110,6 +110,8 @@ object SparkEntry {
     "q84_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
     "q85_gap_fill" -> (Advanced.gapFill(_, _)),
     "q86_pagerank" -> (Graph.pagerank(_, _)),
+    "q87_unpivot" -> (Advanced.unpivotBands(_, _)),
+    "q88_range_frames" -> (Advanced.rangeFrameWindows(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -605,5 +607,25 @@ object SparkEntry {
         (1 to 5).map(i => iter(s"p${i - 1}", s"p$i")).mkString(", ") +
         " SELECT node, round(pr, 6) AS pr FROM p5"
     },
+    "q87_unpivot" ->
+      ("WITH w AS (SELECT o_orderstatus, " +
+        "count(*) FILTER (WHERE o_totalprice < 100000) AS lo, " +
+        "count(*) FILTER (WHERE o_totalprice >= 100000 AND o_totalprice < 250000) AS mid, " +
+        "count(*) FILTER (WHERE o_totalprice >= 250000) AS hi " +
+        "FROM orders GROUP BY o_orderstatus) " +
+        "SELECT o_orderstatus, 'lo' AS band, lo AS n FROM w " +
+        "UNION ALL SELECT o_orderstatus, 'mid' AS band, mid AS n FROM w " +
+        "UNION ALL SELECT o_orderstatus, 'hi' AS band, hi AS n FROM w"),
+    "q88_range_frames" ->
+      ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, " +
+        "count(*) OVER nearw AS n_near, " +
+        "round(avg(o_totalprice) OVER nearw, 4) AS avg_near, " +
+        "count(*) OVER upw AS n_cheaper_eq, " +
+        "round(min(o_totalprice) OVER upw, 2) AS min_price " +
+        "FROM orders WHERE o_custkey % 40 = 0 " +
+        "WINDOW nearw AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING), " +
+        "upw AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
   )
 }

@@ -199,6 +199,41 @@ object Advanced {
         ") as (column_name, n_rows, n_non_null, n_distinct, min_value, max_value)")
   }
 
+  /** Unpivot (wide → long reshape): per-status counts of three price
+    * bands melt into (status, band, n) rows via Dataset.unpivot — the
+    * inverse of q46's pivot, one Expand node, no join. */
+  def unpivotBands(s: SparkSession, d: String): DataFrame = {
+    val wide = orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_totalprice") < 100000, 1)).as("lo"),
+        count(when(col("o_totalprice") >= 100000 &&
+          col("o_totalprice") < 250000, 1)).as("mid"),
+        count(when(col("o_totalprice") >= 250000, 1)).as("hi"))
+    wide.unpivot(Array(col("o_orderstatus")),
+      Array(col("lo"), col("mid"), col("hi")), "band", "n")
+  }
+
+  /** RANGE-frame windows (value-based frames, vs q50's ROWS frames): for
+    * each order, aggregates over every order of the same customer whose
+    * price is within ±10000 of it — peers by VALUE, not by position —
+    * plus a running range-to-current frame. One window pass. */
+  def rangeFrameWindows(s: SparkSession, d: String): DataFrame = {
+    // SQL window syntax: range boundaries are typed literals there, so the
+    // ±10000 offsets coerce cleanly against the double ordering key
+    val near = "PARTITION BY o_custkey ORDER BY o_totalprice " +
+      "RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING"
+    val upTo = "PARTITION BY o_custkey ORDER BY o_totalprice " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    orders(s, d)
+      .filter(col("o_custkey") % 40 === 0)
+      .selectExpr("o_custkey", "o_orderkey",
+        "round(o_totalprice, 2) AS price",
+        s"count(1) OVER ($near) AS n_near",
+        s"round(avg(o_totalprice) OVER ($near), 4) AS avg_near",
+        s"count(1) OVER ($upTo) AS n_cheaper_eq",
+        s"round(min(o_totalprice) OVER ($upTo), 2) AS min_price")
+  }
+
   /** Typed regex extraction: parse the numeric id out of a formatted code
     * column and aggregate by it — schema-on-read for string-encoded keys. */
   def regexExtractAgg(s: SparkSession, d: String): DataFrame =
