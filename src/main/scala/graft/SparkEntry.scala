@@ -112,6 +112,7 @@ object SparkEntry {
     "q86_pagerank" -> (Graph.pagerank(_, _)),
     "q87_unpivot" -> (Advanced.unpivotBands(_, _)),
     "q88_range_frames" -> (Advanced.rangeFrameWindows(_, _)),
+    "q89_lateral_topk" -> (Advanced.lateralTopK(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -627,5 +628,12 @@ object SparkEntry {
         "RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING), " +
         "upw AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    "q89_lateral_topk" ->
+      ("SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price " +
+        "FROM customer c, LATERAL (" +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+        "WHERE c.c_custkey % 10 = 0"),
   )
 }

@@ -234,6 +234,23 @@ object Advanced {
         s"round(min(o_totalprice) OVER ($upTo), 2) AS min_price")
   }
 
+  /** Correlated LATERAL subquery (SQL surface): per-customer top-2 orders
+    * via `, LATERAL (... ORDER BY ... LIMIT 2)` — the dependent-join form
+    * of per-key top-k. Catalyst decorrelates it into a ranked window under
+    * the hood (same plan family as q15), so the SQL ergonomics cost
+    * nothing at scale. */
+  def lateralTopK(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+      FROM graft_lat_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey % 10 = 0""")
+  }
+
   /** Typed regex extraction: parse the numeric id out of a formatted code
     * column and aggregate by it — schema-on-read for string-encoded keys. */
   def regexExtractAgg(s: SparkSession, d: String): DataFrame =

@@ -242,4 +242,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.subsetOf(batchSessions),
       s"streaming emitted sessions not in batch: ${streamed -- batchSessions}")
   }
+
+  test("streaming heavy hitters: state accumulates across triggers, MG guarantees hold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String](spark)
+    val q = StreamingSketch
+      .streamingHeavyHitters(input.toDS(), shards = 4, k = 32)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("update").start()
+    try {
+      // two triggers: hot items split across both, noise around them —
+      // state must carry counts across the trigger boundary
+      val batch1 = (0 until 150).map(_ => "alpha") ++
+        (0 until 90).map(_ => "beta") ++ (0 until 200).map(i => s"n1_$i")
+      val batch2 = (0 until 150).map(_ => "alpha") ++
+        (0 until 110).map(_ => "beta") ++ (0 until 200).map(i => s"n2_$i")
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+
+      // latest summary per shard = the row with that shard's max n
+      val rows = spark.table("shh")
+        .as[StreamingSketch.ShardSummary].collect()
+      val latest = rows.groupBy(_.shard).values.map(_.maxBy(_.n)).toSeq
+      val got = latest.flatMap(_.items).toMap
+      val all = batch1 ++ batch2
+      assert(latest.map(_.n).sum === all.size)
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // estimates never exceed truth; per-shard error bound n_shard/(k+1)
+      got.foreach { case (w, est) => assert(est <= exact(w), w) }
+      val nByShard = latest.map(s => s.shard -> s.n).toMap
+      def shardOf(w: String) = math.floorMod(w.hashCode, 4)
+      Seq("alpha" -> 300L, "beta" -> 200L).foreach { case (w, f) =>
+        val bound = nByShard(shardOf(w)) / 33
+        assert(got.contains(w), s"$w missing (f=$f, bound=$bound)")
+        assert(got(w) >= f - bound, s"$w est=${got(w)}")
+      }
+    } finally q.stop()
+  }
 }
