@@ -113,6 +113,8 @@ object SparkEntry {
     "q87_unpivot" -> (Advanced.unpivotBands(_, _)),
     "q88_range_frames" -> (Advanced.rangeFrameWindows(_, _)),
     "q89_lateral_topk" -> (Advanced.lateralTopK(_, _)),
+    "q90_outer_joins" -> (Advanced.outerJoins(_, _)),
+    "q91_bag_setops" -> (Advanced.bagSetOps(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -635,5 +637,21 @@ object SparkEntry {
         "WHERE o_custkey = c.c_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
         "WHERE c.c_custkey % 10 = 0"),
+    "q90_outer_joins" ->
+      ("WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0), " +
+        "o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000) " +
+        "SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both' " +
+        "WHEN c_custkey IS NOT NULL THEN 'customer_only' ELSE 'order_only' END AS side, " +
+        "coalesce(c_mktsegment, '?') AS seg, count(*) AS n " +
+        "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey " +
+        "GROUP BY side, seg"),
+    "q91_bag_setops" ->
+      ("WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000), " +
+        "lo AS (SELECT o_custkey FROM orders WHERE o_totalprice <= 150000) " +
+        "SELECT o_custkey, count(*) AS n, 'intersect_all' AS op FROM " +
+        "(SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM lo) GROUP BY o_custkey " +
+        "UNION ALL " +
+        "SELECT o_custkey, count(*) AS n, 'except_all' AS op FROM " +
+        "(SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM lo) GROUP BY o_custkey"),
   )
 }

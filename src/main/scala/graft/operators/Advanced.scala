@@ -251,6 +251,42 @@ object Advanced {
       WHERE c.c_custkey % 10 = 0""")
   }
 
+  /** Outer-join matrix: customers vs their big-ticket orders through a
+    * FULL OUTER join, classified into matched / left-only / right-only —
+    * the null-extension semantics the inner/semi/anti battery doesn't
+    * exercise. (Right-only rows exist because the customer side is
+    * filtered to a subset.) */
+  def outerJoins(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders(s, d).filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+          "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("order_only").as("side"),
+        coalesce(col("c_mktsegment"), lit("?")).as("seg"))
+      .groupBy(col("side"), col("seg"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+    * multiplicity must follow min/difference-of-multiplicities rules, not
+    * the set forms' dedup. */
+  def bagSetOps(s: SparkSession, d: String): DataFrame = {
+    val hi = orders(s, d).filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
+    val lo = orders(s, d).filter(col("o_totalprice") <= 150000)
+      .select(col("o_custkey"))
+    hi.intersectAll(lo).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        hi.exceptAll(lo).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+  }
+
   /** Typed regex extraction: parse the numeric id out of a formatted code
     * column and aggregate by it — schema-on-read for string-encoded keys. */
   def regexExtractAgg(s: SparkSession, d: String): DataFrame =
