@@ -115,6 +115,7 @@ object SparkEntry {
     "q89_lateral_topk" -> (Advanced.lateralTopK(_, _)),
     "q90_outer_joins" -> (Advanced.outerJoins(_, _)),
     "q91_bag_setops" -> (Advanced.bagSetOps(_, _)),
+    "q92_asof_forward" -> (Relational.asofJoinForward(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -653,5 +654,12 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_custkey, count(*) AS n, 'except_all' AS op FROM " +
         "(SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM lo) GROUP BY o_custkey"),
+    "q92_asof_forward" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events), " +
+        "e AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'), " +
+        "p AS (SELECT DISTINCT user_id, ts_ms FROM ev WHERE event_type = 'purchase') " +
+        "SELECT e.event_id, e.user_id, e.ts_ms, p.ts_ms AS next_purchase_ms, " +
+        "p.ts_ms - e.ts_ms AS gap_ms " +
+        "FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_ms <= p.ts_ms"),
   )
 }

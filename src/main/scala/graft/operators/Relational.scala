@@ -228,6 +228,26 @@ object Relational {
         col("ts_ms_v").as("view_ms"), col("view_value_v").as("view_value"))
   }
 
+  /** FORWARD as-of on the native operator: each error event picks up the
+    * next purchase of the same user at-or-after it (time-to-recovery
+    * shape). Same merge operator as q74 running in forward mode — no
+    * buffered row at all: the cursor's head row serves all left rows it
+    * is eligible for. */
+  def asofJoinForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms")).distinct()
+    graft.plans.AsOf.join(errors, purchases, Seq("user_id"),
+      "ts_ms", "ts_ms", rightSuffix = "_p", forward = true)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("ts_ms_p").as("next_purchase_ms"),
+        (col("ts_ms_p") - col("ts_ms")).as("gap_ms"))
+  }
+
   /** Rollup aggregation (hierarchical subtotals): status × priority with
     * per-status and grand totals — Catalyst expands to a single Expand +
     * one aggregation, not one scan per level. */

@@ -40,7 +40,9 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false,
+    strict: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
@@ -58,22 +60,33 @@ case class AsOfJoinPlan(
   * `SparkSessionExtensions.injectPlannerStrategy`. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fw, st) =>
+      AsOfJoinExec(lk, rk, lt, rt, fw, st, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Per-partition merge pass. Children are co-partitioned on the keys and
   * sorted by (keys, time) — guaranteed by the declared requirements — so a
-  * two-pointer walk with one buffered candidate row is complete: when the
-  * cursor passes a right row it is either buffered (<= current left time,
-  * same key) or dead (smaller key). */
+  * two-pointer walk is complete in both directions:
+  *
+  *  - BACKWARD (`forward = false`, the default): greatest right time ≤
+  *    left time (< when `strict`). When the cursor passes a right row it
+  *    is either buffered (eligible, same key) or dead (smaller key) — one
+  *    buffered candidate row of state.
+  *  - FORWARD (`forward = true`): smallest right time ≥ left time (> when
+  *    `strict`). No buffer at all: rows skipped by the cursor (time too
+  *    small for the current left row) can never match a LATER left row
+  *    (left times are ascending), and the matching head row is NOT
+  *    consumed, so it can serve multiple left rows.
+  */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
+    strict: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -105,6 +118,8 @@ case class AsOfJoinExec(
     val rKeys = rightKeys
     val lTimeE = leftTime
     val rTimeE = rightTime
+    val fw = forward
+    val st = strict
     val out = output
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
@@ -155,24 +170,44 @@ case class AsOfJoinExec(
             val lTime = lTimeProj(l)
             var matched: InternalRow = null
             if (!lKey.anyNull && !lTime.anyNull) {
-              var done = false
-              while (!done && rRow != null) {
-                val c = keyOrd.compare(rKey, lKey)
-                if (c < 0) {
-                  // dead key: everything buffered for it is dead too
-                  bufRow = null; bufKey = null
-                  advanceRight()
-                } else if (c == 0 && timeOrd.compare(rTime, lTime) <= 0) {
-                  bufRow = rRow; bufKey = rKey
-                  advanceRight()
-                } else {
-                  done = true
+              if (!fw) {
+                // backward: buffer the last eligible row behind the cursor
+                val maxCmp = if (st) -1 else 0
+                var done = false
+                while (!done && rRow != null) {
+                  val c = keyOrd.compare(rKey, lKey)
+                  if (c < 0) {
+                    // dead key: everything buffered for it is dead too
+                    bufRow = null; bufKey = null
+                    advanceRight()
+                  } else if (c == 0 &&
+                    timeOrd.compare(rTime, lTime) <= maxCmp) {
+                    bufRow = rRow; bufKey = rKey
+                    advanceRight()
+                  } else {
+                    done = true
+                  }
                 }
-              }
-              // the buffer may be left over from an earlier key the right
-              // side ran out of rows for — verify it belongs to this key
-              if (bufRow != null && keyOrd.compare(bufKey, lKey) == 0) {
-                matched = bufRow
+                // the buffer may be left over from an earlier key the
+                // right side ran out of rows for — verify it matches
+                if (bufRow != null && keyOrd.compare(bufKey, lKey) == 0) {
+                  matched = bufRow
+                }
+              } else {
+                // forward: skip rows that are too early, match the head
+                // without consuming it
+                val minCmp = if (st) 1 else 0
+                var done = false
+                while (!done && rRow != null) {
+                  val c = keyOrd.compare(rKey, lKey)
+                  if (c < 0 ||
+                    (c == 0 && timeOrd.compare(rTime, lTime) < minCmp))
+                    advanceRight()
+                  else done = true
+                }
+                if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+                  matched = rRow
+                }
               }
             }
             numOutputRows += 1
@@ -192,14 +227,17 @@ case class AsOfJoinExec(
 /** DataFrame-level API over the native operator. */
 object AsOf {
 
-  /** LEFT OUTER as-of join: for each left row, the right row with the
-    * greatest `rightTimeCol <= leftTimeCol` among equal `keys`. Right-side
-    * columns come back suffixed (`rightSuffix`), which also makes
-    * self-joins safe: the re-alias mints fresh attribute ids.
+  /** LEFT OUTER as-of join: for each left row, the nearest right row
+    * among equal `keys` — backward (greatest right time ≤ left time, the
+    * default) or `forward` (smallest right time ≥ left time); `strict`
+    * excludes equal times. Right-side columns come back suffixed
+    * (`rightSuffix`), which also makes self-joins safe: the re-alias
+    * mints fresh attribute ids.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r", forward: Boolean = false,
+      strict: Boolean = false): DataFrame = {
     require(rightSuffix.nonEmpty, "rightSuffix must be non-empty")
     // works in any session, not just GraftExtensions-built ones: install
     // the planner strategy on first use (idempotent)
@@ -219,7 +257,8 @@ object AsOf {
       keys.map(attr(lPlan, _, "left")),
       keys.map(k => attr(rPlan, k + rightSuffix, "right")),
       attr(lPlan, leftTimeCol, "left"),
-      attr(rPlan, rightTimeCol + rightSuffix, "right"))
+      attr(rPlan, rightTimeCol + rightSuffix, "right"),
+      forward, strict)
     GraftSqlBridge.ofRows(left.sparkSession, plan)
   }
 }

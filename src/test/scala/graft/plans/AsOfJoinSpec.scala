@@ -114,6 +114,49 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Set((1L, 1L, 10), (2L, 2L, 20), (3L, 3L, 30)))
   }
 
+  test("forward direction: earliest quote at-or-after, head not consumed") {
+    val got = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+      forward = true)
+      .select($"sym", $"t", $"qt_q").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      ("aa", 10L, Some(25L)),
+      ("aa", 25L, Some(25L)), // tie: >= includes equal time
+      ("aa", 31L, None), // no quote after 31
+      ("bb", 5L, Some(50L)), // one late quote serves BOTH bb trades
+      ("bb", 40L, Some(50L)),
+      ("cc", 7L, None)))
+  }
+
+  test("strict variants exclude equal times in both directions") {
+    val back = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+      strict = true)
+      .filter($"t" === 25L).select($"qt_q").head()
+    assert(back.getLong(0) === 8L) // not the equal-time 25 quote
+    val fwd = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+      forward = true, strict = true)
+      .filter($"t" === 25L).select($"qt_q").head()
+    assert(fwd.getLong(0) === 30L) // skips the equal-time 25 quote
+  }
+
+  test("forward agrees with a composed min-over-future formulation") {
+    val ev = graft.operators.Tables.events(spark, sf0001).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val native = graft.operators.Relational.asofJoinForward(spark, sf0001)
+      .select($"event_id", $"next_purchase_ms")
+    val expected = ev.filter($"event_type" === "error")
+      .as("e")
+      .join(ev.filter($"event_type" === "purchase").select(
+        $"user_id".as("pu"), $"ts_ms".as("pts")),
+        $"user_id" === $"pu" && $"pts" >= $"ts_ms", "left_outer")
+      .groupBy($"event_id")
+      .agg(min($"pts").as("next_purchase_ms"))
+    assert(native.exceptAll(expected).isEmpty &&
+      expected.exceptAll(native).isEmpty)
+  }
+
   test("multi-column keys cluster correctly") {
     val l = Seq(("a", 1, 10L), ("a", 2, 10L), ("b", 1, 10L))
       .toDF("k1", "k2", "t")
