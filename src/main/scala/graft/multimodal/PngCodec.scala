@@ -171,7 +171,11 @@ object PngCodec {
       var off = 0
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(out, off, expected - off)
-        if (n == 0 && inf.needsInput()) return null // truncated
+        // zero progress while unfinished = truncated input OR a stream
+        // demanding a preset dictionary (FDICT) — either way undecodable;
+        // returning null here (not looping) is what keeps a crafted
+        // payload from hanging the executor task
+        if (n == 0) return null
         off += n
       }
       if (off == expected && inf.getRemaining == 0) out else null

@@ -32,7 +32,10 @@ object Graph {
     * the edge-touched node set). Each round is the classic scalable shape:
     * join ranks to edges on src (rank/out-degree contributions), shuffle
     * ON dst once, partial-aggregated sum — contributions never leave the
-    * mappers unsummed. localCheckpoint truncates the iterative lineage.
+    * mappers unsummed. The loop only composes the plan; see the in-loop
+    * comment for why there is deliberately NO per-round checkpoint (a
+    * convergence-checked loop would need one — this fixed-count loop
+    * doesn't).
     *
     * Ranks are rounded to 8 decimals after EVERY round in both this and
     * the oracle's unrolled-CTE formulation: summation order across
@@ -40,10 +43,15 @@ object Graph {
     * re-quantization keeps the ~1e-16 float-order noise from ever
     * reaching the comparison precision. */
   def pagerank(s: SparkSession, d: String): DataFrame = {
-    val e = eventEdges(s, d).cache()
+    // localCheckpoint, not cache(): these frames are per-invocation
+    // scratch — CacheManager entries would outlive the query (storage
+    // leak across a long session), while checkpoint blocks are reclaimed
+    // by the ContextCleaner once the DataFrames are garbage-collected
+    val e = eventEdges(s, d).localCheckpoint()
     // out-degree folds into the rank state once, so each round does ONE
     // join + ONE shuffle-on-dst (not a second per-round degree join)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val n = deg.count() // every node of the undirected graph has out-edges
     // cold-start guard: an empty edge set must yield an empty result, not
     // an ANSI divide-by-zero on the uniform init

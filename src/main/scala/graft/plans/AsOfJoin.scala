@@ -253,12 +253,21 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column `$n` on the $side side " +
           s"(have: ${p.output.map(_.name).mkString(", ")})"))
-    val plan = AsOfJoinPlan(lPlan, rPlan,
-      keys.map(attr(lPlan, _, "left")),
-      keys.map(k => attr(rPlan, k + rightSuffix, "right")),
-      attr(lPlan, leftTimeCol, "left"),
-      attr(rPlan, rightTimeCol + rightSuffix, "right"),
-      forward, strict)
+    val lk = keys.map(attr(lPlan, _, "left"))
+    val rk = keys.map(k => attr(rPlan, k + rightSuffix, "right"))
+    val lt = attr(lPlan, leftTimeCol, "left")
+    val rt = attr(rPlan, rightTimeCol + rightSuffix, "right")
+    // this API bypasses the analyzer's join type coercion, and the exec
+    // builds its orderings from the LEFT side's types — a mismatched pair
+    // would compare raw bytes of different layouts and silently drop or
+    // fabricate matches. Refuse instead.
+    (lk.zip(rk) :+ (lt, rt)).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of join: column `${l.name}` is ${l.dataType.simpleString} on " +
+          s"the left but `${r.name}` is ${r.dataType.simpleString} on the " +
+          "right — cast both sides to a common type first")
+    }
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward, strict)
     GraftSqlBridge.ofRows(left.sparkSession, plan)
   }
 }

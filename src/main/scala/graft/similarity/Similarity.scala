@@ -236,12 +236,14 @@ object Similarity {
     * brute force is the spec's business. */
   def pqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
-    // cached: read by every Lloyd round, the final encode, and the spine
-    // of the whole plan — recomputing the explode 4× dominates otherwise
+    // materialized once (localCheckpoint, not cache: per-invocation
+    // scratch that CacheManager would never release): read by every
+    // Lloyd round, the final encode, and the spine of the whole plan —
+    // recomputing the explode 4× dominates otherwise
     val sub = v.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
         s"m -> slice(emb, m * $PqSubDim + 1, $PqSubDim))"))
-        .as(Seq("m", "sv"))).cache()
+        .as(Seq("m", "sv"))).localCheckpoint()
 
     var cents = sub.filter(col("vec_id") % PqCentStep === 0)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))

@@ -157,6 +157,20 @@ class AsOfJoinSpec extends SparkTestBase {
       expected.exceptAll(native).isEmpty)
   }
 
+  test("mismatched key/time types are refused, not silently mis-joined") {
+    val l = Seq((1, 10L)).toDF("k", "t") // k: int
+    val r = Seq((1L, 5L, "x")).toDF("k", "t", "v") // k: bigint
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), "t", "t")
+    }
+    assert(e.getMessage.contains("common type"))
+    val l2 = Seq((1L, 10L)).toDF("k", "t")
+    val r2 = Seq((1L, 5.0, "x")).toDF("k", "t", "v") // t: double
+    assert(intercept[IllegalArgumentException] {
+      AsOf.join(l2, r2, Seq("k"), "t", "t")
+    }.getMessage.contains("common type"))
+  }
+
   test("multi-column keys cluster correctly") {
     val l = Seq(("a", 1, 10L), ("a", 2, 10L), ("b", 1, 10L))
       .toDF("k1", "k2", "t")

@@ -243,6 +243,38 @@ class StreamingSpec extends SparkTestBase {
       s"streaming emitted sessions not in batch: ${streamed -- batchSessions}")
   }
 
+  test("streaming CDC apply: latest version per key wins across triggers, replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmp("cdc-tbl").toString + "/t"
+    val ckpt = tmp("cdc-ckpt").toString
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val changes = input.toDS().toDF("k", "v", "payload")
+
+    input.addData(Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+    val q1 = CdcStream.start(changes, path, "k", "v", ckpt)
+    q1.awaitTermination(120000)
+    // second trigger: update k=1, delete-style tombstone NOT modeled —
+    // a new key and a LATE (lower-version) change for k=2 that must lose
+    input.addData(Seq((1L, 2L, "a2"), (2L, 0L, "b0"), (4L, 1L, "d1")))
+    val q2 = CdcStream.start(changes, path, "k", "v", ckpt)
+    q2.awaitTermination(120000)
+
+    def state() = spark.read.parquet(path)
+      .select($"k", $"v", $"payload").as[(Long, Long, String)]
+      .collect().toSet
+    val expected = Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1"),
+      (4L, 1L, "d1"))
+    assert(state() === expected)
+
+    // replayed micro-batch (sink ran, checkpoint commit lost): the
+    // idempotent merge must converge, not duplicate or regress
+    graft.pipeline.Sink.upsertByKey(spark,
+      Seq((1L, 2L, "a2"), (2L, 0L, "b0"), (4L, 1L, "d1"))
+        .toDF("k", "v", "payload"),
+      path, "k", "v")
+    assert(state() === expected)
+  }
+
   test("streaming heavy hitters: state accumulates across triggers, MG guarantees hold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[String](spark)
