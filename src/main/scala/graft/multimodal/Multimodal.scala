@@ -134,6 +134,7 @@ object Multimodal {
   def decodeAny(media: Array[Byte]): Option[BmpCodec.Decoded] =
     if (BmpCodec.isBmp(media)) BmpCodec.decode(media)
     else if (PngCodec.isPng(media)) PngCodec.decode(media)
+    else if (JpegCodec.isJpeg(media)) JpegCodec.decode(media)
     else None
 
   def decodeImages(assetsDf: DataFrame, s: SparkSession)
@@ -164,12 +165,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, media) =>
-          val isPng = PngCodec.isPng(media)
+          // JPEG thumbnails transcode to PNG (we decode JPEG but do not
+          // re-encode lossy); BMP/PNG keep their source format
+          val isBmp = BmpCodec.isBmp(media)
           decodeAny(media).map { img =>
             val small = BmpCodec.resizeNearest(img, w, h)
             val out =
-              if (isPng) PngCodec.encode(small) else BmpCodec.encode(small)
-            Asset(id, out, if (isPng) "image/png" else "image/bmp",
+              if (isBmp) BmpCodec.encode(small) else PngCodec.encode(small)
+            Asset(id, out, if (isBmp) "image/bmp" else "image/png",
               out.length.toLong)
           }
         }

@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPEG decoder pinned against the JDK's ImageIO reading the SAME
+  * compressed bytes. JPEG decode is not bit-exact across implementations
+  * (T.81 permits IDCT variation, and chroma-upsampling filters differ:
+  * ours is nearest, ImageIO interpolates), so assertions are small
+  * per-pixel tolerances, not byte equality. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int): BufferedImage = {
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, (((x * 255) / w) << 16) | (((y * 255) / h) << 8) |
+        ((x + y) * 255 / (w + h)))
+    bi
+  }
+
+  private def encodeJpeg(bi: BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(bi, null, null), p)
+    ios.close(); w.dispose()
+    out.toByteArray
+  }
+
+  /** (mean abs diff, max abs diff) across all channels vs ImageIO's own
+    * decode of the same bytes. */
+  private def diffVsImageIO(jpeg: Array[Byte]): (Double, Int) = {
+    val ours = JpegCodec.decode(jpeg).getOrElse(fail("decode returned None"))
+    val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+    assert(ours.width === ref.getWidth && ours.height === ref.getHeight)
+    var sum = 0L; var max = 0; var n = 0
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      val i = (y * ours.width + x) * 3
+      val rgb = ref.getRGB(x, y)
+      val ds = Seq(
+        math.abs((ours.bgr(i + 2) & 0xff) - ((rgb >> 16) & 0xff)),
+        math.abs((ours.bgr(i + 1) & 0xff) - ((rgb >> 8) & 0xff)),
+        math.abs((ours.bgr(i) & 0xff) - (rgb & 0xff)))
+      ds.foreach { d => sum += d; if (d > max) max = d; n += 1 }
+    }
+    (sum.toDouble / n, max)
+  }
+
+  test("gradient RGB (4:2:0 chroma) tracks ImageIO within tolerance") {
+    val (mean, max) = diffVsImageIO(encodeJpeg(gradient(64, 48), 0.9f))
+    assert(mean <= 3.0, s"mean diff $mean")
+    assert(max <= 48, s"max diff $max")
+  }
+
+  test("solid color decodes near-exactly") {
+    val bi = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) bi.setRGB(x, y, 0x4080c0)
+    val (mean, max) = diffVsImageIO(encodeJpeg(bi, 0.9f))
+    assert(mean <= 1.0, s"mean diff $mean")
+    assert(max <= 4, s"max diff $max")
+  }
+
+  test("odd dimensions (partial MCUs) decode correctly") {
+    val (mean, _) = diffVsImageIO(encodeJpeg(gradient(37, 21), 0.95f))
+    assert(mean <= 3.0, s"mean diff $mean")
+  }
+
+  test("grayscale single-component JPEGs decode (raw raster compare)") {
+    val bi = new BufferedImage(40, 24, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = (x * 255) / 40
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jpeg = encodeJpeg(bi, 0.9f)
+    val ours = JpegCodec.decode(jpeg).getOrElse(fail("decode returned None"))
+    // compare RAW samples: ImageIO's gray BufferedImage is in a LINEAR
+    // gray color space, so getRGB gamma-converts — getSample is the
+    // actual decoded JPEG value both implementations produce
+    val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+    var sum = 0L; var max = 0; var n = 0
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val d = math.abs((ours.bgr((y * 40 + x) * 3) & 0xff) -
+        ref.getRaster.getSample(x, y, 0))
+      sum += d; if (d > max) max = d; n += 1
+    }
+    assert(sum.toDouble / n <= 2.0, s"mean diff ${sum.toDouble / n}")
+    assert(max <= 16, s"max diff $max")
+  }
+
+  test("progressive JPEGs are rejected (None), not mis-decoded") {
+    val png = encodeJpeg(gradient(32, 32), 0.9f, progressive = true)
+    assert(JpegCodec.decode(png).isEmpty)
+  }
+
+  test("garbage and truncation are rejected") {
+    assert(JpegCodec.decode(null).isEmpty)
+    assert(JpegCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    val good = encodeJpeg(gradient(32, 32), 0.9f)
+    assert(JpegCodec.decode(good.take(good.length / 3)).isEmpty)
+  }
+
+  test("dispatch: decodeAny routes JPEG payloads to this codec") {
+    val jpeg = encodeJpeg(gradient(16, 16), 0.9f)
+    val got = Multimodal.decodeAny(jpeg)
+    assert(got.isDefined && got.get.width === 16)
+  }
+}
