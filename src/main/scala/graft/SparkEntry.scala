@@ -116,6 +116,7 @@ object SparkEntry {
     "q90_outer_joins" -> (Advanced.outerJoins(_, _)),
     "q91_bag_setops" -> (Advanced.bagSetOps(_, _)),
     "q92_asof_forward" -> (Relational.asofJoinForward(_, _)),
+    "q93_stats_battery" -> (Advanced.statsBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -661,5 +662,14 @@ object SparkEntry {
         "SELECT e.event_id, e.user_id, e.ts_ms, p.ts_ms AS next_purchase_ms, " +
         "p.ts_ms - e.ts_ms AS gap_ms " +
         "FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_ms <= p.ts_ms"),
+    "q93_stats_battery" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "round(stddev_samp(o_totalprice), 4) AS sd, " +
+        "round(var_samp(o_totalprice) / 1e6, 4) AS var_m, " +
+        "round(corr(o_totalprice, o_custkey), 6) AS r, " +
+        "round(covar_samp(o_totalprice, o_custkey) / 1e6, 4) AS cov_m, " +
+        "round(regr_slope(o_totalprice, o_custkey), 6) AS slope, " +
+        "round(regr_intercept(o_totalprice, o_custkey), 4) AS intercept " +
+        "FROM orders GROUP BY o_orderstatus"),
   )
 }

@@ -287,6 +287,25 @@ object Advanced {
           .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
   }
 
+  /** Statistical aggregate battery: sample stddev/variance, correlation,
+    * covariance, and least-squares regression (slope/intercept) per
+    * status group — the numeric-analysis aggregates the arithmetic
+    * batteries don't cover. All partial-aggregatable (Welford-style
+    * merge states), so one shuffle of constant-size state per group. */
+  def statsBattery(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+        round(var_samp(col("o_totalprice")) / 1e6, 4).as("var_m"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6).as("r"),
+        round(covar_samp(col("o_totalprice"), col("o_custkey")) / 1e6, 4)
+          .as("cov_m"),
+        round(regr_slope(col("o_totalprice"), col("o_custkey")), 6)
+          .as("slope"),
+        round(regr_intercept(col("o_totalprice"), col("o_custkey")), 4)
+          .as("intercept"))
+
   /** Typed regex extraction: parse the numeric id out of a formatted code
     * column and aggregate by it — schema-on-read for string-encoded keys. */
   def regexExtractAgg(s: SparkSession, d: String): DataFrame =
