@@ -117,6 +117,7 @@ object SparkEntry {
     "q91_bag_setops" -> (Advanced.bagSetOps(_, _)),
     "q92_asof_forward" -> (Relational.asofJoinForward(_, _)),
     "q93_stats_battery" -> (Advanced.statsBattery(_, _)),
+    "q94_session_window" -> (Advanced.sessionWindowAgg(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -671,5 +672,16 @@ object SparkEntry {
         "round(regr_slope(o_totalprice, o_custkey), 6) AS slope, " +
         "round(regr_intercept(o_totalprice, o_custkey), 4) AS intercept " +
         "FROM orders GROUP BY o_orderstatus"),
+    "q94_session_window" ->
+      ("SELECT user_id, min(ts_ms) AS session_start_ms, " +
+        "max(ts_ms) AS session_end_ms, count(*) AS n_events FROM (" +
+        "SELECT user_id, ts_ms, CAST(sum(new_session) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_ms " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (" +
+        "SELECT user_id, ts_ms, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM (" +
+        "SELECT user_id, epoch_ms(ts) AS ts_ms, " +
+        "lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms " +
+        "FROM events))) GROUP BY user_id, session_id"),
   )
 }
