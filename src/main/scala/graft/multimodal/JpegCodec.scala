@@ -87,12 +87,18 @@ object JpegCodec {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
-    /** Byte-align and consume an expected restart marker. */
-    def restart(): Unit = {
+    /** Byte-align and consume the EXPECTED restart marker (RSTn cycles
+      * 0..7). A wrong or missing index means the entropy stream is
+      * desynchronized — throw (→ decode returns None) rather than
+      * resyncing on a byte pair that may be payload. */
+    def restart(expected: Int): Unit = {
       nbits = 0
-      // scan to the RSTn marker (tolerate pad bytes)
-      while (pos + 1 < b.length &&
-        !((b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xf8) == 0xd0)) pos += 1
+      // only 0xFF pad bytes may precede the marker
+      while (pos < b.length && (b(pos) & 0xff) == 0xff &&
+        pos + 1 < b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != (0xd0 | expected))
+        throw new IllegalStateException("restart desync")
       pos += 2
     }
   }
@@ -113,9 +119,10 @@ object JpegCodec {
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
 
   /** Separable 2D IDCT (float reference form), in-place on a 64-int
-    * block, with level shift and clamp to [0,255]. */
-  private def idct(block: Array[Int]): Unit = {
-    val tmp = new Array[Double](64)
+    * block, with level shift and clamp to [0,255]. `tmp` is caller-owned
+    * scratch (one allocation per decode, not per block — ~375k blocks for
+    * a 16 MP image otherwise churn ~190 MB of temporaries). */
+  private def idct(block: Array[Int], tmp: Array[Double]): Unit = {
     // rows
     var y = 0
     while (y < 8) {
@@ -157,7 +164,10 @@ object JpegCodec {
     var pred: Int = 0
     var planeW: Int = 0
     var planeH: Int = 0
-    var plane: Array[Int] = _
+    // samples are clamped to [0,255] at IDCT time: byte planes keep the
+    // transient footprint 4× smaller than int planes (header-declared
+    // dimensions allocate BEFORE entropy data is validated)
+    var plane: Array[Byte] = _
   }
 
   def decode(b: Array[Byte]): Option[BmpCodec.Decoded] = {
@@ -173,15 +183,23 @@ object JpegCodec {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var adobeRgb = false
     var pos = 2
     var sosAt = -1
 
     def u16(p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
 
     while (sosAt < 0) {
-      if (pos + 4 > b.length) return None
+      if (pos + 2 > b.length) return None
       if ((b(pos) & 0xff) != 0xff) return None
       val marker = b(pos + 1) & 0xff
+      // T.81 B.1.1.2: 0xFF fill bytes may pad between segments; TEM and
+      // RSTn are standalone (no length field)
+      if (marker == 0xff) { pos += 1 }
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2
+      } else {
+      if (pos + 4 > b.length) return None
       val len = u16(pos + 2)
       val seg = pos + 4
       marker match {
@@ -189,13 +207,16 @@ object JpegCodec {
           if ((b(seg) & 0xff) != 8) return None
           h = u16(seg + 1); w = u16(seg + 3)
           val nc = b(seg + 5) & 0xff
-          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+          if (w <= 0 || h <= 0 || w > (1 << 13) || h > (1 << 13)) return None
           if (nc != 1 && nc != 3) return None
           comps = Array.tabulate(nc) { i =>
             val o = seg + 6 + 3 * i
             Component(b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
               b(o + 1) & 0x0f, b(o + 2) & 0xff)
           }
+        case 0xee => // APP14 Adobe: transform byte 0 = components are RGB
+          if (len >= 14 && new String(b, seg, 5, "US-ASCII") == "Adobe" &&
+            (b(seg + 11) & 0xff) == 0) adobeRgb = true
         case 0xc2 | 0xc1 | 0xc3 => return None // non-baseline SOF
         case 0xc4 => // DHT (possibly several tables)
           var p = seg
@@ -241,10 +262,16 @@ object JpegCodec {
         case _ => () // APPn/COM/etc: skip
       }
       pos += 2 + len
-      if (marker == 0xda) pos = sosAt
+      }
     }
     if (comps == null || comps.exists(c => c.dcTab == null ||
       c.acTab == null || qt(c.tq) == null)) return None
+    // 3-component color must be YCbCr: Adobe transform=0 or R/G/B
+    // component ids mean the planes are RGB and the 1.402/1.772 rotation
+    // below would silently corrupt colors — reject instead
+    if (comps.length == 3 && (adobeRgb ||
+      comps.map(_.id).sameElements(Array('R'.toInt, 'G'.toInt, 'B'.toInt))))
+      return None
 
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
@@ -253,17 +280,20 @@ object JpegCodec {
     comps.foreach { c =>
       c.planeW = mcusX * 8 * c.h
       c.planeH = mcusY * 8 * c.v
-      c.plane = new Array[Int](c.planeW * c.planeH)
+      c.plane = new Array[Byte](c.planeW * c.planeH)
     }
 
     val br = new BitReader(b, sosAt)
     val block = new Array[Int](64)
+    val idctTmp = new Array[Double](64)
     var mcu = 0
+    var restarts = 0
     val totalMcus = mcusX * mcusY
     try {
       while (mcu < totalMcus) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart()
+          br.restart(restarts % 8)
+          restarts += 1
           comps.foreach(_.pred = 0)
         }
         val mx = mcu % mcusX
@@ -296,14 +326,18 @@ object JpegCodec {
                   k += 1
                 }
               }
-              idct(block)
+              idct(block, idctTmp)
               // place into the component plane
               val ox = (mx * c.h + bx) * 8
               val oy = (my * c.v + by) * 8
               var yy = 0
               while (yy < 8) {
-                System.arraycopy(block, yy * 8,
-                  c.plane, (oy + yy) * c.planeW + ox, 8)
+                var xx2 = 0
+                while (xx2 < 8) {
+                  c.plane((oy + yy) * c.planeW + ox + xx2) =
+                    block(yy * 8 + xx2).toByte
+                  xx2 += 1
+                }
                 yy += 1
               }
               bx += 1
@@ -329,10 +363,10 @@ object JpegCodec {
           val c0 = comps(0)
           val yv = c0.plane(
             (yy * c0.v / vMax) * c0.planeW + (xx * c0.h / hMax))
-          bgr(o) = clamp(yv); bgr(o + 1) = clamp(yv); bgr(o + 2) = clamp(yv)
+          bgr(o) = yv; bgr(o + 1) = yv; bgr(o + 2) = yv
         } else {
           def sample(c: Component): Int =
-            c.plane((yy * c.v / vMax) * c.planeW + (xx * c.h / hMax))
+            c.plane((yy * c.v / vMax) * c.planeW + (xx * c.h / hMax)) & 0xff
           val yv = sample(comps(0)).toDouble
           val cb = sample(comps(1)) - 128.0
           val cr = sample(comps(2)) - 128.0
@@ -347,8 +381,6 @@ object JpegCodec {
     Some(BmpCodec.Decoded(w, h, bgr))
   }
 
-  @inline private def clamp(v: Int): Byte =
-    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
   @inline private def clampD(v: Double): Byte = {
     val r = math.round(v).toInt
     (if (r < 0) 0 else if (r > 255) 255 else r).toByte

@@ -10,13 +10,14 @@ import graft.operators.Tables
   * shapes a training-data pipeline needs.
   *
   * The Spark-side mechanics here are real and tested — schema, partitioning,
-  * per-partition batch processing. The codec seam has one REAL arm and one
-  * stub arm: BMP payloads decode through [[BmpCodec]] (pure-JVM 24-bit BMP:
-  * decode / mean color / thumbnail features / resize+re-encode), everything
-  * else through the clearly-marked deterministic [[StubCodec]] — the
-  * container has no image/audio libraries for other formats, and at 100 TB
-  * the codec is a pluggable leaf anyway (a JNI/ffmpeg/JPEG decoder adds a
-  * dispatch arm behind the same signature).
+  * per-partition batch processing. The codec seam has THREE real arms
+  * behind magic-byte dispatch — [[BmpCodec]] (pure-JVM 24-bit BMP,
+  * decode+encode), [[PngCodec]] (pure-JVM PNG, decode+encode), and
+  * [[JpegCodec]] (pure-JVM baseline JPEG, decode) — with the
+  * clearly-marked deterministic [[StubCodec]] covering everything else
+  * (audio/video containers need libraries this container doesn't have; at
+  * 100 TB the codec is a pluggable leaf anyway — an ffmpeg/JNI decoder
+  * adds a dispatch arm behind the same signature).
   *
   * Ingestion paths: `spark.read.format("binaryFile")` for real asset dirs;
   * here the `documents` table stands in, with each text's UTF-8 bytes as the
@@ -122,12 +123,13 @@ object Multimodal {
       mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])
 
   /** REAL decode path: magic-byte dispatch over the codec arms — BMP
-    * payloads decode through [[BmpCodec]], PNG through [[PngCodec]] (both
-    * pure-JVM), everything else is skipped — same mapPartitions batch
-    * shape as [[extractFeatures]], so a JPEG/ffmpeg decoder composes in by
-    * adding a dispatch arm. ThumbSize² grayscale grid is the image-space
-    * feature for downstream similarity/dedup (see Similarity — the thumb is
-    * an embedding column like any other). */
+    * through [[BmpCodec]], PNG through [[PngCodec]], baseline JPEG
+    * through [[JpegCodec]] (all pure-JVM), everything else is skipped —
+    * same mapPartitions batch shape as [[extractFeatures]], so an
+    * ffmpeg/JNI decoder composes in by adding a dispatch arm. ThumbSize²
+    * grayscale grid is the image-space feature for downstream
+    * similarity/dedup (see Similarity — the thumb is an embedding column
+    * like any other). */
   val ThumbSize = 8
 
   /** One decoded representation (BGR top-down) behind all codec arms. */

@@ -205,11 +205,18 @@ object Advanced {
       .filter(col("v").isNotNull)
       .distinct()
       .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
+    // spine of all profiled columns: an all-NULL column has no distinct
+    // rows at all and must still profile (n_distinct = 0), not vanish
+    import s.implicits._
+    val spine = cols.toDF("column_name")
     def pick(sfx: String) = coalesce(cols.map(c =>
       when(col("column_name") === c, col(s"${c}_$sfx"))): _*)
-    distincts.join(broadcast(basic))
+    spine
+      .join(distincts, Seq("column_name"), "left_outer")
+      .join(broadcast(basic))
       .select(col("column_name"), col("n_rows"),
-        pick("cnt").as("n_non_null"), col("n_distinct"),
+        pick("cnt").as("n_non_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         pick("min").as("min_value"), pick("max").as("max_value"))
   }
 
