@@ -82,6 +82,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("gopher quality is pure per-row projection: zero exchanges") {
+    val p = plan(graft.operators.TextQueries.gopherQuality(spark, sf0001))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("bm25 broadcasts the one-row stats frame, never shuffles the corpus") {
+    val p = plan(graft.operators.TextQueries.bm25(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    // corpus side: no hash-partition exchange of document rows
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p.take(2000))
+  }
+
+  test("native as-of join plans exactly two exchanges (one per side)") {
+    val df = Relational.asofJoinNative(spark, sf0001)
+    df.collect() // finalize AQE
+    // AdaptiveSparkPlan's toString prints final AND initial plans — audit
+    // the final section only
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    // both sides hash-cluster on the user key; the view-dedup agg adds
+    // its own exchange — but nothing shuffles twice on the same key
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length <= 3,
+      p.take(3000))
+  }
+
+  test("column profile plans no Expand (the multi-distinct trap)") {
+    val p = plan(Advanced.columnProfile(spark, sf0001))
+    assert(!p.contains("Expand"), p.take(2000))
+  }
+
+  test("heavy hitters: candidate join is a broadcast, tokens never shuffle for it") {
+    val p = plan(graft.operators.TextQueries.heavyHitters(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
   test("shard pack: corpus windows partition by pid — the only global window is the P-row offset table") {
     val df = Advanced.shardPack(spark, sf0001)
     val p = plan(df)
