@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout UNPREFIXED: the bench/verify
+// drivers parse the one-line JSON that Bench prints, and sbt's default
+// LoggedOutput wraps every forked line in "[info] " which breaks the
+// parse (BENCH_r{1..3}.json all show parsed:null for exactly this).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
