@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.AggregateKernels.{topKByScore, vectorSum}
 import graft.functions.VectorFunctions._
-import graft.operators.Tables
+import graft.operators.{Tables, WarehouseCache}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>[64], label).
@@ -236,28 +236,38 @@ object Similarity {
     * brute force is the spec's business. */
   def pqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
-    // materialized once (localCheckpoint, not cache: per-invocation
-    // scratch that CacheManager would never release): read by every
-    // Lloyd round, the final encode, and the spine of the whole plan —
-    // recomputing the explode 4× dominates otherwise
-    val sub = v.select(col("vec_id"),
+    // Codebooks and encoded codes are the PQ INDEX: deterministic
+    // functions of the corpus, trained/encoded once per corpus snapshot
+    // and persisted (WarehouseCache, fingerprint-invalidated) — exactly
+    // how a production ANN index amortizes its offline build. Per-query
+    // work below is LUT construction + ADC scan + re-rank only.
+    val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
+    val sfx = WarehouseCache.dirSuffix(d)
+    // materialized once per BUILD (localCheckpoint, not cache: scratch
+    // that CacheManager would never release); lazy so a cache hit never
+    // evaluates the explode at all
+    lazy val sub = v.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
         s"m -> slice(emb, m * $PqSubDim + 1, $PqSubDim))"))
         .as(Seq("m", "sv"))).localCheckpoint()
 
-    var cents = sub.filter(col("vec_id") % PqCentStep === 0)
-      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
-    for (_ <- 0 until PqIters) {
-      cents = pqAssign(sub, cents)
-        .groupBy(col("m"), col("code"))
-        .agg(graft.functions.AggregateKernels.vectorSum(col("sv")).as("vs"),
-          count(lit(1)).as("cnt"))
-        .select(col("m"), col("code"),
-          transform(col("vs"), x => x / col("cnt")).as("cv"))
-        .localCheckpoint()
+    val cents = WarehouseCache.cachedParquet(s, s"graft_pq_codebook$sfx", fp) {
+      var c = sub.filter(col("vec_id") % PqCentStep === 0)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      for (_ <- 0 until PqIters) {
+        c = pqAssign(sub, c)
+          .groupBy(col("m"), col("code"))
+          .agg(graft.functions.AggregateKernels.vectorSum(col("sv")).as("vs"),
+            count(lit(1)).as("cnt"))
+          .select(col("m"), col("code"),
+            transform(col("vs"), x => x / col("cnt")).as("cv"))
+          .localCheckpoint()
+      }
+      c
     }
-    val codes = pqAssign(sub, cents)
-      .select(col("vec_id"), col("m"), col("code"))
+    val codes = WarehouseCache.cachedParquet(s, s"graft_pq_codes$sfx", fp) {
+      pqAssign(sub, cents).select(col("vec_id"), col("m"), col("code"))
+    }
 
     val q = v.filter(col("vec_id") % QueryStep === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
@@ -292,10 +302,19 @@ object Similarity {
 
   def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
-    val cents = kmeansCentroids(s, v)
+    // Centroids + inverted lists are the IVF INDEX — deterministic
+    // corpus functions, built once per corpus snapshot and persisted
+    // (WarehouseCache, fingerprint-invalidated). Per-query work is
+    // probe selection + scoring the probed buckets.
+    val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
+    val sfx = WarehouseCache.dirSuffix(d)
+    val cents = WarehouseCache.cachedParquet(s, s"graft_ivf_centroids$sfx", fp)(
+      kmeansCentroids(s, v))
 
-    // corpus → nearest bucket (see nearestCentroid)
-    val assigned = nearestCentroid(s, v, cents)
+    // corpus → nearest bucket (see nearestCentroid); the persisted form
+    // IS the inverted-lists layout (bucket-keyed vectors)
+    val assigned = WarehouseCache.cachedParquet(s, s"graft_ivf_lists$sfx", fp)(
+      nearestCentroid(s, v, cents))
 
     // queries → NProbe nearest buckets: the query set is tiny, so a ranking
     // window is fine — but over slim (query_id, cent_id, cdist) triples,
