@@ -4,8 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
@@ -40,6 +41,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: the native as-of join's planner strategy
     // (logical node graft.plans.AsOfJoinPlan → physical AsOfJoinExec)
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // SQL surface for the same operator: asof_join(...) table function →
+    // UnresolvedAsOfJoin placeholder → resolution rule → AsOfJoinPlan
+    e.injectResolutionRule(_ => new graft.plans.ResolveAsOfJoin)
+    e.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[graft.plans.AsOfJoinPlan].getName,
+        "asof_join"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 5 && exprs.length <= 7,
+          "asof_join takes (left_table, right_table, keys_csv, left_time, " +
+            "right_time[, direction[, strict]])")
+        def str(i: Int, what: String): String = exprs(i) match {
+          case Literal(v, StringType) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"asof_join: $what must be a string literal, got $other")
+        }
+        val dir =
+          if (exprs.length >= 6) str(5, "direction") else "backward"
+        require(dir == "backward" || dir == "forward",
+          s"asof_join: direction must be 'backward' or 'forward', got $dir")
+        val strict = exprs.length >= 7 && (exprs(6) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"asof_join: strict must be a boolean literal, got $other")
+        })
+        graft.plans.UnresolvedAsOfJoin(
+          UnresolvedRelation(str(0, "left_table").split('.').toSeq),
+          UnresolvedRelation(str(1, "right_table").split('.').toSeq),
+          str(2, "keys").split(',').map(_.trim).toSeq,
+          str(3, "left_time"), str(4, "right_time"),
+          forward = dir == "forward", strict = strict, rightSuffix = "_r")
+      }))
     register2(e, "sorted_intersect_size", classOf[SortedIntersectSize],
       SortedIntersectSize(_, _))
     register2(e, "cosine_similarity", classOf[CosineSimilarity],

@@ -118,6 +118,7 @@ object SparkEntry {
     "q92_asof_forward" -> (Relational.asofJoinForward(_, _)),
     "q93_stats_battery" -> (Advanced.statsBattery(_, _)),
     "q94_session_window" -> (Advanced.sessionWindowAgg(_, _)),
+    "q95_asof_sql" -> (Relational.asofJoinSql(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -683,5 +684,12 @@ object SparkEntry {
         "SELECT user_id, epoch_ms(ts) AS ts_ms, " +
         "lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms " +
         "FROM events))) GROUP BY user_id, session_id"),
+    "q95_asof_sql" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events), " +
+        "c AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts_ms, round(max(value), 2) AS view_value " +
+        "FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms) " +
+        "SELECT c.event_id, c.user_id, c.ts_ms, v.ts_ms AS view_ms, v.view_value " +
+        "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms"),
   )
 }

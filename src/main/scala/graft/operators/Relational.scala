@@ -228,6 +228,29 @@ object Relational {
         col("ts_ms_v").as("view_ms"), col("view_value_v").as("view_value"))
   }
 
+  /** The q74 as-of join driven END-TO-END THROUGH SQL: temp views + the
+    * `asof_join(...)` table-valued function (GraftExtensions), which the
+    * injected resolution rule rewrites into the same AsOfJoinPlan /
+    * AsOfJoinExec chain the DataFrame API builds. Hash-matching q74's
+    * DuckDB ASOF oracle proves the SQL surface is semantics-preserving. */
+  def asofJoinSql(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"), col("value"))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .createOrReplaceTempView("graft_asof_clicks")
+    ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+      .createOrReplaceTempView("graft_asof_views")
+    s.sql("""
+      SELECT event_id, user_id, ts_ms,
+             ts_ms_r AS view_ms, view_value_r AS view_value
+      FROM asof_join('graft_asof_clicks', 'graft_asof_views',
+                     'user_id', 'ts_ms', 'ts_ms', 'backward')""")
+  }
+
   /** FORWARD as-of on the native operator: each error event picks up the
     * next purchase of the same user at-or-after it (time-to-recovery
     * shape). Same merge operator as q74 running in forward mode — no

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
@@ -224,8 +225,74 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Analysis-time placeholder behind the SQL surface
+  * (`asof_join('left_tbl', 'right_tbl', 'k1,k2', 'lt', 'rt'[, 'forward'
+  * [, strict]])`, registered as a table-valued function by
+  * `GraftExtensions`): carries the two table subtrees plus column NAMES
+  * until the children resolve; the injected [[ResolveAsOfJoin]] analyzer
+  * rule then rewrites it into the resolved [[AsOfJoinPlan]]. This is the
+  * idiomatic Catalyst unresolved-node + resolution-rule pattern — the SQL
+  * path and the DataFrame path converge on the same physical operator. */
+case class UnresolvedAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keys: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    forward: Boolean,
+    strict: Boolean,
+    rightSuffix: String)
+  extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rewrites [[UnresolvedAsOfJoin]] into [[AsOfJoinPlan]] once both table
+  * subtrees are resolved (same fixed-point batch as the built-in
+  * resolution rules, injected via `injectResolutionRule`). Right columns
+  * come back suffixed, exactly like the DataFrame API. */
+class ResolveAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case UnresolvedAsOfJoin(l, r, keys, ltc, rtc, fw, st, sfx)
+          if l.resolved && r.resolved =>
+        val renamed = Project(r.output.map(a => Alias(a, a.name + sfx)()), r)
+        AsOf.resolvedPlan(l, renamed, keys, ltc, rtc, sfx, fw, st)
+    }
+}
+
 /** DataFrame-level API over the native operator. */
 object AsOf {
+
+  /** Resolve key/time column names against already-analyzed children and
+    * build the [[AsOfJoinPlan]]; shared by the DataFrame API and the SQL
+    * resolution rule. `right` must already carry suffixed column names. */
+  private[plans] def resolvedPlan(lPlan: LogicalPlan, rPlan: LogicalPlan,
+      keys: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      rightSuffix: String, forward: Boolean, strict: Boolean): AsOfJoinPlan = {
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column `$n` on the $side side " +
+          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    val lk = keys.map(attr(lPlan, _, "left"))
+    val rk = keys.map(k => attr(rPlan, k + rightSuffix, "right"))
+    val lt = attr(lPlan, leftTimeCol, "left")
+    val rt = attr(rPlan, rightTimeCol + rightSuffix, "right")
+    // this path bypasses the analyzer's join type coercion, and the exec
+    // builds its orderings from the LEFT side's types — a mismatched pair
+    // would compare raw bytes of different layouts and silently drop or
+    // fabricate matches. Refuse instead.
+    (lk.zip(rk) :+ (lt, rt)).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of join: column `${l.name}` is ${l.dataType.simpleString} on " +
+          s"the left but `${r.name}` is ${r.dataType.simpleString} on the " +
+          "right — cast both sides to a common type first")
+    }
+    AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward, strict)
+  }
 
   /** LEFT OUTER as-of join: for each left row, the nearest right row
     * among equal `keys` — backward (greatest right time ≤ left time, the
@@ -247,27 +314,9 @@ object AsOf {
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
     val r = right.select(right.columns.map(c =>
       right(c).as(c + rightSuffix)).toSeq: _*)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = r.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String, side: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"as-of join: no column `$n` on the $side side " +
-          s"(have: ${p.output.map(_.name).mkString(", ")})"))
-    val lk = keys.map(attr(lPlan, _, "left"))
-    val rk = keys.map(k => attr(rPlan, k + rightSuffix, "right"))
-    val lt = attr(lPlan, leftTimeCol, "left")
-    val rt = attr(rPlan, rightTimeCol + rightSuffix, "right")
-    // this API bypasses the analyzer's join type coercion, and the exec
-    // builds its orderings from the LEFT side's types — a mismatched pair
-    // would compare raw bytes of different layouts and silently drop or
-    // fabricate matches. Refuse instead.
-    (lk.zip(rk) :+ (lt, rt)).foreach { case (l, r) =>
-      require(l.dataType == r.dataType,
-        s"as-of join: column `${l.name}` is ${l.dataType.simpleString} on " +
-          s"the left but `${r.name}` is ${r.dataType.simpleString} on the " +
-          "right — cast both sides to a common type first")
-    }
-    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward, strict)
+    val plan = resolvedPlan(left.queryExecution.analyzed,
+      r.queryExecution.analyzed, keys, leftTimeCol, rightTimeCol,
+      rightSuffix, forward, strict)
     GraftSqlBridge.ofRows(left.sparkSession, plan)
   }
 }

@@ -182,4 +182,47 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Set(("a", 1, Some("m1")), ("a", 2, Some("m2")),
       ("b", 1, None)))
   }
+
+  // ------------------------------------------------------- SQL TVF surface
+
+  test("SQL asof_join TVF matches the DataFrame API (backward)") {
+    trades.createOrReplaceTempView("asof_spec_trades")
+    quotes.createOrReplaceTempView("asof_spec_quotes")
+    val viaSql = spark.sql(
+      "SELECT sym, t, qty, qt_r, px_r FROM asof_join(" +
+        "'asof_spec_trades', 'asof_spec_quotes', 'sym', 't', 'qt')")
+    val viaApi = AsOf.join(trades, quotes, Seq("sym"), "t", "qt")
+      .select($"sym", $"t", $"qty", $"qt_r", $"px_r")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    assert(viaSql.count() === trades.count())
+  }
+
+  test("SQL asof_join TVF honors direction and strict arguments") {
+    trades.createOrReplaceTempView("asof_spec_trades")
+    quotes.createOrReplaceTempView("asof_spec_quotes")
+    def run(dir: String, strict: Boolean) = spark.sql(
+      s"SELECT sym, t, qt_r FROM asof_join('asof_spec_trades', " +
+        s"'asof_spec_quotes', 'sym', 't', 'qt', '$dir', $strict)")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    // forward: earliest quote at-or-after each trade
+    assert(run("forward", strict = false) === Set(
+      ("aa", 10L, Some(25L)), ("aa", 25L, Some(25L)), ("aa", 31L, None),
+      ("bb", 5L, Some(50L)), ("bb", 40L, Some(50L)), ("cc", 7L, None)))
+    // strict backward: the t=25 tie no longer matches itself
+    assert(run("backward", strict = true).contains(("aa", 25L, Some(8L))))
+  }
+
+  test("SQL asof_join TVF refuses bad arguments at analysis time") {
+    trades.createOrReplaceTempView("asof_spec_trades")
+    quotes.createOrReplaceTempView("asof_spec_quotes")
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM asof_join('asof_spec_trades', 'asof_spec_quotes', " +
+        "'sym', 't', 'qt', 'sideways')").collect())
+      .getMessage.contains("direction"))
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM asof_join('asof_spec_trades', 'asof_spec_quotes', " +
+        "'nope', 't', 'qt')").collect())
+      .getMessage.contains("no column"))
+  }
 }
