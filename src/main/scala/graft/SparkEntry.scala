@@ -119,6 +119,7 @@ object SparkEntry {
     "q93_stats_battery" -> (Advanced.statsBattery(_, _)),
     "q94_session_window" -> (Advanced.sessionWindowAgg(_, _)),
     "q95_asof_sql" -> (Relational.asofJoinSql(_, _)),
+    "q96_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

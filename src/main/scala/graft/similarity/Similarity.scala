@@ -300,6 +300,102 @@ object Similarity {
         col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** IVF+PQ residual ANN (the IVFADC scheme of Jégou et al. 2011 §IV):
+    * vectors assign to a coarse centroid, the PQ codebooks quantize the
+    * RESIDUAL v − c(v) rather than v itself — residual energy is much
+    * smaller than vector energy, so the same code budget quantizes finer.
+    * Scoring decomposes exactly: dot(q, v) ≈ dot(q, c(v)) + Σ_m dot(q_m,
+    * cb[m, code_m]) — one per-(query, centroid) coarse term + the same ADC
+    * lookup join as plain PQ, restricted to the probed buckets. All three
+    * index artifacts (coarse centroids, inverted lists with codes,
+    * residual codebooks) are deterministic corpus functions persisted via
+    * [[graft.operators.WarehouseCache]]; per-query work is probe + ADC
+    * over nprobe/ncentroids of the corpus + exact re-rank of [[PqCand]].
+    * At 100 TB: lists store 8-byte codes, the scan does table lookups. */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val v = vectors(s, d)
+    val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
+    val sfx = WarehouseCache.dirSuffix(d)
+    val coarse = WarehouseCache.cachedParquet(s, s"graft_ivfpq_coarse$sfx", fp)(
+      kmeansCentroids(s, v))
+    val lists = WarehouseCache.cachedParquet(s, s"graft_ivfpq_lists$sfx", fp)(
+      nearestCentroid(s, v, coarse))
+    // residual subvectors (build-only; lazy so cache hits skip it)
+    lazy val sub = lists.join(broadcast(coarse), Seq("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("cent_emb"), (a, b) => a - b).as("remb"))
+      .select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(remb, m * $PqSubDim + 1, $PqSubDim))"))
+          .as(Seq("m", "sv"))).localCheckpoint()
+    val cb = WarehouseCache.cachedParquet(s, s"graft_ivfpq_codebook$sfx", fp) {
+      var c = sub.filter(col("vec_id") % PqCentStep === 0)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      for (_ <- 0 until PqIters) {
+        c = pqAssign(sub, c)
+          .groupBy(col("m"), col("code"))
+          .agg(vectorSum(col("sv")).as("vs"), count(lit(1)).as("cnt"))
+          .select(col("m"), col("code"),
+            transform(col("vs"), x => x / col("cnt")).as("cv"))
+          .localCheckpoint()
+      }
+      c
+    }
+    val codes = WarehouseCache.cachedParquet(s, s"graft_ivfpq_codes$sfx", fp) {
+      pqAssign(sub, cb).select(col("vec_id"), col("m"), col("code"))
+    }
+
+    val q = v.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    // per-(query, centroid) coarse terms: dot for the score decomposition,
+    // cosine for probe ranking (same probe rule as ivfTopK)
+    val qc = q.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cent_id"),
+        dot(col("q_emb"), col("cent_emb")).as("cdot"),
+        cosine(col("q_emb"), col("cent_emb")).as("cdist"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cent_id"))
+    val probes = qc.withColumn("crk", row_number().over(pw))
+      .filter(col("crk") <= NProbe)
+      .select(col("query_id"), col("cent_id"), col("cdot"))
+
+    // ADC lookup table on the QUERY subvectors (not query residuals:
+    // dot(q, r) already decomposes over q's own subvectors)
+    val qsub = q.select(col("query_id"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+        s"m -> slice(q_emb, m * $PqSubDim + 1, $PqSubDim))"))
+        .as(Seq("m", "qv")))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dot(col("qv"), col("cv")).as("part"))
+
+    // candidates restricted to probed buckets; score = coarse + residual ADC
+    val cand0 = lists.select(col("vec_id"), col("cent_id"))
+      .join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val adc = cand0.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("cdot")).as("cdot"), sum(col("part")).as("radc"))
+      .select(col("query_id"), col("vec_id"),
+        (col("cdot") + col("radc")).as("score"))
+    val cand = adc.groupBy(col("query_id"))
+      .agg(topKByScore(col("score"), col("vec_id"), PqCand).as("cs"))
+      .select(col("query_id"), explode(col("cs")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+
+    cand
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
     // Centroids + inverted lists are the IVF INDEX — deterministic

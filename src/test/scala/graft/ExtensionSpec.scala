@@ -190,6 +190,21 @@ class ExtensionSpec extends SparkTestBase {
       .filter(col("sim") < 0.9).count() === 0)
   }
 
+  test("IVF+PQ residual recall vs brute force beats the probe baseline") {
+    val bf = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.nonEmpty)
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    // probing nprobe of ~ncentroids buckets bounds recall near
+    // nprobe/ncentroids for a random index; the learned one must beat it
+    assert(recall > 0.5, s"IVF+PQ recall $recall")
+    val t = Similarity.ivfPqTopK(spark, d)
+    assert(t.filter(col("rk") < 1 || col("rk") > 5).count() === 0)
+    assert(t.filter(col("sim") < -1 || col("sim") > 1).count() === 0)
+  }
+
   test("PQ topk recall vs brute force is useful (> 0.5), ranks consistent") {
     val bf = Similarity.bruteForceTopK(spark, d)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
