@@ -385,4 +385,293 @@ object JpegCodec {
     val r = math.round(v).toInt
     (if (r < 0) 0 else if (r > 255) 255 else r).toByte
   }
+
+  // -------------------------------------------------------------- encoder
+  //
+  // Baseline sequential encoder: 4:4:4 (no subsampling), one interleaved
+  // scan, ITU T.81 Annex K quantization + Huffman tables (quant tables
+  // quality-scaled the conventional way). Pinned in the spec both ways:
+  // our decoder and ImageIO must read the produced bytes back within a
+  // small tolerance of the source pixels.
+
+  /** T.81 Table K.1/K.2 base quantization tables (row-major). */
+  private val StdLumaQ: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val StdChromaQ: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** T.81 Annex K Huffman specs: (BITS counts per code length 1..16,
+    * HUFFVAL symbol list). */
+  private val DcLumaSpec: (Array[Int], Array[Int]) =
+    (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      (0 to 11).toArray)
+  private val DcChromaSpec: (Array[Int], Array[Int]) =
+    (Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+      (0 to 11).toArray)
+  private val AcLumaSpec: (Array[Int], Array[Int]) =
+    (Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+      Array(
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+        0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+        0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+        0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+        0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+        0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+  private val AcChromaSpec: (Array[Int], Array[Int]) =
+    (Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+      Array(
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+        0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+        0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+        0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+        0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+        0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+        0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+        0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+  /** Canonical Huffman code assignment from a (BITS, HUFFVAL) spec —
+    * the encoder-side inverse of [[Huff]]. */
+  private final class HuffEnc(spec: (Array[Int], Array[Int])) {
+    val codes = new Array[Int](256)
+    val sizes = new Array[Int](256)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        var i = 0
+        while (i < spec._1(len - 1)) {
+          codes(spec._2(k)) = code
+          sizes(spec._2(k)) = len
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+      }
+    }
+  }
+  private lazy val DcLumaEnc = new HuffEnc(DcLumaSpec)
+  private lazy val DcChromaEnc = new HuffEnc(DcChromaSpec)
+  private lazy val AcLumaEnc = new HuffEnc(AcLumaSpec)
+  private lazy val AcChromaEnc = new HuffEnc(AcChromaSpec)
+
+  /** MSB-first bit emitter with the mandatory 0xFF 0x00 byte stuffing. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      n += len
+      while (n >= 8) {
+        val b = ((acc >> (n - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        n -= 8
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (n > 0) put(0x7f, 8 - n)
+  }
+
+  /** Magnitude category of a coefficient (number of bits to code it). */
+  @inline private def category(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Forward 8×8 DCT (separable float reference form) + quantization +
+    * zigzag, the exact inverse composition of [[idct]]: input block holds
+    * level-shifted samples, output is zigzag-ordered quantized coeffs. */
+  private def fdctQuant(in: Array[Double], tmp: Array[Double],
+      q: Array[Int], out: Array[Int]): Unit = {
+    // rows: tmp(y,u) = Σ_x in(y,x) cos((2x+1)uπ/16)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += in(y * 8 + x) * Cos(x)(u); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // cols + scale + quantize: F(u,v) = C(u)C(v)/4 Σ_y tmp(y,u) cos(...)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * Cos(yy)(v); yy += 1 }
+        val f = s * IdctScale(u) * IdctScale(v) / 4.0
+        val qi = q(v * 8 + u)
+        out(ZigZagInv(v * 8 + u)) = math.round(f / qi).toInt
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Zigzag position for each natural index, precomputed (the decoder's
+    * [[ZigZag]] maps zigzag→natural; this is its inverse). */
+  private lazy val ZigZagInv: Array[Int] = {
+    val inv = new Array[Int](64)
+    for (i <- 0 until 64) inv(ZigZag(i)) = i
+    inv
+  }
+
+  /** Quality-scaled quantization table (libjpeg convention). */
+  private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
+  }
+
+  /** Encode BGR top-down pixels as a baseline sequential 4:4:4 JFIF
+    * JPEG. Output decodes in this file's [[decode]], ImageIO, and any
+    * T.81 baseline decoder. */
+  def encode(img: BmpCodec.Decoded, quality: Int = 90): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0, "jpeg encode: empty image")
+    val lq = scaledQ(StdLumaQ, quality)
+    val cq = scaledQ(StdChromaQ, quality)
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+
+    marker(0xd8) // SOI
+    // APP0/JFIF 1.1, no thumbnail
+    marker(0xe0); u16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: table 0 (luma), table 1 (chroma), zigzag order
+    for ((tbl, id) <- Seq((lq, 0), (cq, 1))) {
+      marker(0xdb); u16(67); u8(id)
+      for (i <- 0 until 64) u8(tbl(ZigZag(i)))
+    }
+    // SOF0: 8-bit, 3 components, all 1×1 sampling (4:4:4)
+    marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x11); u8(0) // Y → quant table 0
+    u8(2); u8(0x11); u8(1) // Cb → quant table 1
+    u8(3); u8(0x11); u8(1) // Cr
+    // DHT ×4 (Annex K)
+    for ((spec, cls, id) <- Seq((DcLumaSpec, 0, 0), (AcLumaSpec, 1, 0),
+      (DcChromaSpec, 0, 1), (AcChromaSpec, 1, 1))) {
+      marker(0xc4); u16(2 + 1 + 16 + spec._2.length)
+      u8((cls << 4) | id)
+      spec._1.foreach(u8)
+      spec._2.foreach(u8)
+    }
+    // SOS
+    marker(0xda); u16(6 + 2 * 3); u8(3)
+    u8(1); u8(0x00) // Y: DC table 0, AC table 0
+    u8(2); u8(0x11) // Cb: DC table 1, AC table 1
+    u8(3); u8(0x11)
+    u8(0); u8(63); u8(0) // full spectral selection, no approximation
+
+    val bw = new BitWriter(out)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val coefs = new Array[Int](64)
+    val pred = new Array[Int](3)
+
+    def emitBlock(dcEnc: HuffEnc, acEnc: HuffEnc, comp: Int): Unit = {
+      val diff = coefs(0) - pred(comp)
+      pred(comp) = coefs(0)
+      val s = category(diff)
+      bw.put(dcEnc.codes(s), dcEnc.sizes(s))
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      var run = 0
+      var i = 1
+      while (i < 64) {
+        val c = coefs(i)
+        if (c == 0) run += 1
+        else {
+          while (run >= 16) {
+            bw.put(acEnc.codes(0xf0), acEnc.sizes(0xf0)); run -= 16
+          }
+          val cs = category(c)
+          val sym = (run << 4) | cs
+          bw.put(acEnc.codes(sym), acEnc.sizes(sym))
+          bw.put(if (c < 0) c + (1 << cs) - 1 else c, cs)
+          run = 0
+        }
+        i += 1
+      }
+      if (run > 0) bw.put(acEnc.codes(0x00), acEnc.sizes(0x00)) // EOB
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // gather the 8×8 tile once, converting BGR → YCbCr (BT.601 JFIF);
+        // edge MCUs replicate the last row/column (standard practice —
+        // keeps gradients flat across the pad, minimizing ringing)
+        var comp = 0
+        while (comp < 3) {
+          var yy = 0
+          while (yy < 8) {
+            val sy = math.min(h - 1, my * 8 + yy)
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(w - 1, mx * 8 + xx)
+              val p = (sy * w + sx) * 3
+              val bb = img.bgr(p) & 0xff
+              val gg = img.bgr(p + 1) & 0xff
+              val rr = img.bgr(p + 2) & 0xff
+              val v = comp match {
+                case 0 => 0.299 * rr + 0.587 * gg + 0.114 * bb
+                case 1 => 128.0 - 0.168736 * rr - 0.331264 * gg + 0.5 * bb
+                case _ => 128.0 + 0.5 * rr - 0.418688 * gg - 0.081312 * bb
+              }
+              block(yy * 8 + xx) = v - 128.0
+              xx += 1
+            }
+            yy += 1
+          }
+          fdctQuant(block, tmp, if (comp == 0) lq else cq, coefs)
+          if (comp == 0) emitBlock(DcLumaEnc, AcLumaEnc, 0)
+          else emitBlock(DcChromaEnc, AcChromaEnc, comp)
+          comp += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -167,15 +167,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, media) =>
-          // JPEG thumbnails transcode to PNG (we decode JPEG but do not
-          // re-encode lossy); BMP/PNG keep their source format
+          // every format round-trips in kind: BMP/PNG losslessly, JPEG
+          // through the baseline encoder (lossy, like any JPEG resize)
           val isBmp = BmpCodec.isBmp(media)
+          val isJpg = JpegCodec.isJpeg(media)
           decodeAny(media).map { img =>
             val small = BmpCodec.resizeNearest(img, w, h)
             val out =
-              if (isBmp) BmpCodec.encode(small) else PngCodec.encode(small)
-            Asset(id, out, if (isBmp) "image/bmp" else "image/png",
-              out.length.toLong)
+              if (isBmp) BmpCodec.encode(small)
+              else if (isJpg) JpegCodec.encode(small)
+              else PngCodec.encode(small)
+            val mime =
+              if (isBmp) "image/bmp"
+              else if (isJpg) "image/jpeg" else "image/png"
+            Asset(id, out, mime, out.length.toLong)
           }
         }
       }

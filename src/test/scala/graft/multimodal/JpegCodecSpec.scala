@@ -113,4 +113,99 @@ class JpegCodecSpec extends AnyFunSuite {
     val got = Multimodal.decodeAny(jpeg)
     assert(got.isDefined && got.get.width === 16)
   }
+
+  // --------------------------------------------------------- encoder arm
+
+  /** BGR top-down raster from a BufferedImage (the codec's pixel layout). */
+  private def toDecoded(bi: BufferedImage): BmpCodec.Decoded = {
+    val out = new Array[Byte](bi.getWidth * bi.getHeight * 3)
+    for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+      val rgb = bi.getRGB(x, y)
+      val i = (y * bi.getWidth + x) * 3
+      out(i) = (rgb & 0xff).toByte
+      out(i + 1) = ((rgb >> 8) & 0xff).toByte
+      out(i + 2) = ((rgb >> 16) & 0xff).toByte
+    }
+    BmpCodec.Decoded(bi.getWidth, bi.getHeight, out)
+  }
+
+  /** (mean, max) abs channel diff between a source raster and a decode. */
+  private def rasterDiff(a: BmpCodec.Decoded, b: BmpCodec.Decoded)
+      : (Double, Int) = {
+    assert(a.width === b.width && a.height === b.height)
+    var sum = 0L; var max = 0
+    for (i <- a.bgr.indices) {
+      val d = math.abs((a.bgr(i) & 0xff) - (b.bgr(i) & 0xff))
+      sum += d; if (d > max) max = d
+    }
+    (sum.toDouble / a.bgr.length, max)
+  }
+
+  test("encode: our decoder round-trips our encoder within quant loss") {
+    val src = toDecoded(gradient(64, 48))
+    val jpeg = JpegCodec.encode(src, quality = 90)
+    val back = JpegCodec.decode(jpeg).getOrElse(fail("self-decode failed"))
+    val (mean, max) = rasterDiff(src, back)
+    assert(mean <= 3.0, s"mean diff $mean")
+    assert(max <= 48, s"max diff $max")
+  }
+
+  test("encode: ImageIO reads our bytes back within quant loss") {
+    val src = toDecoded(gradient(64, 48))
+    val jpeg = JpegCodec.encode(src, quality = 90)
+    val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+    assert(ref != null, "ImageIO rejected our JPEG")
+    val (mean, max) = rasterDiff(src, toDecoded(ref))
+    assert(mean <= 3.0, s"mean diff $mean")
+    assert(max <= 48, s"max diff $max")
+  }
+
+  test("encode: odd dimensions (edge-replicated partial MCUs)") {
+    val src = toDecoded(gradient(37, 21))
+    val jpeg = JpegCodec.encode(src, quality = 95)
+    val back = JpegCodec.decode(jpeg).getOrElse(fail("self-decode failed"))
+    assert(back.width === 37 && back.height === 21)
+    val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+    assert(ref.getWidth === 37 && ref.getHeight === 21)
+    assert(rasterDiff(src, back)._1 <= 3.0)
+  }
+
+  test("encode: solid color compresses near-losslessly and tiny") {
+    val bi = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) bi.setRGB(x, y, 0x4080c0)
+    val src = toDecoded(bi)
+    val jpeg = JpegCodec.encode(src, quality = 90)
+    assert(jpeg.length < 1200, s"solid 32x32 should be header-dominated, " +
+      s"got ${jpeg.length} bytes")
+    val (mean, max) = rasterDiff(src, JpegCodec.decode(jpeg).get)
+    assert(mean <= 1.0 && max <= 4, s"mean $mean max $max")
+  }
+
+  test("encode: quality knob trades size for error monotonically") {
+    val src = toDecoded(gradient(64, 64))
+    val lo = JpegCodec.encode(src, quality = 30)
+    val hi = JpegCodec.encode(src, quality = 95)
+    assert(lo.length < hi.length)
+    val eLo = rasterDiff(src, JpegCodec.decode(lo).get)._1
+    val eHi = rasterDiff(src, JpegCodec.decode(hi).get)._1
+    assert(eHi < eLo, s"q95 err $eHi should beat q30 err $eLo")
+  }
+
+  test("resizeImages keeps JPEG assets as JPEG (lossy round trip)") {
+    import SparkHolder.spark.implicits._
+    val jpeg = JpegCodec.encode(toDecoded(gradient(16, 16)), 90)
+    val assets = Seq(
+      Multimodal.Asset(7L, jpeg, "image/jpeg", jpeg.length.toLong)).toDS()
+    val out = Multimodal.resizeImages(assets.toDF(), SparkHolder.spark, 8, 8)
+      .collect()
+    assert(out.length === 1 && out(0).mime === "image/jpeg")
+    assert(JpegCodec.isJpeg(out(0).media))
+    val thumb = JpegCodec.decode(out(0).media).get
+    assert(thumb.width === 8 && thumb.height === 8)
+  }
+}
+
+/** Session for the one Spark-touching test in this file. */
+private object SparkHolder {
+  lazy val spark = graft.SparkTestBase.session
 }
