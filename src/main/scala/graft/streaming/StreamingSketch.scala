@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.functions.MGSummary
 
@@ -43,6 +43,60 @@ object StreamingSketch {
           val next = MGState(mg.entries.toMap, n)
           state.update(next)
           ShardSummary(shard, n, next.items)
+      }
+  }
+
+  /** A timestamped word (input row of the event-time variant). */
+  final case class WordAt(word: String, ts: java.sql.Timestamp)
+
+  /** One (tumbling window, shard)'s FINAL summary, emitted once the
+    * watermark passes the window end. */
+  final case class WindowShardSummary(windowStartMs: Long, shard: Int,
+      n: Long, items: Map[String, Long])
+
+  /** EVENT-TIME windowed heavy hitters ([[streamingHeavyHitters]] is
+    * processing-order): state keys are (shard, tumbling window), so a
+    * late arrival WITHIN the watermark folds into the window its event
+    * time belongs to — not whichever trigger it happened to ride in on —
+    * and each window's summary is emitted exactly once (Append mode),
+    * when the watermark crosses the window end (EventTimeTimeout).
+    * Arrivals beyond the watermark for an already-finalized window are
+    * discarded instead of resurrecting state.
+    *
+    * `words` must already carry a watermark on `ts` (the caller owns the
+    * lateness budget). State remains shards·k entries per OPEN window;
+    * closed windows free theirs via `state.remove()`. */
+  def windowedHeavyHitters(words: Dataset[WordAt],
+      windowMs: Long = 3600000L, shards: Int = 8, k: Int = 64)
+      : Dataset[WindowShardSummary] = {
+    import words.sparkSession.implicits._
+    words
+      .groupByKey(w => (math.floorMod(w.word.hashCode, shards),
+        math.floorDiv(w.ts.getTime, windowMs) * windowMs))
+      .flatMapGroupsWithState[MGState, WindowShardSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((shard, winStart), it, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: finalize and free
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              WindowShardSummary(winStart, shard, s.n, s.items))
+          } else if (winStart + windowMs <= state.getCurrentWatermarkMs()) {
+            // beyond-watermark stragglers for a window that already
+            // finalized (or will finalize this trigger with no state):
+            // dropping them is the watermark contract
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(MGState(Map.empty, 0L))
+            val mg = new MGSummary(k)
+            prev.items.foreach { case (i, c) => mg.entries(i) = c }
+            var n = prev.n
+            it.foreach { w => mg.offer(w.word); n += 1 }
+            state.update(MGState(mg.entries.toMap, n))
+            state.setTimeoutTimestamp(winStart + windowMs)
+            Iterator.empty
+          }
       }
   }
 }

@@ -313,4 +313,54 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("event-time heavy hitters: late data folds into its window, " +
+    "watermark finalizes exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingSketch.{WordAt, WindowShardSummary}
+    def at(w: String, sec: Long) =
+      WordAt(w, new java.sql.Timestamp(sec * 1000))
+    val input = MemoryStream[WordAt](spark)
+    val words = input.toDS().withWatermark("ts", "30 seconds")
+      .as[WordAt]
+    val q = StreamingSketch
+      .windowedHeavyHitters(words, windowMs = 60000L, shards = 2, k = 8)
+      .writeStream.format("memory").queryName("ewhh")
+      .outputMode("append").start()
+    try {
+      // window [0, 60s): hot items + light noise; plus one row in the
+      // next window to move event time forward a little
+      input.addData((0 until 30).map(_ => at("alpha", 10)) ++
+        (0 until 20).map(_ => at("beta", 20)) ++
+        (0 until 6).map(i => at(s"noise$i", 25)) :+ at("tail", 70))
+      q.processAllAvailable()
+      // watermark is now 70s-30s = 40s < 60s: window 0 still open —
+      // these arrive LATE (event time 50s < max seen 70s) but within
+      // the watermark, so they must fold into window 0, not be dropped
+      input.addData((0 until 10).map(_ => at("alpha", 50)))
+      q.processAllAvailable()
+      assert(spark.table("ewhh").count() === 0) // nothing finalized yet
+      // push the watermark past 60s (event 200s ⇒ wm 170s) ...
+      input.addData(Seq(at("tail", 200)))
+      q.processAllAvailable()
+      // ... and one more trigger for the timeout to fire on
+      input.addData(Seq(at("tail", 210)))
+      q.processAllAvailable()
+
+      val fin = spark.table("ewhh").as[WindowShardSummary].collect()
+        .filter(_.windowStartMs === 0L)
+      assert(fin.map(_.shard).toSet.size === fin.length, "dup finalize")
+      assert(fin.map(_.n).sum === 66L, "window-0 total must count late rows")
+      val got = fin.flatMap(_.items).toMap
+      assert(got.contains("alpha") && got("alpha") >= 40L - 66L / 9,
+        s"late alphas lost: ${got.get("alpha")}")
+      assert(got.contains("beta"))
+      // beyond-watermark straggler for the closed window: silently dropped,
+      // no state resurrection, no second emission
+      input.addData(Seq(at("alpha", 30)))
+      q.processAllAvailable()
+      assert(spark.table("ewhh").as[WindowShardSummary].collect()
+        .count(_.windowStartMs === 0L) === fin.length)
+    } finally q.stop()
+  }
 }
