@@ -120,6 +120,10 @@ object SparkEntry {
     "q94_session_window" -> (Advanced.sessionWindowAgg(_, _)),
     "q95_asof_sql" -> (Relational.asofJoinSql(_, _)),
     "q96_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q97_scd2_merge" -> (Advanced.scd2Merge(_, _)),
+    "q98_bfs_reach" -> ((s, d) => Graph.bfsReachability(s, d)),
+    "q99_interval_concurrency" -> ((s, d) => Advanced.intervalConcurrency(s, d)),
+    "q100_skyline" -> (Advanced.skyline(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -692,5 +696,35 @@ object SparkEntry {
         "FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms) " +
         "SELECT c.event_id, c.user_id, c.ts_ms, v.ts_ms AS view_ms, v.view_value " +
         "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms"),
+    "q97_scd2_merge" ->
+      ("WITH ch AS (SELECT user_id, epoch_ms(ts) AS valid_from_ms, event_id, " +
+        "round(value, 2) AS attr_value FROM events WHERE event_type = 'purchase') " +
+        "SELECT user_id, valid_from_ms, event_id, attr_value, " +
+        "lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) AS valid_to_ms, " +
+        "(lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) IS NULL) AS is_current " +
+        "FROM ch"),
+    "q98_bfs_reach" ->
+      ("WITH RECURSIVE uk AS (SELECT DISTINCT user_id, 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk UNION ALL SELECT b, a FROM uk), " +
+        "seeds AS (SELECT DISTINCT a AS node FROM uk WHERE user_id % 100 = 0), " +
+        "bfs AS (SELECT node, 0 AS dist FROM seeds " +
+        "UNION SELECT e.dst AS node, b.dist + 1 AS dist FROM bfs b " +
+        "JOIN e ON e.src = b.node WHERE b.dist < 4) " +
+        "SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node"),
+    "q99_interval_concurrency" ->
+      ("WITH iv AS (SELECT event_id, epoch_ms(ts) AS s, " +
+        "epoch_ms(ts) + 3600000 AS e FROM events WHERE event_type = 'purchase') " +
+        "SELECT a.event_id, a.s AS start_ms, CAST(count(*) AS INT) AS n_overlap " +
+        "FROM iv a JOIN iv b ON b.s <= a.s AND a.s < b.e " +
+        "GROUP BY a.event_id, a.s"),
+    "q100_skyline" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price " +
+        "FROM orders WHERE o_custkey % 5 = 0) " +
+        "SELECT a.o_orderkey, a.o_orderdate, a.price FROM o a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM o b " +
+        "WHERE b.o_orderdate <= a.o_orderdate AND b.price <= a.price " +
+        "AND (b.o_orderdate < a.o_orderdate OR b.price < a.price))"),
   )
 }

@@ -708,4 +708,114 @@ object Advanced {
       .filter(col("dist") <= maxDist)
       .select(col("key_a"), col("key_b"), col("dist"))
   }
+
+  // ------------------------------------------------------------------ SCD2
+
+  /** Declarative SCD2 versioning over a change stream: each change row
+    * becomes a version valid [its ts, next change's ts) per key; the open
+    * version has null valid_to. One window pass. */
+  private def scd2Build(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_ms"), col("event_id"))
+    changes.withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+  }
+
+  /** SCD2 dimension maintenance, the INCREMENTAL way a warehouse applies
+    * it: history built from changes up to a cutoff, then a late batch of
+    * updates merged in — untouched keys' history is carried over
+    * verbatim (anti join), affected keys are re-versioned from their
+    * existing rows plus the updates (semi join + union + re-window). The
+    * oracle is the FULL declarative recompute over all changes: the query
+    * hash-matching it proves incremental merge == batch recompute, the
+    * invariant that makes incremental maintenance trustworthy at 100 TB
+    * (where re-versioning only affected keys is the difference between
+    * touching gigabytes and touching everything). */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("valid_from_ms"),
+        col("event_id"), round(col("value"), 2).as("attr_value"))
+    // deterministic cutoff at 80% of the observed time span; an empty
+    // change stream has no cutoff and no history — just the (empty) build
+    val bounds = changes.agg(min("valid_from_ms"), max("valid_from_ms")).head()
+    if (bounds.isNullAt(0)) return scd2Build(changes)
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val cut = mn + (mx - mn) * 4 / 5
+    val hist = scd2Build(changes.filter(col("valid_from_ms") <= cut))
+    val updates = changes.filter(col("valid_from_ms") > cut)
+
+    val affected = updates.select("user_id").distinct()
+    val untouched = hist.join(affected, Seq("user_id"), "left_anti")
+    val reVersioned = scd2Build(
+      hist.join(affected, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("valid_from_ms"), col("event_id"),
+          col("attr_value"))
+        .unionByName(updates))
+    untouched.unionByName(reVersioned)
+  }
+
+  // ------------------------------------------- sweep-line interval overlap
+
+  /** Interval concurrency by sweep line: each purchase event opens a
+    * 1-hour interval; for every interval start, how many intervals cover
+    * it. The naive formulation is a quadratic range self-join (which IS
+    * the oracle, computed independently by DuckDB); the engine runs the
+    * O(n log n) sweep — ±1 deltas, collapsed per timestamp, prefix-summed.
+    * The prefix sum is the textbook two-level scan, not one global-order
+    * window: per-day in-bucket running sums parallelize across
+    * partitions, and only the per-day TOTALS (a few thousand rows at any
+    * scale) pass through the single-partition running-total window. */
+  def intervalConcurrency(s: SparkSession, d: String,
+      lenMs: Long = 3600000L): DataFrame = {
+    val iv = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_millis(col("ts")).as("s"))
+      .withColumn("e", col("s") + lenMs)
+    val deltas = iv.select(col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("e").as("t"), lit(-1L).as("delta")))
+      .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
+      .withColumn("bucket", floor(col("t") / 86400000L))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val overBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = deltas.groupBy(col("bucket"))
+      .agg(sum(col("delta")).as("btot"))
+      .withColumn("offset", coalesce(sum(col("btot")).over(overBuckets),
+        lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val conc = deltas
+      .withColumn("prefix", sum(col("delta")).over(inBucket))
+      .join(broadcast(bucketTotals), Seq("bucket"))
+      .select(col("t"), (col("prefix") + col("offset")).as("concurrency"))
+    iv.join(conc, iv("s") === conc("t"))
+      .select(col("event_id"), col("s").as("start_ms"),
+        col("concurrency").cast("int").as("n_overlap"))
+  }
+
+  // ------------------------------------------------------------- skyline
+
+  /** 2D skyline (Pareto front) of orders under (earlier date, lower
+    * price): an order survives iff no other order is ≤ on both axes and
+    * strictly better on one. The oracle is the quadratic NOT EXISTS; the
+    * engine reduces per-date to the min price (same-date domination),
+    * then one running-min window over the per-DATE table — thousands of
+    * rows regardless of order count, so the unpartitioned window is on
+    * the reduced axis, never the data. Exact ties on both axes are
+    * mutually non-dominating and all kept, via the final semi join. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_custkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"))
+    val perDate = o.groupBy(col("o_orderdate"))
+      .agg(min(col("price")).as("minp"))
+    val w = Window.orderBy(col("o_orderdate"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perDate.withColumn("rmin", min(col("minp")).over(w))
+      .filter(col("rmin").isNull || col("minp") < col("rmin"))
+      .select(col("o_orderdate"), col("minp").as("price"))
+    o.join(sky, Seq("o_orderdate", "price"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"), col("price"))
+  }
 }

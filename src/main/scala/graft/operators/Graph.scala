@@ -80,4 +80,34 @@ object Graph {
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
+
+  /** Bounded multi-source BFS over the interaction graph: hop distance
+    * from the seed users (user_id % 100 == 0) out to `rounds` hops. Each
+    * round expands the FRONTIER only (newly-reached nodes), anti-joined
+    * against everything already reached — per-round work is proportional
+    * to the frontier's edge neighborhood, not the visited set, which is
+    * what lets hop-bounded traversals run on billion-edge graphs. Rounds
+    * checkpoint (they gate the next round's anti join — unlike
+    * PageRank's compose-only loop there IS a per-round dependency).
+    * Oracle: DuckDB WITH RECURSIVE breadth expansion + min(dist). */
+  def bfsReachability(s: SparkSession, d: String, rounds: Int = 4)
+      : DataFrame = {
+    val e = eventEdges(s, d).localCheckpoint()
+    val seeds = Tables.events(s, d)
+      .filter(col("user_id") % 100 === 0)
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(concat(lit("u"), col("user_id")).as("node")).distinct()
+    var dist = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist
+    for (i <- 1 to rounds) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint()
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    dist
+  }
 }

@@ -217,4 +217,58 @@ class AdvancedSpec extends SparkTestBase {
       assert(r.getInt(2) <= 2)
     }
   }
+
+  test("scd2 merge: versions chain without gaps, one open row per key") {
+    val dim = Advanced.scd2Merge(spark, d).cache()
+    // exactly one is_current (null valid_to) per user
+    val opens = dim.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n_open"))
+    assert(opens.filter($"n_open" =!= 1).count() === 0)
+    // versions tile the timeline: valid_to equals the next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"valid_from_ms", $"event_id")
+    val chained = dim.withColumn("next_from", lead($"valid_from_ms", 1).over(w))
+    assert(chained.filter($"next_from".isNotNull &&
+      $"valid_to_ms" =!= $"next_from").count() === 0)
+    assert(chained.filter($"next_from".isNull && !$"is_current").count() === 0)
+  }
+
+  test("interval concurrency: bucketed two-level prefix equals a single " +
+    "global running sum") {
+    val got = Advanced.intervalConcurrency(spark, d)
+    // reference: one global-order window (fine at spec scale)
+    val iv = graft.operators.Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", unix_millis($"ts").as("s"))
+      .withColumn("e", $"s" + 3600000L)
+    val deltas = iv.select($"s".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select($"e".as("t"), lit(-1L).as("delta")))
+      .groupBy($"t").agg(sum($"delta").as("delta"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = deltas.withColumn("c", sum($"delta").over(w))
+    val refJoined = iv.join(ref, iv("s") === ref("t"))
+      .select($"event_id", $"s".as("start_ms"), $"c".cast("int").as("n_overlap"))
+    assert(got.exceptAll(refJoined).isEmpty && refJoined.exceptAll(got).isEmpty)
+    // every interval covers itself
+    assert(got.filter($"n_overlap" < 1).count() === 0)
+  }
+
+  test("skyline: no member dominated, every non-member dominated") {
+    val o = graft.operators.Tables.orders(spark, d)
+      .filter($"o_custkey" % 5 === 0)
+      .select($"o_orderkey",
+        // order-isomorphic long key for the date axis (NTZ-safe)
+        unix_millis($"o_orderdate".cast("timestamp")).as("dd"),
+        round($"o_totalprice", 2).as("price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sky = Advanced.skyline(spark, d)
+      .select($"o_orderkey").as[Long].collect().toSet
+    def dominated(a: (Long, Long, Double)) = o.exists(b =>
+      b._2 <= a._2 && b._3 <= a._3 && (b._2 < a._2 || b._3 < a._3))
+    o.foreach { a =>
+      assert(sky.contains(a._1) === !dominated(a),
+        s"order ${a._1}: sky=${sky.contains(a._1)} dominated=${dominated(a)}")
+    }
+  }
 }

@@ -58,4 +58,22 @@ class GraphSpec extends SparkTestBase {
     // at least some gaps actually exist in the event data
     assert(gf.filter($"filled").count() > 0)
   }
+
+  test("bfs: seeds at 0, triangle inequality over edges, frontier-only") {
+    val dist = Graph.bfsReachability(spark, sf0001).cache()
+    val m = dist.as[(String, Int)].collect().toMap
+    assert(m.nonEmpty && m.values.min === 0)
+    assert(m.values.forall(v => v >= 0 && v <= 4))
+    // every edge (a → b) with a reached at dA implies b reached ≤ dA + 1
+    val edges = Graph.eventEdges(spark, sf0001)
+      .as[(String, String)].collect()
+    edges.foreach { case (a, b) =>
+      m.get(a).foreach { dA =>
+        if (dA < 4)
+          assert(m.contains(b) && m(b) <= dA + 1, s"edge $a($dA) -> $b")
+      }
+    }
+    // distances are unique per node (no duplicate reachings)
+    assert(dist.groupBy($"node").count().filter($"count" > 1).count() === 0)
+  }
 }
