@@ -124,6 +124,9 @@ object SparkEntry {
     "q98_bfs_reach" -> ((s, d) => Graph.bfsReachability(s, d)),
     "q99_interval_concurrency" -> ((s, d) => Advanced.intervalConcurrency(s, d)),
     "q100_skyline" -> (Advanced.skyline(_, _)),
+    "q101_weighted_sample" -> (Advanced.weightedSample(_, _)),
+    "q102_listagg" -> (Advanced.orderedListAgg(_, _)),
+    "q103_bloom_join" -> (Relational.bloomPrunedJoin(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -726,5 +729,24 @@ object SparkEntry {
         "WHERE NOT EXISTS (SELECT 1 FROM o b " +
         "WHERE b.o_orderdate <= a.o_orderdate AND b.price <= a.price " +
         "AND (b.o_orderdate < a.o_orderdate OR b.price < a.price))"),
+    "q101_weighted_sample" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice / " +
+        "(SELECT max(o_totalprice) FROM orders) AS p FROM orders) " +
+        "SELECT o_orderkey, round(p, 6) AS p FROM o " +
+        "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < " +
+        "printf('%08x', CAST(least(floor(p * 4294967296), 4294967295) AS BIGINT))"),
+    "q102_listagg" ->
+      ("SELECT o_custkey, " +
+        "string_agg(lpad(CAST(o_orderkey AS VARCHAR), 12, '0'), ',' " +
+        "ORDER BY lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS order_keys, " +
+        "string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "count(*) AS n " +
+        "FROM orders WHERE o_custkey % 500 = 0 GROUP BY o_custkey"),
+    "q103_bloom_join" ->
+      ("SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem WHERE l_orderkey IN (" +
+        "SELECT o_orderkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' AND o_custkey % 7 = 0) " +
+        "GROUP BY l_orderkey"),
   )
 }

@@ -818,4 +818,49 @@ object Advanced {
     o.join(sky, Seq("o_orderdate", "price"), "left_semi")
       .select(col("o_orderkey"), col("o_orderdate"), col("price"))
   }
+
+  // ------------------------------------------- deterministic weighted sample
+
+  /** Weighted Bernoulli sampling with NO RNG: each order is included with
+    * probability proportional to its price, decided by comparing a
+    * keyed hash (first 8 md5 hex chars of the key — a uniform draw that
+    * any engine reproduces bit-exactly) against the weight mapped to the
+    * same 8-hex scale. Fully deterministic ⇒ repeatable samples across
+    * runs, engines, and partitionings — the property production sampling
+    * pipelines need for incremental reprocessing (re-running a shard
+    * yields the same sample, so downstream caches stay valid). Pure map
+    * work after one broadcast scalar; the fixed-width lowercase-hex
+    * comparison IS the numeric comparison. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val maxp = o.agg(max(col("o_totalprice")).as("maxp"))
+    o.crossJoin(broadcast(maxp))
+      .withColumn("p", col("o_totalprice") / col("maxp"))
+      .withColumn("h",
+        substring(md5(col("o_orderkey").cast("string")), 1, 8))
+      .withColumn("thresh", lower(lpad(hex(
+        least(floor(col("p") * lit(4294967296.0)), lit(4294967295.0))
+          .cast("bigint")), 8, "0")))
+      .filter(col("h") < col("thresh"))
+      .select(col("o_orderkey"), round(col("p"), 6).as("p"))
+  }
+
+  // --------------------------------------------------- ordered string agg
+
+  /** LISTAGG / string_agg with a DETERMINISTIC element order: collect_list
+    * order is partition-dependent in a distributed engine, so the
+    * elements are sorted before joining (zero-padded keys keep the string
+    * sort numeric). The cross-engine hash match is only possible because
+    * of that explicit ordering — the unordered form isn't a well-defined
+    * query. */
+  def orderedListAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_custkey") % 500 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(array_sort(collect_list(
+          lpad(col("o_orderkey").cast("string"), 12, "0"))), ",")
+          .as("order_keys"),
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count(lit(1)).as("n"))
 }

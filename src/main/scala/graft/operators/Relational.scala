@@ -453,4 +453,41 @@ object Relational {
     lineitem(s, d).agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Runtime bloom filter made EXPLICIT: the dim side's key set is
+    * sketched once (one small-side aggregate), and the probe runs as a
+    * native codegen'd predicate ON THE FACT SCAN, before the shuffle —
+    * rows that cannot join never enter the exchange. False positives are
+    * removed by the exact semi join after; the oracle is the plain semi
+    * join, so the hash match proves the pre-filter transparent. This is
+    * the mechanism behind spark.sql.optimizer.runtime.bloomFilter, built
+    * from the public pieces (util.sketch.BloomFilter + a custom
+    * Expression) so the plan shows exactly where the pruning happens. At
+    * 100 TB this is the difference between shuffling the full fact table
+    * and shuffling the ~matching fraction. */
+  def bloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_custkey") % 7 === 0)
+      .select(col("o_orderkey"))
+    // empty dim ⇒ nothing can join (and BloomFilter.writeTo NPEs on a
+    // never-written sketch): the always-false probe is the exact filter
+    val nDim = dim.count()
+    val probe =
+      if (nDim == 0) lit(false)
+      else {
+        val bloom = dim.stat.bloomFilter("o_orderkey", math.max(nDim, 64), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        graft.functions.BloomFilterExpressions
+          .mightContainLong(col("l_orderkey"), bos.toByteArray)
+      }
+    val pruned = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(probe)
+    pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+  }
 }

@@ -131,4 +131,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(singlePartitionExchanges <= 1, p.take(3000))
   }
 
+  test("bloom-pruned join probes on the scan side of the exchange and " +
+    "stays transparent") {
+    val df = Relational.bloomPrunedJoin(spark, sf0001)
+    val p = plan(df)
+    // the native probe must appear (not a UDF), upstream of any exchange:
+    // in the string form the filter prints before its scan, both before
+    // the first Exchange that follows the lineitem branch
+    assert(p.contains("bloom_might_contain_long"), p.take(3000))
+    val probeIdx = p.indexOf("bloom_might_contain_long")
+    val lineitemScan = p.indexOf("lineitem.parquet")
+    assert(probeIdx >= 0 && lineitemScan > probeIdx,
+      "probe is not attached above the fact scan:\n" + p.take(3000))
+    // transparency: same result as the plain semi join
+    val plain = {
+      import org.apache.spark.sql.functions._
+      val dim = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_custkey") % 7 === 0)
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_quantity"))
+      li.join(dim, li("l_orderkey") === dim("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+  }
+
+  test("weighted sample is repeatable and tracks the weight scale") {
+    val a = Advanced.weightedSample(spark, sf0001)
+    val b = Advanced.weightedSample(spark, sf0001)
+    val ra = a.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(ra === b.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+    // E[|sample|] = Σp; the md5 draw should land within a loose band
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_totalprice") /
+        max(col("o_totalprice")).over() as "p")
+    val expected = o.agg(sum("p")).head().getDouble(0)
+    assert(math.abs(ra.size - expected) < expected * 0.1,
+      s"|sample|=${ra.size}, E=$expected")
+  }
+
 }
