@@ -7,9 +7,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * with pure JVM byte arithmetic + `java.util.zip` for the DEFLATE stream —
   * no external libraries. Supports the mainstream still-image profile:
   * 8-bit-per-channel truecolor (color type 2) and truecolor+alpha (type 6,
-  * alpha dropped), non-interlaced, with ALL five scanline filters (none /
-  * sub / up / average / paeth) implemented for decode. Encode emits
-  * filter-0 RGB rows.
+  * alpha dropped), BOTH interlace modes (none and Adam7), with ALL five
+  * scanline filters (none / sub / up / average / paeth) implemented for
+  * decode. Encode emits filter-0 non-interlaced RGB rows.
   *
   * Decodes into [[BmpCodec.Decoded]] (BGR, top-down) so every downstream
   * primitive — mean color, nearest-neighbor resize, gray thumbnails — is
@@ -67,38 +67,58 @@ object PngCodec {
       // crafted headers must not drive allocation: bound dimensions first
       if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
       if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
-        interlace != 0) return None
+        (interlace != 0 && interlace != 1)) return None
       val bpp = if (colorType == 2) 3 else 4
       val stride = w * bpp
-      val expected = (stride + 1) * h
-      val raw = inflate(idat.toByteArray, expected)
-      if (raw == null || raw.length != expected) return None
 
       val img = new Array[Byte](h * stride)
-      var y = 0
-      while (y < h) {
-        val ft = raw(y * (stride + 1)) & 0xff
-        if (ft > 4) return None
-        val rowOff = y * (stride + 1) + 1
-        val outOff = y * stride
-        var x = 0
-        while (x < stride) {
-          val cur = raw(rowOff + x) & 0xff
-          val a = if (x >= bpp) img(outOff + x - bpp) & 0xff else 0
-          val u = if (y > 0) img(outOff - stride + x) & 0xff else 0
-          val c = if (x >= bpp && y > 0) img(outOff - stride + x - bpp) & 0xff
-            else 0
-          val v = ft match {
-            case 0 => cur
-            case 1 => cur + a
-            case 2 => cur + u
-            case 3 => cur + ((a + u) >> 1)
-            case _ => cur + paeth(a, u, c)
+      if (interlace == 0) {
+        val expected = (stride + 1) * h
+        val raw = inflate(idat.toByteArray, expected)
+        if (raw == null || raw.length != expected) return None
+        if (!unfilter(raw, 0, img, 0, h, w * bpp, stride, bpp)) return None
+      } else {
+        // Adam7: seven filtered sub-images, each scanline-filtered within
+        // its own pass, pixels scattered on the (xStart + i·xStep,
+        // yStart + j·yStep) lattice
+        val xs = Array(0, 4, 0, 2, 0, 1, 0)
+        val ys = Array(0, 0, 4, 0, 2, 0, 1)
+        val xStep = Array(8, 8, 4, 4, 2, 2, 1)
+        val yStep = Array(8, 8, 8, 4, 4, 2, 2)
+        def passW(p: Int) = (w - xs(p) + xStep(p) - 1) / xStep(p)
+        def passH(p: Int) = (h - ys(p) + yStep(p) - 1) / yStep(p)
+        val expected = (0 until 7).map { p =>
+          val (pw, ph) = (passW(p), passH(p))
+          if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+        }.sum
+        val raw = inflate(idat.toByteArray, expected)
+        if (raw == null || raw.length != expected) return None
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val pw = passW(p); val ph = passH(p)
+          if (pw > 0 && ph > 0) {
+            val rb = pw * bpp
+            val sub = new Array[Byte](ph * rb)
+            if (!unfilter(raw, off, sub, 0, ph, rb, rb, bpp)) return None
+            off += ph * (1 + rb)
+            // scatter the de-filtered sub-image onto the lattice
+            var j = 0
+            while (j < ph) {
+              val dy = (ys(p) + j * yStep(p)) * stride
+              var i = 0
+              while (i < pw) {
+                val so = j * rb + i * bpp
+                val dd = dy + (xs(p) + i * xStep(p)) * bpp
+                var k = 0
+                while (k < bpp) { img(dd + k) = sub(so + k); k += 1 }
+                i += 1
+              }
+              j += 1
+            }
           }
-          img(outOff + x) = (v & 0xff).toByte
-          x += 1
+          p += 1
         }
-        y += 1
       }
       // RGB(A) → BGR top-down (alpha dropped): the shared Decoded layout
       val bgr = new Array[Byte](w * h * 3)
@@ -112,6 +132,41 @@ object PngCodec {
     } catch {
       case _: Exception => None // truncated/corrupt stream: not decodable
     }
+  }
+
+  /** Reverse the per-scanline filters for `rows` consecutive rows of one
+    * (sub-)image: `raw` holds [filter byte ‖ rowBytes] per row starting at
+    * `rawOff`; de-filtered rows land in `out` at `outStride` apart. False
+    * on an invalid filter type. */
+  private def unfilter(raw: Array[Byte], rawOff: Int, out: Array[Byte],
+      outOff: Int, rows: Int, rowBytes: Int, outStride: Int, bpp: Int)
+      : Boolean = {
+    var y = 0
+    while (y < rows) {
+      val ft = raw(rawOff + y * (rowBytes + 1)) & 0xff
+      if (ft > 4) return false
+      val rowOff = rawOff + y * (rowBytes + 1) + 1
+      val o = outOff + y * outStride
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(rowOff + x) & 0xff
+        val a = if (x >= bpp) out(o + x - bpp) & 0xff else 0
+        val u = if (y > 0) out(o - outStride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(o - outStride + x - bpp) & 0xff
+          else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + u
+          case 3 => cur + ((a + u) >> 1)
+          case _ => cur + paeth(a, u, c)
+        }
+        out(o + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    true
   }
 
   /** Encode as 8-bit truecolor, non-interlaced, filter-0 rows. */

@@ -135,3 +135,76 @@ class PngDispatchSpec extends SparkTestBase {
     assert(p.bgr.sameElements(BmpCodec.decode(out(1L).media).get.bgr))
   }
 }
+
+/** Adam7-interlace decode pinned against ImageIO's progressive writer. */
+class PngAdam7Spec extends AnyFunSuite {
+
+  private def pattern(w: Int, h: Int): BmpCodec.Decoded = {
+    val bgr = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bgr(i) = ((x * 255) / w).toByte
+      bgr(i + 1) = ((y * 255) / h).toByte
+      bgr(i + 2) = (if ((x / 4 + y / 4) % 2 == 0) 230 else 20).toByte
+    }
+    BmpCodec.Decoded(w, h, bgr)
+  }
+
+  private def toBuffered(img: BmpCodec.Decoded): BufferedImage = {
+    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.height; x <- 0 until img.width) {
+      val i = (y * img.width + x) * 3
+      val rgb = ((img.bgr(i + 2) & 0xff) << 16) |
+        ((img.bgr(i + 1) & 0xff) << 8) | (img.bgr(i) & 0xff)
+      bi.setRGB(x, y, rgb)
+    }
+    bi
+  }
+
+  /** ImageIO's PNG writer in progressive mode emits Adam7 interlacing. */
+  private def encodeInterlaced(bi: BufferedImage): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    val w = ImageIO.getImageWritersByFormatName("png").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(bi, null, null), p)
+    ios.close(); w.dispose()
+    val bytes = out.toByteArray
+    // be sure we actually produced an interlaced file (IHDR byte 12)
+    assert((bytes(8 + 8 + 12) & 0xff) === 1, "writer did not interlace")
+    bytes
+  }
+
+  test("decodes Adam7-interlaced RGB PNGs pixel-exact") {
+    val img = pattern(37, 23)
+    val decoded = PngCodec.decode(encodeInterlaced(toBuffered(img)))
+    assert(decoded.isDefined)
+    assert(decoded.get.bgr.sameElements(img.bgr))
+  }
+
+  test("Adam7: dimensions below one 8x8 tile exercise skipped passes") {
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1), (3, 5), (8, 8), (7, 2))) {
+      val img = pattern(w, h)
+      val got = PngCodec.decode(encodeInterlaced(toBuffered(img)))
+      assert(got.isDefined, s"${w}x$h not decoded")
+      assert(got.get.bgr.sameElements(img.bgr), s"${w}x$h mismatch")
+    }
+  }
+
+  test("decodes Adam7 RGBA PNGs, dropping alpha") {
+    val img = pattern(21, 13)
+    val bi = new BufferedImage(21, 13, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val i = (y * 21 + x) * 3
+      val rgb = ((img.bgr(i + 2) & 0xff) << 16) |
+        ((img.bgr(i + 1) & 0xff) << 8) | (img.bgr(i) & 0xff)
+      bi.setRGB(x, y, 0xcc000000 | rgb)
+    }
+    val decoded = PngCodec.decode(encodeInterlaced(bi))
+    assert(decoded.isDefined)
+    assert(decoded.get.bgr.sameElements(img.bgr))
+  }
+}
