@@ -127,6 +127,9 @@ object SparkEntry {
     "q101_weighted_sample" -> (Advanced.weightedSample(_, _)),
     "q102_listagg" -> (Advanced.orderedListAgg(_, _)),
     "q103_bloom_join" -> (Relational.bloomPrunedJoin(_, _)),
+    "q104_time_range_frames" -> (Advanced.timeRangeFrames(_, _)),
+    "q105_filter_aggs" -> (Advanced.filterClauseAggs(_, _)),
+    "q106_nullsafe_join" -> (Advanced.nullSafeJoin(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -748,5 +751,28 @@ object SparkEntry {
         "SELECT o_orderkey FROM orders " +
         "WHERE o_orderpriority = '1-URGENT' AND o_custkey % 7 = 0) " +
         "GROUP BY l_orderkey"),
+    "q104_time_range_frames" ->
+      ("SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
+        "count(1) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS sum_7d, " +
+        "count(1) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOUR FOLLOWING) AS n_next24h " +
+        "FROM events WHERE user_id % 25 = 0"),
+    "q105_filter_aggs" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "round(coalesce(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 0.0), 2) AS big_total, " +
+        "round(avg(o_totalprice) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01'), 4) AS recent_avg " +
+        "FROM orders GROUP BY o_orderpriority"),
+    "q106_nullsafe_join" ->
+      ("WITH l AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL " +
+        "ELSE o_orderkey % 50 END AS k, count(*) AS nl FROM orders " +
+        "WHERE o_custkey % 3 = 0 GROUP BY 1), " +
+        "r AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL " +
+        "ELSE o_orderkey % 50 END AS k, count(*) AS nr FROM orders " +
+        "WHERE o_custkey % 5 = 0 GROUP BY 1) " +
+        "SELECT l.k AS k, l.nl, r.nr FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k"),
   )
 }

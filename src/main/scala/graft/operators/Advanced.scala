@@ -863,4 +863,56 @@ object Advanced {
         array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
           .as("statuses"),
         count(lit(1)).as("n"))
+
+  /** TIME-interval RANGE frames (q88's value-range frames on the time
+    * axis): per-user trailing-7-day and forward-24-hour windows over
+    * event timestamps — the "activity in the last N days as of each
+    * event" shape. One window pass per frame direction; peers are
+    * determined by timestamp arithmetic, not row position, so ties and
+    * irregular sampling behave correctly by construction. */
+  def timeRangeFrames(s: SparkSession, d: String): DataFrame = {
+    val trail = "PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW"
+    val fwd = "PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOURS FOLLOWING"
+    events(s, d).filter(col("user_id") % 25 === 0)
+      .selectExpr("event_id", "user_id", "unix_millis(ts) AS ts_ms",
+        s"count(1) OVER ($trail) AS n_7d",
+        s"round(sum(value) OVER ($trail), 2) AS sum_7d",
+        s"count(1) OVER ($fwd) AS n_next24h")
+  }
+
+  /** FILTER-clause aggregates: per-group conditional aggregation without
+    * self-joins or CASE pyramids — each FILTER predicate gates its one
+    * aggregate inside the same single pass. */
+  def filterClauseAggs(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_fc_orders")
+    s.sql("""
+      SELECT o_orderpriority,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             round(coalesce(sum(o_totalprice)
+               FILTER (WHERE o_totalprice > 150000), 0.0), 2) AS big_total,
+             round(avg(o_totalprice)
+               FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01'), 4)
+               AS recent_avg
+      FROM graft_fc_orders GROUP BY o_orderpriority""")
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys join
+    * each other instead of vanishing — the semantics dimension tables
+    * with "unknown" buckets need. Hash-joinable like a plain equi key
+    * (null is just one more bucket value), unlike a general non-equi
+    * condition. */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    def side(m: Int, alias: String) = orders(s, d)
+      .filter(col("o_custkey") % m === 0)
+      .select(when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 50).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as(alias))
+    val l = side(3, "nl")
+    val r = side(5, "nr")
+    l.join(r, l("k") <=> r("k"))
+      .select(l("k").as("k"), col("nl"), col("nr"))
+  }
 }
