@@ -1,15 +1,17 @@
 package graft.multimodal
 
-/** Third REAL codec arm: baseline sequential JPEG (ITU T.81) decode with
-  * pure JVM arithmetic — marker parse, canonical Huffman entropy decode
-  * (with byte-stuffing and restart markers), dequantization, inverse
-  * zigzag, separable float IDCT, chroma upsampling (any h/v sampling
-  * factors incl. 4:2:0), JFIF full-range YCbCr→RGB.
+/** Third REAL codec arm: JPEG (ITU T.81) decode with pure JVM
+  * arithmetic — marker parse, canonical Huffman entropy decode (with
+  * byte-stuffing and restart markers), dequantization, inverse zigzag,
+  * separable float IDCT, chroma upsampling (any h/v sampling factors
+  * incl. 4:2:0), JFIF full-range YCbCr→RGB.
   *
-  * Scope: 8-bit baseline DCT (SOF0), 1 or 3 components, no progressive
-  * (SOF2) or arithmetic coding — the profile virtually every
-  * camera/web JPEG encoder emits. Unsupported profiles return None and
-  * fall through [[Multimodal]]'s dispatch.
+  * Scope: 8-bit baseline (SOF0) AND progressive (SOF2 — spectral
+  * selection + successive approximation, DC/AC first and refinement
+  * scans, EOB runs), 1 or 3 components; no arithmetic coding, no
+  * hierarchical/lossless modes. Unsupported profiles return None and
+  * fall through [[Multimodal]]'s dispatch. A baseline encoder
+  * ([[encode]]) completes the arm.
   *
   * Unlike BMP/PNG, JPEG decoding is not bit-exact across implementations
   * (the spec allows IDCT variation) — the spec pins this decoder against
@@ -168,12 +170,211 @@ object JpegCodec {
     // transient footprint 4× smaller than int planes (header-declared
     // dimensions allocate BEFORE entropy data is validated)
     var plane: Array[Byte] = _
+    // progressive-mode state: the full-image coefficient buffer (blocks
+    // in the padded interleaved grid bw×bh, NATURAL order within each
+    // 64-coef block) accumulated across scans, plus the component's
+    // non-interleaved block dims (T.81 A.2.2: single-component scans
+    // cover ceil(compW/8)×ceil(compH/8), NOT the MCU-padded grid)
+    var bw = 0
+    var bh = 0
+    var nbw = 0
+    var nbh = 0
+    var coefs: Array[Int] = _
   }
 
   def decode(b: Array[Byte]): Option[BmpCodec.Decoded] = {
     if (!isJpeg(b)) return None
     try decodeInner(b)
     catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------- progressive scans
+  //
+  // T.81 G.1.2 / G.2: coefficients accumulate across scans — DC first
+  // (diff-coded, scaled by 2^Al) then refined one bit at a time; AC bands
+  // (Ss..Se) first-coded with EOB-run compression across blocks, then
+  // refined with per-coefficient correction bits.
+
+  /** One DC data unit: first pass decodes a diff at approximation Al;
+    * refinement appends one magnitude bit. */
+  @inline private def dcUnit(br: BitReader, c: Component, off: Int,
+      ah: Int, al: Int): Unit = {
+    if (ah == 0) {
+      val t = c.dcTab.decode(br)
+      c.pred += extend(br.bits(t), t)
+      c.coefs(off) = c.pred << al
+    } else if (br.bit() == 1) {
+      c.coefs(off) |= (1 << al)
+    }
+  }
+
+  /** First AC pass for one block; returns the remaining EOB run. */
+  private def acFirst(br: BitReader, c: Component, off: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    if (eobrunIn > 0) return eobrunIn - 1
+    var k = ss
+    while (k <= se) {
+      val rs = c.acTab.decode(br)
+      val r = rs >> 4
+      val s = rs & 0x0f
+      if (s == 0) {
+        if (r < 15) {
+          var eob = (1 << r) - 1
+          if (r > 0) eob += br.bits(r)
+          return eob
+        }
+        k += 16 // ZRL
+      } else {
+        k += r
+        if (k > se) throw new IllegalStateException("ac overflow")
+        c.coefs(off + ZigZag(k)) = extend(br.bits(s), s) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** AC refinement pass for one block (T.81 G.1.2.3 shape: zero-history
+    * runs interleave with correction bits for already-nonzero
+    * coefficients); returns the remaining EOB run. */
+  private def acRefine(br: BitReader, c: Component, off: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    var eobrun = eobrunIn
+    var k = ss
+    @inline def correct(pos: Int): Unit = {
+      val v = c.coefs(pos)
+      if (br.bit() == 1 && (v & p1) == 0)
+        c.coefs(pos) = if (v >= 0) v + p1 else v - p1
+    }
+    if (eobrun == 0) {
+      var done = false
+      while (k <= se && !done) {
+        val rs = c.acTab.decode(br)
+        var r = rs >> 4
+        val s = rs & 0x0f
+        var newval = 0
+        if (s == 0) {
+          if (r < 15) {
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.bits(r)
+            done = true // correction bits for the tail run below
+          }
+          // r == 15: ZRL — skip 16 zero-history coefs, correcting en route
+        } else {
+          newval = if (br.bit() == 1) p1 else -p1
+        }
+        if (!done) {
+          var placed = false
+          while (k <= se && !placed) {
+            val pos = off + ZigZag(k)
+            if (c.coefs(pos) != 0) correct(pos)
+            else if (r == 0) {
+              if (newval != 0) c.coefs(pos) = newval
+              placed = true
+            } else r -= 1
+            k += 1
+          }
+        }
+      }
+    }
+    if (eobrun > 0) {
+      while (k <= se) {
+        val pos = off + ZigZag(k)
+        if (c.coefs(pos) != 0) correct(pos)
+        k += 1
+      }
+      eobrun - 1
+    } else 0
+  }
+
+  /** Decode one progressive scan's entropy data; returns the byte
+    * position the reader stopped at (the caller searches for the next
+    * marker from there). */
+  private def progressiveScan(b: Array[Byte], start: Int,
+      scanComps: Array[Component], mcusX: Int, mcusY: Int,
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+    val br = new BitReader(b, start)
+    var eobrun = 0
+    var restarts = 0
+    scanComps.foreach(_.pred = 0)
+    try {
+      if (ss == 0) {
+        if (se != 0) throw new IllegalStateException("bad DC band")
+        if (scanComps.length > 1) {
+          // interleaved DC scan over the padded MCU grid
+          val total = mcusX * mcusY
+          var mcu = 0
+          while (mcu < total) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+              br.restart(restarts % 8); restarts += 1
+              scanComps.foreach(_.pred = 0); eobrun = 0
+            }
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            scanComps.foreach { c =>
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val bix = (my * c.v + by) * c.bw + (mx * c.h + bx)
+                  dcUnit(br, c, bix * 64, ah, al)
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            mcu += 1
+          }
+        } else {
+          val c = scanComps(0)
+          val total = c.nbw * c.nbh
+          var i = 0
+          while (i < total) {
+            if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+              br.restart(restarts % 8); restarts += 1; c.pred = 0
+            }
+            dcUnit(br, c, ((i / c.nbw) * c.bw + (i % c.nbw)) * 64, ah, al)
+            i += 1
+          }
+        }
+      } else {
+        // AC scans are single-component by construction (T.81 B.2.3)
+        if (scanComps.length != 1) throw new IllegalStateException("AC ns>1")
+        val c = scanComps(0)
+        val total = c.nbw * c.nbh
+        var i = 0
+        while (i < total) {
+          if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+            br.restart(restarts % 8); restarts += 1; eobrun = 0
+          }
+          val off = ((i / c.nbw) * c.bw + (i % c.nbw)) * 64
+          eobrun =
+            if (ah == 0) acFirst(br, c, off, ss, se, al, eobrun)
+            else acRefine(br, c, off, ss, se, al, eobrun)
+          i += 1
+        }
+      }
+    } catch {
+      // a marker inside the scan = truncated scan; keep what decoded so
+      // far (progressive refinement is safely partial by design)
+      case _: MarkerHit => ()
+    }
+    br.pos
+  }
+
+  /** Position of the next non-RST marker at or after `from`. */
+  private def nextMarker(b: Array[Byte], from: Int): Int = {
+    var p = math.max(from, 0)
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m == 0x00 || m == 0xff) p += (if (m == 0xff) 1 else 2)
+        else if (m >= 0xd0 && m <= 0xd7) p += 2
+        else return p
+      } else p += 1
+    }
+    b.length
   }
 
   private def decodeInner(b: Array[Byte]): Option[BmpCodec.Decoded] = {
@@ -184,12 +385,14 @@ object JpegCodec {
     var w = 0; var h = 0
     var restartInterval = 0
     var adobeRgb = false
+    var progressive = false
+    var eoiSeen = false
     var pos = 2
     var sosAt = -1
 
     def u16(p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
 
-    while (sosAt < 0) {
+    while (sosAt < 0 && !eoiSeen) {
       if (pos + 2 > b.length) return None
       if ((b(pos) & 0xff) != 0xff) return None
       val marker = b(pos + 1) & 0xff
@@ -198,16 +401,25 @@ object JpegCodec {
       if (marker == 0xff) { pos += 1 }
       else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         pos += 2
+      } else if (marker == 0xd9) {
+        // EOI: terminates a progressive stream whose scans all ran;
+        // before any scan data it is just a broken file
+        if (progressive && comps != null && comps.exists(_.coefs != null))
+          eoiSeen = true
+        else return None
       } else {
       if (pos + 4 > b.length) return None
       val len = u16(pos + 2)
       val seg = pos + 4
+      var nextPos = pos + 2 + len
       marker match {
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           if ((b(seg) & 0xff) != 8) return None
+          progressive = marker == 0xc2
           h = u16(seg + 1); w = u16(seg + 3)
           val nc = b(seg + 5) & 0xff
-          if (w <= 0 || h <= 0 || w > (1 << 13) || h > (1 << 13)) return None
+          val dimCap = if (progressive) 1 << 12 else 1 << 13
+          if (w <= 0 || h <= 0 || w > dimCap || h > dimCap) return None
           if (nc != 1 && nc != 3) return None
           comps = Array.tabulate(nc) { i =>
             val o = seg + 6 + 3 * i
@@ -217,7 +429,7 @@ object JpegCodec {
         case 0xee => // APP14 Adobe: transform byte 0 = components are RGB
           if (len >= 14 && new String(b, seg, 5, "US-ASCII") == "Adobe" &&
             (b(seg + 11) & 0xff) == 0) adobeRgb = true
-        case 0xc2 | 0xc1 | 0xc3 => return None // non-baseline SOF
+        case 0xc1 | 0xc3 => return None // non-baseline sequential SOFs
         case 0xc4 => // DHT (possibly several tables)
           var p = seg
           while (p < seg + len - 2) {
@@ -247,7 +459,9 @@ object JpegCodec {
           }
         case 0xdd => restartInterval = u16(seg)
         case 0xda => // SOS
+          if (comps == null) return None
           val ns = b(seg) & 0xff
+          val scanComps = new Array[Component](ns)
           var i = 0
           while (i < ns) {
             val cid = b(seg + 1 + 2 * i) & 0xff
@@ -255,17 +469,40 @@ object JpegCodec {
             val c = comps.find(_.id == cid).getOrElse(return None)
             c.dcTab = dcH((tabs >> 4) & 0x0f)
             c.acTab = acH(tabs & 0x0f)
+            scanComps(i) = c
             i += 1
           }
-          sosAt = seg + len - 2
-        case 0xd9 => return None // EOI before SOS
+          if (!progressive) {
+            sosAt = seg + len - 2
+          } else {
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            if (ss > 63 || se > 63 || se < ss) return None
+            val hM = comps.map(_.h).max
+            val vM = comps.map(_.v).max
+            val mX = (w + 8 * hM - 1) / (8 * hM)
+            val mY = (h + 8 * vM - 1) / (8 * vM)
+            comps.foreach { c =>
+              if (c.coefs == null) {
+                c.bw = mX * c.h; c.bh = mY * c.v
+                c.nbw = ((w * c.h + hM - 1) / hM + 7) / 8
+                c.nbh = ((h * c.v + vM - 1) / vM + 7) / 8
+                c.coefs = new Array[Int](c.bw * c.bh * 64)
+              }
+            }
+            val stop = progressiveScan(b, seg + len - 2, scanComps, mX, mY,
+              ss, se, ahal >> 4, ahal & 0x0f, restartInterval)
+            nextPos = nextMarker(b, stop)
+          }
         case _ => () // APPn/COM/etc: skip
       }
-      pos += 2 + len
+      pos = nextPos
       }
     }
-    if (comps == null || comps.exists(c => c.dcTab == null ||
-      c.acTab == null || qt(c.tq) == null)) return None
+    if (comps == null || comps.exists(c => qt(c.tq) == null)) return None
+    if (!progressive && comps.exists(c =>
+      c.dcTab == null || c.acTab == null)) return None
     // 3-component color must be YCbCr: Adobe transform=0 or R/G/B
     // component ids mean the planes are RGB and the 1.402/1.772 rotation
     // below would silently corrupt colors — reject instead
@@ -281,6 +518,43 @@ object JpegCodec {
       c.planeW = mcusX * 8 * c.h
       c.planeH = mcusY * 8 * c.v
       c.plane = new Array[Byte](c.planeW * c.planeH)
+    }
+
+    if (progressive) {
+      // all scans already accumulated into the coefficient buffers:
+      // dequantize + IDCT every block of the padded grid into the planes
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      comps.foreach { c =>
+        val q = qt(c.tq)
+        var gy = 0
+        while (gy < c.bh) {
+          var gx = 0
+          while (gx < c.bw) {
+            val off = (gy * c.bw + gx) * 64
+            var n = 0
+            while (n < 64) {
+              block(n) = c.coefs(off + n) * q(ZigZagInv(n))
+              n += 1
+            }
+            idct(block, tmp)
+            val ox = gx * 8; val oy = gy * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                c.plane((oy + yy) * c.planeW + ox + xx) =
+                  block(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+      }
+      return Some(finishImage(b, comps, w, h, hMax, vMax))
     }
 
     val br = new BitReader(b, sosAt)
@@ -351,7 +625,13 @@ object JpegCodec {
       case _: MarkerHit => if (mcu < totalMcus) return None
     }
 
-    // upsample + color convert → BGR top-down
+    Some(finishImage(b, comps, w, h, hMax, vMax))
+  }
+
+  /** Upsample the component planes + color convert → BGR top-down
+    * (shared by the baseline and progressive paths). */
+  private def finishImage(b: Array[Byte], comps: Array[Component],
+      w: Int, h: Int, hMax: Int, vMax: Int): BmpCodec.Decoded = {
     val bgr = new Array[Byte](w * h * 3)
     val gray = comps.length == 1
     var yy = 0
@@ -378,7 +658,7 @@ object JpegCodec {
       }
       yy += 1
     }
-    Some(BmpCodec.Decoded(w, h, bgr))
+    BmpCodec.Decoded(w, h, bgr)
   }
 
   @inline private def clampD(v: Double): Byte = {

@@ -96,9 +96,41 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(max <= 16, s"max diff $max")
   }
 
-  test("progressive JPEGs are rejected (None), not mis-decoded") {
-    val png = encodeJpeg(gradient(32, 32), 0.9f, progressive = true)
-    assert(JpegCodec.decode(png).isEmpty)
+  test("progressive JPEGs decode within tolerance of ImageIO") {
+    val jpeg = encodeJpeg(gradient(64, 48), 0.9f, progressive = true)
+    // make sure the writer actually emitted SOF2
+    assert((0 until jpeg.length - 1).exists(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xc2))
+    val (mean, max) = diffVsImageIO(jpeg)
+    assert(mean <= 3.0, s"mean diff $mean")
+    assert(max <= 48, s"max diff $max")
+  }
+
+  test("progressive odd dimensions and solid color decode correctly") {
+    val (mean, _) = diffVsImageIO(encodeJpeg(gradient(37, 21), 0.95f,
+      progressive = true))
+    assert(mean <= 3.0, s"mean diff $mean")
+    val bi = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) bi.setRGB(x, y, 0x4080c0)
+    val (ms, mx) = diffVsImageIO(encodeJpeg(bi, 0.9f, progressive = true))
+    assert(ms <= 1.0 && mx <= 4, s"solid mean $ms max $mx")
+  }
+
+  test("progressive grayscale decodes (raw raster compare)") {
+    val bi = new BufferedImage(40, 24, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = (x * 255) / 40
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jpeg = encodeJpeg(bi, 0.9f, progressive = true)
+    val ours = JpegCodec.decode(jpeg).getOrElse(fail("decode returned None"))
+    val ref = ImageIO.read(new ByteArrayInputStream(jpeg))
+    var sum = 0L; var n = 0
+    for (y <- 0 until 24; x <- 0 until 40) {
+      sum += math.abs((ours.bgr((y * 40 + x) * 3) & 0xff) -
+        ref.getRaster.getSample(x, y, 0)); n += 1
+    }
+    assert(sum.toDouble / n <= 2.0, s"mean diff ${sum.toDouble / n}")
   }
 
   test("garbage and truncation are rejected") {
