@@ -129,6 +129,38 @@ object ScaleProbe {
           .agg(count(lit(1)), sum(col("l_extendedprice"))).count()
       }
       results += (("join_agg", n, tJ, rJ))
+
+      // bloom-pruned semi join: the fact side is replicated, the dim side
+      // is NOT — the sketch stays fixed-size, so the probe must scale with
+      // the fact scan (map work), while the shuffle carries only the
+      // ~matching fraction regardless of n
+      val (tBl, rBl) = time {
+        val dim = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_custkey") % 7 === 0)
+          .select(col("o_orderkey"))
+        val bloom = dim.stat.bloomFilter("o_orderkey", 20000, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        val fact = replicateKeyed(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity")), "l_orderkey", n)
+        fact.filter(graft.functions.BloomFilterExpressions
+            .mightContainLong(col("l_orderkey"), bos.toByteArray))
+          .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_orderkey")).count().count()
+      }
+      results += (("bloom_semi_join", n, tBl, rBl))
+
+      // sweep-line interval concurrency: two-level prefix sum — per-day
+      // in-bucket windows parallelize, only day totals cross the global
+      // window, so scaling must track the event count
+      val (tSw, rSw) = time {
+        val ev = replicateKeyed(Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value")), "event_id", n)
+        graft.operators.Advanced.intervalConcurrencyDf(ev).count()
+      }
+      results += (("interval_sweep", n, tSw, rSw))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

@@ -768,8 +768,14 @@ object Advanced {
     * partitions, and only the per-day TOTALS (a few thousand rows at any
     * scale) pass through the single-partition running-total window. */
   def intervalConcurrency(s: SparkSession, d: String,
-      lenMs: Long = 3600000L): DataFrame = {
-    val iv = events(s, d).filter(col("event_type") === "purchase")
+      lenMs: Long = 3600000L): DataFrame =
+    intervalConcurrencyDf(events(s, d), lenMs)
+
+  /** Same, over any events-shaped frame — shared with the scale probe so
+    * the probe measures the production path. */
+  def intervalConcurrencyDf(ev: DataFrame, lenMs: Long = 3600000L)
+      : DataFrame = {
+    val iv = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), unix_millis(col("ts")).as("s"))
       .withColumn("e", col("s") + lenMs)
     val deltas = iv.select(col("s").as("t"), lit(1L).as("delta"))
