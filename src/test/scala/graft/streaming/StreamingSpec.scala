@@ -363,4 +363,107 @@ class StreamingSpec extends SparkTestBase {
         .count(_.windowStartMs === 0L) === fin.length)
     } finally q.stop()
   }
+
+  test("streaming as-of join: watermark finalizes lefts exactly once, " +
+    "late rights within the watermark still match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingAsOf.{In, Out}
+    def in(k: Long, t: Long, left: Boolean, v: Double) =
+      In(k, t, left, v, new java.sql.Timestamp(t))
+    val input = MemoryStream[In](spark)
+    val ds = input.toDS().withWatermark("ts", "30 seconds").as[In]
+    val q = StreamingAsOf.backward(ds)
+      .writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    try {
+      // left@60s with right@50s; stream max event time 70s ⇒ wm 40s:
+      // nothing may finalize yet
+      input.addData(in(1, 60000, left = true, 1.0),
+        in(1, 50000, left = false, 5.0), in(9, 70000, left = true, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sasof").count() === 0)
+      // LATE right@55s (event time below the already-seen 70s but above
+      // the 40s watermark): must still beat the 50s right for the 60s
+      // left. The 200s row pushes the watermark to 170s...
+      input.addData(in(1, 55000, left = false, 7.0),
+        in(9, 200000, left = true, 0.0))
+      q.processAllAvailable()
+      // ...and the next trigger fires the event-time timeouts
+      input.addData(in(9, 210000, left = true, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sasof").as[Out].collect()
+      val k1 = got.filter(_.key == 1L)
+      assert(k1.length === 1)
+      assert(k1.head.ts_ms === 60000L &&
+        k1.head.right_ms.contains(55000L) &&
+        k1.head.right_value.contains(7.0), k1.head.toString)
+      // the key-9 left@70s closed too (wm 170s), with no right to match
+      assert(got.exists(o => o.key == 9L && o.ts_ms == 70000L &&
+        o.right_ms.isEmpty))
+      // no duplicate emission on further triggers
+      input.addData(in(9, 220000, left = true, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sasof").as[Out].collect()
+        .count(_.key == 1L) === 1)
+    } finally q.stop()
+  }
+
+  test("streaming as-of join agrees with the batch native operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingAsOf.{In, Out}
+    // deterministic interleaved fixture: 5 keys, lefts and rights with
+    // colliding and missing times
+    // chronological feeding (within-batch disorder only): replaying old
+    // timestamps across batches would be LATE data under the watermark
+    // and correctly dropped — which is the other tests' business. Times
+    // sit an hour past epoch 0: the operator treats ts ≤ watermark as
+    // late, and the initial watermark is 0, so epoch-0 events would be
+    // dropped on arrival (verified empirically).
+    val rows = (for (i <- 0 until 240) yield {
+      val k = i % 5
+      val t = 3600000L + ((i * 37) % 120) * 1000L
+      StreamingAsOf.In(k, t, i % 3 == 0, i.toDouble,
+        new java.sql.Timestamp(t))
+    }).toVector.sortBy(r => (r.tsMs, r.key, r.value))
+    val input = MemoryStream[In](spark)
+    val ds = input.toDS().withWatermark("ts", "10 seconds").as[In]
+    val q = StreamingAsOf.backward(ds)
+      .writeStream.format("memory").queryName("sasof2")
+      .outputMode("append").start()
+    try {
+      rows.grouped(80).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // sentinel right on an unused key closes every real left
+      input.addData(In(999L, 10000000L, left = false, 0.0,
+        new java.sql.Timestamp(10000000L)))
+      q.processAllAvailable()
+      input.addData(In(999L, 10010000L, left = false, 0.0,
+        new java.sql.Timestamp(10010000L)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sasof2").as[Out].collect()
+        .map(o => (o.key, o.ts_ms, o.left_value,
+          o.right_ms.getOrElse(-1L), o.right_value.getOrElse(-1.0)))
+        .sorted.toVector
+      val l = rows.filter(_.left)
+        .map(r => (r.key, r.tsMs, r.value)).distinct
+        .toDF("key", "ts_ms", "left_value")
+      val r = rows.filterNot(_.left)
+        .map(r => (r.key, r.tsMs, r.value)).toDF("key", "ts_ms", "value")
+        // mirror the stream state's (time, value) max tie-break: for equal
+        // right times the sort keeps the greatest value last
+        .groupBy($"key", $"ts_ms").agg(max($"value").as("right_value"))
+      val expected = graft.plans.AsOf.join(l, r, Seq("key"), "ts_ms",
+          "ts_ms", "_r")
+        .select($"key", $"ts_ms", $"left_value",
+          coalesce($"ts_ms_r", lit(-1L)).as("rm"),
+          coalesce($"right_value_r", lit(-1.0)).as("rv"))
+        .as[(Long, Long, Double, Long, Double)].collect().sorted.toVector
+      // the streamed lefts must be exactly the distinct batch lefts
+      assert(streamed.map(t => (t._1, t._2, t._3)) ===
+        expected.map(t => (t._1, t._2, t._3)))
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
