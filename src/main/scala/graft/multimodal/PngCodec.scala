@@ -6,8 +6,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 /** Second REAL codec arm for the multimodal seam: PNG (RFC 2083), decoded
   * with pure JVM byte arithmetic + `java.util.zip` for the DEFLATE stream —
   * no external libraries. Supports the mainstream still-image profile:
-  * 8-bit-per-channel truecolor (color type 2) and truecolor+alpha (type 6,
-  * alpha dropped), BOTH interlace modes (none and Adam7), with ALL five
+  * 8-bit-per-channel truecolor (color type 2), truecolor+alpha (type 6,
+  * alpha dropped), PALETTED (type 3, PLTE-resolved) and GRAYSCALE
+  * (type 0), both at bit depths 1/2/4/8, BOTH interlace modes (none and
+  * Adam7), with ALL five
   * scanline filters (none / sub / up / average / paeth) implemented for
   * decode. Encode emits filter-0 non-interlaced RGB rows.
   *
@@ -46,6 +48,7 @@ object PngCodec {
       var pos = 8
       var w = -1; var h = -1
       var bitDepth = -1; var colorType = -1; var interlace = -1
+      var plte: Array[Byte] = null
       val idat = new ByteArrayOutputStream()
       var done = false
       while (!done && pos + 12 <= b.length) {
@@ -59,24 +62,68 @@ object PngCodec {
             bitDepth = b(pos + 16) & 0xff; colorType = b(pos + 17) & 0xff
             interlace = b(pos + 20) & 0xff
           case "IDAT" => idat.write(b, pos + 8, len)
+          case "PLTE" =>
+            if (len % 3 != 0 || len > 256 * 3) return None
+            plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
           case "IEND" => done = true
-          case _ => () // ancillary chunks skipped
+          case _ => () // ancillary chunks skipped (tRNS too: alpha drops)
         }
         pos += 12 + len
       }
       // crafted headers must not drive allocation: bound dimensions first
       if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
-      if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
-        (interlace != 0 && interlace != 1)) return None
-      val bpp = if (colorType == 2) 3 else 4
+      val paletted = colorType == 3
+      val grayscale = colorType == 0
+      if (interlace != 0 && interlace != 1) return None
+      if (paletted || grayscale) {
+        if (paletted && plte == null) return None
+        if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 &&
+          bitDepth != 8) return None
+      } else if (bitDepth != 8 || (colorType != 2 && colorType != 6)) {
+        return None
+      }
+      // bpp: bytes per pixel in the intermediate buffer — 1 byte (palette
+      // INDEX or gray sample) for types 3/0 (sub-8-bit rows unpack after
+      // unfiltering; filters for depth < 8 operate bytewise with bpp = 1,
+      // RFC 2083 §6.5), samples otherwise
+      val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+      // packed bytes per n-pixel filtered row
+      def packedBytes(n: Int): Int =
+        if (paletted || grayscale) (n * bitDepth + 7) / 8 else n * bpp
+      // unpack one unfiltered packed row into 1-byte-per-pixel values
+      def expandRow(src: Array[Byte], srcOff: Int, dst: Array[Byte],
+          dstOff: Int, n: Int): Unit =
+        if ((!paletted && !grayscale) || bitDepth == 8) {
+          System.arraycopy(src, srcOff, dst, dstOff, n * bpp)
+        } else {
+          val mask = (1 << bitDepth) - 1
+          var i = 0
+          while (i < n) {
+            val bit = i * bitDepth
+            dst(dstOff + i) = ((src(srcOff + (bit >> 3)) >>
+              (8 - bitDepth - (bit & 7))) & mask).toByte
+            i += 1
+          }
+        }
       val stride = w * bpp
 
       val img = new Array[Byte](h * stride)
       if (interlace == 0) {
-        val expected = (stride + 1) * h
+        val rb = packedBytes(w)
+        val expected = (rb + 1) * h
         val raw = inflate(idat.toByteArray, expected)
         if (raw == null || raw.length != expected) return None
-        if (!unfilter(raw, 0, img, 0, h, w * bpp, stride, bpp)) return None
+        if ((paletted || grayscale) && bitDepth < 8) {
+          val packed = new Array[Byte](h * rb)
+          if (!unfilter(raw, 0, packed, 0, h, rb, rb, 1)) return None
+          var y = 0
+          while (y < h) {
+            expandRow(packed, y * rb, img, y * stride, w)
+            y += 1
+          }
+        } else if (!unfilter(raw, 0, img, 0, h, w * bpp, stride, bpp)) {
+          return None
+        }
       } else {
         // Adam7: seven filtered sub-images, each scanline-filtered within
         // its own pass, pixels scattered on the (xStart + i·xStep,
@@ -89,7 +136,7 @@ object PngCodec {
         def passH(p: Int) = (h - ys(p) + yStep(p) - 1) / yStep(p)
         val expected = (0 until 7).map { p =>
           val (pw, ph) = (passW(p), passH(p))
-          if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+          if (pw > 0 && ph > 0) ph * (1 + packedBytes(pw)) else 0
         }.sum
         val raw = inflate(idat.toByteArray, expected)
         if (raw == null || raw.length != expected) return None
@@ -98,20 +145,22 @@ object PngCodec {
         while (p < 7) {
           val pw = passW(p); val ph = passH(p)
           if (pw > 0 && ph > 0) {
-            val rb = pw * bpp
+            val rb = packedBytes(pw)
             val sub = new Array[Byte](ph * rb)
             if (!unfilter(raw, off, sub, 0, ph, rb, rb, bpp)) return None
             off += ph * (1 + rb)
-            // scatter the de-filtered sub-image onto the lattice
+            // unpack + scatter the de-filtered sub-image onto the lattice
+            val rowPix = new Array[Byte](pw * bpp)
             var j = 0
             while (j < ph) {
+              expandRow(sub, j * rb, rowPix, 0, pw)
               val dy = (ys(p) + j * yStep(p)) * stride
               var i = 0
               while (i < pw) {
-                val so = j * rb + i * bpp
+                val so = i * bpp
                 val dd = dy + (xs(p) + i * xStep(p)) * bpp
                 var k = 0
-                while (k < bpp) { img(dd + k) = sub(so + k); k += 1 }
+                while (k < bpp) { img(dd + k) = rowPix(so + k); k += 1 }
                 i += 1
               }
               j += 1
@@ -120,12 +169,25 @@ object PngCodec {
           p += 1
         }
       }
-      // RGB(A) → BGR top-down (alpha dropped): the shared Decoded layout
+      // → BGR top-down (alpha dropped; palette indices resolved through
+      // PLTE): the shared Decoded layout
       val bgr = new Array[Byte](w * h * 3)
       var i = 0
       while (i < w * h) {
-        val o = i * bpp; val p = i * 3
-        bgr(p) = img(o + 2); bgr(p + 1) = img(o + 1); bgr(p + 2) = img(o)
+        val p = i * 3
+        if (paletted) {
+          val idx = (img(i) & 0xff) * 3
+          if (idx + 2 >= plte.length) return None // index past the palette
+          bgr(p) = plte(idx + 2); bgr(p + 1) = plte(idx + 1)
+          bgr(p + 2) = plte(idx)
+        } else if (grayscale) {
+          // scale a d-bit sample to full range: v·255/(2^d−1)
+          val v = ((img(i) & 0xff) * 255 / ((1 << bitDepth) - 1)).toByte
+          bgr(p) = v; bgr(p + 1) = v; bgr(p + 2) = v
+        } else {
+          val o = i * bpp
+          bgr(p) = img(o + 2); bgr(p + 1) = img(o + 1); bgr(p + 2) = img(o)
+        }
         i += 1
       }
       Some(BmpCodec.Decoded(w, h, bgr))

@@ -194,6 +194,70 @@ class PngAdam7Spec extends AnyFunSuite {
     }
   }
 
+  test("decodes paletted PNGs (8-bit indexed) pixel-exact") {
+    val img = pattern(37, 23)
+    val bi = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val i = (y * 37 + x) * 3
+      bi.setRGB(x, y, ((img.bgr(i + 2) & 0xff) << 16) |
+        ((img.bgr(i + 1) & 0xff) << 8) | (img.bgr(i) & 0xff))
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(bi, "png", out)
+    val got = PngCodec.decode(out.toByteArray)
+    assert(got.isDefined)
+    // compare against ImageIO's own read of the same file (the indexed
+    // write quantizes colors, so the source pattern is not the reference)
+    val ref = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val i = (y * 37 + x) * 3
+      val rgb = ref.getRGB(x, y) & 0xffffff
+      val ours = ((got.get.bgr(i + 2) & 0xff) << 16) |
+        ((got.get.bgr(i + 1) & 0xff) << 8) | (got.get.bgr(i) & 0xff)
+      assert(ours === rgb, s"($x,$y)")
+    }
+  }
+
+  test("decodes sub-8-bit paletted PNGs (1-bit binary, 4-bit indexed)") {
+    // 1-bit: black/white checkerboard via TYPE_BYTE_BINARY
+    val bw = new BufferedImage(19, 11, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 11; x <- 0 until 19)
+      bw.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val out1 = new ByteArrayOutputStream()
+    ImageIO.write(bw, "png", out1)
+    val got1 = PngCodec.decode(out1.toByteArray)
+    assert(got1.isDefined)
+    val ref1 = ImageIO.read(new ByteArrayInputStream(out1.toByteArray))
+    for (y <- 0 until 11; x <- 0 until 19) {
+      val i = (y * 19 + x) * 3
+      assert((ref1.getRGB(x, y) & 0xffffff) ===
+        (((got1.get.bgr(i + 2) & 0xff) << 16) |
+          ((got1.get.bgr(i + 1) & 0xff) << 8) | (got1.get.bgr(i) & 0xff)),
+        s"1-bit ($x,$y)")
+    }
+    // 4-bit: 16-color IndexColorModel
+    val cmap = (0 until 16).map(i => (i * 17) << 16 | (255 - i * 17) << 8 |
+      (i * 8)).toArray
+    val icm = new java.awt.image.IndexColorModel(4, 16,
+      cmap.map(c => ((c >> 16) & 0xff).toByte),
+      cmap.map(c => ((c >> 8) & 0xff).toByte),
+      cmap.map(c => (c & 0xff).toByte))
+    val bi4 = new BufferedImage(13, 7, BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 7; x <- 0 until 13) bi4.setRGB(x, y, cmap((x + y) % 16))
+    val out4 = new ByteArrayOutputStream()
+    ImageIO.write(bi4, "png", out4)
+    val got4 = PngCodec.decode(out4.toByteArray)
+    assert(got4.isDefined)
+    val ref4 = ImageIO.read(new ByteArrayInputStream(out4.toByteArray))
+    for (y <- 0 until 7; x <- 0 until 13) {
+      val i = (y * 13 + x) * 3
+      assert((ref4.getRGB(x, y) & 0xffffff) ===
+        (((got4.get.bgr(i + 2) & 0xff) << 16) |
+          ((got4.get.bgr(i + 1) & 0xff) << 8) | (got4.get.bgr(i) & 0xff)),
+        s"4-bit ($x,$y)")
+    }
+  }
+
   test("decodes Adam7 RGBA PNGs, dropping alpha") {
     val img = pattern(21, 13)
     val bi = new BufferedImage(21, 13, BufferedImage.TYPE_INT_ARGB)
