@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
+import graft.functions.{CosineSimilarity, DotProduct, KllSketch, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -108,6 +108,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"misra_gries: k must be an integer literal, got $other")
         }
         MisraGries(exprs.head, k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketch].getName, "kll_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "kll_sketch takes (value, k)")
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch: k must be an integer literal, got $other")
+        }
+        KllSketch(exprs.head, k)
       }))
   }
 }

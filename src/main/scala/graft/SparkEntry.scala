@@ -130,6 +130,11 @@ object SparkEntry {
     "q104_time_range_frames" -> (Advanced.timeRangeFrames(_, _)),
     "q105_filter_aggs" -> (Advanced.filterClauseAggs(_, _)),
     "q106_nullsafe_join" -> (Advanced.nullSafeJoin(_, _)),
+    "q107_hof_battery" -> (Advanced.hofBattery(_, _)),
+    "q108_moments" -> (Advanced.momentsBattery(_, _)),
+    "q109_bitwise_aggs" -> (Advanced.bitwiseAggs(_, _)),
+    "q110_recursive_chain" -> (Advanced.recursiveChain(_, _)),
+    "q111_sketch_quantiles" -> (Advanced.sketchQuantiles(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -774,5 +779,51 @@ object SparkEntry {
         "ELSE o_orderkey % 50 END AS k, count(*) AS nr FROM orders " +
         "WHERE o_custkey % 5 = 0 GROUP BY 1) " +
         "SELECT l.k AS k, l.nl, r.nr FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k"),
+    "q107_hof_battery" ->
+      ("SELECT doc_id, CAST(len(toks) AS INT) AS n_toks, " +
+        "array_to_string(list_transform(toks, t -> upper(t)), ',') AS caps, " +
+        "CAST(len(list_filter(toks, t -> length(t) > 5)) AS INT) AS n_long, " +
+        "len(list_filter(toks, t -> length(t) > 7)) > 0 AS has_long, " +
+        "len(list_filter(toks, t -> t <> lower(t))) = 0 AS all_lower, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS INT) AS total_chars, " +
+        "CASE WHEN len(toks) >= 1 THEN toks[1] || ':' || length(toks[1]) END AS first_pair " +
+        "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+        "FROM documents WHERE doc_id % 20 = 0)"),
+    "q108_moments" ->
+      ("WITH m AS (SELECT o_orderstatus, avg(o_totalprice) AS mu FROM orders GROUP BY 1) " +
+        "SELECT o.o_orderstatus, count(*) AS n, " +
+        "round(median(o_totalprice), 2) AS med, " +
+        "round(avg(pow(o_totalprice - mu, 3)) / pow(avg(pow(o_totalprice - mu, 2)), 1.5), 6) AS skew, " +
+        "round(avg(pow(o_totalprice - mu, 4)) / pow(avg(pow(o_totalprice - mu, 2)), 2) - 3, 6) AS kurt " +
+        "FROM orders o JOIN m USING (o_orderstatus) GROUP BY o.o_orderstatus"),
+    "q109_bitwise_aggs" ->
+      ("SELECT o_orderpriority, bit_and(k) AS ba, bit_or(k) AS bo, " +
+        "bit_xor(k) AS bx, count(*) AS n FROM (" +
+        "SELECT o_orderpriority, (o_orderkey % 65536) | 1 AS k FROM orders) " +
+        "GROUP BY o_orderpriority"),
+    "q110_recursive_chain" ->
+      ("WITH RECURSIVE " +
+        "ch AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS next_key, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS rn " +
+        "FROM orders WHERE o_custkey % 20 = 0), " +
+        "walk AS (" +
+        "SELECT o_custkey, o_orderkey, next_key, 1 AS step, " +
+        "o_totalprice AS run_total FROM ch WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT c.o_custkey, c.o_orderkey, c.next_key, w.step + 1 AS step, " +
+        "w.run_total + c.o_totalprice AS run_total " +
+        "FROM walk w JOIN ch c ON c.o_orderkey = w.next_key) " +
+        "SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step, " +
+        "round(run_total, 2) AS run_total FROM walk"),
+    "q111_sketch_quantiles" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.1), 2) AS p10, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 2) AS p90, " +
+        "count(l_extendedprice) AS n FROM lineitem GROUP BY l_returnflag"),
   )
 }

@@ -921,4 +921,205 @@ object Advanced {
     l.join(r, l("k") <=> r("k"))
       .select(l("k").as("k"), col("nl"), col("nr"))
   }
+
+  /** Higher-order-function battery: lambda expressions over array columns
+    * (transform/filter/exists/forall/aggregate/zip_with) — all evaluated
+    * per row inside the scan projection, zero shuffles, no UDFs. These are
+    * the per-document primitives a corpus pipeline composes (token
+    * re-writes, predicate scans, fold-style stats) without ever exploding
+    * the arrays into rows. */
+  def hofBattery(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        concat_ws(",", transform(col("toks"), t => upper(t))).as("caps"),
+        size(filter(col("toks"), t => length(t) > 5)).as("n_long"),
+        exists(col("toks"), t => length(t) > 7).as("has_long"),
+        forall(col("toks"), t => t === lower(t)).as("all_lower"),
+        aggregate(col("toks"), lit(0),
+          (acc, t) => acc + length(t)).as("total_chars"),
+        // zip_with pairs each token with its own length-as-string; the
+        // oracle reproduces the VALUE with a plain per-element transform
+        try_element_at(
+          zip_with(col("toks"),
+            transform(col("toks"), t => length(t).cast("string")),
+            (a, b) => concat(a, lit(":"), b)), lit(1)).as("first_pair"))
+
+  /** Central-moment battery: exact interpolated median plus population
+    * skewness and excess kurtosis per group. Spark computes these in ONE
+    * streaming pass via co-moment recurrences (partial-aggregatable, no
+    * second scan); the oracle reproduces the same population definitions
+    * (g1 = m3/m2^1.5, g2 = m4/m2^2 − 3) with an explicit two-pass
+    * mean-then-moments formulation — a hash match proves the streaming
+    * recurrence agrees with the textbook definition at 6 decimals. */
+  def momentsBattery(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(median(col("o_totalprice")), 2).as("med"),
+        round(skewness(col("o_totalprice")), 6).as("skew"),
+        round(kurtosis(col("o_totalprice")), 6).as("kurt"))
+
+  /** Bitwise aggregate battery: bit_and / bit_or / bit_xor over a derived
+    * key — the aggregates behind bitmap-style rollups (permission masks,
+    * feature flags, bloom-ish unions) — plus scalar bitwise ops in the
+    * scan projection. All partial-aggregatable single-pass built-ins. */
+  def bitwiseAggs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        (col("o_orderkey") % 65536).bitwiseOR(lit(1)).as("k"))
+      .groupBy(col("o_orderpriority"))
+      .agg(bit_and(col("k")).as("ba"),
+        bit_or(col("k")).as("bo"),
+        bit_xor(col("k")).as("bx"),
+        count(lit(1)).as("n"))
+
+  /** Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop operator): walk
+    * each customer's order chain — first order by date, then repeatedly
+    * the next order — accumulating a running total along the path. The
+    * chain edges come from a lead() window (acyclic by construction, so
+    * UNION ALL recursion terminates at the longest per-customer chain);
+    * the oracle is the IDENTICAL recursive SQL in DuckDB. The sequential
+    * fold order is the chain order in both engines, so the float running
+    * total is bit-stable cross-engine. */
+  def recursiveChain(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).filter(col("o_custkey") % 20 === 0)
+      .createOrReplaceTempView("graft_rc_orders")
+    s.sql("""
+      WITH RECURSIVE
+      ch AS (SELECT o_custkey, o_orderkey, o_totalprice,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS next_key,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM graft_rc_orders),
+      walk AS (
+        SELECT o_custkey, o_orderkey, next_key,
+               1 AS step, o_totalprice AS run_total
+        FROM ch WHERE rn = 1
+        UNION ALL
+        SELECT c.o_custkey, c.o_orderkey, c.next_key,
+               w.step + 1 AS step, w.run_total + c.o_totalprice AS run_total
+        FROM walk w JOIN ch c ON c.o_orderkey = w.next_key
+      )
+      SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step,
+             round(run_total, 2) AS run_total
+      FROM walk""")
+  }
+
+  /** EXACT grouped quantiles at sketch cost: pass 1 builds a mergeable KLL
+    * summary per group (O(k log n) state, one small buffer per group per
+    * mapper on the shuffle); the driver reads each summary's rank-error
+    * band around every target rank; pass 2 counts rows strictly below each
+    * band and collects ONLY the in-band rows (≈ 2εn per group, the only
+    * part of the distribution that can contain the answer). The exact
+    * order statistics are then picked out of the sorted band and
+    * interpolated — and the band is VERIFIED against the exact below-count
+    * (below ≤ ⌊r⌋ and below + |band| > ⌈r⌉), widening and retrying if the
+    * sketch's probabilistic bound ever misses, so the result is exact
+    * unconditionally, not just w.h.p. This is how exact percentiles stay
+    * feasible at 100 TB: the full sort never happens; only εn rows are
+    * ever centralized. Oracle: DuckDB quantile_cont.
+    */
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{KllSketch, KllSummary}
+    val qs = Array(0.1, 0.5, 0.9)
+    val outCols = Array("p10", "p50", "p90")
+    val k = 200
+    val base = lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"))
+    val outSchema = StructType(
+      StructField("l_returnflag", StringType, nullable = true) +:
+        outCols.map(c => StructField(c, DoubleType, nullable = true)) :+
+        StructField("n", LongType, nullable = false))
+    val sk = base.groupBy(col("l_returnflag"))
+      .agg(KllSketch.kllSketch(col("v"), k).as("summary"),
+        count(col("v")).as("n"))
+      .collect()
+    if (sk.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    final case class G(flag: String, vs: Array[Double], ws: Array[Long],
+        n: Long)
+    val groups = sk.map { r =>
+      val items = r.getSeq[org.apache.spark.sql.Row](1)
+      G(r.getString(0), items.map(_.getDouble(0)).toArray,
+        items.map(_.getLong(1)).toArray, r.getLong(2))
+    }
+
+    var eps = 8.0 / k
+    var attempt = 0
+    while (attempt < 4) {
+      // per group, per quantile: [lo, hi] candidate band from the summary
+      val bandRows = groups.map { g =>
+        val edges = qs.flatMap { q =>
+          val r = (g.n - 1) * q
+          val loRank = math.max(0.0, math.floor(r) - eps * g.n)
+          val hiRank = math.min((g.n - 1).toDouble, math.ceil(r) + eps * g.n)
+          Seq(KllSummary.valueAtRank(g.vs, g.ws, loRank),
+            KllSummary.valueAtRank(g.vs, g.ws, hiRank))
+        }
+        (g.flag, edges(0), edges(1), edges(2), edges(3), edges(4), edges(5))
+      }.toSeq
+      import s.implicits._
+      val bands = broadcast(bandRows
+        .toDF("l_returnflag", "lo0", "hi0", "lo1", "hi1", "lo2", "hi2"))
+      val aggs = qs.indices.flatMap { i =>
+        Seq(
+          sum(when(col("v") < col(s"lo$i"), 1L).otherwise(0L))
+            .as(s"below$i"),
+          sort_array(collect_list(
+            when(col("v").between(col(s"lo$i"), col(s"hi$i")), col("v"))))
+            .as(s"band$i"))
+      }
+      val pass2 = base.join(bands, Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> r).toMap
+
+      val results = groups.map { g =>
+        val r2 = pass2(g.flag)
+        val vals = qs.indices.map { i =>
+          val r = (g.n - 1) * qs(i)
+          val j0 = math.floor(r).toLong
+          val j1 = math.ceil(r).toLong
+          val below = r2.getLong(1 + 2 * i)
+          val band = r2.getSeq[Double](2 + 2 * i)
+          if (below <= j0 && below + band.size > j1) {
+            val v0 = band((j0 - below).toInt)
+            val v1 = band((j1 - below).toInt)
+            Some(v0 + (r - j0) * (v1 - v0))
+          } else None
+        }
+        (g, vals)
+      }
+      if (results.forall(_._2.forall(_.isDefined))) {
+        // same rounding rule as Spark's/DuckDB's round(): HALF_UP, not
+        // rint's half-even
+        def r2d(v: Double): Double =
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        import s.implicits._
+        return results.map { case (g, vals) =>
+          (g.flag, r2d(vals(0).get), r2d(vals(1).get), r2d(vals(2).get),
+            g.n)
+        }.toSeq.toDF(("l_returnflag" +: outCols :+ "n"): _*)
+      }
+      eps = math.min(eps * 3, 0.5)
+      attempt += 1
+    }
+    // unconditional fallback (unreachable unless the sketch bound failed
+    // four widenings in a row): exact percentile aggregate
+    base.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(v, 0.1)"), 2).as("p10"),
+        round(expr("percentile(v, 0.5)"), 2).as("p50"),
+        round(expr("percentile(v, 0.9)"), 2).as("p90"),
+        count(col("v")).as("n"))
+  }
 }
