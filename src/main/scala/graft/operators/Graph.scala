@@ -16,17 +16,27 @@ object Graph {
   /** Undirected bipartite interaction graph from events: user ↔ prop-k
     * item, both sides namespaced ('u…'/'k…'). Every node of the
     * undirected graph has out-edges, so there is no dangling-mass
-    * special case. */
-  def eventEdges(s: SparkSession, d: String): DataFrame = {
-    val uk = Tables.events(s, d)
-      .select(concat(lit("u"), col("user_id")).as("a"),
-        concat(lit("k"), get_json_object(col("props"), "$.k").cast("int"))
-          .as("b"))
-      .filter(col("b").isNotNull)
-      .distinct()
-    uk.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(uk.select(col("b").as("src"), col("a").as("dst")))
-  }
+    * special case.
+    *
+    * The edge list is a deterministic corpus function (JSON-extract +
+    * distinct over the full events table) consumed by every graph query,
+    * so it persists through [[WarehouseCache]] like the ANN index
+    * artifacts: built once per events snapshot, read back metadata-only
+    * after — per-query cost is a small parquet scan, not a full-table
+    * parse. */
+  def eventEdges(s: SparkSession, d: String): DataFrame =
+    WarehouseCache.cachedParquet(s,
+      s"graft_edges_${WarehouseCache.dirSuffix(d)}",
+      WarehouseCache.sourceFingerprint(s, d, "events.parquet")) {
+      val uk = Tables.events(s, d)
+        .select(concat(lit("u"), col("user_id")).as("a"),
+          concat(lit("k"), get_json_object(col("props"), "$.k").cast("int"))
+            .as("b"))
+        .filter(col("b").isNotNull)
+        .distinct()
+      uk.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(uk.select(col("b").as("src"), col("a").as("dst")))
+    }
 
   /** Fixed-iteration PageRank (damping 0.85, 5 rounds, uniform init over
     * the edge-touched node set). Each round is the classic scalable shape:
@@ -83,31 +93,54 @@ object Graph {
 
   /** Bounded multi-source BFS over the interaction graph: hop distance
     * from the seed users (user_id % 100 == 0) out to `rounds` hops. Each
-    * round expands the FRONTIER only (newly-reached nodes), anti-joined
-    * against everything already reached — per-round work is proportional
-    * to the frontier's edge neighborhood, not the visited set, which is
-    * what lets hop-bounded traversals run on billion-edge graphs. Rounds
-    * checkpoint (they gate the next round's anti join — unlike
-    * PageRank's compose-only loop there IS a per-round dependency).
-    * Oracle: DuckDB WITH RECURSIVE breadth expansion + min(dist). */
-  def bfsReachability(s: SparkSession, d: String, rounds: Int = 4)
-      : DataFrame = {
+    * round expands the FRONTIER only (newly-reached nodes) — per-round
+    * work is proportional to the frontier's edge neighborhood, not the
+    * visited set, which is what lets hop-bounded traversals run on
+    * billion-edge graphs.
+    *
+    * Shuffle shape: the frontier and the visited NODE SET are orders of
+    * magnitude smaller than the edge table, so both sides of every
+    * per-round join are broadcast — the edges NEVER move. Each round is
+    * edges ⋈ broadcast(frontier) (map-side) → distinct over just the
+    * frontier's neighborhood (the one real shuffle) → left_anti against
+    * broadcast(visited) (map-side again). Rounds checkpoint (they gate
+    * the next round — unlike PageRank's compose-only loop there IS a
+    * per-round dependency), and the loop exits early once the frontier
+    * empties. Past `broadcastVisitedLimit` reached nodes the anti join
+    * falls back to the shuffled form (a billion-node visited set has no
+    * business on the driver). Oracle: DuckDB WITH RECURSIVE breadth
+    * expansion + min(dist). */
+  def bfsReachability(s: SparkSession, d: String, rounds: Int = 4,
+      broadcastVisitedLimit: Long = 5000000L): DataFrame = {
     val e = eventEdges(s, d).localCheckpoint()
     val seeds = Tables.events(s, d)
       .filter(col("user_id") % 100 === 0)
       .filter(get_json_object(col("props"), "$.k").isNotNull)
       .select(concat(lit("u"), col("user_id")).as("node")).distinct()
-    var dist = seeds.withColumn("dist", lit(0)).localCheckpoint()
-    var frontier = dist
-    for (i <- 1 to rounds) {
-      val next = frontier.join(e, frontier("node") === e("src"))
+    var frontier = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    var frontierSize = frontier.count()
+    val frames = scala.collection.mutable.ArrayBuffer(frontier)
+    var visited = frontier.select(col("node"))
+    var visitedCount = frontierSize
+    var i = 1
+    while (i <= rounds && frontierSize > 0) {
+      val anti =
+        if (visitedCount <= broadcastVisitedLimit) broadcast(visited)
+        else visited
+      val next = e
+        .join(broadcast(frontier.select(col("node").as("f_node"))),
+          e("src") === col("f_node"))
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(anti, Seq("node"), "left_anti")
         .withColumn("dist", lit(i))
         .localCheckpoint()
-      dist = dist.unionByName(next)
+      frames += next
+      visited = visited.unionByName(next.select(col("node")))
+      frontierSize = next.count()
+      visitedCount += frontierSize
       frontier = next
+      i += 1
     }
-    dist
+    frames.reduce(_ unionByName _)
   }
 }
