@@ -135,6 +135,7 @@ object SparkEntry {
     "q109_bitwise_aggs" -> (Advanced.bitwiseAggs(_, _)),
     "q110_recursive_chain" -> (Advanced.recursiveChain(_, _)),
     "q111_sketch_quantiles" -> (Advanced.sketchQuantiles(_, _)),
+    "q112_opq_ann" -> ((s, d) => Similarity.opqTopK(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

@@ -236,13 +236,73 @@ object Similarity {
     * brute force is the spec's business. */
   def pqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
-    // Codebooks and encoded codes are the PQ INDEX: deterministic
-    // functions of the corpus, trained/encoded once per corpus snapshot
-    // and persisted (WarehouseCache, fingerprint-invalidated) — exactly
-    // how a production ANN index amortizes its offline build. Per-query
-    // work below is LUT construction + ADC scan + re-rank only.
+    val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
+    pqAnn(s, v, "graft_pq" + WarehouseCache.dirSuffix(d), fp, k)
+  }
+
+  /** OPQ-style rotated PQ (Ge et al., CVPR'13): plain PQ quantizes each
+    * subspace independently, so subspaces that happen to carry more
+    * variance than others are quantized coarser for the same code budget.
+    * OPQ's fix is an orthogonal transform R chosen to balance variance
+    * across subspaces before splitting. This implements OPQ's
+    * eigenvalue-allocation idea restricted to PERMUTATION rotations over
+    * the raw coordinates: per-dimension variances (one vector_sum pass
+    * over the corpus) are greedily bin-packed — largest variance first,
+    * into the least-loaded subspace with room — and the resulting
+    * permutation (an orthogonal matrix, deterministic, data-derived, no
+    * RNG) re-orders every vector before the standard PQ pipeline runs.
+    * Cosine is permutation-invariant, so scoring and exact re-ranking in
+    * the permuted space equal the original space; the permutation itself
+    * persists in the WarehouseCache next to the codebooks it shapes. */
+  def opqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import scala.collection.mutable.ArrayBuffer
+    val v = vectors(s, d)
     val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
     val sfx = WarehouseCache.dirSuffix(d)
+    val permDf = WarehouseCache.cachedParquet(s, s"graft_opq_perm$sfx", fp) {
+      val row = v.agg(vectorSum(col("emb")).as("s1"),
+        vectorSum(transform(col("emb"), x => x * x)).as("s2"),
+        count(lit(1)).as("n")).head()
+      val dim = PqM * PqSubDim
+      val perm: Array[Int] =
+        if (row.isNullAt(0)) (0 until dim).toArray // empty corpus: identity
+        else {
+          val s1 = row.getSeq[Double](0).toArray
+          val s2 = row.getSeq[Double](1).toArray
+          val n = row.getLong(2).toDouble
+          val vars = s1.indices
+            .map(i => s2(i) / n - math.pow(s1(i) / n, 2)).toArray
+          val binSum = Array.fill(PqM)(0.0)
+          val bins = Array.fill(PqM)(ArrayBuffer.empty[Int])
+          vars.zipWithIndex.sortBy { case (vr, i) => (-vr, i) }.foreach {
+            case (vr, i) =>
+              val b = (0 until PqM).filter(bins(_).size < PqSubDim)
+                .minBy(binSum)
+              bins(b) += i
+              binSum(b) += vr
+          }
+          bins.flatMap(_.toArray)
+        }
+      import s.implicits._
+      perm.zipWithIndex.map { case (src, pos) => (pos, src) }.toSeq
+        .toDF("pos", "src")
+    }
+    val perm = permDf.collect().map(r => r.getInt(0) -> r.getInt(1))
+      .sortBy(_._1).map(_._2)
+    val vRot = v.select(col("vec_id"),
+      array(perm.map(i => col("emb").getItem(i)).toIndexedSeq: _*).as("emb"))
+    pqAnn(s, vRot, s"graft_opq$sfx", fp, k)
+  }
+
+  /** The PQ pipeline shared by [[pqTopK]] and [[opqTopK]], over whatever
+    * (possibly transformed) vector space `v` presents.
+    * Codebooks and encoded codes are the PQ INDEX: deterministic
+    * functions of the corpus, trained/encoded once per corpus snapshot
+    * and persisted (WarehouseCache, fingerprint-invalidated) — exactly
+    * how a production ANN index amortizes its offline build. Per-query
+    * work below is LUT construction + ADC scan + re-rank only. */
+  private def pqAnn(s: SparkSession, v: DataFrame, prefix: String,
+      fp: String, k: Int): DataFrame = {
     // materialized once per BUILD (localCheckpoint, not cache: scratch
     // that CacheManager would never release); lazy so a cache hit never
     // evaluates the explode at all
@@ -251,7 +311,7 @@ object Similarity {
         s"m -> slice(emb, m * $PqSubDim + 1, $PqSubDim))"))
         .as(Seq("m", "sv"))).localCheckpoint()
 
-    val cents = WarehouseCache.cachedParquet(s, s"graft_pq_codebook$sfx", fp) {
+    val cents = WarehouseCache.cachedParquet(s, s"${prefix}_codebook", fp) {
       var c = sub.filter(col("vec_id") % PqCentStep === 0)
         .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
       for (_ <- 0 until PqIters) {
@@ -265,7 +325,7 @@ object Similarity {
       }
       c
     }
-    val codes = WarehouseCache.cachedParquet(s, s"graft_pq_codes$sfx", fp) {
+    val codes = WarehouseCache.cachedParquet(s, s"${prefix}_codes", fp) {
       pqAssign(sub, cents).select(col("vec_id"), col("m"), col("code"))
     }
 

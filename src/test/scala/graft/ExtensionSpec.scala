@@ -205,6 +205,43 @@ class ExtensionSpec extends SparkTestBase {
     assert(t.filter(col("sim") < -1 || col("sim") > 1).count() === 0)
   }
 
+  test("OPQ permutation is a valid variance-balanced permutation; recall useful") {
+    val d = sf0001
+    val opq = Similarity.opqTopK(spark, d)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(spark, d)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & opq).size.toDouble / bf.size
+    assert(recall > 0.5, s"OPQ recall $recall")
+    // the cached permutation really is a permutation of 0..63
+    val perm = spark.read.parquet(
+      spark.conf.get("spark.sql.warehouse.dir") +
+        s"/graft_opq_perm${graft.operators.WarehouseCache.dirSuffix(d)}")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).sortBy(_._1).map(_._2)
+    assert(perm.sorted.toSeq === (0 until 64))
+    // variance balance: max subspace variance-load / min load must be
+    // tighter than (or equal to) the identity split's ratio
+    val v = Tables.embeddings(spark, d)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val row = v.agg(
+      graft.functions.AggregateKernels.vectorSum($"emb").as("s1"),
+      graft.functions.AggregateKernels.vectorSum(
+        expr("transform(emb, x -> x * x)")).as("s2"),
+      count(lit(1)).as("n")).head()
+    val s1 = row.getSeq[Double](0).toArray
+    val s2 = row.getSeq[Double](1).toArray
+    val n = row.getLong(2).toDouble
+    val vars = s1.indices.map(i => s2(i) / n - math.pow(s1(i) / n, 2))
+    def loadRatio(order: Seq[Int]): Double = {
+      val loads = order.grouped(8).map(_.map(vars).sum).toSeq
+      loads.max / loads.min
+    }
+    assert(loadRatio(perm.toSeq) <= loadRatio(0 until 64) + 1e-12,
+      s"perm ratio ${loadRatio(perm.toSeq)} vs identity ${loadRatio(0 until 64)}")
+  }
+
   test("PQ topk recall vs brute force is useful (> 0.5), ranks consistent") {
     val bf = Similarity.bruteForceTopK(spark, d)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
