@@ -5,13 +5,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Second REAL codec arm for the multimodal seam: PNG (RFC 2083), decoded
   * with pure JVM byte arithmetic + `java.util.zip` for the DEFLATE stream —
-  * no external libraries. Supports the mainstream still-image profile:
-  * 8-bit-per-channel truecolor (color type 2), truecolor+alpha (type 6,
-  * alpha dropped), PALETTED (type 3, PLTE-resolved) and GRAYSCALE
-  * (type 0), both at bit depths 1/2/4/8, BOTH interlace modes (none and
-  * Adam7), with ALL five
-  * scanline filters (none / sub / up / average / paeth) implemented for
-  * decode. Encode emits filter-0 non-interlaced RGB rows.
+  * no external libraries. Decodes EVERY legal still-image profile of the
+  * spec: truecolor (color type 2) and truecolor+alpha (type 6) at depths
+  * 8 and 16, GRAYSCALE (type 0) at 1/2/4/8/16, GRAYSCALE+ALPHA (type 4)
+  * at 8/16, PALETTED (type 3, PLTE-resolved) at 1/2/4/8; alpha dropped,
+  * 16-bit samples downscaled round(v·255/65535); BOTH interlace modes
+  * (none and Adam7), with ALL five scanline filters (none / sub / up /
+  * average / paeth) implemented for decode. Encode emits filter-0
+  * non-interlaced RGB rows.
   *
   * Decodes into [[BmpCodec.Decoded]] (BGR, top-down) so every downstream
   * primitive — mean color, nearest-neighbor resize, gray thumbnails — is
@@ -73,27 +74,33 @@ object PngCodec {
       // crafted headers must not drive allocation: bound dimensions first
       if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
       val paletted = colorType == 3
-      val grayscale = colorType == 0
       if (interlace != 0 && interlace != 1) return None
-      if (paletted || grayscale) {
-        if (paletted && plte == null) return None
-        if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 &&
-          bitDepth != 8) return None
-      } else if (bitDepth != 8 || (colorType != 2 && colorType != 6)) {
-        return None
+      // legal (type, depth) profiles per RFC 2083 §6.1 that we decode:
+      // palette 1/2/4/8; gray 1/2/4/8/16; gray+alpha, RGB, RGBA 8/16
+      val depthOk = colorType match {
+        case 3 => plte != null && Set(1, 2, 4, 8).contains(bitDepth)
+        case 0 => Set(1, 2, 4, 8, 16).contains(bitDepth)
+        case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+        case _ => false
       }
+      if (!depthOk) return None
+      val channels =
+        colorType match { case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1 }
+      val sampleBytes = if (bitDepth == 16) 2 else 1
+      val subByte = bitDepth < 8
       // bpp: bytes per pixel in the intermediate buffer — 1 byte (palette
-      // INDEX or gray sample) for types 3/0 (sub-8-bit rows unpack after
-      // unfiltering; filters for depth < 8 operate bytewise with bpp = 1,
-      // RFC 2083 §6.5), samples otherwise
-      val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+      // INDEX or gray sample) for sub-8-bit rows, which unpack after
+      // unfiltering (filters for depth < 8 operate bytewise with bpp = 1,
+      // RFC 2083 §6.5); channels·sampleBytes otherwise (16-bit filters
+      // operate on BYTES with the full pixel width as the left-delta)
+      val bpp = if (subByte) 1 else channels * sampleBytes
       // packed bytes per n-pixel filtered row
       def packedBytes(n: Int): Int =
-        if (paletted || grayscale) (n * bitDepth + 7) / 8 else n * bpp
-      // unpack one unfiltered packed row into 1-byte-per-pixel values
+        if (subByte) (n * bitDepth + 7) / 8 else n * bpp
+      // unpack one unfiltered packed row into bpp-bytes-per-pixel values
       def expandRow(src: Array[Byte], srcOff: Int, dst: Array[Byte],
           dstOff: Int, n: Int): Unit =
-        if ((!paletted && !grayscale) || bitDepth == 8) {
+        if (!subByte) {
           System.arraycopy(src, srcOff, dst, dstOff, n * bpp)
         } else {
           val mask = (1 << bitDepth) - 1
@@ -113,7 +120,7 @@ object PngCodec {
         val expected = (rb + 1) * h
         val raw = inflate(idat.toByteArray, expected)
         if (raw == null || raw.length != expected) return None
-        if ((paletted || grayscale) && bitDepth < 8) {
+        if (subByte) {
           val packed = new Array[Byte](h * rb)
           if (!unfilter(raw, 0, packed, 0, h, rb, rb, 1)) return None
           var y = 0
@@ -170,7 +177,15 @@ object PngCodec {
         }
       }
       // → BGR top-down (alpha dropped; palette indices resolved through
-      // PLTE): the shared Decoded layout
+      // PLTE): the shared Decoded layout. 16-bit samples downscale by
+      // round(v·255/65535) — the same rounding ImageIO's raster scaling
+      // uses, pinned in PngCodecSpec against raw raster samples.
+      @inline def sample8(pixOff: Int, ch: Int): Byte =
+        if (sampleBytes == 2) {
+          val o = pixOff + ch * 2
+          val v = ((img(o) & 0xff) << 8) | (img(o + 1) & 0xff)
+          ((v * 255 + 32767) / 65535).toByte
+        } else img(pixOff + ch)
       val bgr = new Array[Byte](w * h * 3)
       var i = 0
       while (i < w * h) {
@@ -180,13 +195,16 @@ object PngCodec {
           if (idx + 2 >= plte.length) return None // index past the palette
           bgr(p) = plte(idx + 2); bgr(p + 1) = plte(idx + 1)
           bgr(p + 2) = plte(idx)
-        } else if (grayscale) {
-          // scale a d-bit sample to full range: v·255/(2^d−1)
-          val v = ((img(i) & 0xff) * 255 / ((1 << bitDepth) - 1)).toByte
+        } else if (channels <= 2) { // gray / gray+alpha (alpha dropped)
+          val v =
+            if (subByte) // scale a d-bit sample to full range: v·255/(2^d−1)
+              ((img(i) & 0xff) * 255 / ((1 << bitDepth) - 1)).toByte
+            else sample8(i * bpp, 0)
           bgr(p) = v; bgr(p + 1) = v; bgr(p + 2) = v
-        } else {
+        } else { // RGB / RGBA (alpha dropped)
           val o = i * bpp
-          bgr(p) = img(o + 2); bgr(p + 1) = img(o + 1); bgr(p + 2) = img(o)
+          bgr(p) = sample8(o, 2); bgr(p + 1) = sample8(o, 1)
+          bgr(p + 2) = sample8(o, 0)
         }
         i += 1
       }

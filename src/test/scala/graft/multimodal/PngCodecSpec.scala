@@ -86,16 +86,128 @@ class PngCodecSpec extends AnyFunSuite {
     assert(back.get.bgr.sameElements(img.bgr))
   }
 
-  test("rejects garbage, truncation, and unsupported profiles") {
+  test("rejects garbage, truncation, and illegal profiles") {
     assert(PngCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(PngCodec.decode(null).isEmpty)
     val good = PngCodec.encode(pattern(20, 20))
     assert(PngCodec.decode(good.take(good.length / 2)).isEmpty)
-    // 16-bit depth (unsupported profile) via ImageIO: TYPE_USHORT_GRAY
-    val gray16 = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    // illegal color type (5 is not defined by RFC 2083 §6.1): the IHDR
+    // color-type byte sits at 8(sig) + 8(len+type) + 9
+    val bad = good.clone()
+    bad(25) = 5
+    assert(PngCodec.decode(bad).isEmpty)
+  }
+}
+
+/** 16-bit and gray+alpha profiles, pinned against ImageIO's RAW raster
+  * samples (not getRGB, which would route gray through the non-linear
+  * CS_GRAY→sRGB colorspace conversion): our 16→8 downscale rule is
+  * round(v·255/65535). */
+class Png16BitSpec extends AnyFunSuite {
+  import java.awt.Transparency
+  import java.awt.color.ColorSpace
+  import java.awt.image.{ComponentColorModel, DataBuffer}
+
+  private def scale16(v: Int): Int = (v * 255 + 32767) / 65535
+
+  private def writePng(bi: BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(gray16, "png", out)
-    assert(PngCodec.decode(out.toByteArray).isEmpty)
+    ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
+
+  private def ihdrDepth(b: Array[Byte]): Int = b(24) & 0xff
+  private def ihdrColorType(b: Array[Byte]): Int = b(25) & 0xff
+
+  test("decodes 16-bit grayscale (type 0 depth 16) vs raw raster samples") {
+    val (w, h) = (23, 11)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 65535 / (w - 1)) ^ (y * 2731))
+    val png = writePng(bi)
+    assert(ihdrDepth(png) === 16 && ihdrColorType(png) === 0)
+    val got = PngCodec.decode(png)
+    assert(got.isDefined)
+    val ref = ImageIO.read(new ByteArrayInputStream(png))
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      val expected = scale16(ref.getRaster.getSample(x, y, 0))
+      for (c <- 0 until 3)
+        assert((got.get.bgr(i + c) & 0xff) === expected, s"($x,$y) ch$c")
+    }
+  }
+
+  test("decodes 16-bit truecolor (type 2 depth 16) vs raw raster samples") {
+    val (w, h) = (19, 13)
+    val cm = new ComponentColorModel(
+      ColorSpace.getInstance(ColorSpace.CS_sRGB), false, false,
+      Transparency.OPAQUE, DataBuffer.TYPE_USHORT)
+    val raster = cm.createCompatibleWritableRaster(w, h)
+    val bi = new BufferedImage(cm, raster, false, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      raster.setSample(x, y, 0, x * 65535 / (w - 1))
+      raster.setSample(x, y, 1, y * 65535 / (h - 1))
+      raster.setSample(x, y, 2, ((x + y) * 4099) & 0xffff)
+    }
+    val png = writePng(bi)
+    assert(ihdrDepth(png) === 16 && ihdrColorType(png) === 2)
+    val got = PngCodec.decode(png)
+    assert(got.isDefined)
+    val ref = ImageIO.read(new ByteArrayInputStream(png)).getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      assert((got.get.bgr(i + 2) & 0xff) === scale16(ref.getSample(x, y, 0)), s"R($x,$y)")
+      assert((got.get.bgr(i + 1) & 0xff) === scale16(ref.getSample(x, y, 1)), s"G($x,$y)")
+      assert((got.get.bgr(i) & 0xff) === scale16(ref.getSample(x, y, 2)), s"B($x,$y)")
+    }
+  }
+
+  test("decodes gray+alpha (type 4), dropping alpha") {
+    val (w, h) = (17, 9)
+    val cm = new ComponentColorModel(
+      ColorSpace.getInstance(ColorSpace.CS_GRAY), true, false,
+      Transparency.TRANSLUCENT, DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(w, h)
+    val bi = new BufferedImage(cm, raster, false, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      raster.setSample(x, y, 0, (x * 255 / (w - 1)) ^ (y * 37 & 0xff))
+      raster.setSample(x, y, 1, 128 + (x + y) % 100) // alpha: dropped
+    }
+    val png = writePng(bi)
+    assert(ihdrColorType(png) === 4, s"writer emitted type ${ihdrColorType(png)}")
+    val got = PngCodec.decode(png)
+    assert(got.isDefined)
+    val ref = ImageIO.read(new ByteArrayInputStream(png)).getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      val expected =
+        if (ihdrDepth(png) == 16) scale16(ref.getSample(x, y, 0))
+        else ref.getSample(x, y, 0)
+      for (c <- 0 until 3)
+        assert((got.get.bgr(i + c) & 0xff) === expected, s"($x,$y) ch$c")
+    }
+  }
+
+  test("decodes 16-bit RGBA (type 6 depth 16), dropping alpha") {
+    val (w, h) = (11, 7)
+    val cm = new ComponentColorModel(
+      ColorSpace.getInstance(ColorSpace.CS_sRGB), true, false,
+      Transparency.TRANSLUCENT, DataBuffer.TYPE_USHORT)
+    val raster = cm.createCompatibleWritableRaster(w, h)
+    val bi = new BufferedImage(cm, raster, false, null)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 4)
+      raster.setSample(x, y, c, ((x * 7 + y * 13 + c * 29) * 2053) & 0xffff)
+    val png = writePng(bi)
+    assert(ihdrDepth(png) === 16 && ihdrColorType(png) === 6)
+    val got = PngCodec.decode(png)
+    assert(got.isDefined)
+    val ref = ImageIO.read(new ByteArrayInputStream(png)).getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      assert((got.get.bgr(i + 2) & 0xff) === scale16(ref.getSample(x, y, 0)), s"R($x,$y)")
+      assert((got.get.bgr(i + 1) & 0xff) === scale16(ref.getSample(x, y, 1)), s"G($x,$y)")
+      assert((got.get.bgr(i) & 0xff) === scale16(ref.getSample(x, y, 2)), s"B($x,$y)")
+    }
   }
 }
 
