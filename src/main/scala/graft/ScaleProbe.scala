@@ -118,6 +118,19 @@ object ScaleProbe {
       }
       results += (("misra_gries", n, tMg, rMg))
 
+      // KLL quantile sketch over the replicated price stream — summary
+      // state is O(k log n) per group per mapper, so cost must track the
+      // scan, never the value count
+      val (tKll, rKll) = time {
+        val li = replicateKeyed(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("v")), "l_orderkey", n)
+        li.groupBy(col("l_returnflag"))
+          .agg(graft.functions.KllSketch.kllSketch(col("v"), 200).as("s"))
+          .count()
+      }
+      results += (("kll_sketch", n, tKll, rKll))
+
       // shuffle join + agg (the relational heavyweight)
       val (tJ, rJ) = time {
         val li = replicateKeyed(Tables.lineitem(spark, sfDir)

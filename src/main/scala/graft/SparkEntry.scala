@@ -136,6 +136,10 @@ object SparkEntry {
     "q110_recursive_chain" -> (Advanced.recursiveChain(_, _)),
     "q111_sketch_quantiles" -> (Advanced.sketchQuantiles(_, _)),
     "q112_opq_ann" -> ((s, d) => Similarity.opqTopK(s, d)),
+    "q113_url_extract" -> (Advanced.urlExtract(_, _)),
+    "q114_try_battery" -> (Advanced.tryBattery(_, _)),
+    "q115_explode_outer" -> (Advanced.explodeOuter(_, _)),
+    "q116_hll_union" -> (Advanced.hllUnion(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -826,5 +830,26 @@ object SparkEntry {
         "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50, " +
         "round(quantile_cont(l_extendedprice, 0.9), 2) AS p90, " +
         "count(l_extendedprice) AS n FROM lineitem GROUP BY l_returnflag"),
+    "q113_url_extract" ->
+      ("WITH u AS (SELECT c_custkey, 'https://' || lower(c_mktsegment) || " +
+        "'.example.com/user/' || c_custkey || '?ref=' || c_nationkey AS url " +
+        "FROM customer WHERE c_custkey % 10 = 0) " +
+        "SELECT c_custkey, " +
+        "regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, " +
+        "regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path, " +
+        "regexp_extract(url, 'ref=([^&#]+)', 1) AS ref FROM u"),
+    "q114_try_battery" ->
+      ("SELECT o_orderkey, " +
+        "round(o_totalprice / nullif(o_custkey % 5, 0), 4) AS per_bucket, " +
+        "TRY_CAST(o_orderstatus AS INT) AS bad_int, " +
+        "TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num, " +
+        "string_split(o_orderpriority, '-')[5] AS missing_part " +
+        "FROM orders WHERE o_custkey % 20 = 0"),
+    "q115_explode_outer" ->
+      ("SELECT d.doc_id, u.tok FROM (" +
+        "SELECT doc_id, list_filter(list_filter(string_split(text, ' '), " +
+        "x -> x <> ''), t -> length(t) > 9) AS toks " +
+        "FROM documents WHERE doc_id % 10 = 0) d " +
+        "LEFT JOIN LATERAL (SELECT unnest(d.toks) AS tok) u ON true"),
   )
 }

@@ -271,4 +271,21 @@ class AdvancedSpec extends SparkTestBase {
         s"order ${a._1}: sky=${sky.contains(a._1)} dominated=${dominated(a)}")
     }
   }
+
+  test("hll union: per-group and unioned estimates within 2% of exact") {
+    val est = Advanced.hllUnion(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val orders = Tables.orders(spark, d)
+    val exactPer = orders.groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = orders.select($"o_custkey").distinct().count()
+    (exactPer + ("ALL" -> exactAll)).foreach { case (scope, exact) =>
+      val e = est(scope)
+      assert(math.abs(e - exact) / exact <= 0.02,
+        s"$scope: est $e vs exact $exact")
+    }
+    // union-of-sketches must estimate at least as many as any single group
+    assert(est("ALL") >= exactPer.values.max * 0.98)
+  }
 }
