@@ -46,6 +46,43 @@ object StreamingSketch {
       }
   }
 
+  /** One key's refreshed quantile estimates (emitted every trigger the
+    * key receives data, Update mode). */
+  final case class KeyQuantiles(key: String, n: Long, p50: Double,
+      p95: Double, p99: Double)
+
+  /** Keyed KLL state: the serialized ladder (same byte layout the batch
+    * aggregate shuffles). */
+  final case class KllState(bytes: Array[Byte])
+
+  /** Streaming per-key quantiles: the SAME mergeable KLL summary the
+    * batch q111 aggregate uses (graft.functions.KllSummary), held as
+    * keyed streaming state — per-key latency/size percentiles over an
+    * unbounded stream with O(k log n) state per key, never a buffer of
+    * raw values. Every trigger folds new arrivals into the key's ladder
+    * and emits refreshed p50/p95/p99 estimates (Update mode); the batch
+    * spec's rank-error bound carries over because the state IS the batch
+    * summary. */
+  def streamingQuantiles(values: Dataset[(String, Double)], k: Int = 200)
+      : Dataset[KeyQuantiles] = {
+    import values.sparkSession.implicits._
+    import graft.functions.KllSummary
+    values
+      .groupByKey(_._1)
+      .mapGroupsWithState[KllState, KeyQuantiles](GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val sk = state.getOption
+            .map(s => KllSummary.fromBytes(k, s.bytes))
+            .getOrElse(new KllSummary(k))
+          it.foreach { case (_, v) => sk.update(v) }
+          state.update(KllState(sk.toBytes))
+          val (vs, ws) = sk.sortedItems()
+          def q(p: Double): Double =
+            KllSummary.valueAtRank(vs, ws, p * math.max(sk.n - 1, 0L))
+          KeyQuantiles(key, sk.n, q(0.5), q(0.95), q(0.99))
+      }
+  }
+
   /** A timestamped word (input row of the event-time variant). */
   final case class WordAt(word: String, ts: java.sql.Timestamp)
 

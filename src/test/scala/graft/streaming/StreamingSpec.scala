@@ -314,6 +314,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quantiles: KLL state accumulates across triggers, " +
+    "rank error bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Double)](spark)
+    val q = StreamingSketch.streamingQuantiles(input.toDS(), k = 200)
+      .writeStream.format("memory").queryName("skq")
+      .outputMode("update").start()
+    try {
+      // deterministic LCG values on two keys, split across two triggers —
+      // state must carry the first trigger's distribution into the second
+      def vals(seed: Long, n: Int): Seq[Double] =
+        Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+          .take(n).map(x => (x >>> 40).toDouble).toSeq
+      val a = vals(1L, 4000)
+      val b = vals(2L, 3000)
+      input.addData(a.take(2000).map("a" -> _) ++ b.take(1500).map("b" -> _))
+      q.processAllAvailable()
+      input.addData(a.drop(2000).map("a" -> _) ++ b.drop(1500).map("b" -> _))
+      q.processAllAvailable()
+
+      val latest = spark.table("skq")
+        .as[StreamingSketch.KeyQuantiles].collect()
+        .groupBy(_.key).values.map(_.maxBy(_.n)).map(s => s.key -> s).toMap
+      assert(latest("a").n === 4000L && latest("b").n === 3000L)
+      for ((key, data) <- Seq("a" -> a, "b" -> b)) {
+        val sorted = data.sorted.toArray
+        for ((p, est) <- Seq(0.5 -> latest(key).p50,
+          0.95 -> latest(key).p95, 0.99 -> latest(key).p99)) {
+          val i = java.util.Arrays.binarySearch(sorted, est)
+          val rank = if (i >= 0) i else -i - 1
+          val err = math.abs(rank - p * (data.size - 1)) / data.size
+          assert(err <= 0.03, s"$key p$p rank error $err")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("event-time heavy hitters: late data folds into its window, " +
     "watermark finalizes exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
