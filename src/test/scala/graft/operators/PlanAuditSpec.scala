@@ -160,6 +160,58 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
   }
 
+  test("HOF battery is a pure scan projection: zero exchanges, no Generate") {
+    val p = plan(Advanced.hofBattery(spark, sf0001))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+  }
+
+  test("moments battery runs partial+final in ONE pass (no second scan)") {
+    val p = plan(Advanced.momentsBattery(spark, sf0001))
+    // one scan of orders: the streaming co-moment recurrences need no
+    // mean-first pass (the oracle's two-pass formulation is the contrast)
+    assert("orders.parquet".r.findAllIn(p).length === 1, p.take(2000))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("BFS round joins broadcast both the frontier and the visited set " +
+    "(edges never shuffle)") {
+    import org.apache.spark.sql.functions._
+    val e = Graph.eventEdges(spark, sf0001)
+    val frontier = e.select(col("src").as("node")).limit(5)
+    val visited = e.select(col("src").as("node")).limit(20)
+    val round = e
+      .join(broadcast(frontier.select(col("node").as("f_node"))),
+        e("src") === col("f_node"))
+      .select(col("dst").as("node")).distinct()
+      .join(broadcast(visited), Seq("node"), "left_anti")
+    val p = plan(round)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    // the edge table reaches its join without any hash-partition exchange
+    assert(!p.contains("Exchange hashpartitioning(src"), p.take(3000))
+  }
+
+  test("sketch-quantile pass 2 broadcasts the band table, aggregates " +
+    "partial+final") {
+    // pass 2's shape: base ⋈ broadcast(bands) → grouped agg; audit the
+    // equivalent plan directly (sketchQuantiles returns driver-built rows)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val bands = broadcast(Seq(("A", 1.0, 2.0)).toDF("l_returnflag", "lo0", "hi0"))
+    val p = plan(base.join(bands, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("v") < col("lo0"), 1L).otherwise(0L)).as("below0"),
+        sort_array(collect_list(
+          when(col("v").between(col("lo0"), col("hi0")), col("v"))))
+          .as("band0")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).length >= 2,
+      p.take(2000))
+  }
+
   test("weighted sample is repeatable and tracks the weight scale") {
     val a = Advanced.weightedSample(spark, sf0001)
     val b = Advanced.weightedSample(spark, sf0001)
