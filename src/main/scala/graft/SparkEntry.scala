@@ -140,6 +140,8 @@ object SparkEntry {
     "q114_try_battery" -> (Advanced.tryBattery(_, _)),
     "q115_explode_outer" -> (Advanced.explodeOuter(_, _)),
     "q116_hll_union" -> (Advanced.hllUnion(_, _)),
+    "q117_map_battery" -> (Advanced.mapBattery(_, _)),
+    "q118_percentile_disc" -> (Advanced.percentileDisc(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -851,5 +853,19 @@ object SparkEntry {
         "x -> x <> ''), t -> length(t) > 9) AS toks " +
         "FROM documents WHERE doc_id % 10 = 0) d " +
         "LEFT JOIN LATERAL (SELECT unnest(d.toks) AS tok) u ON true"),
+    "q117_map_battery" ->
+      ("WITH wc AS (SELECT doc_id, word, count(*) AS cnt FROM (" +
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
+        "FROM documents WHERE doc_id % 25 = 0) GROUP BY doc_id, word) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_distinct_words, " +
+        "max(CASE WHEN word = 'the' THEN cnt END) AS the_cnt, " +
+        "string_agg(word || ':' || cnt, ',' ORDER BY word) AS entries " +
+        "FROM wc GROUP BY doc_id"),
+    "q118_percentile_disc" ->
+      ("SELECT o_orderstatus, " +
+        "round(quantile_disc(o_totalprice, 0.5), 2) AS med_disc, " +
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS med_cont, " +
+        "round(quantile_disc(o_totalprice, 0.9), 2) AS p90_disc, " +
+        "count(*) AS n FROM orders GROUP BY o_orderstatus"),
   )
 }

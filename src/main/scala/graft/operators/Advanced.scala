@@ -1083,6 +1083,46 @@ object Advanced {
     per.unionByName(global)
   }
 
+  /** Map-type battery: per-document word-count maps built with
+    * map_from_entries, then consumed with size / try_element_at /
+    * map_entries — the KEYED-VALUE column shape feature stores and
+    * metadata columns use. Output flattens to deterministic strings so
+    * the oracle (which computes the same facts relationally) can
+    * hash-match without a cross-engine map encoding. */
+  def mapBattery(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text")))
+          .as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt"))))
+        .as("m"))
+      .select(col("doc_id"),
+        size(col("m")).as("n_distinct_words"),
+        try_element_at(col("m"), lit("the")).as("the_cnt"),
+        concat_ws(",", transform(sort_array(map_entries(col("m"))),
+          e => concat(e.getField("key"), lit(":"), e.getField("value"))))
+          .as("entries"))
+
+  /** PERCENTILE_DISC vs PERCENTILE_CONT (WITHIN GROUP ordered-set
+    * aggregates): the discrete form returns an ACTUAL data value (the
+    * first whose cume_dist ≥ p), the continuous form interpolates —
+    * SLAs want disc, dashboards want cont, and conflating them is a
+    * classic correctness bug this query pins cross-engine. */
+  def percentileDisc(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_pd_orders")
+    s.sql("""
+      SELECT o_orderstatus,
+             round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS med_disc,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS med_cont,
+             round(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90_disc,
+             count(*) AS n
+      FROM graft_pd_orders GROUP BY o_orderstatus""")
+  }
+
   /** EXACT grouped quantiles at sketch cost: pass 1 builds a mergeable KLL
     * summary per group (O(k log n) state, one small buffer per group per
     * mapper on the shuffle); the driver reads each summary's rank-error
