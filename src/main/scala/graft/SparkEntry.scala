@@ -142,6 +142,7 @@ object SparkEntry {
     "q116_hll_union" -> (Advanced.hllUnion(_, _)),
     "q117_map_battery" -> (Advanced.mapBattery(_, _)),
     "q118_percentile_disc" -> (Advanced.percentileDisc(_, _)),
+    "q119_linear_interpolate" -> (Advanced.linearInterpolate(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -867,5 +868,25 @@ object SparkEntry {
         "round(quantile_cont(o_totalprice, 0.5), 2) AS med_cont, " +
         "round(quantile_disc(o_totalprice, 0.9), 2) AS p90_disc, " +
         "count(*) AS n FROM orders GROUP BY o_orderstatus"),
+    "q119_linear_interpolate" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "round(sum(value), 2) AS v FROM events GROUP BY 1, 2), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)), " +
+        "j AS (SELECT s.user_id, s.day, d.v FROM spine s LEFT JOIN daily d " +
+        "ON s.user_id = d.user_id AND s.day = d.day), " +
+        "w AS (SELECT user_id, day, v, " +
+        "last_value(v IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd, " +
+        "first_value(v IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd " +
+        "FROM j WINDOW " +
+        "wb AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, day, (v IS NOT NULL) AS obs, " +
+        "round(CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * date_diff('day', pd, day) / " +
+        "CAST(date_diff('day', pd, nd) AS DOUBLE) END, 4) AS interp FROM w"),
   )
 }

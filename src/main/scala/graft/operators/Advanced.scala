@@ -1083,6 +1083,45 @@ object Advanced {
     per.unionByName(global)
   }
 
+  /** Time-series LINEAR interpolation (q85's gap fill carries the last
+    * value forward; this draws the line between the surrounding
+    * observations — the resampling rule metric pipelines actually want).
+    * Same dense spine as q85; per-row work is four IGNORE-NULLS window
+    * lookups (prev/next value and day) + closed-form interpolation, one
+    * shuffle on the partition key. Leading/trailing gaps degrade to
+    * back-/forward-fill. */
+  def linearInterpolate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val j = spine.join(daily, Seq("user_id", "day"), "left")
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    j.select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+      .select(col("user_id"), col("day"), col("v").isNotNull.as("obs"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              datediff(col("day"), col("pd")) /
+              datediff(col("nd"), col("pd")).cast("double")), 4)
+          .as("interp"))
+  }
+
   /** Map-type battery: per-document word-count maps built with
     * map_from_entries, then consumed with size / try_element_at /
     * map_entries — the KEYED-VALUE column shape feature stores and

@@ -212,6 +212,58 @@ class PlanAuditSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("bucketed table prunes to ONE bucket for an equality key predicate") {
+    import org.apache.spark.sql.functions._
+    Advanced.bucketedJoin(spark, sf0001).collect() // ensure tables exist
+    val suffix = sf0001.replaceAll("[^a-zA-Z0-9]", "_")
+    val key = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey")).head().getLong(0)
+    // autoBucketedScan turns bucketed reading off for join-free queries
+    // (it trades pruning for cheaper scans); force it on to audit pruning
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val p = plan(spark.table(s"graft_li_b$suffix")
+        .filter(col("l_orderkey") === key))
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, "no bucket pruning in plan:\n" + p.take(2000))
+      assert(m.get.group(1).toInt === 1, p.take(2000))
+    } finally spark.conf.set(conf, prev)
+  }
+
+  test("day-partitioned sink: a date predicate becomes a PartitionFilter " +
+    "(no data read outside the day)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("ingest_date"))
+      .write.mode("overwrite").partitionBy("ingest_date").parquet(dir)
+    val someDay = spark.read.parquet(dir)
+      .select(col("ingest_date")).head().getDate(0)
+    val p = plan(spark.read.parquet(dir)
+      .filter(col("ingest_date") === lit(someDay)))
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    assert(p.contains("ingest_date"), p.take(2000))
+    // the predicate must NOT appear as a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(ingest_date"), p.take(2000))
+  }
+
+  test("join hints control the physical join (merge vs shuffle_hash)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val merge = plan(li.join(o.hint("merge"),
+      col("l_orderkey") === col("o_orderkey")))
+    assert(merge.contains("SortMergeJoin"), merge.take(1500))
+    val shj = plan(li.join(o.hint("shuffle_hash"),
+      col("l_orderkey") === col("o_orderkey")))
+    assert(shj.contains("ShuffledHashJoin"), shj.take(1500))
+  }
+
   test("weighted sample is repeatable and tracks the weight scale") {
     val a = Advanced.weightedSample(spark, sf0001)
     val b = Advanced.weightedSample(spark, sf0001)
