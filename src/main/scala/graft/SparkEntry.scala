@@ -143,6 +143,7 @@ object SparkEntry {
     "q117_map_battery" -> (Advanced.mapBattery(_, _)),
     "q118_percentile_disc" -> (Advanced.percentileDisc(_, _)),
     "q119_linear_interpolate" -> (Advanced.linearInterpolate(_, _)),
+    "q120_hash_battery" -> (Advanced.hashBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -888,5 +889,9 @@ object SparkEntry {
         "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
         "ELSE pv + (nv - pv) * date_diff('day', pd, day) / " +
         "CAST(date_diff('day', pd, nd) AS DOUBLE) END, 4) AS interp FROM w"),
+    "q120_hash_battery" ->
+      ("SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256, " +
+        "substr(sha256(text), 1, 16) || '-' || length(text) AS content_addr " +
+        "FROM documents WHERE doc_id % 10 = 0"),
   )
 }

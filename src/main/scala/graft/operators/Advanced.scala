@@ -1122,6 +1122,20 @@ object Advanced {
           .as("interp"))
   }
 
+  /** Content-addressing battery: md5 / sha2-256 digests and a composite
+    * content address over document text — the identity layer of exact
+    * dedup, caching, and provenance tracking in a corpus pipeline
+    * (hash once at ingest, compare addresses forever after). All
+    * codegen'd built-ins, pure scan projection. */
+  def hashBattery(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("md5"),
+        sha2(col("text").cast("binary"), 256).as("sha256"),
+        concat(substring(sha2(col("text").cast("binary"), 256), 1, 16),
+          lit("-"), length(col("text"))).as("content_addr"))
+
   /** Map-type battery: per-document word-count maps built with
     * map_from_entries, then consumed with size / try_element_at /
     * map_entries — the KEYED-VALUE column shape feature stores and

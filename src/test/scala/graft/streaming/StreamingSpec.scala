@@ -314,6 +314,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dimension broadcasts into each trigger, " +
+    "unmatched events survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Double)](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Enrich.withDimension(
+      input.toDS().toDF("user_id", "value"), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      input.addData((2L, 20.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)))).toSet
+      assert(got === Set((1L, 10.0, Some("gold")), (3L, 30.0, None),
+        (2L, 20.0, Some("silver"))))
+      // the join must broadcast the dimension, not shuffle (each
+      // micro-batch plans exactly like this batch equivalent)
+      val p = Enrich.withDimension(
+        Seq((1L, 1.0)).toDF("user_id", "value"), dim, Seq("user_id"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    } finally q.stop()
+  }
+
   test("streaming quantiles: KLL state accumulates across triggers, " +
     "rank error bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
