@@ -144,6 +144,9 @@ object SparkEntry {
     "q118_percentile_disc" -> (Advanced.percentileDisc(_, _)),
     "q119_linear_interpolate" -> (Advanced.linearInterpolate(_, _)),
     "q120_hash_battery" -> (Advanced.hashBattery(_, _)),
+    "q121_snapshot_diff" -> (Advanced.snapshotDiff(_, _)),
+    "q122_equidepth_hist" -> (Advanced.equidepthHistogram(_, _)),
+    "q123_zscore" -> (Advanced.zscoreNormalize(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -893,5 +896,30 @@ object SparkEntry {
       ("SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256, " +
         "substr(sha256(text), 1, 16) || '-' || length(text) AS content_addr " +
         "FROM documents WHERE doc_id % 10 = 0"),
+    "q121_snapshot_diff" ->
+      ("WITH v1 AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS p1, " +
+        "o_orderstatus AS st1 FROM orders), " +
+        "v2 AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 13 = 0 " +
+        "THEN round(o_totalprice * 2, 2) ELSE round(o_totalprice, 2) END AS p2, " +
+        "o_orderstatus AS st2 FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000 AS k, round(o_totalprice, 2) AS p2, " +
+        "o_orderstatus AS st2 FROM orders WHERE o_orderkey % 89 = 0) " +
+        "SELECT CASE WHEN p1 IS NULL THEN 'added' WHEN p2 IS NULL THEN 'removed' " +
+        "WHEN p1 <> p2 OR st1 <> st2 THEN 'changed' ELSE 'same' END AS diff_class, " +
+        "count(*) AS n, round(sum(coalesce(abs(p2 - p1), 0.0)), 2) AS drift " +
+        "FROM v1 FULL OUTER JOIN v2 USING (k) GROUP BY diff_class"),
+    "q122_equidepth_hist" ->
+      ("SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, " +
+        "round(max(o_totalprice), 2) AS hi FROM (" +
+        "SELECT o_totalprice, CAST(ntile(10) OVER (" +
+        "ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket FROM orders) " +
+        "GROUP BY bucket"),
+    "q123_zscore" ->
+      ("WITH st AS (SELECT o_orderstatus, avg(o_totalprice) AS mu, " +
+        "stddev_samp(o_totalprice) AS sd FROM orders GROUP BY o_orderstatus) " +
+        "SELECT o_orderkey, o.o_orderstatus, " +
+        "round((o_totalprice - mu) / sd, 4) AS z " +
+        "FROM orders o JOIN st ON o.o_orderstatus = st.o_orderstatus " +
+        "WHERE o_custkey % 25 = 0"),
   )
 }

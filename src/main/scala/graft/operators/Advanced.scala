@@ -1122,6 +1122,78 @@ object Advanced {
           .as("interp"))
   }
 
+  /** Snapshot reconciliation: diff two versions of a keyed table into
+    * added / removed / changed / same classes with value drift — the
+    * anti-entropy audit every periodically-rebuilt corpus needs ("what
+    * did this rebuild actually change?"). One full outer join on the
+    * key, classification from null-sides + value compares, aggregated
+    * per class. The second snapshot is derived deterministically
+    * (drops, mutations, additions) so both engines reconstruct it. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("p1"),
+        col("o_orderstatus").as("st1"))
+    val base = orders(s, d)
+    val v2 = base
+      .filter(col("o_orderkey") % 97 =!= 0) // deletions
+      .select(col("o_orderkey").as("k"),
+        // ×2 is exact in binary; a fractional factor (1.1) lands values
+        // on half-cent boundaries where the engines' round() disagrees
+        when(col("o_orderkey") % 13 === 0,
+          round(col("o_totalprice") * 2, 2))
+          .otherwise(round(col("o_totalprice"), 2)).as("p2"),
+        col("o_orderstatus").as("st2"))
+      .unionByName(base.filter(col("o_orderkey") % 89 === 0) // additions
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          round(col("o_totalprice"), 2).as("p2"),
+          col("o_orderstatus").as("st2")))
+    v1.join(v2, Seq("k"), "full_outer")
+      .select(
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("p1") =!= col("p2") || col("st1") =!= col("st2"),
+            "changed")
+          .otherwise("same").as("diff_class"),
+        coalesce(abs(col("p2") - col("p1")), lit(0.0)).as("delta"))
+      .groupBy(col("diff_class"))
+      .agg(count(lit(1)).as("n"), round(sum(col("delta")), 2).as("drift"))
+  }
+
+  /** Equi-DEPTH histogram (q57 is equi-width): ntile deciles over the
+    * price distribution with per-bucket count/min/max. The global sort
+    * ranks a slim (price, key) pair stream only; at corpus scale the
+    * same result comes from q111's sketch boundaries + range assignment
+    * instead of a global ntile — this query pins the exact semantics
+    * that path must reproduce. */
+  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+  }
+
+  /** Per-group z-score normalization (the feature-scaling pass of a
+    * training-data pipeline): group stats once (partial-aggregated),
+    * broadcast back, standardize in the scan projection — never a
+    * per-row window over the full fact table. */
+  def zscoreNormalize(s: SparkSession, d: String): DataFrame = {
+    val stats = orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(avg(col("o_totalprice")).as("mu"),
+        stddev_samp(col("o_totalprice")).as("sd"))
+    orders(s, d)
+      .filter(col("o_custkey") % 25 === 0)
+      .join(broadcast(stats), Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round((col("o_totalprice") - col("mu")) / col("sd"), 4).as("z"))
+  }
+
   /** Content-addressing battery: md5 / sha2-256 digests and a composite
     * content address over document text — the identity layer of exact
     * dedup, caching, and provenance tracking in a corpus pipeline
