@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{Advanced, Graph, Relational, TextQueries}
+import graft.operators.{Advanced, Geo, Graph, Relational, TextQueries}
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -147,6 +147,13 @@ object SparkEntry {
     "q121_snapshot_diff" -> (Advanced.snapshotDiff(_, _)),
     "q122_equidepth_hist" -> (Advanced.equidepthHistogram(_, _)),
     "q123_zscore" -> (Advanced.zscoreNormalize(_, _)),
+    "q124_connected_components" -> ((s, d) => Graph.docDupComponents(s, d)),
+    "q125_geo_nearest" -> (Geo.nearestSupplier(_, _)),
+    "q126_variant_battery" -> (Advanced.variantBattery(_, _)),
+    "q127_bigram_lm" -> (TextQueries.bigramLm(_, _)),
+    "q128_robust_scale" -> (Advanced.robustScale(_, _)),
+    "q129_seq_pattern" -> (Advanced.sequencePattern(_, _)),
+    "q130_running_distinct" -> (Advanced.runningDistinct(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -921,5 +928,71 @@ object SparkEntry {
         "round((o_totalprice - mu) / sd, 4) AS z " +
         "FROM orders o JOIN st ON o.o_orderstatus = st.o_orderstatus " +
         "WHERE o_custkey % 25 = 0"),
+    "q124_connected_components" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, " +
+        "list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM toks a " +
+        "JOIN toks b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / " +
+        "(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.8), " +
+        "e AS (SELECT da AS src, db AS dst FROM pairs " +
+        "UNION ALL SELECT db, da FROM pairs), " +
+        "walk AS (SELECT doc_id AS node, doc_id AS label FROM toks " +
+        "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
+        "SELECT node AS doc_id, min(label) AS comp FROM walk GROUP BY node"),
+    "q125_geo_nearest" ->
+      ("WITH c AS (SELECT c_custkey, ((c_custkey*37)%1200)/10.0 - 60.0 AS clat, " +
+        "((c_custkey*73)%3600)/10.0 - 180.0 AS clon FROM customer), " +
+        "s AS (SELECT s_suppkey, ((s_suppkey*41)%1200)/10.0 - 60.0 AS slat, " +
+        "((s_suppkey*89)%3600)/10.0 - 180.0 AS slon FROM supplier), " +
+        "d AS (SELECT c_custkey, s_suppkey, round(2*6371.0*asin(sqrt(" +
+        "sin(radians(slat-clat)/2)*sin(radians(slat-clat)/2) + " +
+        "cos(radians(clat))*cos(radians(slat))*" +
+        "sin(radians(slon-clon)/2)*sin(radians(slon-clon)/2))), 4) AS dist_km " +
+        "FROM c CROSS JOIN s), " +
+        "f AS (SELECT *, row_number() OVER (PARTITION BY c_custkey " +
+        "ORDER BY dist_km, s_suppkey) AS rk FROM d WHERE dist_km <= 500.0) " +
+        "SELECT c_custkey, s_suppkey AS nearest_supp, dist_km FROM f WHERE rk = 1"),
+    "q126_variant_battery" ->
+      ("SELECT doc_id, doc_id AS vid, lang AS vlang, n_chars AS vn, " +
+        "source AS vtag0, CAST(NULL AS BIGINT) AS vmissing, " +
+        "CAST(NULL AS BIGINT) AS vbad " +
+        "FROM documents WHERE doc_id % 4 = 0"),
+    "q127_bigram_lm" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "big AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg " +
+        "FROM ws WHERE len(w) >= 2), " +
+        "bigf AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big), " +
+        "dbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bigf GROUP BY doc_id, w1, w2), " +
+        "cnt AS (SELECT w1, w2, sum(k) AS c12 FROM dbg GROUP BY w1, w2), " +
+        "uni AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1), " +
+        "voc AS (SELECT count(DISTINCT w2) AS v FROM bigf), " +
+        "sc AS (SELECT d.doc_id, d.k, -log2((c.c12 + 1.0) / (u.c1 + voc.v)) AS nll " +
+        "FROM dbg d JOIN cnt c ON d.w1 = c.w1 AND d.w2 = c.w2 " +
+        "JOIN uni u ON d.w1 = u.w1, voc) " +
+        "SELECT doc_id, round(sum(k * nll) / sum(k), 4) AS bits_per_bigram, " +
+        "CAST(sum(k) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id"),
+    "q128_robust_scale" ->
+      ("WITH st AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med, " +
+        "quantile_cont(l_extendedprice, 0.25) AS q1, " +
+        "quantile_cont(l_extendedprice, 0.75) AS q3, " +
+        "min(l_extendedprice) AS mn, max(l_extendedprice) AS mx " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_orderkey, l_linenumber, l.l_returnflag, " +
+        "round((l_extendedprice - med) / (q3 - q1), 4) AS robust, " +
+        "round((l_extendedprice - mn) / (mx - mn), 4) AS minmax " +
+        "FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag " +
+        "WHERE l_orderkey % 101 = 0"),
+    "q129_seq_pattern" ->
+      ("SELECT user_id, CAST(length(seq) AS INT) AS seq_len, " +
+        "CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT) AS n_funnels FROM (" +
+        "SELECT user_id, string_agg(substr(event_type, 1, 1), '' " +
+        "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id)"),
+    "q130_running_distinct" ->
+      ("SELECT event_id, user_id, " +
+        "count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "AS running_distinct FROM events WHERE user_id % 7 = 0"),
   )
 }

@@ -1360,4 +1360,90 @@ object Advanced {
         round(expr("percentile(v, 0.9)"), 2).as("p90"),
         count(col("v")).as("n"))
   }
+
+  /** VARIANT-type battery: build nested JSON from document columns,
+    * parse to Spark 4's VARIANT, and extract typed fields back —
+    * object navigation, array indexing, a missing path (null, not error)
+    * and an ill-typed access under try_variant_get (null, not error).
+    * The oracle is the IDENTITY on the source columns: if the
+    * construct→parse→navigate→cast round trip altered anything, the
+    * hash compare catches it. VARIANT is the semi-structured scale
+    * path — the binary encoding is navigated without re-parsing text
+    * per access, unlike the get_json_object string path (q36). */
+  def variantBattery(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), parse_json(to_json(struct(
+        col("doc_id").as("id"),
+        struct(col("lang"), col("n_chars").as("n")).as("meta"),
+        array(col("source"), col("lang")).as("tags")))).as("v"))
+      .select(col("doc_id"),
+        expr("variant_get(v, '$.id', 'bigint')").as("vid"),
+        expr("variant_get(v, '$.meta.lang', 'string')").as("vlang"),
+        expr("variant_get(v, '$.meta.n', 'bigint')").as("vn"),
+        expr("variant_get(v, '$.tags[0]', 'string')").as("vtag0"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("vmissing"),
+        expr("try_variant_get(v, '$.meta.lang', 'bigint')").as("vbad"))
+
+  /** Robust (median/IQR) and min-max scaling per group — q123's z-score
+    * with rank statistics instead of moments, which is what survives
+    * heavy-tailed columns. Group stats are ONE exact-percentile
+    * aggregate broadcast back over the row stream: no per-row window,
+    * no second shuffle of the fact table. */
+  def robustScale(s: SparkSession, d: String): DataFrame = {
+    val stats = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"),
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 101 === 0)
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round((col("l_extendedprice") - col("med")) / (col("q3") - col("q1")),
+          4).as("robust"),
+        round((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")),
+          4).as("minmax"))
+  }
+
+  /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE shape):
+    * each user's event history collapses to an ordered type-initial
+    * string, and a regex counts non-overlapping view→click*→purchase
+    * runs. One shuffle (groupBy user); the collect_list is bounded by
+    * per-user event counts, and sort_array on (ts, id) structs makes the
+    * sequence deterministic without a window pass. */
+  def sequencePattern(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", transform(sort_array(collect_list(col("e"))),
+        e => e.getField("ch"))).as("seq"))
+      .select(col("user_id"), length(col("seq")).as("seq_len"),
+        size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
+          .as("n_funnels"))
+
+  /** Running COUNT(DISTINCT) per user over event time. Spark rejects
+    * DISTINCT window aggregates outright; the scalable rewrite marks each
+    * row's FIRST occurrence of its (user, type) with one window, then
+    * running-sums the marks with another on the same partition key — two
+    * window passes over one shuffle, identical semantics. The oracle runs
+    * DuckDB's native count(DISTINCT …) OVER, so the hash match proves the
+    * rewrite, not just arithmetic. */
+  def runningDistinct(s: SparkSession, d: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .filter(col("user_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L)
+          .as("first_seen"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("first_seen")).over(wRun).as("running_distinct"))
+  }
 }

@@ -91,6 +91,98 @@ object Graph {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Connected components via the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14) — O(log² n) rounds regardless of graph DIAMETER,
+    * which is the property that matters at scale: hash-min label
+    * propagation (what [[graft.dedup.Dedup.assignCanonical]] runs on dup
+    * clusters, where diameter ≈ 2) needs O(diameter) rounds and dies on
+    * path-shaped dup CHAINS (A≈B≈C≈… transitive near-dup drift), while the
+    * star operations contract such chains geometrically.
+    *
+    * Each round is two edge-set rewrites, each a groupBy-on-node shuffle
+    * followed by a co-partitioned join back (the join reuses the groupBy's
+    * exchange — two shuffles per round total, both proportional to |E|):
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    neighborhood minimum m = min(Γ(u) ∪ u);
+    *  - small-star: with edges oriented (hi→lo), every node connects its
+    *    smaller-or-equal neighbors (and itself) to m = min(Γ≤(u) ∪ u).
+    * Both preserve connectivity and never emit (v, m) with m ≥ v, so the
+    * edge multiset strictly descends lexicographically until the fixpoint —
+    * a star forest whose centers are component minima. Convergence is
+    * observed as (count, order-independent xxhash64 sum) equality — one
+    * tiny aggregate action per round on the already-checkpointed edge set.
+    *
+    * `nodes` supplies the node universe: isolated nodes (no incident edge)
+    * come back as singleton components — a dedup pipeline must keep unique
+    * docs, not drop them. Returns (node, comp), comp = min node id of the
+    * component. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val dedupEdge = edges.toDF("src", "dst")
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+    var e = dedupEdge.localCheckpoint()
+    // order-independent edge-set signature; bit_xor can't overflow (a
+    // modular SUM of xxhash64s trips the ANSI long-overflow check)
+    var sig = e.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(hi, lo))")).head()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // large-star over both orientations: m = min(neighbors ∪ self),
+      // re-link strictly larger neighbors v > u to m (m ≤ u < v, so the
+      // emitted pair is already (hi=v, lo=m) oriented)
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star on the (hi→lo) orientation: m = min of the smaller
+      // neighborhood, re-link every smaller neighbor AND the center to m
+      val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(smins, "hi")
+        .select(col("lo").as("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .unionAll(smins.select(col("hi").as("v"), col("m")))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      val nsig = ss.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(hi, lo))")).head()
+      converged = nsig == sig
+      sig = nsig
+      e = ss
+      round += 1
+    }
+    // fixpoint edges are star links (member → component min); everything
+    // not appearing as a member is its own component (centers + isolated)
+    nodes.toDF("node")
+      .join(e.select(col("hi").as("node"), col("lo").as("comp")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
+
+  /** Duplicate CLUSTERS over the oracle-checkable near-dup pair graph:
+    * components of the exact n-gram-Jaccard ≥ 0.8 pairs on the doc_id % 4
+    * sample, singletons (unique docs) included. This is the operator a
+    * dedup pipeline actually ends with — [[connectedComponents]] turns
+    * q26-style PAIRS into keep/drop GROUPS, and transitive chains (A≈B≈C
+    * where A̸≈C) land in one cluster. Oracle: DuckDB recursive min-label
+    * walk over the identical pair set. */
+  def docDupComponents(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")),
+      graft.dedup.Dedup.ngramJaccardPairs(s, d, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")))
+      .toDF("doc_id", "comp")
+
   /** Bounded multi-source BFS over the interaction graph: hop distance
     * from the seed users (user_id % 100 == 0) out to `rounds` hops. Each
     * round expands the FRONTIER only (newly-reached nodes) — per-round

@@ -228,4 +228,41 @@ object TextQueries {
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup") / col("n_grams"), 4).as("dup_frac"))
   }
+
+  /** Corpus-trained bigram language model scoring each document in
+    * bits-per-bigram — the CCNet/Gopher "LM perplexity as a quality
+    * signal" idea with the LM trained ON the corpus itself (no external
+    * model), add-one smoothed: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+|V|).
+    *
+    * Shuffle shape at 100 TB: bigram counts are ONE partial-aggregated
+    * groupBy over the exploded bigrams; context counts derive from the
+    * bigram table (no second corpus pass); per-doc scoring first collapses
+    * each doc's repeated bigrams to (doc, w1, w2, k) — the join against
+    * the count tables then moves distinct-bigrams-per-doc rows, not every
+    * token. The weighted average sum(k·nll)/sum(k) is computed with the
+    * SAME grouping in the oracle, keeping float summation shapes aligned. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val bigf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val dbg = bigf.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val cnt = dbg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("c12"))
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val voc = bigf.agg(count_distinct(col("w2")).as("v"))
+    dbg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("k"),
+        (-log2((col("c12") + 1.0) / (col("c1") + col("v")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("k") * col("nll")) / sum(col("k")), 4)
+        .as("bits_per_bigram"),
+        sum(col("k")).as("n_bigrams"))
+  }
 }

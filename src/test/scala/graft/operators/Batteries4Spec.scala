@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Invariant specs for the round-4 continuation batteries (q126-q130). */
+class Batteries4Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("variant battery: round trip is the identity, error paths are null") {
+    val v = Advanced.variantBattery(spark, sf0001).cache()
+    assert(v.count() > 0)
+    assert(v.filter($"vid" =!= $"doc_id").count() === 0)
+    assert(v.filter($"vmissing".isNotNull || $"vbad".isNotNull).count() === 0)
+    val doc = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars", $"source")
+    val bad = v.join(doc, "doc_id")
+      .filter($"vlang" =!= $"lang" || $"vn" =!= $"n_chars" ||
+        $"vtag0" =!= $"source")
+    assert(bad.count() === 0)
+  }
+
+  test("bigram LM: weighted grouping equals the per-occurrence average") {
+    val grouped = TextQueries.bigramLm(spark, sf0001).cache()
+    assert(grouped.count() > 0)
+    assert(grouped.filter($"bits_per_bigram" <= 0).count() === 0)
+    // independent formulation: score every bigram OCCURRENCE, plain avg
+    val bigf = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size($"w") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val cnt = bigf.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val uni = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val voc = bigf.agg(count_distinct($"w2").as("v"))
+    val flat = bigf.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .select($"doc_id",
+        (-log2(($"c12" + 1.0) / ($"c1" + $"v"))).as("nll"))
+      .groupBy($"doc_id")
+      .agg(avg($"nll").as("flat_bits"), count(lit(1)).as("flat_n"))
+    val joined = grouped.join(flat, "doc_id")
+    assert(joined.filter($"n_bigrams" =!= $"flat_n").count() === 0)
+    assert(joined
+      .filter(abs($"bits_per_bigram" - $"flat_bits") > 1e-3).count() === 0)
+  }
+
+  test("robust/minmax scaling: bounds and monotonicity within group") {
+    val r = Advanced.robustScale(spark, sf0001).cache()
+    assert(r.count() > 0)
+    assert(r.filter($"minmax" < 0 || $"minmax" > 1).count() === 0)
+    // both scalings are affine in price with positive slope: orderings agree
+    val disagree = r.as("a").join(r.as("b"),
+        $"a.l_returnflag" === $"b.l_returnflag" &&
+          $"a.robust" < $"b.robust" && $"a.minmax" > $"b.minmax")
+    assert(disagree.count() === 0)
+  }
+
+  test("sequence pattern: funnels bounded by purchases, lengths match") {
+    val p = Advanced.sequencePattern(spark, sf0001).cache()
+    val perUser = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", 1).otherwise(0)).as("n_p"))
+    val j = p.join(perUser, "user_id").cache()
+    assert(j.filter($"seq_len" =!= $"n_events").count() === 0)
+    assert(j.filter($"n_funnels" > $"n_p").count() === 0)
+    assert(p.agg(sum($"n_funnels")).head().getLong(0) > 0)
+  }
+
+  test("running distinct: non-decreasing, final value is the exact count") {
+    val rd = Advanced.runningDistinct(spark, sf0001).cache()
+    val fin = rd.groupBy($"user_id")
+      .agg(max($"running_distinct").as("final"))
+    val exact = Tables.events(spark, sf0001)
+      .filter($"user_id" % 7 === 0)
+      .groupBy($"user_id")
+      .agg(count_distinct($"event_type").as("exact"))
+    assert(fin.join(exact, "user_id")
+      .filter($"final" =!= $"exact").count() === 0)
+    assert(rd.filter($"running_distinct" < 1).count() === 0)
+  }
+}

@@ -76,4 +76,46 @@ class GraphSpec extends SparkTestBase {
     // distances are unique per node (no duplicate reachings)
     assert(dist.groupBy($"node").count().filter($"count" > 1).count() === 0)
   }
+
+  test("connected components: chains, cliques, singletons on a fixture") {
+    // a 6-node PATH (worst case for hash-min propagation), a 3-clique,
+    // one extra pair, and two isolated nodes from the node universe
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L,
+      20L -> 21L).toDF("src", "dst")
+    val nodes = ((1L to 6L) ++ Seq(10L, 11L, 12L, 20L, 21L, 30L, 31L))
+      .toDF("node")
+    val cc = Graph.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(cc(_) == 1L), s"path collapsed wrong: $cc")
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(cc(30L) == 30L && cc(31L) == 31L) // singletons survive
+    assert(cc.size == 13)
+  }
+
+  test("connected components: direction/duplicate/self-loop insensitivity") {
+    val edges = Seq(2L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 3L, 2L -> 3L)
+      .toDF("src", "dst")
+    val cc = Graph.connectedComponents((1L to 3L).toDF("node"), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connected components agree with hash-min label propagation at sf0.001") {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
+      .select($"doc_a", $"doc_b").cache()
+    val nodes = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 4 === 0).select($"doc_id")
+    val star = Graph.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent formulation: Dedup's hash-min propagation (only emits
+    // nodes that are in some dup group; singletons default to self)
+    val lp = graft.dedup.Dedup.assignCanonical(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.nonEmpty)
+    star.foreach { case (n, c) =>
+      assert(lp.getOrElse(n, n) == c, s"node $n: star=$c lp=${lp.get(n)}")
+    }
+  }
 }
