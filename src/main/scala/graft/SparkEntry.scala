@@ -154,6 +154,9 @@ object SparkEntry {
     "q128_robust_scale" -> (Advanced.robustScale(_, _)),
     "q129_seq_pattern" -> (Advanced.sequencePattern(_, _)),
     "q130_running_distinct" -> (Advanced.runningDistinct(_, _)),
+    "q131_timezone_battery" -> (Advanced.timezoneBattery(_, _)),
+    "q132_weighted_quantiles" -> (Advanced.weightedQuantiles(_, _)),
+    "q133_pointer_doubling" -> (Advanced.pointerDoubling(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -994,5 +997,49 @@ object SparkEntry {
       ("SELECT event_id, user_id, " +
         "count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts) " +
         "AS running_distinct FROM events WHERE user_id % 7 = 0"),
+    "q131_timezone_battery" ->
+      ("SELECT event_id, " +
+        "strftime(timezone('America/New_York', ts2 AT TIME ZONE 'UTC'), " +
+        "'%Y-%m-%d %H:%M:%S') AS ny_wall, " +
+        "CAST((epoch(timezone('America/New_York', ts2 AT TIME ZONE 'UTC')) - " +
+        "epoch(ts2)) / 60 AS INT) AS ny_off_min, " +
+        "CAST(hour(timezone('Asia/Kolkata', ts2 AT TIME ZONE 'UTC')) AS INT) " +
+        "AS kolkata_hour, " +
+        "strftime(timezone('Asia/Tokyo', ts2 AT TIME ZONE 'UTC'), '%Y-%m-%d') " +
+        "AS tokyo_date FROM (SELECT event_id, " +
+        "ts + to_days(CAST(event_id % 330 AS INT)) AS ts2 " +
+        "FROM events WHERE event_id % 17 = 0)"),
+    "q132_weighted_quantiles" ->
+      ("WITH pv AS (SELECT l_returnflag AS g, l_extendedprice AS v, " +
+        "sum(l_quantity) AS w FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM pv), " +
+        "t AS (SELECT g, v, cw, max(cw) OVER (PARTITION BY g) AS tw FROM c) " +
+        "SELECT g AS l_returnflag, " +
+        "round(min(CASE WHEN cw >= 0.25 * tw THEN v END), 2) AS wp25, " +
+        "round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 2) AS wp50, " +
+        "round(min(CASE WHEN cw >= 0.75 * tw THEN v END), 2) AS wp75 " +
+        "FROM t GROUP BY g"),
+    "q133_pointer_doubling" ->
+      // q110's sequential walk with an exact DECIMAL accumulator: the
+      // pointer-doubling re-plan reassociates additions, so the compare
+      // runs on a ring where reassociation is lossless
+      ("WITH RECURSIVE " +
+        "ch AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS next_key, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS rn " +
+        "FROM orders WHERE o_custkey % 20 = 0), " +
+        "walk AS (" +
+        "SELECT o_custkey, o_orderkey, next_key, 1 AS step, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS run_total FROM ch WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT c.o_custkey, c.o_orderkey, c.next_key, w.step + 1 AS step, " +
+        "CAST(w.run_total + CAST(c.o_totalprice AS DECIMAL(18,2)) " +
+        "AS DECIMAL(18,2)) AS run_total " +
+        "FROM walk w JOIN ch c ON c.o_orderkey = w.next_key) " +
+        "SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step, " +
+        "round(CAST(run_total AS DOUBLE), 2) AS run_total FROM walk"),
   )
 }

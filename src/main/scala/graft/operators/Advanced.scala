@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
@@ -1016,6 +1016,48 @@ object Advanced {
       FROM walk""")
   }
 
+  /** The q110 chain walk re-planned as Wyllie LIST RANKING (pointer
+    * doubling): every element tracks (prev, step, acc); each round jumps
+    * prev ← prev(prev) while folding the skipped element's rank and sum in
+    * — O(log chain-length) self-join rounds instead of the recursive
+    * CTE's O(chain-length) frontier rounds, which is the difference
+    * between 6 shuffles and 26 (and between feasible and not on
+    * million-element chains). Accumulation is DECIMAL(18,2): exact and
+    * associative, so the doubling tree produces bit-identical totals to
+    * the oracle's sequential recursive walk — float doubles would drift
+    * in the reassociation. Output = q110's, proving the re-plan. */
+  def pointerDoubling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    var st = orders(s, d).filter(col("o_custkey") % 20 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev"),
+        lit(1L).as("step"),
+        col("o_totalprice").cast("decimal(18,2)").as("acc"))
+      .localCheckpoint()
+    var remaining = st.filter(col("prev").isNotNull).count()
+    while (remaining > 0) {
+      val b = st.select(col("o_orderkey").as("b_key"),
+        col("prev").as("b_prev"), col("step").as("b_step"),
+        col("acc").as("b_acc"))
+      val obs = new org.apache.spark.sql.Observation()
+      st = st.join(b, st("prev") === b("b_key"), "left_outer")
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("prev").isNull, lit(null)).otherwise(col("b_prev"))
+            .as("prev"),
+          (col("step") + coalesce(col("b_step"), lit(0L))).as("step"),
+          (col("acc") + coalesce(col("b_acc"),
+            lit(0).cast("decimal(18,2)"))).as("acc"))
+        .observe(obs, count(col("prev")).as("remaining"))
+        .localCheckpoint()
+      remaining = obs.get("remaining").asInstanceOf[Long]
+    }
+    st.select(col("o_custkey"), col("o_orderkey"),
+      col("step").cast("int").as("step"),
+      round(col("acc").cast("double"), 2).as("run_total"))
+  }
+
   /** URL parsing battery: host/path/query-param extraction with the
     * native parse_url expression over synthesized-but-realistic URLs (the
     * C4-style per-document URL normalization a corpus pipeline runs before
@@ -1445,5 +1487,57 @@ object Advanced {
           .as("first_seen"))
       .select(col("event_id"), col("user_id"),
         sum(col("first_seen")).over(wRun).as("running_distinct"))
+  }
+
+  /** Timezone battery: UTC instants → wall time, UTC offset, local hour
+    * and local date in three zones (DST zone, half-hour-offset zone,
+    * fixed-offset zone). The per-row day shift spreads January events
+    * across the whole of 2024 so BOTH American DST transitions are in the
+    * data — the oracle runs on an independent tz database (ICU vs the
+    * JDK's tzdb), so a hash match certifies the transition handling, not
+    * just the arithmetic. Wall times are emitted as strings: parquet
+    * TIMESTAMP_NTZ vs DuckDB TIMESTAMP physical encodings would otherwise
+    * make the compare about storage, not semantics. */
+  def timezoneBattery(s: SparkSession, d: String): DataFrame = {
+    def wall(ts: Column, tz: String): Column = from_utc_timestamp(ts, tz)
+    events(s, d)
+      .filter(col("event_id") % 17 === 0)
+      .withColumn("ts2",
+        expr("timestampadd(DAY, CAST(event_id % 330 AS INT), ts)"))
+      .select(col("event_id"),
+        date_format(wall(col("ts2"), "America/New_York"),
+          "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+        ((unix_timestamp(wall(col("ts2"), "America/New_York")) -
+          unix_timestamp(col("ts2"))) / 60).cast("int").as("ny_off_min"),
+        hour(wall(col("ts2"), "Asia/Kolkata")).as("kolkata_hour"),
+        date_format(wall(col("ts2"), "Asia/Tokyo"), "yyyy-MM-dd")
+          .as("tokyo_date"))
+  }
+
+  /** Weighted quantiles (quantity-weighted price percentiles): the
+    * smallest value whose cumulative weight reaches the target fraction.
+    * Weights pre-aggregate per (group, value) — the window then runs over
+    * distinct values, not raw rows — and the running sum is SEQUENTIAL in
+    * value order in both engines, so the float cumulative weights are
+    * bit-identical cross-engine (the total re-derives from the running
+    * max, never from an order-unstable global sum). */
+  def weightedQuantiles(s: SparkSession, d: String): DataFrame = {
+    val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(col("g"))
+    val c = lineitem(s, d)
+      .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity")).as("w"))
+      .select(col("g"), col("v"), sum(col("w")).over(wc).as("cw"))
+      .withColumn("tw", max(col("cw")).over(wt))
+    c.groupBy(col("g"))
+      .agg(
+        round(min(when(col("cw") >= col("tw") * 0.25, col("v"))), 2)
+          .as("wp25"),
+        round(min(when(col("cw") >= col("tw") * 0.5, col("v"))), 2)
+          .as("wp50"),
+        round(min(when(col("cw") >= col("tw") * 0.75, col("v"))), 2)
+          .as("wp75"))
+      .withColumnRenamed("g", "l_returnflag")
   }
 }

@@ -128,7 +128,7 @@ object Graph {
     // order-independent edge-set signature; bit_xor can't overflow (a
     // modular SUM of xxhash64s trips the ANSI long-overflow check)
     var sig = e.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(hi, lo))")).head()
+      expr("bit_xor(xxhash64(hi, lo))")).head().toSeq
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -146,15 +146,19 @@ object Graph {
       // small-star on the (hi→lo) orientation: m = min of the smaller
       // neighborhood, re-link every smaller neighbor AND the center to m
       val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      // the signature rides the checkpoint job via observe() — one
+      // action per round, not a checkpoint plus a rescan
+      val obs = new org.apache.spark.sql.Observation()
       val ss = ls.join(smins, "hi")
         .select(col("lo").as("v"), col("m"))
         .filter(col("v") =!= col("m"))
         .unionAll(smins.select(col("hi").as("v"), col("m")))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
+        .observe(obs, count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(hi, lo))").as("x"))
         .localCheckpoint()
-      val nsig = ss.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(hi, lo))")).head()
+      val nsig = Seq(obs.get("n"), obs.get("x"))
       converged = nsig == sig
       sig = nsig
       e = ss

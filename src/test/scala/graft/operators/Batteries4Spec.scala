@@ -72,6 +72,47 @@ class Batteries4Spec extends SparkTestBase {
     assert(p.agg(sum($"n_funnels")).head().getLong(0) > 0)
   }
 
+  test("timezone battery: offsets, DST coverage, half-hour zones") {
+    val t = Advanced.timezoneBattery(spark, sf0001).cache()
+    assert(t.count() > 0)
+    // NY is UTC-5 (EST) or UTC-4 (EDT) — nothing else, and the day-shift
+    // spread must exercise BOTH sides of the DST transitions
+    val offs = t.select($"ny_off_min").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(offs == Set(-300, -240), s"NY offsets seen: $offs")
+    assert(t.filter($"kolkata_hour" < 0 || $"kolkata_hour" > 23)
+      .count() === 0)
+  }
+
+  test("weighted quantiles: ordered, bracketed, and exact on a fixture") {
+    val wq = Advanced.weightedQuantiles(spark, sf0001).cache()
+    assert(wq.count() > 0)
+    assert(wq.filter($"wp25" > $"wp50" || $"wp50" > $"wp75").count() === 0)
+    // hand-checkable fixture: values 1..4 with weights 1,1,1,5 → half the
+    // mass sits on 4, so the weighted median is 4 while p25 stays at 2
+    val c = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 5.0))
+      .toDF("v", "w")
+    val cum = c.select($"v", sum($"w").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v")
+          .rowsBetween(Long.MinValue, 0)).as("cw"))
+      .withColumn("tw", max($"cw").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val r = cum.agg(
+      min(when($"cw" >= $"tw" * 0.25, $"v")).as("p25"),
+      min(when($"cw" >= $"tw" * 0.5, $"v")).as("p50")).head()
+    assert(r.getDouble(0) === 2.0 && r.getDouble(1) === 4.0)
+  }
+
+  test("pointer doubling equals the recursive-CTE walk row for row") {
+    val pd = Advanced.pointerDoubling(spark, sf0001)
+    val rc = Advanced.recursiveChain(spark, sf0001)
+      .select($"o_custkey", $"o_orderkey", $"step",
+        round($"run_total", 2).as("run_total"))
+    // decimal accumulation vs double sequential sum: equal after round(2)
+    assert(pd.exceptAll(rc).isEmpty && rc.exceptAll(pd).isEmpty)
+    assert(pd.count() > 0)
+  }
+
   test("running distinct: non-decreasing, final value is the exact count") {
     val rd = Advanced.runningDistinct(spark, sf0001).cache()
     val fin = rd.groupBy($"user_id")

@@ -279,4 +279,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"|sample|=${ra.size}, E=$expected")
   }
 
+  test("geo nearest-supplier: cell join is a broadcast HASH join") {
+    val p = plan(Geo.nearestSupplier(spark, sf0001))
+    // equi-join on grid cells, never a nested-loop distance cross join
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("robust scaling broadcasts the stats, never windows the rows") {
+    val p = plan(Advanced.robustScale(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
 }
