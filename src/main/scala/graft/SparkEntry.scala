@@ -157,6 +157,7 @@ object SparkEntry {
     "q131_timezone_battery" -> (Advanced.timezoneBattery(_, _)),
     "q132_weighted_quantiles" -> (Advanced.weightedQuantiles(_, _)),
     "q133_pointer_doubling" -> (Advanced.pointerDoubling(_, _)),
+    "q134_prefix_filter_join" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1041,5 +1042,15 @@ object SparkEntry {
         "FROM walk w JOIN ch c ON c.o_orderkey = w.next_key) " +
         "SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step, " +
         "round(CAST(run_total AS DOUBLE), 2) AS run_total FROM walk"),
+    "q134_prefix_filter_join" ->
+      // q26's brute-force oracle verbatim: the prefix-filtered join must
+      // reproduce the all-pairs result exactly
+      ("SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac " +
+        "FROM (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) a " +
+        "JOIN (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) b " +
+        "ON a.doc_id < b.doc_id) WHERE jac >= 0.6"),
   )
 }

@@ -93,6 +93,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** The same exact Jaccard ≥ 0.6 pairs as [[ngramJaccardPairs]], produced
+    * by PREFIX FILTERING (the PPJoin candidate scheme, Xiao et al. WWW'08)
+    * instead of the all-pairs loop — the shape that makes EXACT set-
+    * similarity join feasible on a full corpus: candidates come from an
+    * inverted index over each set's RAREST tokens, not from n²/2
+    * comparisons.
+    *
+    * Theory: jac(A,B) ≥ τ forces |A∩B| ≥ ceil(τ·|X|) for both sides, and
+    * any two sets overlapping in ≥ t elements must share a token within
+    * their (|X|−t+1)-length prefixes under ANY global token order — so
+    * indexing prefixes of length |X| − ceil(τ·|X|) + 1 loses nothing.
+    * Ordering tokens rarest-first makes those prefixes low-frequency, so
+    * the inverted-index buckets (and thus candidates) stay small.
+    *
+    * Engineering: τ stays the rational 3/5 and prefix lengths use exact
+    * integer ceil ((3·n+4) div 5) — float ceil(0.6·n) rounds 3.0000…04 up
+    * and silently SHORTENS a prefix (missed pairs). Tokens become dense
+    * ranks ordered by (document frequency, token): a bijection, so rank-
+    * array intersections equal token intersections and the verify step
+    * reuses the native sorted merge-walk kernel. The vocabulary ranking
+    * window is vocab-sized, not corpus-sized (at extreme vocab it would
+    * become a range-partitioned sort + per-range offsets, the q64
+    * distributed-prefix-sum shape). Oracle: q26's brute-force SQL at
+    * τ = 0.6 — a hash match proves the candidate scheme exact. */
+  def prefixFilterJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+    val occ = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+    val rank = occ.groupBy(col("tok"))
+      .agg(count(lit(1)).as("dfreq"))
+      .select(col("tok"), row_number()
+        .over(Window.orderBy(col("dfreq"), col("tok"))).cast("long")
+        .as("rk"))
+    val ranked = occ.join(rank, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rk"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("pl", col("sz") - expr("(sz * 3 + 4) div 5") + 1)
+      .localCheckpoint() // the index and both verify sides read it
+    val pre = ranked.select(col("doc_id"), col("sz"),
+      explode(expr("slice(toks, 1, pl)")).as("rk"))
+    val cand = pre.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        col("rk"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("rk")), Seq("rk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") * 3 <= col("sz_b") * 5 &&
+        col("sz_b") * 3 <= col("sz_a") * 5)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(ranked.select(col("doc_id").as("doc_a"),
+        col("toks").as("toks_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(ranked.select(col("doc_id").as("doc_b"),
+        col("toks").as("toks_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("inter",
+        sortedIntersectSize(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("den", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jac", col("inter") / when(col("den") > 0, col("den")))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Number of hash functions in the MinHash signature and the LSH banding

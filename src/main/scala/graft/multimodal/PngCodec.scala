@@ -249,6 +249,50 @@ object PngCodec {
     true
   }
 
+  /** Encode as 16-bit truecolor (type 2, depth 16), non-interlaced,
+    * filter-0 rows. Samples upscale v → v·257 (= v·65535/255 exactly), the
+    * inverse of the decoder's round(v·255/65535) downscale — so
+    * decode(encode16(x)) == x bit-for-bit, and the full legal depth range
+    * of RFC 2083 is covered on the WRITE side too (the decode side already
+    * covers every profile). */
+  def encode16(img: BmpCodec.Decoded): Array[Byte] = {
+    val stride = img.width * 6
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      raw(y * (stride + 1)) = 0
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val d = y * (stride + 1) + 1 + x * 6
+        var c = 0
+        while (c < 3) {
+          // BGR → RGB channel order; v·257 duplicates the byte (0xAB →
+          // 0xABAB), the canonical 8→16 bit replication
+          val v = (img.bgr(s + (2 - c)) & 0xff) * 257
+          raw(d + 2 * c) = (v >>> 8).toByte
+          raw(d + 2 * c + 1) = (v & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Sig, 0, 8)
+    val ihdr = new Array[Byte](13)
+    def put32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    put32(ihdr, 0, img.width); put32(ihdr, 4, img.height)
+    ihdr(8) = 16; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Encode as 8-bit truecolor, non-interlaced, filter-0 rows. */
   def encode(img: BmpCodec.Decoded): Array[Byte] = {
     val stride = img.width * 3

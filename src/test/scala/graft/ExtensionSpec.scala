@@ -293,4 +293,12 @@ class ExtensionSpec extends SparkTestBase {
     val nAssets = Tables.documents(spark, d).count()
     assert(f.filter(col("frame_idx") === 0).count() === nAssets)
   }
+
+  test("prefix-filtered similarity join equals the all-pairs join exactly") {
+    val d = sf0001
+    val pf = Dedup.prefixFilterJaccardPairs(spark, d)
+    val bf = Dedup.ngramJaccardPairs(spark, d, threshold = 0.6)
+    assert(pf.exceptAll(bf).isEmpty && bf.exceptAll(pf).isEmpty)
+    assert(pf.count() > 0)
+  }
 }

@@ -209,6 +209,26 @@ class Png16BitSpec extends AnyFunSuite {
       assert((got.get.bgr(i) & 0xff) === scale16(ref.getSample(x, y, 2)), s"B($x,$y)")
     }
   }
+
+  test("encode16: our decoder round-trips it and ImageIO sees v*257 samples") {
+    val (w, h) = (19, 13)
+    val img = BmpCodec.Decoded(w, h,
+      Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte))
+    val png = PngCodec.encode16(img)
+    assert(ihdrDepth(png) === 16 && ihdrColorType(png) === 2)
+    // own decoder: downscale round(v·257·255/65535) = v, exact identity
+    val back = PngCodec.decode(png)
+    assert(back.isDefined)
+    assert(back.get.bgr.toSeq === img.bgr.toSeq)
+    // independent reader: raw 16-bit raster samples must be exactly v·257
+    val ref = ImageIO.read(new ByteArrayInputStream(png)).getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      assert(ref.getSample(x, y, 0) === (img.bgr(i + 2) & 0xff) * 257, s"R($x,$y)")
+      assert(ref.getSample(x, y, 1) === (img.bgr(i + 1) & 0xff) * 257, s"G($x,$y)")
+      assert(ref.getSample(x, y, 2) === (img.bgr(i) & 0xff) * 257, s"B($x,$y)")
+    }
+  }
 }
 
 /** Dispatch integration: mixed BMP + PNG asset batches decode through one
