@@ -158,6 +158,12 @@ object SparkEntry {
     "q132_weighted_quantiles" -> (Advanced.weightedQuantiles(_, _)),
     "q133_pointer_doubling" -> (Advanced.pointerDoubling(_, _)),
     "q134_prefix_filter_join" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
+    "q135_chi_square" -> (Advanced.chiSquare(_, _)),
+    "q136_mad_outliers" -> (Advanced.madOutliers(_, _)),
+    "q137_relational_division" -> (Advanced.relationalDivision(_, _)),
+    "q138_bitmap_distinct" -> (Advanced.bitmapDistinct(_, _)),
+    "q139_knn_triangles" -> ((s, d) => Graph.knnTriangles(s, d)),
+    "q140_incremental_agg" -> (Advanced.incrementalAgg(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1052,5 +1058,58 @@ object SparkEntry {
         "FROM (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) a " +
         "JOIN (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) b " +
         "ON a.doc_id < b.doc_id) WHERE jac >= 0.6"),
+    "q135_chi_square" ->
+      ("WITH joint AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, " +
+        "count(*) AS obs FROM events GROUP BY 1, 2), " +
+        "rm AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rn FROM joint GROUP BY 1), " +
+        "cm AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS cn FROM joint GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM joint) " +
+        "SELECT j.event_type, j.dow, j.obs, " +
+        "round(CAST(rn AS DOUBLE) * cn / n, 4) AS expected, " +
+        "round(pow(j.obs - CAST(rn AS DOUBLE) * cn / n, 2) / " +
+        "(CAST(rn AS DOUBLE) * cn / n), 6) AS chi2_term, " +
+        "round(log2(CAST(j.obs AS DOUBLE) * n / (CAST(rn AS DOUBLE) * cn)), 6) " +
+        "AS pmi FROM joint j JOIN rm USING (event_type) JOIN cm USING (dow), tt"),
+    "q136_mad_outliers" ->
+      ("WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) " +
+        "AS med FROM lineitem GROUP BY 1), " +
+        "mad AS (SELECT l.l_returnflag, any_value(med) AS med, " +
+        "quantile_cont(abs(l_extendedprice - med), 0.5) AS mad " +
+        "FROM lineitem l JOIN med USING (l_returnflag) GROUP BY 1) " +
+        "SELECT l.l_returnflag, round(any_value(med), 2) AS med, " +
+        "round(any_value(mad), 2) AS mad, " +
+        "CAST(sum(CASE WHEN abs(l_extendedprice - med) > mad * (3 * 1.4826) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "count(*) AS n FROM lineitem l JOIN mad USING (l_returnflag) GROUP BY 1"),
+    "q137_relational_division" ->
+      ("WITH u AS (SELECT count(DISTINCT o_orderpriority) AS u FROM orders) " +
+        "SELECT o_custkey, count(*) AS n_orders FROM orders, u " +
+        "GROUP BY o_custkey, u.u " +
+        "HAVING count(DISTINCT o_orderpriority) = u.u"),
+    "q138_bitmap_distinct" ->
+      // the oracle runs the shuffle-distinct the bitmap path avoids
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q139_knn_triangles" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings WHERE vec_id % 2 = 0), " +
+        "knn AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "round(list_cosine_similarity(a.e, b.e), 6) DESC, b.vec_id) AS rk " +
+        "FROM v a JOIN v b ON a.vec_id <> b.vec_id) WHERE rk <= 3), " +
+        "und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM knn), " +
+        "deg AS (SELECT vv, count(*) AS dg FROM " +
+        "(SELECT x AS vv FROM und UNION ALL SELECT y FROM und) GROUP BY 1), " +
+        "tri AS (SELECT count(*) AS nt FROM und e1 " +
+        "JOIN und e2 ON e1.y = e2.x " +
+        "JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y) " +
+        "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
+        "(SELECT count(*) FROM und) AS n_edges, " +
+        "(SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges, " +
+        "(SELECT nt FROM tri) AS n_triangles, " +
+        "round((SELECT nt FROM tri) * 3.0 / " +
+        "(SELECT sum((dg * (dg - 1)) // 2) FROM deg), 6) AS clustering"),
+    "q140_incremental_agg" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1"),
   )
 }

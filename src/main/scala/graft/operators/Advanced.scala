@@ -1016,6 +1016,125 @@ object Advanced {
       FROM walk""")
   }
 
+  /** Categorical-association battery: the event_type × day-of-week
+    * contingency table with per-cell chi-square contributions and PMI.
+    * One groupBy over the fact stream; both marginals re-aggregate from
+    * the 35-row joint table (never a second corpus scan) and broadcast
+    * back. The scale shape: contingency analysis over 100 TB is ONE
+    * partial-aggregated shuffle of |X|·|Y| cells. */
+  def chiSquare(s: SparkSession, d: String): DataFrame = {
+    val joint = events(s, d)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val rowM = joint.groupBy(col("event_type")).agg(sum(col("obs")).as("rn"))
+    val colM = joint.groupBy(col("dow")).agg(sum(col("obs")).as("cn"))
+    val tot = joint.agg(sum(col("obs")).as("n"))
+    // counts go through double BEFORE multiplying: at 100 TB cell×total
+    // products overflow int64, and the oracle mirrors the same float path
+    joint.join(broadcast(rowM), "event_type")
+      .join(broadcast(colM), "dow")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("rn").cast("double") * col("cn") / col("n"))
+      .select(col("event_type"), col("dow"), col("obs"),
+        round(col("expected"), 4).as("expected"),
+        round(pow(col("obs") - col("expected"), 2) / col("expected"), 6)
+          .as("chi2_term"),
+        round(log2(col("obs").cast("double") * col("n") /
+          (col("rn").cast("double") * col("cn"))), 6).as("pmi"))
+  }
+
+  /** Median-absolute-deviation outlier screen per group: med, MAD, and
+    * the count outside med ± 3·1.4826·MAD (the normal-consistent robust
+    * z-score). Two exact-percentile passes (median, then median of
+    * |x−med|), stats broadcast — the robust analog of q123's
+    * mean/stddev screen, which a single wild value can't poison. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val med = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    val mad = lineitem(s, d)
+      .join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    lineitem(s, d)
+      .join(broadcast(mad.select(col("l_returnflag"), col("med"),
+        col("mad"))), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(round(first(col("med")), 2).as("med"),
+        round(first(col("mad")), 2).as("mad"),
+        sum(when(abs(col("l_extendedprice") - col("med")) >
+          col("mad") * (3 * 1.4826), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Relational division: customers whose orders span EVERY order
+    * priority (the "suppliers who stock all parts" classic). The
+    * scalable form is count-distinct-equals-universe — one aggregation,
+    * universe size broadcast — rather than the textbook double NOT
+    * EXISTS, which plans as a nested correlated anti join. The oracle
+    * runs the SAME count form in DuckDB (q53 already pins correlated
+    * de-correlation; this pins the division rewrite). */
+  def relationalDivision(s: SparkSession, d: String): DataFrame = {
+    val universe = orders(s, d)
+      .agg(count_distinct(col("o_orderpriority")).as("u"))
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count_distinct(col("o_orderpriority")).as("np"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(universe))
+      .filter(col("np") === col("u"))
+      .select(col("o_custkey"), col("n_orders"))
+  }
+
+  /** EXACT distinct-user counts per segment via BITMAP aggregation: each
+    * user sets one bit in a 64-bit chunk keyed by user_id div 64; chunks
+    * bit_or-combine (associative ⇒ full map-side partial aggregation),
+    * and popcounts sum per segment. Two cheap aggregations replace a
+    * shuffle-heavy count_distinct over raw IDs: the shuffled volume is
+    * the BITMAP (one long per 64-id block per segment), not the ID
+    * stream — the roaring-bitmap idea in plain SQL types. Exact, unlike
+    * the HLL path (q48/q116). */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("user_id div 64").as("chunk"),
+        expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(expr("bit_or(m)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(bit_count(col("bm"))).as("n_users"))
+
+  /** Incremental aggregate maintenance: a per-(day, status) pre-aggregate
+    * state is built from all-but-the-last-day, the last day MERGES in as
+    * a delta (sums add, counts add — the algebraic-aggregate property),
+    * and the final per-status totals read ONLY the state table. At 100 TB
+    * this is the difference between scanning yesterday's delta and
+    * re-scanning all of history; the oracle recomputes from scratch, so
+    * the hash match proves merge == recompute. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_orderstatus").as("st"),
+        to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val lastDay = o.agg(max(col("day"))).head().getDate(0)
+    def preAgg(df: DataFrame): DataFrame =
+      df.groupBy(col("st"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tot"))
+    val state = preAgg(o.filter(col("day") < lit(lastDay)))
+    val delta = preAgg(o.filter(col("day") === lit(lastDay)))
+    // merge = outer-union + re-combine on the state's own grain
+    val merged = state.unionByName(delta)
+      .groupBy(col("st"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+    merged.groupBy(col("st"))
+      .agg(sum(col("n")).as("n_orders"),
+        round(sum(col("tot")), 2).as("total"))
+      .withColumnRenamed("st", "o_orderstatus")
+  }
+
   /** The q110 chain walk re-planned as Wyllie LIST RANKING (pointer
     * doubling): every element tracks (prev, step, acc); each round jumps
     * prev ← prev(prev) while folding the skipped element's rank and sum in

@@ -172,6 +172,80 @@ object Graph {
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 
+  /** Triangle and wedge statistics over an undirected edge set, using the
+    * degree-ordered orientation (Suri & Vassilvitskii, WWW'11): every
+    * edge points from the lower-(degree,id) endpoint to the higher under
+    * that total order, so each triangle is counted at exactly one vertex
+    * and wedge fan-out is bounded by the max ORIENTED out-degree (O(√m)
+    * on any graph) — the difference between a feasible and an exploding
+    * self-join on skewed graphs. One wedge self-join on the low endpoint
+    * + one closing equi-join; wedge counts come from the undirected
+    * degree table (no extra pass). Emits the global clustering
+    * coefficient 3·triangles / wedges.
+    *
+    * `edges`: two columns (x, y), already deduped with x < y. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val pairs = edges.toDF("x", "y").localCheckpoint()
+    val deg = pairs.select(col("x").as("v"))
+      .unionAll(pairs.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
+    val lower = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val oriented = pairs
+      .join(deg.select(col("v").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("dg").as("dy")), "y")
+      .select(when(lower, col("x")).otherwise(col("y")).as("src"),
+        when(lower, col("y")).otherwise(col("x")).as("dst"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val tri = wedges.join(oriented,
+        (col("a") === col("src") && col("b") === col("dst")) ||
+          (col("b") === col("src") && col("a") === col("dst")))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg
+      .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    val edgeTotal = pairs.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(wedgeTotal).crossJoin(edgeTotal)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(col("n_triangles") * 3.0 /
+          when(col("n_wedges") > 0, col("n_wedges")), 6).as("clustering"))
+  }
+
+  /** Triangle census of the 3-NN GRAPH over the embedding corpus — the
+    * local-coherence diagnostic of an embedding space (a healthy metric
+    * space closes many of its neighbor wedges; random vectors close
+    * ~none). The kNN graph is sparse BY CONSTRUCTION (≤ 3n directed
+    * edges) at any corpus size, so the census stays linear where raw
+    * similarity graphs go quadratic. Similarities round to 6 decimals
+    * BEFORE ranking (q30's convention) so the neighbor sets — and hence
+    * the census — are deterministic cross-engine. */
+  def knnTriangles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val knn = v.select(col("vec_id").as("src"), col("emb").as("e1"))
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
+      .join(broadcast(v.select(col("vec_id").as("dst"),
+        col("emb").as("e2"))), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("e1"), col("e2")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    val und = knn
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+    triangleStats(und)
+  }
+
   /** Duplicate CLUSTERS over the oracle-checkable near-dup pair graph:
     * components of the exact n-gram-Jaccard ≥ 0.8 pairs on the doc_id % 4
     * sample, singletons (unique docs) included. This is the operator a

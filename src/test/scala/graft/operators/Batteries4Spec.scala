@@ -113,6 +113,83 @@ class Batteries4Spec extends SparkTestBase {
     assert(pd.count() > 0)
   }
 
+  test("chi-square battery: marginals reconcile, terms non-negative") {
+    val c = Advanced.chiSquare(spark, sf0001).cache()
+    val n = Tables.events(spark, sf0001).count()
+    assert(c.agg(sum($"obs")).head().getLong(0) === n)
+    assert(c.filter($"chi2_term" < 0 || $"expected" <= 0).count() === 0)
+    // PMI averages to ~0 under near-independence; just require finite
+    assert(c.filter($"pmi".isNull).count() === 0)
+  }
+
+  test("MAD outliers: robust stats sane, outliers a strict minority") {
+    val m = Advanced.madOutliers(spark, sf0001).cache()
+    assert(m.count() > 0)
+    assert(m.filter($"mad" < 0 || $"n_outliers" >= $"n").count() === 0)
+  }
+
+  test("relational division equals the double-anti-join formulation") {
+    val div = Advanced.relationalDivision(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    // textbook form: customers minus those missing at least one priority
+    val missing = o.select($"o_custkey").distinct()
+      .crossJoin(o.select($"o_orderpriority").distinct())
+      .join(o.select($"o_custkey", $"o_orderpriority").distinct(),
+        Seq("o_custkey", "o_orderpriority"), "left_anti")
+      .select($"o_custkey").distinct()
+    val expected = o.select($"o_custkey").distinct()
+      .join(missing, Seq("o_custkey"), "left_anti")
+    val got = div.select($"o_custkey")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(div.count() > 0)
+  }
+
+  test("bitmap distinct equals count_distinct exactly") {
+    val bm = Advanced.bitmapDistinct(spark, sf0001)
+    val exact = Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("exact"))
+    assert(bm.join(exact, "event_type")
+      .filter($"n_users" =!= $"exact").count() === 0)
+    assert(bm.count() > 0)
+  }
+
+  test("triangle stats: exact counts on crafted graphs") {
+    // K4 (4 triangles... no: C(4,3)=4), plus a path (0 triangles), plus
+    // a single triangle with a pendant edge
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("x", "y")
+    val r1 = Graph.triangleStats(k4).head()
+    assert(r1.getAs[Long]("n_triangles") === 4L)
+    assert(r1.getAs[Long]("n_edges") === 6L)
+    assert(r1.getAs[Double]("clustering") === 1.0)
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L).toDF("x", "y")
+    assert(Graph.triangleStats(path).head().getAs[Long]("n_triangles") === 0L)
+    val triPendant = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+      .toDF("x", "y")
+    val r3 = Graph.triangleStats(triPendant).head()
+    assert(r3.getAs[Long]("n_triangles") === 1L)
+    assert(r3.getAs[Long]("n_wedges") === 5L)
+  }
+
+  test("knn triangle census: sane ranges on real embeddings") {
+    val t = Graph.knnTriangles(spark, sf0001).head()
+    assert(t.getAs[Long]("n_nodes") > 0)
+    // every node has >= 3 directed edges; undirected dedup keeps >= 3n/2
+    assert(t.getAs[Long]("n_edges") >= t.getAs[Long]("n_nodes") * 3 / 2)
+    val c = t.getAs[Double]("clustering")
+    assert(c >= 0.0 && c <= 1.0, s"clustering $c")
+  }
+
+  test("incremental agg merge equals full recompute") {
+    val inc = Advanced.incrementalAgg(spark, sf0001)
+    val full = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   test("running distinct: non-decreasing, final value is the exact count") {
     val rd = Advanced.runningDistinct(spark, sf0001).cache()
     val fin = rd.groupBy($"user_id")
