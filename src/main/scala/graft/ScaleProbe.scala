@@ -30,6 +30,19 @@ object ScaleProbe {
       .select((col("doc_id") * n + col("rep")).as("doc_id"),
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
 
+  /** Replicate ×n with per-replica DISJOINT token namespaces (every token
+    * suffixed _r<rep>): replicas share no vocabulary, so similarity-join
+    * probes see a mostly-unique corpus whose true pair count grows
+    * LINEARLY — [[replicateDocs]]'s one-token tag keeps replicas of one
+    * doc near-identical to each other, which makes any exact similarity
+    * join's OUTPUT quadratic in n and says nothing about the algorithm. */
+  def replicateDocsDisjoint(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(n - 1L))).as("rep"))
+      .select((col("doc_id") * n + col("rep")).as("doc_id"),
+        expr("concat_ws(' ', transform(filter(split(text, ' '), w -> w != ''), " +
+          "w -> concat(w, '_r', rep)))").as("text"))
+
   def replicateKeyed(df: DataFrame, key: String, n: Int): DataFrame =
     df.withColumn("rep", explode(sequence(lit(0L), lit(n - 1L))))
       .withColumn(key, col(key) * n + col("rep"))
@@ -174,6 +187,31 @@ object ScaleProbe {
         graft.operators.Advanced.intervalConcurrencyDf(ev).count()
       }
       results += (("interval_sweep", n, tSw, rSw))
+
+      // prefix-filtered exact similarity join over the disjoint-namespace
+      // replicated corpus: candidates come from rare-token prefixes, so
+      // cost must track the corpus, not the n² pair space
+      val (tPf, rPf) = time(Dedup.prefixFilterJaccardPairsDf(
+        replicateDocsDisjoint(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          n)).count())
+      results += (("prefix_filter_join", n, tPf, rPf))
+
+      // alternating-star connected components on a synthetic
+      // chain+hub graph (path segments of 8 linked to per-64 hubs):
+      // rounds are O(log n) by construction, so wall time must track
+      // the edge count, never the component diameter
+      val (tCc, rCc) = time {
+        val ids = spark.range(0L, 20000L * n).toDF("id")
+        val chain = ids.filter(col("id") % 8 =!= 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        val hub = ids.filter(col("id") % 16 === 0)
+          .select(col("id").as("src"),
+            (col("id") - (col("id") % 64)).as("dst"))
+        graft.operators.Graph.connectedComponents(
+          ids.select(col("id").as("node")), chain.unionAll(hub)).count()
+      }
+      results += (("connected_components", n, tCc, rCc))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

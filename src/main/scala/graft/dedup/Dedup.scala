@@ -117,10 +117,15 @@ object Dedup {
     * become a range-partitioned sort + per-range offsets, the q64
     * distributed-prefix-sum shape). Oracle: q26's brute-force SQL at
     * τ = 0.6 — a hash match proves the candidate scheme exact. */
-  def prefixFilterJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def prefixFilterJaccardPairs(s: SparkSession, d: String): DataFrame =
+    prefixFilterJaccardPairsDf(
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0))
+
+  /** [[prefixFilterJaccardPairs]] over any (doc_id, text) frame — the
+    * production surface, also driven by the scale probe. */
+  def prefixFilterJaccardPairsDf(src: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-      .filter(col("doc_id") % 4 === 0)
+    val docs = src
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
     val occ = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
     val rank = occ.groupBy(col("tok"))
