@@ -164,6 +164,8 @@ object SparkEntry {
     "q138_bitmap_distinct" -> (Advanced.bitmapDistinct(_, _)),
     "q139_knn_triangles" -> ((s, d) => Graph.knnTriangles(s, d)),
     "q140_incremental_agg" -> (Advanced.incrementalAgg(_, _)),
+    "q141_seasonal_decompose" -> (Advanced.seasonalDecompose(_, _)),
+    "q142_timed_funnel" -> (Advanced.timedFunnel(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1111,5 +1113,27 @@ object SparkEntry {
     "q140_incremental_agg" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1"),
+    "q141_seasonal_decompose" ->
+      ("WITH b AS (SELECT event_id, value, CAST(hour(ts) AS INT) AS hod, " +
+        "CAST(dayofweek(ts) + 1 AS INT) AS dow FROM events), " +
+        "hm AS (SELECT hod, avg(value) AS hm FROM b GROUP BY 1), " +
+        "wm AS (SELECT dow, avg(value) AS wm FROM b GROUP BY 1), " +
+        "g AS (SELECT avg(value) AS gm FROM b) " +
+        "SELECT event_id, hod, dow, round(hm + wm - gm, 4) AS expected, " +
+        "round(value - (hm + wm - gm), 4) AS residual " +
+        "FROM b JOIN hm USING (hod) JOIN wm USING (dow), g " +
+        "WHERE event_id % 13 = 0"),
+    "q142_timed_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS v1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(ts) AS c1 FROM events e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND ts > v1 " +
+        "AND ts <= v1 + INTERVAL 24 HOUR GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(ts) AS p1 FROM events e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts > c1 " +
+        "AND ts <= c1 + INTERVAL 24 HOUR GROUP BY 1) " +
+        "SELECT v.user_id, epoch_us(v1) AS v_us, epoch_us(c1) AS c_us, " +
+        "epoch_us(p1) AS p_us FROM v LEFT JOIN c USING (user_id) " +
+        "LEFT JOIN p USING (user_id)"),
   )
 }

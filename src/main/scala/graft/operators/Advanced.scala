@@ -1108,6 +1108,63 @@ object Advanced {
       .groupBy(col("event_type"))
       .agg(sum(bit_count(col("bm"))).as("n_users"))
 
+  /** Two-way additive seasonal decomposition of the event value series:
+    * expected(hour-of-day h, day-of-week w) = global + (hod_h − global) +
+    * (dow_w − global); residual = value − expected. Three broadcast-sized
+    * aggregate tables (24 + 7 + 1 rows) from ONE scan each of the fact
+    * column, joined back map-side — the seasonal-adjustment prefilter a
+    * metrics pipeline runs before anomaly detection, with no per-row
+    * window anywhere. */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("event_id"), col("value"),
+        hour(col("ts")).as("hod"), dayofweek(col("ts")).as("dow"))
+    val hodM = base.groupBy(col("hod")).agg(avg(col("value")).as("hm"))
+    val dowM = base.groupBy(col("dow")).agg(avg(col("value")).as("wm"))
+    val g = base.agg(avg(col("value")).as("gm"))
+    base.filter(col("event_id") % 13 === 0)
+      .join(broadcast(hodM), "hod")
+      .join(broadcast(dowM), "dow")
+      .crossJoin(broadcast(g))
+      .select(col("event_id"), col("hod"), col("dow"),
+        round(col("hm") + col("wm") - col("gm"), 4).as("expected"),
+        round(col("value") - (col("hm") + col("wm") - col("gm")), 4)
+          .as("residual"))
+  }
+
+  /** Time-constrained funnel: first view → first click within 24 h of
+    * that view → first purchase within 24 h of that click, per user.
+    * Computed in ONE pass: each user's events collapse to an ordered
+    * array and a lambda `aggregate` runs the 3-state machine over it —
+    * one shuffle, one scan, state O(1) per user. The oracle computes the
+    * same stages as three join+min passes (the formulation that rescans
+    * the fact table per stage), so the hash match proves the state
+    * machine against the declarative form. q66 is the unconstrained
+    * ordered funnel; the deadline arithmetic is what that can't say. */
+  def timedFunnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .withColumn("st", expr(
+        """aggregate(evs,
+             named_struct('v', CAST(NULL AS TIMESTAMP),
+                          'c', CAST(NULL AS TIMESTAMP),
+                          'p', CAST(NULL AS TIMESTAMP)),
+             (s, e) -> named_struct(
+               'v', if(s.v IS NULL AND e.event_type = 'view', e.ts, s.v),
+               'c', if(s.c IS NULL AND s.v IS NOT NULL
+                       AND e.event_type = 'click' AND e.ts > s.v
+                       AND e.ts <= s.v + INTERVAL 24 HOURS, e.ts, s.c),
+               'p', if(s.p IS NULL AND s.c IS NOT NULL
+                       AND e.event_type = 'purchase' AND e.ts > s.c
+                       AND e.ts <= s.c + INTERVAL 24 HOURS, e.ts, s.p)))"""))
+      .filter(col("st.v").isNotNull)
+      .select(col("user_id"), unix_micros(col("st.v")).as("v_us"),
+        unix_micros(col("st.c")).as("c_us"),
+        unix_micros(col("st.p")).as("p_us"))
+
   /** Incremental aggregate maintenance: a per-(day, status) pre-aggregate
     * state is built from all-but-the-last-day, the last day MERGES in as
     * a delta (sums add, counts add — the algebraic-aggregate property),

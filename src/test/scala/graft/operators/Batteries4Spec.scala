@@ -190,6 +190,42 @@ class Batteries4Spec extends SparkTestBase {
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
   }
 
+  test("seasonal decomposition: no nulls, residual centers near zero") {
+    val sd = Advanced.seasonalDecompose(spark, sf0001).cache()
+    assert(sd.count() > 0)
+    assert(sd.filter($"expected".isNull || $"residual".isNull).count() === 0)
+    val vScale = Tables.events(spark, sf0001)
+      .agg(stddev_samp($"value")).head().getDouble(0)
+    val meanResid = sd.agg(avg($"residual")).head().getDouble(0)
+    assert(math.abs(meanResid) < vScale,
+      s"residual mean $meanResid vs scale $vScale")
+  }
+
+  test("timed funnel state machine equals the three-pass join form") {
+    val tf = Advanced.timedFunnel(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v1"))
+    val c = ev.join(v, "user_id")
+      .filter($"event_type" === "click" && $"ts" > $"v1" &&
+        $"ts" <= $"v1" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("c1"))
+    val p = ev.join(c, "user_id")
+      .filter($"event_type" === "purchase" && $"ts" > $"c1" &&
+        $"ts" <= $"c1" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("p1"))
+    val threePass = v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select($"user_id", unix_micros($"v1").as("v_us"),
+        unix_micros($"c1").as("c_us"), unix_micros($"p1").as("p_us"))
+    assert(tf.exceptAll(threePass).isEmpty &&
+      threePass.exceptAll(tf).isEmpty)
+    // the funnel must narrow monotonically
+    val n = tf.agg(count(lit(1)), count($"c_us"), count($"p_us")).head()
+    assert(n.getLong(0) >= n.getLong(1) && n.getLong(1) >= n.getLong(2))
+    assert(n.getLong(0) > 0)
+  }
+
   test("running distinct: non-decreasing, final value is the exact count") {
     val rd = Advanced.runningDistinct(spark, sf0001).cache()
     val fin = rd.groupBy($"user_id")
