@@ -166,6 +166,7 @@ object SparkEntry {
     "q140_incremental_agg" -> (Advanced.incrementalAgg(_, _)),
     "q141_seasonal_decompose" -> (Advanced.seasonalDecompose(_, _)),
     "q142_timed_funnel" -> (Advanced.timedFunnel(_, _)),
+    "q143_activity_streaks" -> (Advanced.activityStreaks(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1135,5 +1136,13 @@ object SparkEntry {
         "SELECT v.user_id, epoch_us(v1) AS v_us, epoch_us(c1) AS c_us, " +
         "epoch_us(p1) AS p_us FROM v LEFT JOIN c USING (user_id) " +
         "LEFT JOIN p USING (user_id)"),
+    "q143_activity_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "isl AS (SELECT user_id, day - CAST(row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY day) AS INT) AS anchor FROM days), " +
+        "runs AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days, " +
+        "count(*) AS n_streaks, max(len) AS max_streak " +
+        "FROM runs GROUP BY user_id"),
   )
 }

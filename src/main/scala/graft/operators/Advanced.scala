@@ -1165,6 +1165,29 @@ object Advanced {
         unix_micros(col("st.c")).as("c_us"),
         unix_micros(col("st.p")).as("p_us"))
 
+  /** Gaps-and-islands: per-user consecutive-day activity streaks via the
+    * date − row_number() trick (consecutive days share an anchor date),
+    * then one aggregation over (user, island). Two window passes on the
+    * same partition key = one shuffle; a streak of any length costs the
+    * same as a gap. Emits per user: active days, island count, longest
+    * streak. */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+  }
+
   /** Incremental aggregate maintenance: a per-(day, status) pre-aggregate
     * state is built from all-but-the-last-day, the last day MERGES in as
     * a delta (sums add, counts add — the algebraic-aggregate property),

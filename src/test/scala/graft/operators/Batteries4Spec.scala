@@ -226,6 +226,25 @@ class Batteries4Spec extends SparkTestBase {
     assert(n.getLong(0) > 0)
   }
 
+  test("activity streaks: day accounting reconciles, streaks bounded") {
+    val st = Advanced.activityStreaks(spark, sf0001).cache()
+    val exact = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_days"))
+    assert(st.join(exact, "user_id")
+      .filter($"active_days" =!= $"n_days").count() === 0)
+    assert(st.filter($"max_streak" > $"active_days" ||
+      $"n_streaks" < 1).count() === 0)
+    // streak arithmetic: a user active every single day has ONE streak
+    val span = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").as("day"))
+      .groupBy($"user_id")
+      .agg(datediff(max($"day"), min($"day")).as("span"))
+    val full = st.join(exact, "user_id").join(span, "user_id")
+      .filter($"n_days" === $"span" + 1)
+    assert(full.filter($"n_streaks" =!= 1).count() === 0)
+  }
+
   test("running distinct: non-decreasing, final value is the exact count") {
     val rd = Advanced.runningDistinct(spark, sf0001).cache()
     val fin = rd.groupBy($"user_id")
