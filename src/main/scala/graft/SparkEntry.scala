@@ -167,6 +167,9 @@ object SparkEntry {
     "q141_seasonal_decompose" -> (Advanced.seasonalDecompose(_, _)),
     "q142_timed_funnel" -> (Advanced.timedFunnel(_, _)),
     "q143_activity_streaks" -> (Advanced.activityStreaks(_, _)),
+    "q144_tpch_q1" -> (graft.operators.TpchClassics.q1(_, _)),
+    "q145_tpch_q3" -> (graft.operators.TpchClassics.q3(_, _)),
+    "q146_tpch_q5" -> (graft.operators.TpchClassics.q5(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1144,5 +1147,40 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days, " +
         "count(*) AS n_streaks, max(len) AS max_streak " +
         "FROM runs GROUP BY user_id"),
+    "q144_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "round(avg(l_quantity), 4) AS avg_qty, " +
+        "round(avg(l_extendedprice), 4) AS avg_price, " +
+        "round(avg(l_discount), 4) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "q145_tpch_q3" ->
+      ("SELECT l_orderkey, revenue, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, " +
+        "o_orderpriority FROM (" +
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority) " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q146_tpch_q5" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY n_name"),
   )
 }

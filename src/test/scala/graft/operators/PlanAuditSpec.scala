@@ -279,6 +279,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"|sample|=${ra.size}, E=$expected")
   }
 
+  test("TPC-H Q1: shipdate predicate reaches the scan, one agg pass") {
+    val p = plan(TpchClassics.q1(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length === 2, p.take(2000))
+  }
+
+  test("TPC-H Q3: broadcast dim, TakeOrdered for the top 10") {
+    val p = plan(TpchClassics.q3(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("TPC-H Q5: dim chain broadcasts; at most one shuffle join") {
+    val p = plan(TpchClassics.q5(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(3000))
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1, p.take(3000))
+  }
+
   test("geo nearest-supplier: cell join is a broadcast HASH join") {
     val p = plan(Geo.nearestSupplier(spark, sf0001))
     // equi-join on grid cells, never a nested-loop distance cross join
