@@ -170,6 +170,11 @@ object SparkEntry {
     "q144_tpch_q1" -> (graft.operators.TpchClassics.q1(_, _)),
     "q145_tpch_q3" -> (graft.operators.TpchClassics.q3(_, _)),
     "q146_tpch_q5" -> (graft.operators.TpchClassics.q5(_, _)),
+    "q147_tpch_q4" -> (graft.operators.TpchClassics.q4(_, _)),
+    "q148_tpch_q10" -> (graft.operators.TpchClassics.q10(_, _)),
+    "q149_tpch_q13" -> (graft.operators.TpchClassics.q13(_, _)),
+    "q150_tpch_q18" -> ((s, d) => graft.operators.TpchClassics.q18(s, d)),
+    "q151_tpch_q22" -> (graft.operators.TpchClassics.q22(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1150,9 +1155,9 @@ object SparkEntry {
     "q144_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "round(sum(l_quantity), 2) AS sum_qty, " +
-        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge, " +
         "round(avg(l_quantity), 4) AS avg_qty, " +
         "round(avg(l_extendedprice), 4) AS avg_price, " +
         "round(avg(l_discount), 4) AS avg_disc, " +
@@ -1163,7 +1168,7 @@ object SparkEntry {
       ("SELECT l_orderkey, revenue, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, " +
         "o_orderpriority FROM (" +
         "SELECT l_orderkey, o_orderdate, o_orderpriority, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
@@ -1172,7 +1177,7 @@ object SparkEntry {
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority) " +
         "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
     "q146_tpch_q5" ->
-      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      ("SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue " +
         "FROM region JOIN nation ON n_regionkey = r_regionkey " +
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
@@ -1182,5 +1187,46 @@ object SparkEntry {
         "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY n_name"),
+    "q147_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY o_orderpriority"),
+    "q148_tpch_q10" ->
+      ("SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (" +
+        "SELECT c_custkey, c_name, c_acctbal, n_name, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name) " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q149_tpch_q13" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey) GROUP BY c_count"),
+    "q150_tpch_q18" ->
+      ("SELECT c_custkey, c_name, o_orderkey, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, " +
+        "round(o_totalprice, 2) AS o_totalprice, total_qty " +
+        "FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250) " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey"),
+    "q151_tpch_q22" ->
+      ("WITH c AS (SELECT c_custkey, c_acctbal, " +
+        "CAST(c_custkey % 7 + 10 AS INT) AS cntrycode FROM customer), " +
+        "ab AS (SELECT avg(c_acctbal) AS ab FROM c WHERE c_acctbal > 0) " +
+        "SELECT cntrycode, count(*) AS numcust, " +
+        "round(sum(c_acctbal), 2) AS totacctbal " +
+        "FROM c, ab WHERE c_acctbal > ab " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY cntrycode"),
   )
 }

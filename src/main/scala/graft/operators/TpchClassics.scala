@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
 object TpchClassics {
   import Tables._
 
+  import org.apache.spark.sql.Column
+
+  /** Money columns go through DECIMAL(18,2) BEFORE arithmetic: decimal
+    * sums are exact and associative, so partial-aggregation order (and
+    * the oracle's different order) can't move a revenue total across a
+    * half-cent rounding boundary — doubles did, by one cent, at sf0.01. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Σ price·(1−discount), exact; the scale-4 total is rounded to cents
+    * IN DECIMAL (HALF_UP on the exact value) and only then widened to
+    * double — rounding after a double cast turns exact .xx5 ties into
+    * whatever the binary approximation fell on, and Spark and DuckDB
+    * fall on different sides of it. */
+  private def revenueSum: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .cast("decimal(38,2)").cast("double")
+
   /** Q1: pricing summary report. All eight aggregates in one pass;
     * shipdate predicate reaches the parquet scan. */
   def q1(s: SparkSession, d: String): DataFrame =
@@ -22,11 +39,13 @@ object TpchClassics {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)")
+          .cast("double").as("sum_base_price"),
+        revenueSum.as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount"))) *
+          (lit(1) + dec(col("l_tax")))).cast("decimal(38,2)")
+          .cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -49,14 +68,103 @@ object TpchClassics {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-        2).as("revenue"))
+      .agg(revenueSum.as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
 
+  }
+
+  /** Q4 (adapted): order-priority checking — orders counted when at
+    * least one lineitem shipped after the order date (the reference
+    * schema has no commitdate/receiptdate, so late-ship stands in). The
+    * EXISTS plans as a left-semi join; lineitem projects only the two
+    * columns the predicate needs. */
+  def q4(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q10: returned-item reporting — top 20 customers by revenue lost to
+    * returns in a quarter. One fact-fact shuffle; customer and nation
+    * broadcast; TakeOrdered top-20 with a full deterministic tiebreak. */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = customer(s, d).select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_nationkey"))
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q13: customer order-count distribution INCLUDING zero-order
+    * customers — the left outer join is the whole point (an inner join
+    * silently drops the largest bucket). */
+  def q13(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q18 (adapted): large-volume orders — orders whose total quantity
+    * exceeds the threshold, with customer attribution. The HAVING
+    * pre-filters ON THE AGGREGATE before the dim join, so only
+    * qualifying orders join customer. */
+  def q18(s: SparkSession, d: String, minQty: Double = 250): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty"))
+  }
+
+  /** Q22 (adapted): global sales opportunity — customers above the
+    * average positive account balance with NO orders, bucketed by a
+    * key-derived "country code" (the schema has no c_phone). The scalar
+    * average is an uncorrelated subquery (broadcast one row); the NOT
+    * EXISTS is a left-anti join. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        (col("c_custkey") % 7 + 10).cast("int").as("cntrycode"))
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
   }
 
   /** Q5: local supplier volume — revenue by nation for one region-year,
@@ -86,7 +194,6 @@ object TpchClassics {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-        2).as("revenue"))
+      .agg(revenueSum.as("revenue"))
   }
 }
