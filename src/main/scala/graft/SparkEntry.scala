@@ -175,6 +175,10 @@ object SparkEntry {
     "q149_tpch_q13" -> (graft.operators.TpchClassics.q13(_, _)),
     "q150_tpch_q18" -> ((s, d) => graft.operators.TpchClassics.q18(s, d)),
     "q151_tpch_q22" -> (graft.operators.TpchClassics.q22(_, _)),
+    "q152_tpch_q7" -> (graft.operators.TpchClassics.q7(_, _)),
+    "q153_tpch_q8" -> (graft.operators.TpchClassics.q8(_, _)),
+    "q154_tpch_q14" -> (graft.operators.TpchClassics.q14(_, _)),
+    "q155_tpch_q19" -> (graft.operators.TpchClassics.q19(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1228,5 +1232,46 @@ object SparkEntry {
         "FROM c, ab WHERE c_acctbal > ab " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
         "GROUP BY cntrycode"),
+    "q152_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INT) AS l_year, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey) ON l_suppkey = s_suppkey " +
+        "JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey) ON o_custkey = c_custkey " +
+        "WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7') " +
+        "OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3') " +
+        "GROUP BY supp_nation, cust_nation, CAST(year(l_shipdate) AS INT)"),
+    "q153_tpch_q8" ->
+      ("WITH vol AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) AS v, n_name " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
+        "SELECT o_year, round(CAST(sum(CASE WHEN n_name = 'NATION_2' THEN v " +
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+        "CAST(sum(v) AS DOUBLE), 6) AS mkt_share FROM vol GROUP BY o_year"),
+    "q154_tpch_q14" ->
+      ("SELECT round(CAST(sum(CASE WHEN p_name LIKE '%red%' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 / " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"),
+    "q155_tpch_q19" ->
+      ("SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_partkey % 5 = 1 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_partkey % 5 = 2 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_partkey % 5 = 3 AND l_quantity BETWEEN 20 AND 30)"),
   )
 }

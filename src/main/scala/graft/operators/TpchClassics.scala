@@ -167,6 +167,103 @@ object TpchClassics {
         round(sum(col("c_acctbal")), 2).as("totacctbal"))
   }
 
+  /** Q7 (adapted): volume shipping between two nations — revenue by
+    * (supplier nation, customer nation, year) for one nation PAIR in
+    * both directions. The disjunctive pair predicate sits INSIDE the
+    * join of two broadcast nation maps; the year extraction groups the
+    * one fact-fact shuffle's output. */
+  def q7(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val supN = supplier(s, d).join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = customer(s, d).join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" &&
+        col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenueSum.as("revenue"))
+  }
+
+  /** Q8 (adapted): market share — one nation's fraction of regional
+    * revenue per order-year. The share is a conditional-sum ratio inside
+    * ONE aggregation pass (no second scan, no self-join), in exact
+    * decimal until the final division. */
+  def q8(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val custN = customer(s, d).join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val vol = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("v"),
+        col("n_name"))
+    vol.groupBy(col("o_year"))
+      .agg(
+        sum(when(col("n_name") === "NATION_2", col("v"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nv"),
+        sum(col("v")).as("tv"))
+      .select(col("o_year"),
+        round(col("nv").cast("double") / col("tv").cast("double"), 6)
+          .as("mkt_share"))
+  }
+
+  /** Q14 (adapted): promo revenue — the fraction of revenue from parts
+    * whose name carries the "red" marker, one month. The LIKE classifies
+    * inside the aggregation (conditional sum), part broadcasts. */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"), col("p_name"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_name").contains("red"),
+          dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0 /
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double"), 6).as("promo_revenue"))
+  }
+
+  /** Q19 (adapted): discounted revenue under DISJUNCTIVE multi-range
+    * predicates (OR of ANDs over brand-analog × quantity bands) — the
+    * optimizer test is that the common l_partkey = p_partkey conjunct is
+    * factored OUT of the OR into the join key, leaving the residual
+    * disjunction as a post-join filter instead of a nested-loop. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"),
+      (col("p_partkey") % 5).cast("int").as("brand"))
+    lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+        ((col("brand") === 1 && col("l_quantity").between(1, 11)) ||
+          (col("brand") === 2 && col("l_quantity").between(10, 20)) ||
+          (col("brand") === 3 && col("l_quantity").between(20, 30))))
+      .agg(revenueSum.as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Q5: local supplier volume — revenue by nation for one region-year,
     * counting only lineitems whose supplier and customer share a nation.
     * region→nation→customer broadcast down the chain; the colocation
