@@ -179,6 +179,7 @@ object SparkEntry {
     "q153_tpch_q8" -> (graft.operators.TpchClassics.q8(_, _)),
     "q154_tpch_q14" -> (graft.operators.TpchClassics.q14(_, _)),
     "q155_tpch_q19" -> (graft.operators.TpchClassics.q19(_, _)),
+    "q156_rolling_wau" -> (Advanced.rollingWau(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1273,5 +1274,12 @@ object SparkEntry {
         "WHERE (p_partkey % 5 = 1 AND l_quantity BETWEEN 1 AND 11) " +
         "OR (p_partkey % 5 = 2 AND l_quantity BETWEEN 10 AND 20) " +
         "OR (p_partkey % 5 = 3 AND l_quantity BETWEEN 20 AND 30)"),
+    "q156_rolling_wau" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "mx AS (SELECT max(day) AS mx FROM ud) " +
+        "SELECT day, count(DISTINCT user_id) AS wau FROM (" +
+        "SELECT user_id, day + CAST(i AS INT) AS day FROM ud, " +
+        "(SELECT unnest(range(7)) AS i)), mx WHERE day <= mx " +
+        "GROUP BY day"),
   )
 }

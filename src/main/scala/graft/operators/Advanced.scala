@@ -1188,6 +1188,28 @@ object Advanced {
         max(col("len")).as("max_streak"))
   }
 
+  /** Rolling 7-day active users (WAU) per day, EXACT. The scalable shape
+    * explodes each (user, active-day) into the ≤7 window-days it
+    * contributes to and runs ONE distinct-count aggregation — shuffle
+    * volume 7×|user-days|, no per-day range self-join (which re-scans
+    * the activity table once per window position), no giant window
+    * state. Days past the observed max are clipped so every reported
+    * window is fully inside the data. */
+  def rollingWau(s: SparkSession, d: String): DataFrame = {
+    val userDays = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = userDays.agg(max(col("day")).as("mx"))
+    userDays
+      .select(col("user_id"),
+        explode(expr("sequence(0, 6)")).as("i"), col("day"))
+      .select(col("user_id"), expr("date_add(day, i)").as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("mx"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+  }
+
   /** Incremental aggregate maintenance: a per-(day, status) pre-aggregate
     * state is built from all-but-the-last-day, the last day MERGES in as
     * a delta (sums add, counts add — the algebraic-aggregate property),

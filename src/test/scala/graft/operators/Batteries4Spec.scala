@@ -245,6 +245,27 @@ class Batteries4Spec extends SparkTestBase {
     assert(full.filter($"n_streaks" =!= 1).count() === 0)
   }
 
+  test("rolling WAU equals the naive per-day window recount") {
+    val wau = Advanced.rollingWau(spark, sf0001)
+    val ud = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").as("day")).distinct().cache()
+    val spine = ud.select($"day").distinct()
+      .union(ud.select(date_add($"day", 3).as("day"))).distinct()
+      .join(ud.select(max($"day").as("mx")).crossJoin(spark.range(1)),
+        $"day" <= $"mx").select($"day")
+    // naive form: per spine day, rescan activity for the trailing window
+    val naive = spine.as("s").join(ud.as("u"),
+        $"u.day" <= $"s.day" && $"u.day" >= date_sub($"s.day", 6))
+      .groupBy($"s.day".as("day"))
+      .agg(count_distinct($"user_id").as("wau"))
+    // compare on the days both report (the explode form reports every
+    // window day that any activity touches)
+    val joined = wau.withColumnRenamed("wau", "w1")
+      .join(naive.withColumnRenamed("wau", "w2"), "day")
+    assert(joined.filter($"w1" =!= $"w2").count() === 0)
+    assert(joined.count() > 0)
+  }
+
   test("running distinct: non-decreasing, final value is the exact count") {
     val rd = Advanced.runningDistinct(spark, sf0001).cache()
     val fin = rd.groupBy($"user_id")

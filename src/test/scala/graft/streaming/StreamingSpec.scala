@@ -275,6 +275,36 @@ class StreamingSpec extends SparkTestBase {
     assert(state() === expected)
   }
 
+  test("streaming dedup registry: first doc wins across triggers, replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmp("dedup-reg").toString + "/t"
+    val ckpt = tmp("dedup-ckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDS().toDF("doc_id", "text")
+
+    // trigger 1: two uniques, one in-batch duplicate (doc 3 repeats doc 1)
+    input.addData(Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, "alpha text")))
+    StreamingDedup.start(docs, path, ckpt).awaitTermination(120000)
+    // trigger 2: a cross-trigger duplicate (doc 4 = doc 2's content,
+    // must LOSE to the earlier keeper) and one new unique
+    input.addData(Seq((4L, "beta text"), (5L, "gamma text")))
+    StreamingDedup.start(docs, path, ckpt).awaitTermination(120000)
+
+    def registry() = spark.read.parquet(path)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    val expected = Set((1L, "alpha text"), (2L, "beta text"),
+      (5L, "gamma text"))
+    assert(registry() === expected)
+
+    // replayed micro-batch (sink ran, checkpoint commit lost): converge
+    graft.pipeline.Sink.upsertByKey(spark,
+      StreamingDedup.address(
+        Seq((4L, "beta text"), (5L, "gamma text")).toDF("doc_id", "text")),
+      path, "h", "neg_id")
+    assert(registry() === expected)
+  }
+
   test("streaming heavy hitters: state accumulates across triggers, MG guarantees hold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[String](spark)
