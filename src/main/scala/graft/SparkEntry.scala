@@ -180,6 +180,7 @@ object SparkEntry {
     "q154_tpch_q14" -> (graft.operators.TpchClassics.q14(_, _)),
     "q155_tpch_q19" -> (graft.operators.TpchClassics.q19(_, _)),
     "q156_rolling_wau" -> (Advanced.rollingWau(_, _)),
+    "q157_nth_value" -> (Advanced.nthValueBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1281,5 +1282,17 @@ object SparkEntry {
         "SELECT user_id, day + CAST(i AS INT) AS day FROM ud, " +
         "(SELECT unnest(range(7)) AS i)), mx WHERE day <= mx " +
         "GROUP BY day"),
+    "q157_nth_value" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(nth_value(o_totalprice, 2) OVER w, 2) AS nv2, " +
+        "round(first_value(CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END " +
+        "IGNORE NULLS) OVER w, 2) AS fv_nn, " +
+        "round(last_value(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "UNBOUNDED FOLLOWING), 2) AS lv, " +
+        "round(coalesce(lag(o_totalprice, 1) OVER w, -1.0), 2) AS lag_def, " +
+        "round(coalesce(lead(o_totalprice, 2) OVER w, -1.0), 2) AS lead_def " +
+        "FROM orders WHERE o_custkey % 40 = 0 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"),
   )
 }

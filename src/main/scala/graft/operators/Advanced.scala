@@ -1188,6 +1188,28 @@ object Advanced {
         max(col("len")).as("max_streak"))
   }
 
+  /** Positional window-function battery — nth_value, first/last_value
+    * with explicit full frames, IGNORE NULLS navigation, and
+    * default-bearing lag/lead (the navigation surface q50's running/
+    * moving battery doesn't touch). All functions share one partition
+    * key and ordering, so Catalyst folds them into a single Window
+    * operator: one shuffle, one sort. */
+  def nthValueBattery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    orders(s, d)
+      .filter(col("o_custkey") % 40 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("nv2"),
+        round(first(when(col("o_orderkey") % 3 =!= 0, col("o_totalprice")),
+          ignoreNulls = true).over(w), 2).as("fv_nn"),
+        round(last(col("o_totalprice")).over(full), 2).as("lv"),
+        round(lag(col("o_totalprice"), 1, -1.0).over(w), 2).as("lag_def"),
+        round(lead(col("o_totalprice"), 2, -1.0).over(w), 2).as("lead_def"))
+  }
+
   /** Rolling 7-day active users (WAU) per day, EXACT. The scalable shape
     * explodes each (user, active-day) into the ≤7 window-days it
     * contributes to and runs ONE distinct-count aggregation — shuffle

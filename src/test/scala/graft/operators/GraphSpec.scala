@@ -102,6 +102,27 @@ class GraphSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components match hash-min propagation on random graphs") {
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
+    for (trial <- 0 until 8) {
+      val n = 10 + rnd.nextInt(40)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("src", "dst")
+      val nodes = (0L until n.toLong).toDF("node")
+      val star = Graph.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lp = graft.dedup.Dedup.assignCanonical(
+        edges.filter($"src" =!= $"dst").toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      star.foreach { case (node, comp) =>
+        assert(lp.getOrElse(node, node) == comp,
+          s"trial $trial node $node: star=$comp lp=${lp.get(node)}")
+      }
+      assert(star.size == n, s"trial $trial size")
+    }
+  }
+
   test("connected components agree with hash-min label propagation at sf0.001") {
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
       .select($"doc_a", $"doc_b").cache()
