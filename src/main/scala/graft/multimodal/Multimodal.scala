@@ -137,6 +137,7 @@ object Multimodal {
     if (BmpCodec.isBmp(media)) BmpCodec.decode(media)
     else if (PngCodec.isPng(media)) PngCodec.decode(media)
     else if (JpegCodec.isJpeg(media)) JpegCodec.decode(media)
+    else if (GifCodec.isGif(media)) GifCodec.decode(media)
     else None
 
   def decodeImages(assetsDf: DataFrame, s: SparkSession)
@@ -171,15 +172,18 @@ object Multimodal {
           // through the baseline encoder (lossy, like any JPEG resize)
           val isBmp = BmpCodec.isBmp(media)
           val isJpg = JpegCodec.isJpeg(media)
+          val isGif = GifCodec.isGif(media)
           decodeAny(media).map { img =>
             val small = BmpCodec.resizeNearest(img, w, h)
             val out =
               if (isBmp) BmpCodec.encode(small)
               else if (isJpg) JpegCodec.encode(small)
+              else if (isGif) GifCodec.encode(small)
               else PngCodec.encode(small)
             val mime =
               if (isBmp) "image/bmp"
-              else if (isJpg) "image/jpeg" else "image/png"
+              else if (isJpg) "image/jpeg"
+              else if (isGif) "image/gif" else "image/png"
             Asset(id, out, mime, out.length.toLong)
           }
         }
