@@ -181,6 +181,8 @@ object SparkEntry {
     "q155_tpch_q19" -> (graft.operators.TpchClassics.q19(_, _)),
     "q156_rolling_wau" -> (Advanced.rollingWau(_, _)),
     "q157_nth_value" -> (Advanced.nthValueBattery(_, _)),
+    "q158_codec_battery" -> ((s, d) =>
+      Multimodal.codecBattery(Multimodal.assets(s, d), s)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

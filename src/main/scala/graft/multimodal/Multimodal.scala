@@ -190,6 +190,48 @@ object Multimodal {
       }
   }
 
+  /** All four codec arms driven end-to-end as ONE driver-contract query:
+    * every document renders to a deterministic 16×12 image (pixel bytes
+    * from an md5-seeded tile over the text), encodes through the arm
+    * picked by doc_id % 4 (BMP / PNG / baseline JPEG / GIF), and the
+    * batch decodes back through the magic-byte dispatch into per-format
+    * decode stats. Rows-only at the oracle (no SQL engine decodes JPEG);
+    * the per-codec correctness lives in the ImageIO-pinned specs — this
+    * query is the DISTRIBUTED plumbing proof: encode and decode are
+    * per-partition map work over asset rows, no driver involvement. */
+  def codecBattery(assetsDf: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val decoded = assetsDf.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, media) =>
+          val w = 16; val h = 12
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(media)
+          val bgr = Array.tabulate(w * h * 3) { i =>
+            (seed(i % 16) + i * 31).toByte
+          }
+          val img = BmpCodec.Decoded(w, h, bgr)
+          val (bytes, mime) = (id % 4) match {
+            case 0 => (BmpCodec.encode(img), "image/bmp")
+            case 1 => (PngCodec.encode(img), "image/png")
+            case 2 => (JpegCodec.encode(img), "image/jpeg")
+            case _ => (GifCodec.encode(img), "image/gif")
+          }
+          decodeAny(bytes).map { back =>
+            val (r, g, b) = BmpCodec.meanColor(back)
+            (mime, bytes.length, back.width, back.height, r, g, b)
+          }
+        }
+      }
+      .toDF("mime", "n_bytes", "w", "h", "mean_r", "mean_g", "mean_b")
+    decoded.groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_bytes")), 2).as("avg_bytes"),
+        max(col("w")).as("w"), max(col("h")).as("h"),
+        round(avg(col("mean_r")), 2).as("avg_r"))
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames", emit every `stride`-th frame's offset + a frame checksum —
     * the explode-shape of video frame extraction (one input row → n frame

@@ -138,3 +138,18 @@ class GifCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeAny(gif).isDefined)
   }
 }
+
+/** q158: the four-arm encode→decode battery as a distributed query. */
+class CodecBatterySpec extends graft.SparkTestBase {
+  test("codec battery exercises all four arms with full dimensions") {
+    val r = Multimodal.codecBattery(
+      Multimodal.assets(spark, sf0001), spark).collect()
+      .map(row => row.getString(0) -> row).toMap
+    assert(r.keySet === Set("image/bmp", "image/png", "image/jpeg",
+      "image/gif"))
+    r.values.foreach { row =>
+      assert(row.getLong(1) > 0) // n
+      assert(row.getInt(3) === 16 && row.getInt(4) === 12, row) // w, h
+    }
+  }
+}
