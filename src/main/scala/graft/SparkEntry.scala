@@ -183,6 +183,7 @@ object SparkEntry {
     "q157_nth_value" -> (Advanced.nthValueBattery(_, _)),
     "q158_codec_battery" -> ((s, d) =>
       Multimodal.codecBattery(Multimodal.assets(s, d), s)),
+    "q159_xml_battery" -> (Advanced.xmlBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1296,5 +1297,9 @@ object SparkEntry {
         "round(coalesce(lead(o_totalprice, 2) OVER w, -1.0), 2) AS lead_def " +
         "FROM orders WHERE o_custkey % 40 = 0 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"),
+    "q159_xml_battery" ->
+      ("SELECT doc_id, doc_id AS vid, lang AS vlang, n_chars AS vn, " +
+        "CAST(NULL AS VARCHAR) AS vmissing " +
+        "FROM documents WHERE doc_id % 4 = 0"),
   )
 }

@@ -1670,6 +1670,25 @@ object Advanced {
         expr("try_variant_get(v, '$.missing', 'bigint')").as("vmissing"),
         expr("try_variant_get(v, '$.meta.lang', 'bigint')").as("vbad"))
 
+  /** XML battery — Spark 4's built-in XML surface (the spark-xml merge):
+    * construct nested XML from document columns with to_xml, parse it
+    * back with from_xml against an explicit schema, extract typed
+    * fields, and exercise a missing element (null, not error). Identity
+    * oracle, same contract as the VARIANT battery (q126): a hash match
+    * proves the construct→parse→navigate round trip. */
+  def xmlBattery(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), expr(
+        "to_xml(named_struct('id', doc_id, 'meta', " +
+          "named_struct('lang', lang, 'n', n_chars)))").as("x"))
+      .select(col("doc_id"), expr(
+        "from_xml(x, 'id BIGINT, meta STRUCT<lang: STRING, n: BIGINT>, " +
+          "absent STRING')").as("v"))
+      .select(col("doc_id"), col("v.id").as("vid"),
+        col("v.meta.lang").as("vlang"), col("v.meta.n").as("vn"),
+        col("v.absent").as("vmissing"))
+
   /** Robust (median/IQR) and min-max scaling per group — q123's z-score
     * with rank statistics instead of moments, which is what survives
     * heavy-tailed columns. Group stats are ONE exact-percentile
