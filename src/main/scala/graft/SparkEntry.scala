@@ -184,6 +184,7 @@ object SparkEntry {
     "q158_codec_battery" -> ((s, d) =>
       Multimodal.codecBattery(Multimodal.assets(s, d), s)),
     "q159_xml_battery" -> (Advanced.xmlBattery(_, _)),
+    "q160_group_by_all" -> (Advanced.groupByAll(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1301,5 +1302,7 @@ object SparkEntry {
       ("SELECT doc_id, doc_id AS vid, lang AS vlang, n_chars AS vn, " +
         "CAST(NULL AS VARCHAR) AS vmissing " +
         "FROM documents WHERE doc_id % 4 = 0"),
+    // the oracle IS the engine query: one SQL text, two engines
+    "q160_group_by_all" -> graft.operators.Advanced.GroupByAllSql,
   )
 }

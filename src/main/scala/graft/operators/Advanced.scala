@@ -1670,6 +1670,21 @@ object Advanced {
         expr("try_variant_get(v, '$.missing', 'bigint')").as("vmissing"),
         expr("try_variant_get(v, '$.meta.lang', 'bigint')").as("vbad"))
 
+  /** GROUP BY ALL / ORDER BY ALL — the exact same SQL TEXT runs on Spark
+    * 4 and DuckDB (the dialect nicety both engines adopted): grouping
+    * keys inferred from the non-aggregate select items, ordering over
+    * the full select list. The oracle IS this query string. */
+  val GroupByAllSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      "round(sum(l_quantity), 2) AS sum_qty, " +
+      "round(min(l_extendedprice), 2) AS min_price " +
+      "FROM lineitem GROUP BY ALL ORDER BY ALL"
+
+  def groupByAll(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(GroupByAllSql)
+  }
+
   /** XML battery — Spark 4's built-in XML surface (the spark-xml merge):
     * construct nested XML from document columns with to_xml, parse it
     * back with from_xml against an explicit schema, extract typed
