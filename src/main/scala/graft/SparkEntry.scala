@@ -185,6 +185,7 @@ object SparkEntry {
       Multimodal.codecBattery(Multimodal.assets(s, d), s)),
     "q159_xml_battery" -> (Advanced.xmlBattery(_, _)),
     "q160_group_by_all" -> (Advanced.groupByAll(_, _)),
+    "q161_multi_distinct" -> (Advanced.multiDistinct(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1304,5 +1305,11 @@ object SparkEntry {
         "FROM documents WHERE doc_id % 4 = 0"),
     // the oracle IS the engine query: one SQL text, two engines
     "q160_group_by_all" -> graft.operators.Advanced.GroupByAllSql,
+    "q161_multi_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "count(DISTINCT CAST(ts AS DATE)) AS n_days, " +
+        "count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_keys, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY event_type"),
   )
 }

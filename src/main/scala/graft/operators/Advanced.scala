@@ -1670,6 +1670,21 @@ object Advanced {
         expr("try_variant_get(v, '$.missing', 'bigint')").as("vmissing"),
         expr("try_variant_get(v, '$.meta.lang', 'bigint')").as("vbad"))
 
+  /** Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregation
+    * — Spark plans this with an Expand (one replicated row-set per
+    * distinct column, null-padded) feeding a single aggregate, instead
+    * of N self-joined single-distinct queries; the plan audit pins the
+    * Expand. The mixed plain aggregates ride the same pass. */
+  def multiDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count_distinct(to_date(col("ts"))).as("n_days"),
+        count_distinct(expr("CAST(get_json_object(props, '$.k') AS INT)"))
+          .as("n_keys"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+
   /** GROUP BY ALL / ORDER BY ALL — the exact same SQL TEXT runs on Spark
     * 4 and DuckDB (the dialect nicety both engines adopted): grouping
     * keys inferred from the non-aggregate select items, ordering over

@@ -298,6 +298,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert("SortMergeJoin".r.findAllIn(p).length <= 1, p.take(3000))
   }
 
+  test("multi-distinct aggregation plans ONE Expand, not self-joins") {
+    val p = plan(Advanced.multiDistinct(spark, sf0001))
+    assert("Expand".r.findAllIn(p).length >= 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("geo nearest-supplier: cell join is a broadcast HASH join") {
     val p = plan(Geo.nearestSupplier(spark, sf0001))
     // equi-join on grid cells, never a nested-loop distance cross join
