@@ -186,6 +186,7 @@ object SparkEntry {
     "q159_xml_battery" -> (Advanced.xmlBattery(_, _)),
     "q160_group_by_all" -> (Advanced.groupByAll(_, _)),
     "q161_multi_distinct" -> (Advanced.multiDistinct(_, _)),
+    "q162_asof_tolerance" -> (Relational.asofJoinTolerance(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1311,5 +1312,15 @@ object SparkEntry {
         "count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_keys, " +
         "count(*) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY event_type"),
+    "q162_asof_tolerance" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events), " +
+        "c AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts_ms, round(max(value), 2) AS view_value " +
+        "FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms), " +
+        "j AS (SELECT c.event_id, c.user_id, c.ts_ms, v.ts_ms AS vm, v.view_value AS vv " +
+        "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms) " +
+        "SELECT event_id, user_id, ts_ms, " +
+        "CASE WHEN ts_ms - vm <= 3600000 THEN vm END AS view_ms, " +
+        "CASE WHEN ts_ms - vm <= 3600000 THEN vv END AS view_value FROM j"),
   )
 }

@@ -228,6 +228,28 @@ object Relational {
         col("ts_ms_v").as("view_ms"), col("view_value_v").as("view_value"))
   }
 
+  /** q74's as-of join with a 1-hour TOLERANCE (pandas merge_asof's
+    * `tolerance`): a nearest view older than the bound null-extends
+    * instead of matching — stale state must not stitch onto an event.
+    * Inside the exec this is one long comparison against the buffered
+    * candidate; the oracle expresses it as the plain ASOF join with the
+    * too-far matches nulled out after the fact. */
+  def asofJoinTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+    graft.plans.AsOf.join(clicks, views, Seq("user_id"),
+      "ts_ms", "ts_ms", rightSuffix = "_v",
+      toleranceUnits = Some(3600L * 1000))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("ts_ms_v").as("view_ms"), col("view_value_v").as("view_value"))
+  }
+
   /** The q74 as-of join driven END-TO-END THROUGH SQL: temp views + the
     * `asof_join(...)` table-valued function (GraftExtensions), which the
     * injected resolution rule rewrites into the same AsOfJoinPlan /

@@ -43,7 +43,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean = false,
-    strict: Boolean = false)
+    strict: Boolean = false,
+    toleranceUnits: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
@@ -61,8 +62,9 @@ case class AsOfJoinPlan(
   * `SparkSessionExtensions.injectPlannerStrategy`. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fw, st) =>
-      AsOfJoinExec(lk, rk, lt, rt, fw, st, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fw, st, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fw, st, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -88,6 +90,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     forward: Boolean,
     strict: Boolean,
+    toleranceUnits: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -121,6 +124,24 @@ case class AsOfJoinExec(
     val rTimeE = rightTime
     val fw = forward
     val st = strict
+    // tolerance compares raw internal time values (long micros for
+    // timestamps, the value itself for integral columns) — resolve the
+    // extractor once from the LEFT time type (both sides type-checked
+    // equal at construction)
+    val tol = toleranceUnits.getOrElse(-1L)
+    val timeAsLong: InternalRow => Long = leftTime.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        (r: InternalRow) => r.getLong(0)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType =>
+        (r: InternalRow) => r.getInt(0).toLong
+      case other =>
+        require(toleranceUnits.isEmpty,
+          s"as-of tolerance unsupported for time type ${other.simpleString}")
+        (_: InternalRow) => 0L
+    }
     val out = output
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
@@ -148,6 +169,7 @@ case class AsOfJoinExec(
           // buffered candidate: last right row consumed with its key
           private var bufRow: InternalRow = _
           private var bufKey: InternalRow = _
+          private var bufTime: Long = 0L
           advanceRight()
 
           private def advanceRight(): Unit = {
@@ -184,6 +206,7 @@ case class AsOfJoinExec(
                   } else if (c == 0 &&
                     timeOrd.compare(rTime, lTime) <= maxCmp) {
                     bufRow = rRow; bufKey = rKey
+                    bufTime = timeAsLong(rTime)
                     advanceRight()
                   } else {
                     done = true
@@ -191,7 +214,8 @@ case class AsOfJoinExec(
                 }
                 // the buffer may be left over from an earlier key the
                 // right side ran out of rows for — verify it matches
-                if (bufRow != null && keyOrd.compare(bufKey, lKey) == 0) {
+                if (bufRow != null && keyOrd.compare(bufKey, lKey) == 0 &&
+                  (tol < 0 || timeAsLong(lTime) - bufTime <= tol)) {
                   matched = bufRow
                 }
               } else {
@@ -206,7 +230,8 @@ case class AsOfJoinExec(
                     advanceRight()
                   else done = true
                 }
-                if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+                if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                  (tol < 0 || timeAsLong(rTime) - timeAsLong(lTime) <= tol)) {
                   matched = rRow
                 }
               }
@@ -272,7 +297,8 @@ object AsOf {
     * resolution rule. `right` must already carry suffixed column names. */
   private[plans] def resolvedPlan(lPlan: LogicalPlan, rPlan: LogicalPlan,
       keys: Seq[String], leftTimeCol: String, rightTimeCol: String,
-      rightSuffix: String, forward: Boolean, strict: Boolean): AsOfJoinPlan = {
+      rightSuffix: String, forward: Boolean, strict: Boolean,
+      toleranceUnits: Option[Long] = None): AsOfJoinPlan = {
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column `$n` on the $side side " +
@@ -291,7 +317,8 @@ object AsOf {
           s"the left but `${r.name}` is ${r.dataType.simpleString} on the " +
           "right — cast both sides to a common type first")
     }
-    AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward, strict)
+    AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward, strict,
+      toleranceUnits)
   }
 
   /** LEFT OUTER as-of join: for each left row, the nearest right row
@@ -299,12 +326,16 @@ object AsOf {
     * default) or `forward` (smallest right time ≥ left time); `strict`
     * excludes equal times. Right-side columns come back suffixed
     * (`rightSuffix`), which also makes self-joins safe: the re-alias
-    * mints fresh attribute ids.
+    * mints fresh attribute ids. `toleranceUnits` (pandas merge_asof's
+    * tolerance) bounds the match distance in the time column's raw units
+    * (micros for timestamps): a nearest row further away than the bound
+    * null-extends instead of matching.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       rightSuffix: String = "_r", forward: Boolean = false,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      toleranceUnits: Option[Long] = None): DataFrame = {
     require(rightSuffix.nonEmpty, "rightSuffix must be non-empty")
     // works in any session, not just GraftExtensions-built ones: install
     // the planner strategy on first use (idempotent)
@@ -316,7 +347,7 @@ object AsOf {
       right(c).as(c + rightSuffix)).toSeq: _*)
     val plan = resolvedPlan(left.queryExecution.analyzed,
       r.queryExecution.analyzed, keys, leftTimeCol, rightTimeCol,
-      rightSuffix, forward, strict)
+      rightSuffix, forward, strict, toleranceUnits)
     GraftSqlBridge.ofRows(left.sparkSession, plan)
   }
 }

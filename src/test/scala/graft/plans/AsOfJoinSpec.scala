@@ -41,6 +41,44 @@ class AsOfJoinSpec extends SparkTestBase {
       ("cc", 7L, None, None))) // key missing entirely
   }
 
+  test("tolerance: too-distant nearest rows null-extend in both directions") {
+    // backward with tolerance 5: aa@10 matches quote@8 (gap 2); aa@31's
+    // nearest is @30 (gap 1, in); aa@25 matches @25 (gap 0); widen the
+    // gap by using tolerance 1 → @10 loses its match, @31 keeps it
+    val got = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+        toleranceUnits = Some(1L))
+      .select($"sym", $"t", $"qt_q")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      ("aa", 10L, None), // nearest @8, gap 2 > 1
+      ("aa", 25L, Some(25L)),
+      ("aa", 31L, Some(30L)),
+      ("bb", 5L, None), ("bb", 40L, None), ("cc", 7L, None)))
+    // forward with tolerance 2: bb@5's nearest future quote decides
+    val fwd = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+        forward = true, toleranceUnits = Some(2L))
+      .select($"sym", $"t", $"qt_q")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    // every match must be within 2 units ahead
+    fwd.foreach { case (_, t, q) =>
+      q.foreach(qt => assert(qt >= t && qt - t <= 2, s"($t, $qt)"))
+    }
+    // and tolerance=unbounded reproduces the plain forward join
+    val plain = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+        forward = true)
+      .select($"sym", $"t", $"qt_q")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val loose = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", "_q",
+        forward = true, toleranceUnits = Some(Long.MaxValue))
+      .select($"sym", $"t", $"qt_q")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(loose === plain)
+  }
+
   test("agrees with the composed union+window formulation on real data") {
     val ev = graft.operators.Tables.events(spark, sf0001).select(
       col("event_id"), col("user_id"), col("event_type"),
