@@ -187,6 +187,7 @@ object SparkEntry {
     "q160_group_by_all" -> (Advanced.groupByAll(_, _)),
     "q161_multi_distinct" -> (Advanced.multiDistinct(_, _)),
     "q162_asof_tolerance" -> (Relational.asofJoinTolerance(_, _)),
+    "q163_typed_pipeline" -> (Advanced.typedPipeline(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1322,5 +1323,11 @@ object SparkEntry {
         "SELECT event_id, user_id, ts_ms, " +
         "CASE WHEN ts_ms - vm <= 3600000 THEN vm END AS view_ms, " +
         "CASE WHEN ts_ms - vm <= 3600000 THEN vv END AS view_value FROM j"),
+    "q163_typed_pipeline" ->
+      ("SELECT o_orderstatus, o_custkey % 3 AS bucket, count(*) AS n, " +
+        "round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ 100.0, 2) AS total, max(o_orderkey) AS max_key " +
+        "FROM orders WHERE o_custkey % 10 = 0 " +
+        "GROUP BY o_orderstatus, o_custkey % 3"),
   )
 }

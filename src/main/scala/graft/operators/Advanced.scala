@@ -1670,6 +1670,43 @@ object Advanced {
         expr("try_variant_get(v, '$.missing', 'bigint')").as("vmissing"),
         expr("try_variant_get(v, '$.meta.lang', 'bigint')").as("vbad"))
 
+  /** Typed order row for the Dataset[T] surface (q163). */
+  final case class TypedOrder(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
+
+  /** Typed Dataset pipeline: the case-class-Encoder surface (SURVEY
+    * §1.5's "Dataset[T] where type safety helps") driven as a contract
+    * query — as[TypedOrder], a typed filter, groupByKey on a derived
+    * key, and mapGroups computing per-group stats in plain Scala. The
+    * oracle is the equivalent SQL aggregation: typed lambdas are opaque
+    * to Catalyst (no pushdown inside mapGroups — which is exactly why
+    * the REST of this engine is DataFrame-first), so the hash match
+    * certifies the Encoder round trip, not plan quality. Sums run in
+    * cents (exact longs) so Scala's fold order can't drift from SQL's. */
+  def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .as[TypedOrder]
+      .filter((o: TypedOrder) => o.o_custkey % 10 == 0)
+      .groupByKey(o => (o.o_orderstatus, o.o_custkey % 3))
+      .mapGroups { (key: (String, Long), rows: Iterator[TypedOrder]) =>
+        val (status, bucket) = key
+        var n = 0L
+        var cents = 0L
+        var maxKey = Long.MinValue
+        rows.foreach { o =>
+          n += 1
+          cents += math.round(o.o_totalprice * 100)
+          if (o.o_orderkey > maxKey) maxKey = o.o_orderkey
+        }
+        (status, bucket, n, cents / 100.0, maxKey)
+      }
+      .toDF("o_orderstatus", "bucket", "n", "total", "max_key")
+      .withColumn("total", round(col("total"), 2))
+  }
+
   /** Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregation
     * — Spark plans this with an Expand (one replicated row-set per
     * distinct column, null-padded) feeding a single aggregate, instead
