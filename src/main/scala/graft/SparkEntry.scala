@@ -188,6 +188,8 @@ object SparkEntry {
     "q161_multi_distinct" -> (Advanced.multiDistinct(_, _)),
     "q162_asof_tolerance" -> (Relational.asofJoinTolerance(_, _)),
     "q163_typed_pipeline" -> (Advanced.typedPipeline(_, _)),
+    "q164_audio_battery" -> ((s, d) =>
+      Multimodal.audioBattery(Multimodal.assets(s, d), s)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

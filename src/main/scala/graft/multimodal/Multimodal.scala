@@ -232,6 +232,40 @@ object Multimodal {
         round(avg(col("mean_r")), 2).as("avg_r"))
   }
 
+  /** Audio arm driven as a contract query: every document renders to a
+    * deterministic PCM16 WAV (md5-seeded samples; rate and channel count
+    * vary by id), encodes, decodes back, and reports per-(rate, channels)
+    * duration/amplitude stats. Rows-only (no SQL engine parses RIFF);
+    * WavCodec itself is javax.sound-pinned in its spec. Same distributed
+    * shape as [[codecBattery]]: encode/decode are per-partition map work. */
+  def audioBattery(assetsDf: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, media) =>
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(media)
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 * (1 + (id % 3).toInt)
+          val samples = Array.tabulate(400 * ch) { i =>
+            ((seed(i % 16) * 191 + i * 37) % 32768).toShort
+          }
+          val bytes = WavCodec.encode(WavCodec.Wav(rate, ch, samples))
+          WavCodec.decode(bytes).map { w =>
+            (w.sampleRate, w.channels, w.nFrames,
+              math.round(w.durationMs * 1000) / 1000.0,
+              math.round(w.rms * 100) / 100.0)
+          }
+        }
+      }
+      .toDF("rate", "channels", "n_frames", "dur_ms", "rms")
+      .groupBy(col("rate"), col("channels"))
+      .agg(count(lit(1)).as("n"), max(col("n_frames")).as("n_frames"),
+        round(avg(col("dur_ms")), 3).as("avg_dur_ms"),
+        round(avg(col("rms")), 2).as("avg_rms"))
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames", emit every `stride`-th frame's offset + a frame checksum —
     * the explode-shape of video frame extraction (one input row → n frame
