@@ -45,8 +45,13 @@ object StreamingAsOf {
       right_ms: Option[Long], right_value: Option[Double])
 
   /** `in` must carry a watermark on `ts`. Append-mode output: each left
-    * row is emitted exactly once, when the watermark passes its time. */
-  def backward(in: Dataset[In]): Dataset[Out] = {
+    * row is emitted exactly once, when the watermark passes its time.
+    * `toleranceMs` mirrors the batch operator's merge_asof bound: a
+    * nearest right older than the bound null-extends (pruning is
+    * unchanged — tolerance only removes matches, and the latest
+    * at-or-before right is always the only candidate). */
+  def backward(in: Dataset[In],
+      toleranceMs: Option[Long] = None): Dataset[Out] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.key)
       .flatMapGroupsWithState[AsOfState, Out](
@@ -68,6 +73,7 @@ object StreamingAsOf {
           val sortedR = rights.sortBy(r => (r._1, r._2))
           val out = ready.sortBy(_._1).map { case (t, v) =>
             val m = sortedR.takeWhile(_._1 <= t).lastOption
+              .filter(r => toleranceMs.forall(t - r._1 <= _))
             Out(key, t, v, m.map(_._1), m.map(_._2))
           }
           // prune rights: of those ≤ wm only the latest can ever match a

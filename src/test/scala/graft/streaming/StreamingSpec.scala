@@ -460,6 +460,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join honors the tolerance bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingAsOf.{In, Out}
+    def in(k: Long, t: Long, left: Boolean, v: Double) =
+      In(k, t, left, v, new java.sql.Timestamp(t))
+    val input = MemoryStream[In](spark)
+    val ds = input.toDS().withWatermark("ts", "10 seconds").as[In]
+    // 4-second bound: right@50s matches left@53s but NOT left@60s
+    val q = StreamingAsOf.backward(ds, toleranceMs = Some(4000L))
+      .writeStream.format("memory").queryName("sasoftol")
+      .outputMode("append").start()
+    try {
+      input.addData(in(1, 50000, left = false, 5.0),
+        in(1, 53000, left = true, 1.0), in(1, 60000, left = true, 2.0))
+      q.processAllAvailable()
+      input.addData(in(1, 100000, left = true, 0.0))
+      q.processAllAvailable()
+      input.addData(in(1, 120000, left = true, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sasoftol").as[Out].collect()
+        .filter(o => o.ts_ms == 53000L || o.ts_ms == 60000L)
+      assert(got.length === 2, got.mkString(","))
+      assert(got.find(_.ts_ms == 53000L).get.right_ms.contains(50000L))
+      assert(got.find(_.ts_ms == 60000L).get.right_ms.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming as-of join: watermark finalizes lefts exactly once, " +
     "late rights within the watermark still match") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
