@@ -188,15 +188,6 @@ object ScaleProbe {
       }
       results += (("interval_sweep", n, tSw, rSw))
 
-      // prefix-filtered exact similarity join over the disjoint-namespace
-      // replicated corpus: candidates come from rare-token prefixes, so
-      // cost must track the corpus, not the n² pair space
-      val (tPf, rPf) = time(Dedup.prefixFilterJaccardPairsDf(
-        replicateDocsDisjoint(
-          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-          n)).count())
-      results += (("prefix_filter_join", n, tPf, rPf))
-
       // alternating-star connected components on a synthetic
       // chain+hub graph (path segments of 8 linked to per-64 hubs):
       // rounds are O(log n) by construction, so wall time must track
@@ -212,6 +203,20 @@ object ScaleProbe {
           ids.select(col("id").as("node")), chain.unionAll(hub)).count()
       }
       results += (("connected_components", n, tCc, rCc))
+
+      // prefix-filtered exact similarity join, LAST in the loop: its
+      // output is quadratic in dup-CLUSTER size by definition (the full
+      // synthetic corpus is dup-heavy), so it runs on the q134-contract
+      // %4 sample under disjoint-namespace replication — and after the
+      // probes whose timings its shuffle/GC pressure would contaminate
+      // (the combined run measured cc at 6x; isolated, cc is flat)
+      val (tPf, rPf) = time(Dedup.prefixFilterJaccardPairsDf(
+        replicateDocsDisjoint(
+          Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("text")),
+          n)).count())
+      results += (("prefix_filter_join", n, tPf, rPf))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

@@ -198,6 +198,10 @@ object GifCodec {
     * RGB cube. */
   def encode(img: BmpCodec.Decoded): Array[Byte] = {
     val nPix = img.width * img.height
+    // a 0×N GIF is not representable (readers reject zero dims, and the
+    // LZW stream needs at least one literal) — fail loudly, not deep in
+    // the bit packer
+    require(nPix > 0, "cannot GIF-encode an empty image")
     // distinct colors, packed RGB
     val seen = new java.util.TreeSet[Integer]()
     var i = 0

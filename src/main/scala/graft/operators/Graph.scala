@@ -117,6 +117,10 @@ object Graph {
     * come back as singleton components — a dedup pipeline must keep unique
     * docs, not drop them. Returns (node, comp), comp = min node id of the
     * component. */
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * probe/spec instrumentation, not part of the result contract. */
+  @volatile var lastRounds: Int = 0
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val dedupEdge = edges.toDF("src", "dst")
@@ -164,6 +168,7 @@ object Graph {
       e = ss
       round += 1
     }
+    lastRounds = round
     // fixpoint edges are star links (member → component min); everything
     // not appearing as a member is its own component (centers + isolated)
     nodes.toDF("node")
