@@ -190,6 +190,9 @@ object SparkEntry {
     "q163_typed_pipeline" -> (Advanced.typedPipeline(_, _)),
     "q164_audio_battery" -> ((s, d) =>
       Multimodal.audioBattery(Multimodal.assets(s, d), s)),
+    "q165_kmeans" -> (graft.similarity.Clustering.kmeans(_, _)),
+    "q166_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
+    "q167_shortest_paths" -> ((s, d) => Graph.shortestPaths(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1331,5 +1334,73 @@ object SparkEntry {
         "/ 100.0, 2) AS total, max(o_orderkey) AS max_key " +
         "FROM orders WHERE o_custkey % 10 = 0 " +
         "GROUP BY o_orderstatus, o_custkey % 3"),
+    "q165_kmeans" -> {
+      // same per-round re-quantization as the Spark plan: distances fold
+      // in index order and round to 6 before the argmin; centroid means
+      // accumulate in DECIMAL (order-independent) and round to 7
+      def d2(c: String): String =
+        "round(list_sum(list_transform(range(1, len(v.emb)+1), " +
+          s"i -> (v.emb[i]-$c.cent[i])*(v.emb[i]-$c.cent[i]))), 6)"
+      def assign(cs: String, out: String): String =
+        s"$out AS (SELECT vec_id, emb, cid, d2 FROM (" +
+          s"SELECT v.vec_id, v.emb, $cs.cid, ${d2(cs)} AS d2, " +
+          "row_number() OVER (PARTITION BY v.vec_id " +
+          s"ORDER BY ${d2(cs)}, $cs.cid) AS rk " +
+          s"FROM v CROSS JOIN $cs) WHERE rk = 1)"
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, " +
+        "emb AS cent FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)), " +
+        assign("c0", "a1") + ", " +
+        "m1 AS (SELECT cid, pos, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)/count(*), 7) AS m " +
+        "FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS pos, unnest(emb) AS x " +
+        "FROM a1) GROUP BY cid, pos), " +
+        "c1 AS (SELECT cid, list(m ORDER BY pos) AS cent FROM m1 GROUP BY cid), " +
+        assign("c1", "a2") +
+        " SELECT vec_id, cid, d2 FROM a2"
+    },
+    "q166_label_propagation" -> {
+      // one synchronous vote round: mode over labeled neighbors
+      // (count desc, label asc), seeds clamped via coalesce
+      def rnd(prev: String, cur: String): String =
+        s"$cur AS (SELECT n.node, coalesce(n.seed, m.nl) AS lbl, n.seed " +
+          "FROM nodes n LEFT JOIN (SELECT dst AS node, vl AS nl FROM (" +
+          "SELECT dst, vl, row_number() OVER (PARTITION BY dst " +
+          "ORDER BY c DESC, vl) AS rk FROM (" +
+          s"SELECT e.dst, l.lbl AS vl, count(*) AS c FROM e JOIN $prev l " +
+          "ON e.src = l.node WHERE l.lbl IS NOT NULL " +
+          "GROUP BY e.dst, l.lbl)) WHERE rk = 1) m ON n.node = m.node)"
+      "WITH uk AS (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk UNION ALL SELECT b, a FROM uk), " +
+        "nodes AS (SELECT src AS node, CASE WHEN src LIKE 'k%' AND " +
+        "CAST(substr(src, 2) AS INT) % 3 = 0 " +
+        "THEN CAST(substr(src, 2) AS INT) END AS seed " +
+        "FROM (SELECT DISTINCT src FROM e)), " +
+        "l0 AS (SELECT node, seed AS lbl, seed FROM nodes), " +
+        (1 to 3).map(i => rnd(s"l${i - 1}", s"l$i")).mkString(", ") +
+        " SELECT node, lbl FROM l3"
+    },
+    "q167_shortest_paths" -> {
+      // one Bellman-Ford relax round; MIN is reassociation-safe so no
+      // per-round quantization is needed (unlike q86's rank sums)
+      def relax(prev: String, cur: String): String =
+        s"$cur AS (SELECT node, min(dist) AS dist FROM (" +
+          s"SELECT node, dist FROM $prev UNION ALL " +
+          s"SELECT e.dst AS node, $prev.dist + e.w AS dist " +
+          s"FROM e JOIN $prev ON e.src = $prev.node) GROUP BY node)"
+      "WITH uk AS (SELECT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b, user_id " +
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "pair AS (SELECT a, b, round(CAST(1.0 AS DOUBLE) / count(*), 6) AS w " +
+        "FROM uk GROUP BY a, b), " +
+        "e AS (SELECT a AS src, b AS dst, w FROM pair " +
+        "UNION ALL SELECT b, a, w FROM pair), " +
+        "d0 AS (SELECT DISTINCT a AS node, CAST(0.0 AS DOUBLE) AS dist " +
+        "FROM uk WHERE user_id % 100 = 0), " +
+        (1 to 6).map(i => relax(s"d${i - 1}", s"d$i")).mkString(", ") +
+        " SELECT node, round(dist, 6) AS dist FROM d6"
+    },
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over DataFrames. The reference has nothing of
@@ -265,6 +266,84 @@ object Graph {
       graft.dedup.Dedup.ngramJaccardPairs(s, d, threshold = 0.8)
         .select(col("doc_a"), col("doc_b")))
       .toDF("doc_id", "comp")
+
+  /** Semi-supervised label propagation (community detection with clamped
+    * seeds): a third of the item nodes (k % 3 == 0) are seeded with their
+    * own id; every OTHER node adopts, each synchronous round, the most
+    * frequent label among its neighbors (ties: higher count wins, then the
+    * smaller label — fully deterministic, unlike classic LPA's random
+    * tie-break, which is what makes this ORACLE-CHECKABLE). Unlabeled
+    * neighbors don't vote; a node with no labeled neighbor stays null.
+    * Labels reach unseeded items through the users between them
+    * (bipartite graph: round 1 labels users from seed items, round 2
+    * labels the remaining items from users, round 3 re-votes users with
+    * the full item labeling).
+    *
+    * Scale shape per round: one groupBy-(dst,label) shuffle, the ranking
+    * window rides the SAME hash partitioning (dst ⊂ (dst,label) — no
+    * second exchange), then a left join back to the node table. The loop
+    * only composes the plan (fixed rounds, no convergence read —
+    * PageRank's compose-only pattern above). */
+  def labelPropagation(s: SparkSession, d: String,
+      rounds: Int = 3): DataFrame = {
+    val e = eventEdges(s, d).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+      .withColumn("seed",
+        when(col("node").startsWith("k") &&
+          substring(col("node"), 2, 12).cast("int") % 3 === 0,
+          substring(col("node"), 2, 12).cast("int")))
+      .localCheckpoint()
+    var lbl = nodes.select(col("node"), col("seed").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val voters = lbl.filter(col("lbl").isNotNull)
+        .select(col("node").as("vn"), col("lbl").as("vl"))
+      val counts = e.join(voters, e("src") === col("vn"))
+        .groupBy(col("dst"), col("vl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("vl"))
+      val mode = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("node"), col("vl").as("nl"))
+      lbl = nodes.join(mode, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("seed"), col("nl")).as("lbl"))
+    }
+    lbl
+  }
+
+  /** Multi-source weighted shortest paths, fixed-round Bellman-Ford over
+    * the interaction graph. Edge weight = round(1/interactions, 6) — heavy
+    * interaction pairs are "close". Each relax round is one join (dist ⋈
+    * edges on src) + one groupBy-node MIN — and MIN, unlike double
+    * summation, is reassociation-safe, so the result needs NO per-round
+    * quantization to hash-match the oracle: every path's distance is the
+    * same left-to-right chain of additions in both engines. Fixed `rounds`
+    * hops bound the plan exactly like the oracle's unrolled CTEs
+    * (convergence-free compose-only loop, PageRank's pattern). */
+  def shortestPaths(s: SparkSession, d: String,
+      rounds: Int = 6): DataFrame = {
+    val uk = Tables.events(s, d)
+      .select(concat(lit("u"), col("user_id")).as("a"),
+        concat(lit("k"), get_json_object(col("props"), "$.k").cast("int"))
+          .as("b"),
+        col("user_id"))
+      .filter(col("b").isNotNull)
+    val pair = uk.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      .select(col("a"), col("b"), round(lit(1.0) / col("cnt"), 6).as("w"))
+    val e = pair.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(
+        pair.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = uk.filter(col("user_id") % 100 === 0)
+      .select(col("a").as("node")).distinct()
+      .withColumn("dist", lit(0.0))
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .unionByName(e.join(dist, e("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("node"), round(col("dist"), 6).as("dist"))
+  }
 
   /** Bounded multi-source BFS over the interaction graph: hop distance
     * from the seed users (user_id % 100 == 0) out to `rounds` hops. Each

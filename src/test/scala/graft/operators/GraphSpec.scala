@@ -139,4 +139,42 @@ class GraphSpec extends SparkTestBase {
       assert(lp.getOrElse(n, n) == c, s"node $n: star=$c lp=${lp.get(n)}")
     }
   }
+
+  test("label propagation clamps seeds and only spreads seed labels") {
+    val lbl = Graph.labelPropagation(spark, sf0001).cache()
+    val seedIds = lbl.filter($"node".startsWith("k"))
+      .select(expr("CAST(substring(node, 2, 12) AS INT)").as("k"))
+      .filter($"k" % 3 === 0)
+      .as[Int].collect().toSet
+    // every seed node carries its own id
+    val seedRows = lbl.filter($"node".startsWith("k") &&
+        expr("CAST(substring(node, 2, 12) AS INT) % 3 = 0"))
+      .select(expr("CAST(substring(node, 2, 12) AS INT)").as("k"), $"lbl")
+      .as[(Int, Option[Int])].collect()
+    assert(seedRows.nonEmpty)
+    seedRows.foreach { case (k, l) => assert(l.contains(k), s"seed k$k: $l") }
+    // non-null labels are always drawn from the seed alphabet
+    val foreign = lbl.filter($"lbl".isNotNull)
+      .filter(!$"lbl".isin(seedIds.toSeq: _*)).count()
+    assert(foreign === 0)
+    lbl.unpersist()
+  }
+
+  test("shortest paths: zero at sources, bounded by hop count, BFS-consistent reach") {
+    val sp = Graph.shortestPaths(spark, sf0001)
+      .select($"node", $"dist".as("wdist")).cache()
+    val bfs = Graph.bfsReachability(spark, sf0001, rounds = 6)
+      .select($"node", $"dist".as("hops")).cache()
+    // same seed predicate, every weight ≤ 1 ⇒ identical reachable sets
+    assert(sp.count() === bfs.count())
+    val matched = sp.join(bfs, Seq("node")).cache()
+    assert(matched.count() === sp.count(), "reachable sets differ")
+    // weighted distance is bounded by the hop count (w = 1/cnt ≤ 1)
+    assert(matched.filter($"wdist" > $"hops" + 1e-9).count() === 0)
+    assert(matched.filter($"wdist" < 0).count() === 0)
+    // sources (hop 0) sit at distance exactly 0
+    assert(matched.filter($"hops" === 0 && $"wdist" =!= 0.0).count() === 0)
+    assert(matched.filter($"hops" === 0).count() > 0)
+    matched.unpersist(); sp.unpersist(); bfs.unpersist()
+  }
 }
