@@ -193,6 +193,9 @@ object SparkEntry {
     "q165_kmeans" -> (graft.similarity.Clustering.kmeans(_, _)),
     "q166_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     "q167_shortest_paths" -> ((s, d) => Graph.shortestPaths(s, d)),
+    "q168_repetition_removal" -> (TextQueries.repetitionRemoval(_, _)),
+    "q169_allen_intervals" -> (Advanced.allenIntervals(_, _)),
+    "q170_mixture_sample" -> (TextQueries.mixtureSample(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1402,5 +1405,54 @@ object SparkEntry {
         (1 to 6).map(i => relax(s"d${i - 1}", s"d$i")).mkString(", ") +
         " SELECT node, round(dist, 6) AS dist FROM d6"
     },
+    "q168_repetition_removal" ->
+      // Spark's array_distinct keeps first-occurrence order; DuckDB's
+      // list_distinct doesn't, so the oracle rebuilds it positionally
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "pos AS (SELECT doc_id, unnest(w) AS x, " +
+        "unnest(range(1, len(w)+1)) AS p FROM w), " +
+        "firsts AS (SELECT doc_id, x, min(p) AS fp FROM pos GROUP BY doc_id, x), " +
+        "nd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_distinct " +
+        "FROM firsts GROUP BY doc_id), " +
+        "pref AS (SELECT doc_id, string_agg(x, ' ' ORDER BY fp) AS dedup_prefix " +
+        "FROM (SELECT doc_id, x, fp, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY fp) AS rk FROM firsts) WHERE rk <= 10 GROUP BY doc_id), " +
+        "consec AS (SELECT doc_id, CAST(sum(dd) AS INT) AS n_consec_dups FROM (" +
+        "SELECT doc_id, CASE WHEN x = lag(x) OVER (PARTITION BY doc_id " +
+        "ORDER BY p) THEN 1 ELSE 0 END AS dd FROM pos) GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_words, " +
+        "coalesce(nd.n_distinct, 0) AS n_distinct, " +
+        "coalesce(consec.n_consec_dups, 0) AS n_consec_dups, " +
+        "coalesce(pref.dedup_prefix, '') AS dedup_prefix " +
+        "FROM w LEFT JOIN nd USING (doc_id) LEFT JOIN pref USING (doc_id) " +
+        "LEFT JOIN consec USING (doc_id)"),
+    "q169_allen_intervals" ->
+      // the CASE text is Advanced.AllenCaseSql VERBATIM — one classifier,
+      // two engines (q160's pattern)
+      ("WITH iv AS (SELECT event_id, user_id, epoch_ms(ts) // 3600000 AS st, " +
+        "epoch_ms(ts) // 3600000 + 1 + CAST(floor(value) AS BIGINT) // 60 AS en " +
+        "FROM events WHERE user_id % 5 = 0), " +
+        "pairs AS (SELECT a.st AS sa, a.en AS ea, b.st AS sb, b.en AS eb " +
+        "FROM iv a JOIN iv b ON a.user_id = b.user_id " +
+        "AND a.event_id % 2 = 0 AND b.event_id % 2 = 1) " +
+        s"SELECT ${graft.operators.Advanced.AllenCaseSql} AS rel, " +
+        "count(*) AS n FROM pairs GROUP BY rel"),
+    "q170_mixture_sample" ->
+      ("WITH docs AS (SELECT doc_id, source, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks " +
+        "FROM documents), " +
+        "bysrc AS (SELECT source, sum(toks) AS src_toks FROM docs GROUP BY source), " +
+        "tot AS (SELECT sum(src_toks) AS total, " +
+        "sum(sqrt(CAST(src_toks AS DOUBLE))) AS wsum FROM bysrc), " +
+        "rates AS (SELECT source, src_toks, round(least(CAST(1.0 AS DOUBLE), " +
+        "0.5 * total * sqrt(CAST(src_toks AS DOUBLE)) / wsum / src_toks), 7) AS rate " +
+        "FROM bysrc, tot) " +
+        "SELECT d.source, count(*) AS n_kept, " +
+        "CAST(sum(d.toks) AS BIGINT) AS toks_kept, max(r.rate) AS rate " +
+        "FROM docs d JOIN rates r ON d.source = r.source " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
+        "printf('%08x', CAST(least(floor(r.rate * 4294967296), 4294967295) AS BIGINT)) " +
+        "GROUP BY d.source"),
   )
 }

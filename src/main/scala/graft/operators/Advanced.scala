@@ -1869,4 +1869,57 @@ object Advanced {
           .as("wp75"))
       .withColumnRenamed("g", "l_returnflag")
   }
+
+  // ---------------------------------------------------- Allen's intervals
+
+  /** The 13-relation Allen interval-algebra classifier as ONE CASE text,
+    * evaluated verbatim by both engines (q160's one-text-two-engines
+    * pattern): order matters — the equality relations are tested before
+    * the strict ones they border, so the branches are mutually exclusive
+    * by construction. */
+  val AllenCaseSql: String =
+    "CASE WHEN sa = sb AND ea = eb THEN 'equals' " +
+      "WHEN ea < sb THEN 'before' " +
+      "WHEN sa > eb THEN 'after' " +
+      "WHEN ea = sb THEN 'meets' " +
+      "WHEN sa = eb THEN 'met_by' " +
+      "WHEN sa = sb AND ea < eb THEN 'starts' " +
+      "WHEN sa = sb THEN 'started_by' " +
+      "WHEN ea = eb AND sa > sb THEN 'finishes' " +
+      "WHEN ea = eb THEN 'finished_by' " +
+      "WHEN sa > sb AND ea < eb THEN 'during' " +
+      "WHEN sa < sb AND ea > eb THEN 'contains' " +
+      "WHEN sa < sb AND ea < eb THEN 'overlaps' " +
+      "ELSE 'overlapped_by' END"
+
+  /** Allen interval-algebra census over per-user event intervals on an
+    * HOUR grid: [hour(ts), hour(ts) + 1 + value/60h) — the coarse grid is
+    * what makes the boundary relations (meets/starts/finishes/equals)
+    * actually occur; on raw millisecond endpoints the census collapses to
+    * before/after/overlaps. Every (even-id, odd-id) same-user pair is
+    * classified into exactly one of the 13 relations — the even/odd split
+    * yields pairs on BOTH sides of each other in time (event ids
+    * correlate with time, so `ida < idb` pairing would never produce the
+    * six inverse relations). The pair join is PER-USER (equi-join on
+    * user_id), so the quadratic blowup is bounded by the busiest user,
+    * not the table — the standard way interval pair analytics stay
+    * feasible at scale (q99's sweep line is the global-count sibling;
+    * this is the pair-classification one). Casts are floor-explicit:
+    * DuckDB CAST(double AS BIGINT) rounds where Spark truncates. */
+  def allenIntervals(s: SparkSession, d: String): DataFrame = {
+    val iv = graft.operators.Tables.events(s, d)
+      .filter(col("user_id") % 5 === 0)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts) div 3600000").as("st"),
+        (expr("unix_millis(ts) div 3600000") + lit(1L) +
+          expr("CAST(floor(value) AS BIGINT) div 60")).as("en"))
+    val a = iv.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("st").as("sa"), col("en").as("ea"))
+    val b = iv.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("st").as("sb"), col("en").as("eb"))
+    a.join(b, Seq("user_id"))
+      .select(expr(AllenCaseSql).as("rel"))
+      .groupBy(col("rel"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

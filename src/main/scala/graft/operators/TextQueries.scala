@@ -265,4 +265,64 @@ object TextQueries {
         .as("bits_per_bigram"),
         sum(col("k")).as("n_bigrams"))
   }
+
+  /** Intra-document repetition removal — the within-doc counterpart of the
+    * corpus-level dedup family (q24–q28): token-level keep-first dedup and
+    * consecutive-duplicate detection, entirely inside the scan projection
+    * (array HOFs, zero shuffles, codegen-friendly — the per-document shape
+    * that holds at any corpus size because rows never interact).
+    * `array_distinct` preserves FIRST-OCCURRENCE order in Spark; the
+    * oracle reconstructs that order positionally (min(pos) per token)
+    * since DuckDB's `list_distinct` order is unspecified. */
+  def repetitionRemoval(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        // transform's index is 0-based, element_at 1-based ⇒
+        // element_at(w, i) IS the previous token; IF guards i = 0 lazily
+        expr("aggregate(transform(w, (x, i) -> " +
+          "IF(i > 0 AND x = element_at(w, i), 1, 0)), 0, (a, b) -> a + b)")
+          .as("n_consec_dups"),
+        array_join(slice(array_distinct(col("w")), 1, 10), " ")
+          .as("dedup_prefix"))
+
+  /** Temperature-weighted source mixture sampling to a token budget — the
+    * corpus-composition step of a pretraining pipeline: source s gets
+    * target share ∝ √tokens_s (temperature 0.5 up-weights small sources;
+    * sqrt is correctly-rounded IEEE, hence bit-identical cross-engine),
+    * scaled to half the corpus' total tokens, and docs are kept by the
+    * deterministic md5 draw (q63/q101's idiom — reproducible sampling
+    * with no RNG state, which is what makes re-runs and the oracle
+    * agree). Acceptance rates round to 7 decimals on both engines so the
+    * (tiny, summation-order-sensitive) Σ√ tail noise can't flip a draw.
+    * Scale shape: per-source stats are a broadcast dimension; the kept
+    * set is decided in the scan projection — one shuffle for the final
+    * per-source rollup. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' '), x -> x != '')"))
+          .cast("long").as("toks"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("toks")).as("src_toks"))
+    val tot = bySrc.agg(sum(col("src_toks")).as("total"),
+      sum(sqrt(col("src_toks").cast("double"))).as("wsum"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_toks"),
+        round(least(lit(1.0),
+          lit(0.5) * col("total") * sqrt(col("src_toks").cast("double")) /
+            col("wsum") / col("src_toks")), 7).as("rate"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .withColumn("thresh", lower(lpad(hex(
+        least(floor(col("rate") * lit(4294967296.0)), lit(4294967295.0))
+          .cast("bigint")), 8, "0")))
+      .filter(col("h") < col("thresh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"),
+        max(col("rate")).as("rate"))
+  }
 }

@@ -8,6 +8,68 @@ import graft.SparkTestBase
 class Batteries4Spec extends SparkTestBase {
   import spark.implicits._
 
+  test("repetition removal: hand-check + dedup accounting per doc") {
+    val r = TextQueries.repetitionRemoval(spark, sf0001).cache()
+    assert(r.count() > 0)
+    assert(r.filter($"n_distinct" > $"n_words").count() === 0)
+    // a consecutive duplicate is a duplicate: bounded by total dup mass
+    assert(r.filter($"n_consec_dups" > $"n_words" - $"n_distinct")
+      .count() === 0)
+    // prefix carries min(10, n_distinct) distinct words, order-preserved
+    val prefBad = r.filter(size(split($"dedup_prefix", " ")) =!=
+      least($"n_distinct", lit(10))).count()
+    assert(prefBad === 0)
+    // hand-recompute one document sequentially
+    val (docId, text) = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val words = text.split(" ").filter(_.nonEmpty)
+    val distinct = words.distinct
+    val consec = words.sliding(2).count(p => p.length == 2 && p(0) == p(1))
+    val row = r.filter($"doc_id" === docId).head()
+    assert(row.getAs[Int]("n_words") === words.length)
+    assert(row.getAs[Int]("n_distinct") === distinct.length)
+    assert(row.getAs[Int]("n_consec_dups") === consec)
+    assert(row.getAs[String]("dedup_prefix") ===
+      distinct.take(10).mkString(" "))
+    r.unpersist()
+  }
+
+  test("allen intervals: relations partition the pair set") {
+    val rels = Advanced.allenIntervals(spark, sf0001).cache()
+    val names = Set("equals", "before", "after", "meets", "met_by",
+      "starts", "started_by", "finishes", "finished_by", "during",
+      "contains", "overlaps", "overlapped_by")
+    val got = rels.select($"rel").as[String].collect().toSet
+    assert(got.subsetOf(names), s"unknown relations: ${got -- names}")
+    // every pair lands in exactly one relation: totals reconcile
+    val ev = Tables.events(spark, sf0001).filter($"user_id" % 5 === 0)
+    val n = ev.filter($"event_id" % 2 === 0).select($"user_id")
+      .join(ev.filter($"event_id" % 2 === 1).select($"user_id"), "user_id")
+      .count()
+    val total = rels.agg(sum($"n")).head().getLong(0)
+    assert(total === n, s"classified $total of $n pairs")
+    rels.unpersist()
+  }
+
+  test("mixture sampling: rates in (0,1], kept mass bounded, full-rate sources keep all") {
+    val mix = TextQueries.mixtureSample(spark, sf0001).cache()
+    assert(mix.count() > 0)
+    assert(mix.filter($"rate" <= 0 || $"rate" > 1).count() === 0)
+    val src = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source",
+        size(expr("filter(split(text, ' '), x -> x != '')"))
+          .cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("src_toks"))
+    val j = mix.join(src, "source").cache()
+    assert(j.filter($"n_kept" > $"n_docs").count() === 0)
+    assert(j.filter($"toks_kept" > $"src_toks").count() === 0)
+    // rate 1 means the source's full token mass fits the target: keep all
+    assert(j.filter($"rate" === 1.0 && $"n_kept" =!= $"n_docs")
+      .count() === 0)
+    j.unpersist(); mix.unpersist()
+  }
+
   test("variant battery: round trip is the identity, error paths are null") {
     val v = Advanced.variantBattery(spark, sf0001).cache()
     assert(v.count() > 0)
