@@ -196,6 +196,8 @@ object SparkEntry {
     "q168_repetition_removal" -> (TextQueries.repetitionRemoval(_, _)),
     "q169_allen_intervals" -> (Advanced.allenIntervals(_, _)),
     "q170_mixture_sample" -> (TextQueries.mixtureSample(_, _)),
+    "q171_bloom_decontaminate" -> (Advanced.bloomDecontaminate(_, _)),
+    "q172_mode_battery" -> (Advanced.modeBattery(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1454,5 +1456,34 @@ object SparkEntry {
         "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
         "printf('%08x', CAST(least(floor(r.rate * 4294967296), 4294967295) AS BIGINT)) " +
         "GROUP BY d.source"),
+    "q171_bloom_decontaminate" ->
+      // the EXACT anti-join formulation — the bloom probe on the Spark
+      // side must be transparent (no false negatives + exact verify)
+      ("WITH t AS (SELECT doc_id, source, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, " +
+        "CAST(u.i AS INT), CAST(u.i AS INT) + 7), ' ') AS g " +
+        "FROM t, unnest(range(1, len(toks) - 6)) AS u(i) WHERE len(toks) >= 8), " +
+        "b AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0 AND doc_id < 3500), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN b ON g.g = b.g " +
+        "WHERE NOT (g.doc_id % 7 = 0 AND g.doc_id < 3500)), " +
+        "corpus AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok " +
+        "FROM t WHERE NOT (doc_id % 7 = 0 AND doc_id < 3500)) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens " +
+        "FROM corpus WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = corpus.doc_id) " +
+        "GROUP BY source"),
+    "q172_mode_battery" ->
+      ("WITH counts AS (SELECT o_orderpriority AS grp, o_orderstatus AS v, " +
+        "count(*) AS c FROM orders GROUP BY 1, 2), " +
+        "md AS (SELECT grp, v AS mode_status, c AS mode_n FROM (" +
+        "SELECT grp, v, c, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY c DESC, v) AS rk FROM counts) WHERE rk = 1), " +
+        "aggs AS (SELECT o_orderpriority AS grp, " +
+        "count(*) FILTER (WHERE o_totalprice > 200000) AS n_big, " +
+        "bool_and(o_totalprice > 0) AS all_pos, " +
+        "bool_or(o_orderstatus = 'F') AS any_f, count(*) AS n " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT a.grp, a.n_big, a.all_pos, a.any_f, a.n, " +
+        "m.mode_status, m.mode_n FROM aggs a JOIN md m ON a.grp = m.grp"),
   )
 }

@@ -543,6 +543,75 @@ object Advanced {
         countDistinct(col("bdoc")).as("n_bench_docs"))
   }
 
+  /** Benchmark DECONTAMINATION at corpus scale: q69 reports the overlap;
+    * this produces the cleaned corpus (per-source doc/token counts of
+    * everything with NO shared 8-gram), with a bloom filter over the
+    * (hashed) benchmark grams pruning the corpus-gram stream BEFORE the
+    * exact verify join — q103's sketch-then-verify shape applied to
+    * decontamination. Bloom filters have no false negatives, so a gram
+    * that doesn't hit is PROVABLY clean and never shuffles; hits (the
+    * contaminated sliver + ~1% false positives) are verified exactly
+    * against the broadcast benchmark set, which is what keeps the result
+    * identical to the plain exact anti join the oracle runs. At 100 TB
+    * the probe is the difference between shuffling every corpus gram and
+    * shuffling ~none of them. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+    val isBench = col("doc_id") % 7 === 0 && col("doc_id") < BenchIdCap
+    val grams = t.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 7),
+          i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("g"))
+      .distinct()
+    val bench = grams.filter(isBench).select(col("g")).distinct()
+      .localCheckpoint()
+    val nB = bench.count()
+    val corpusGrams = grams.filter(!isBench)
+    val contaminated =
+      if (nB == 0) corpusGrams.select(col("doc_id")).limit(0)
+      else {
+        val bloom = bench.select(xxhash64(col("g")).as("h"))
+          .stat.bloomFilter("h", math.max(nB, 64), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        corpusGrams
+          .filter(graft.functions.BloomFilterExpressions
+            .mightContainLong(xxhash64(col("g")), bos.toByteArray))
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+      }
+    t.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+  }
+
+  /** Mode / conditional-aggregate battery: most-frequent status per
+    * priority with a FULLY DETERMINISTIC tie-break (count desc, value
+    * asc — built-in mode() leaves ties undefined in both engines, which
+    * is why the explicit count+rank form is the oracle-checkable one),
+    * alongside count_if / bool_and / bool_or. */
+  def modeBattery(s: SparkSession, d: String): DataFrame = {
+    val counts = orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"),
+        col("o_orderstatus").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c").desc, col("v"))
+    val md = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("v").as("mode_status"), col("c").as("mode_n"))
+    val aggs = orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_pos"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        count(lit(1)).as("n"))
+    aggs.join(md, Seq("grp"))
+  }
+
   /** Array-function battery over token arrays: size, slice, membership,
     * position (normalized to null-when-absent on both engines), sort,
     * distinct, last element — array outputs stringified so the oracle

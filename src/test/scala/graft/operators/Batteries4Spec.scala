@@ -34,6 +34,42 @@ class Batteries4Spec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("bloom decontamination is transparent vs the exact anti join") {
+    val got = Advanced.bloomDecontaminate(spark, sf0001)
+    // plain exact formulation, no bloom: same gram definitions
+    val t = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source",
+        graft.functions.TextAnalysis.tokens($"text").as("toks"))
+    val isBench = $"doc_id" % 7 === 0 && $"doc_id" < Advanced.BenchIdCap
+    val grams = t.filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> concat_ws(' ', slice(toks, i, 8)))")).as("g"))
+      .distinct()
+    val bench = grams.filter(isBench).select($"g").distinct()
+    val bad = grams.filter(!isBench)
+      .join(bench, Seq("g"), "left_semi").select($"doc_id").distinct()
+    val want = t.filter(!isBench)
+      .join(bad, Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("n_tokens"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("mode battery: reported mode attains the max count in its group") {
+    val m = Advanced.modeBattery(spark, sf0001).cache()
+    assert(m.count() > 0)
+    val maxc = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderpriority".as("grp"), $"o_orderstatus")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"grp").agg(max($"c").as("maxc"))
+    assert(m.join(maxc, "grp").filter($"mode_n" =!= $"maxc").count() === 0)
+    assert(m.filter($"n_big" > $"n").count() === 0)
+    m.unpersist()
+  }
+
   test("allen intervals: relations partition the pair set") {
     val rels = Advanced.allenIntervals(spark, sf0001).cache()
     val names = Set("equals", "before", "after", "meets", "met_by",
