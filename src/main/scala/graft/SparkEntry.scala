@@ -198,6 +198,8 @@ object SparkEntry {
     "q170_mixture_sample" -> (TextQueries.mixtureSample(_, _)),
     "q171_bloom_decontaminate" -> (Advanced.bloomDecontaminate(_, _)),
     "q172_mode_battery" -> (Advanced.modeBattery(_, _)),
+    "q173_cm_frequent" -> (TextQueries.cmFrequentBigrams(_, _)),
+    "q174_bpe_tokens" -> (TextQueries.bpeTokens(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1485,5 +1487,14 @@ object SparkEntry {
         "FROM orders GROUP BY 1) " +
         "SELECT a.grp, a.n_big, a.all_pos, a.any_f, a.n, " +
         "m.mode_status, m.mode_n FROM aggs a JOIN md m ON a.grp = m.grp"),
+    "q173_cm_frequent" ->
+      // the sketch is invisible in the semantics: plain exact HAVING
+      ("WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w " +
+        "FROM documents), " +
+        "bg AS (SELECT w[CAST(u.i AS INT)] || ' ' || w[CAST(u.i AS INT) + 1] AS tok " +
+        "FROM t, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2), " +
+        "tot AS (SELECT count(*) AS total FROM bg) " +
+        "SELECT tok, count(*) AS n FROM bg, tot GROUP BY tok, tot.total " +
+        "HAVING count(*) >= tot.total / 1000.0"),
   )
 }

@@ -325,4 +325,70 @@ object TextQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("toks_kept"),
         max(col("rate")).as("rate"))
   }
+
+  /** EXACT frequent word-bigrams via Count-Min sketch-then-verify: one
+    * distributed pass builds a mergeable CM sketch over xxhash64'd
+    * bigrams (fixed memory regardless of vocabulary — the point of CM
+    * next to q81's k-bounded Misra-Gries), the estimate thresholds the
+    * DISTINCT key set (est ≥ true ⇒ a provable superset of the frequent
+    * bigrams; hash collisions only inflate estimates, preserving the
+    * superset), and an exact count over just the candidate sliver
+    * restores exactness — so the result is oracle-checkable against a
+    * plain GROUP BY ... HAVING. At 100 TB the full bigram stream is
+    * never shuffled: only candidates (≈ the output size) reach the
+    * exact aggregation. */
+  def cmFrequentBigrams(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .localCheckpoint() // sketch pass + candidate pass + verify: one scan
+    val cm = bg.stat.countMinSketch("h", 0.0001, 0.99, 42)
+    val thresh = cm.totalCount() / 1000.0
+    val bos = new java.io.ByteArrayOutputStream()
+    cm.writeTo(bos)
+    val cand = bg.select(col("tok"), col("h")).distinct()
+      .filter(graft.functions.CountMinExpressions
+        .estimateLong(col("h"), bos.toByteArray) >= thresh)
+      .select(col("tok"))
+    bg.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thresh)
+  }
+
+  /** Words the BPE trainer may see — bounds the driver-side training set
+    * by VOCABULARY, not corpus size (the scale contract of
+    * [[graft.functions.Bpe]]). */
+  val BpeVocabCap = 10000
+  val BpeMerges = 40
+
+  /** Corpus-trained BPE subword distribution: distributed word counts →
+    * deterministic merge training on the capped vocabulary → distributed
+    * re-encode. Encoding runs once per DISTINCT word (a typed map over
+    * the vocabulary with the merge table broadcast), then a broadcast
+    * join fans the splits back over the full token stream — the corpus
+    * itself is never re-parsed per merge rule. Rows-only for the driver
+    * (BPE is not SQL-expressible); the spec pins training to the
+    * hand-derived classic fixture and encoding to losslessness. */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("word"))
+    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // shared: train collect + distinct-word encode
+    val top = wc.orderBy(col("c").desc, col("word")).limit(BpeVocabCap)
+      .as[(String, Long)].collect().toSeq
+    val merges = graft.functions.Bpe.train(top, BpeMerges)
+    val bc = s.sparkContext.broadcast(merges)
+    val encoded = wc.select(col("word")).as[String]
+      .map(w => (w, graft.functions.Bpe.encode(w, bc.value)))
+      .toDF("word", "subs")
+    words.join(broadcast(encoded), Seq("word"))
+      .select(explode(col("subs")).as("bpe_token"))
+      .groupBy(col("bpe_token")).agg(count(lit(1)).as("n"))
+  }
 }
