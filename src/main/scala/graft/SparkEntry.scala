@@ -200,6 +200,7 @@ object SparkEntry {
     "q172_mode_battery" -> (Advanced.modeBattery(_, _)),
     "q173_cm_frequent" -> (TextQueries.cmFrequentBigrams(_, _)),
     "q174_bpe_tokens" -> (TextQueries.bpeTokens(_, _)),
+    "q175_global_rownumber" -> (Advanced.globalRowNumber(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1496,5 +1497,8 @@ object SparkEntry {
         "tot AS (SELECT count(*) AS total FROM bg) " +
         "SELECT tok, count(*) AS n FROM bg, tot GROUP BY tok, tot.total " +
         "HAVING count(*) >= tot.total / 1000.0"),
+    "q175_global_rownumber" ->
+      ("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) " +
+        "AS BIGINT) AS rn FROM orders"),
   )
 }

@@ -66,6 +66,31 @@ object Dedup {
     *    threshold ratio can be skipped before any intersection work. */
   def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6)
       : DataFrame = {
+    // The τ = 0.6 pair table is a deterministic corpus function consumed
+    // by several operators (q26 directly, q124's dup-cluster components,
+    // spec ground truths), so it persists through WarehouseCache like the
+    // ANN index artifacts and the interaction-graph edge list: built once
+    // per documents snapshot, read back metadata-only after. Callers with
+    // a HIGHER threshold filter the cached UNROUNDED jac (identical to
+    // recomputing — the filter is on the same double); lower thresholds
+    // fall back to a direct build.
+    val base =
+      if (threshold >= 0.6)
+        graft.operators.WarehouseCache.cachedParquet(s,
+          s"graft_jacpairs_${graft.operators.WarehouseCache.dirSuffix(d)}",
+          graft.operators.WarehouseCache
+            .sourceFingerprint(s, d, "documents.parquet")) {
+          jaccardPairsDirect(s, d, 0.6)
+        }
+      else jaccardPairsDirect(s, d, threshold)
+    base.filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** The uncached all-pairs build: (doc_a, doc_b, jac) with jac UNROUNDED
+    * so threshold filters over the cache are exact. */
+  private def jaccardPairsDirect(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
     val t = Tables.documents(s, d)
       .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"),
@@ -90,7 +115,7 @@ object Dedup {
       .withColumn("jac",
         col("inter") / when(col("den") > 0, col("den")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
   /** The same exact Jaccard ≥ 0.6 pairs as [[ngramJaccardPairs]], produced
@@ -266,12 +291,32 @@ object Dedup {
     * exact-verify candidates with shingle Jaccard ≥ threshold. */
   def minhashDupPairs(s: SparkSession, d: String, threshold: Double = 0.6)
       : DataFrame =
-    minhashDupPairsDf(
-      Tables.documents(s, d).select(col("doc_id"), col("text")), threshold)
+    // Banding is threshold-independent (Bands/RowsPerBand are constants;
+    // the threshold only filters the exactly-verified jac), so the FULL
+    // verified candidate table caches once per documents snapshot
+    // (WarehouseCache, same contract as the Jaccard pair table above) and
+    // every threshold filters the unrounded jac identically to a rebuild.
+    graft.operators.WarehouseCache.cachedParquet(s,
+      s"graft_mhpairs_${graft.operators.WarehouseCache.dirSuffix(d)}",
+      graft.operators.WarehouseCache
+        .sourceFingerprint(s, d, "documents.parquet")) {
+      minhashCandidatesDf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    }
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
 
-  /** Same, over any (doc_id, text) frame. */
+  /** Same, over any (doc_id, text) frame (uncached). */
   def minhashDupPairsDf(documents: DataFrame, threshold: Double = 0.6)
-      : DataFrame = {
+      : DataFrame =
+    minhashCandidatesDf(documents)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+
+  /** The full LSH candidate pipeline with exact verification, UNFILTERED:
+    * (doc_a, doc_b, jac) for every banded candidate pair, jac unrounded —
+    * the cacheable threshold-independent unit. */
+  def minhashCandidatesDf(documents: DataFrame): DataFrame = {
     // ids + band hashes only — shingle arrays do NOT ride through the
     // shuffle; they are re-attached for the (small) candidate set at the end.
     // Signature + shingle set are per-row kernel projections (no explode, no
@@ -333,8 +378,7 @@ object Dedup {
         sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("den", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jac", col("inter") / when(col("den") > 0, col("den")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -1939,6 +1939,34 @@ object Advanced {
       .withColumnRenamed("g", "l_returnflag")
   }
 
+  /** Global sequential row numbers WITHOUT a single-partition sort — the
+    * DataFrame form of zipWithIndex, and the q64 prefix-sum trick
+    * generalized from token budgets to ranks: range-repartition on the
+    * key (global order ACROSS partitions), rank locally per partition,
+    * then add broadcast partition offsets (one tiny ≤#partitions-row
+    * cumulative sum). A bare `row_number() OVER (ORDER BY …)` collapses
+    * to ONE partition — the classic scale cliff this shape removes. The
+    * result is the exact global rank regardless of where the (sampled,
+    * run-varying) range boundaries land, because ranks only depend on the
+    * total order of the distinct keys. */
+  def globalRowNumber(s: SparkSession, d: String): DataFrame = {
+    val parts = orders(s, d).select(col("o_orderkey"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = parts.withColumn("local_rn",
+      row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("o_orderkey"),
+        (col("offset") + col("local_rn")).cast("long").as("rn"))
+  }
+
   // ---------------------------------------------------- Allen's intervals
 
   /** The 13-relation Allen interval-algebra classifier as ONE CASE text,

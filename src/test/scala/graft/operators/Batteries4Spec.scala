@@ -34,6 +34,16 @@ class Batteries4Spec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("global row number equals the single-partition window form") {
+    val got = Advanced.globalRowNumber(spark, sf0001)
+    val want = Tables.orders(spark, sf0001)
+      .select($"o_orderkey",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"o_orderkey")).cast("long").as("rn"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("bloom decontamination is transparent vs the exact anti join") {
     val got = Advanced.bloomDecontaminate(spark, sf0001)
     // plain exact formulation, no bloom: same gram definitions

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -34,7 +36,10 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("LSH dedup plan contains no nested-loop join (candidates only)") {
-    val p = plan(Dedup.minhashDupPairs(spark, sf0001))
+    // the uncached build path — minhashDupPairs itself reads the
+    // WarehouseCache table back, which would make this audit vacuous
+    val p = plan(Dedup.minhashDupPairsDf(
+      Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
