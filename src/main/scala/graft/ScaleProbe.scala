@@ -131,6 +131,33 @@ object ScaleProbe {
       }
       results += (("misra_gries", n, tMg, rMg))
 
+      // Count-Min sketch build over the replicated token stream — fixed
+      // width·depth state per mapper (mergeable), so cost must track the
+      // token count, never the key universe
+      val (tCm, rCm) = time {
+        docs.select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+            .as("word"))
+          .withColumn("h", xxhash64(col("word")))
+          .stat.countMinSketch("h", 0.0001, 0.99, 42).totalCount()
+      }
+      results += (("count_min_build", n, tCm, rCm))
+
+      // fixed-round Bellman-Ford on a synthetic weighted chain (+reverse):
+      // each relax round is one join + one groupBy-MIN, so wall time must
+      // track the edge count — rounds are fixed by contract
+      val (tSs, rSs) = time {
+        val ids = spark.range(0L, 20000L * n).toDF("id")
+        val fwd = ids.filter(col("id") > 0)
+          .select((col("id") - 1).as("src"), col("id").as("dst"),
+            (lit(1.0) / ((col("id") % 5) + 1)).as("w"))
+        val e2 = fwd.unionAll(fwd.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        val seeds = ids.filter(col("id") % 1024 === 0)
+          .select(col("id").as("node"))
+        graft.operators.Graph.shortestPathsEdges(e2, seeds, 4).count()
+      }
+      results += (("sssp_relax", n, tSs, rSs))
+
       // KLL quantile sketch over the replicated price stream — summary
       // state is O(k log n) per group per mapper, so cost must track the
       // scan, never the value count

@@ -201,6 +201,7 @@ object SparkEntry {
     "q173_cm_frequent" -> (TextQueries.cmFrequentBigrams(_, _)),
     "q174_bpe_tokens" -> (TextQueries.bpeTokens(_, _)),
     "q175_global_rownumber" -> (Advanced.globalRowNumber(_, _)),
+    "q176_binned_range_join" -> (Advanced.binnedRangeJoin(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1500,5 +1501,16 @@ object SparkEntry {
     "q175_global_rownumber" ->
       ("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) " +
         "AS BIGINT) AS rn FROM orders"),
+    "q176_binned_range_join" ->
+      // the plain non-equi formulation — binning must be transparent
+      ("WITH ev AS (SELECT event_id, event_type, " +
+        "epoch_ms(ts) // 3600000 AS st, " +
+        "epoch_ms(ts) // 3600000 + 1 + CAST(floor(value) AS BIGINT) // 60 AS en " +
+        "FROM events), " +
+        "iv AS (SELECT st AS lo, en AS hi FROM ev WHERE event_type = 'view'), " +
+        "pts AS (SELECT event_id, st AS p FROM ev WHERE event_type = 'click') " +
+        "SELECT p.event_id, count(i.lo) AS n_overlap " +
+        "FROM pts p LEFT JOIN iv i ON p.p >= i.lo AND p.p < i.hi " +
+        "GROUP BY p.event_id"),
   )
 }

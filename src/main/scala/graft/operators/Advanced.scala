@@ -1939,6 +1939,33 @@ object Advanced {
       .withColumnRenamed("g", "l_returnflag")
   }
 
+  /** Point-in-interval join as a BINNED EQUI-JOIN — the large×large
+    * range-join strategy for when neither side broadcasts (q52 covers the
+    * broadcast case): each interval replicates to the grid cells it spans
+    * (bounded here by the hour grid — an interval covers ≤ 9 cells), each
+    * point maps to its one cell, and the join becomes a plain shuffled
+    * equi-join on the cell id that Catalyst hash-partitions like any
+    * other key. Cell membership IS containment (cells enumerate exactly
+    * [lo, hi)), so no residual predicate remains. Unmatched points
+    * survive via the left join (count of a nullable side column).
+    * PlanAuditSpec pins the shape: no nested-loop join. */
+  def binnedRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("st"),
+        (expr("unix_millis(ts) div 3600000") + lit(1L) +
+          expr("CAST(floor(value) AS BIGINT) div 60")).as("en"))
+    val binned = ev.filter(col("event_type") === "view")
+      .select(col("st").as("lo"), col("en").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi") - 1)).as("bin"),
+        col("lo"))
+    val pts = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("st").as("p"))
+    pts.join(binned, pts("p") === binned("bin"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(count(col("lo")).as("n_overlap"))
+  }
+
   /** Global sequential row numbers WITHOUT a single-partition sort — the
     * DataFrame form of zipWithIndex, and the q64 prefix-sum trick
     * generalized from token budgets to ranks: range-repartition on the

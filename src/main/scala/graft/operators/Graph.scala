@@ -333,14 +333,28 @@ object Graph {
       .unionByName(
         pair.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .localCheckpoint()
-    var dist = uk.filter(col("user_id") % 100 === 0)
+    val seeds = uk.filter(col("user_id") % 100 === 0)
       .select(col("a").as("node")).distinct()
-      .withColumn("dist", lit(0.0))
-    for (_ <- 1 to rounds) {
+    shortestPathsEdges(e, seeds, rounds)
+  }
+
+  /** The relax loop over any weighted edge set (src, dst, w) and seed
+    * node set — shared by the driver query and the scale probe, so what
+    * the probe measures IS the production path. */
+  def shortestPathsEdges(e: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds.toDF("node").withColumn("dist", lit(0.0))
+    for (i <- 1 to rounds) {
       dist = dist
         .unionByName(e.join(dist, e("src") === dist("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // each round reads `dist` TWICE (carry-over ∪ relax) — unlike
+      // PageRank's single-reference loop, composing lazily here doubles
+      // the subplan per round (2^rounds recompute, measured 11 s at
+      // sf0.1); the node-vector is tiny, so an eager per-round
+      // checkpoint is the right trade everywhere above toy scale
+      if (i < rounds) dist = dist.localCheckpoint()
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }

@@ -43,6 +43,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("binned range join plans as a shuffled equi-join, not nested loop") {
+    val p = plan(Advanced.binnedRangeJoin(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("scan of a two-column projection reads only those columns") {
     val p = plan(Relational.scanProject(spark, sf0001))
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
