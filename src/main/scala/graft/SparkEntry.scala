@@ -202,6 +202,9 @@ object SparkEntry {
     "q174_bpe_tokens" -> (TextQueries.bpeTokens(_, _)),
     "q175_global_rownumber" -> (Advanced.globalRowNumber(_, _)),
     "q176_binned_range_join" -> (Advanced.binnedRangeJoin(_, _)),
+    "q177_markov_transitions" -> (Advanced.markovTransitions(_, _)),
+    "q178_vector_battery" -> (Advanced.vectorBattery(_, _)),
+    "q179_fold_assignment" -> ((s, d) => Advanced.foldAssignment(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1512,5 +1515,32 @@ object SparkEntry {
         "SELECT p.event_id, count(i.lo) AS n_overlap " +
         "FROM pts p LEFT JOIN iv i ON p.p >= i.lo AND p.p < i.hi " +
         "GROUP BY p.event_id"),
+    "q177_markov_transitions" ->
+      ("WITH seq AS (SELECT event_type, lead(event_type, 1) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS next_type " +
+        "FROM events), " +
+        "trans AS (SELECT event_type, next_type, count(*) AS n FROM seq " +
+        "WHERE next_type IS NOT NULL GROUP BY event_type, next_type), " +
+        "tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM trans " +
+        "GROUP BY event_type) " +
+        "SELECT t.event_type, t.next_type, t.n, " +
+        "round(CAST(t.n AS DOUBLE) / tt.tot, 6) AS p " +
+        "FROM trans t JOIN tot tt ON t.event_type = tt.event_type"),
+    "q178_vector_battery" ->
+      ("SELECT vec_id, " +
+        "round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2, " +
+        "round(list_sum(e), 6) AS sum_el, " +
+        "round(list_max(e), 6) AS max_el, " +
+        "CAST(list_position(e, list_max(e)) AS BIGINT) AS argmax_idx, " +
+        "round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS unit_first " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings WHERE vec_id % 3 = 0)"),
+    "q179_fold_assignment" ->
+      ("SELECT CAST((strpos('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4 AS INT) AS fold, " +
+        "count(*) AS n_docs, " +
+        "CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+        "FROM documents GROUP BY 1"),
   )
 }

@@ -1994,6 +1994,71 @@ object Advanced {
         (col("offset") + col("local_rn")).cast("long").as("rn"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the sequence-statistics prep under next-event models and funnel
+    * diagnostics: one lead() window per user (deterministic (ts, event_id)
+    * order), then transition counts and row-normalized probabilities.
+    * The probability divides by a per-state total joined back from a
+    * second tiny aggregate (states × states table — always broadcastable)
+    * rather than a window over the full stream. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"))
+    trans.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
+  /** Dense-vector function battery over the embedding column (the scalar
+    * micro-ops under every ANN/clustering path, each mirrored by a DuckDB
+    * list function): L2 norm, element sum/max (index-order folds, so the
+    * doubles are bit-identical cross-engine), first-occurrence argmax
+    * index, and the first component after L2 normalization. */
+  def vectorBattery(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"),
+        round(sqrt(expr(
+          "aggregate(transform(e, x -> x * x), 0.0D, (s, x) -> s + x)")), 6)
+          .as("l2"),
+        round(expr("aggregate(e, 0.0D, (s, x) -> s + x)"), 6).as("sum_el"),
+        round(array_max(col("e")), 6).as("max_el"),
+        array_position(col("e"), array_max(col("e"))).as("argmax_idx"),
+        round(element_at(col("e"), 1) /
+          sqrt(expr(
+            "aggregate(transform(e, x -> x * x), 0.0D, (s, x) -> s + x)")), 6)
+          .as("unit_first"))
+
+  /** Deterministic k-fold assignment (train/eval splitting without RNG
+    * state): the fold is a pure function of the doc id via the md5-hex
+    * idiom (q63/q101's draw, reduced to a 16-way character bucket mod
+    * k), so any engine — and any re-run — assigns identically, and every
+    * doc lands in EXACTLY one fold by construction. Reports per-fold
+    * doc/token mass and the per-source spread the stratification check
+    * cares about. */
+  def foldAssignment(s: SparkSession, d: String, k: Int = 4): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' '), x -> x != '')"))
+          .cast("long").as("toks"))
+      .withColumn("fold",
+        ((expr("locate(substring(md5(CAST(doc_id AS STRING)), 1, 1), " +
+          "'0123456789abcdef')") - 1) % k).cast("int"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+
   // ---------------------------------------------------- Allen's intervals
 
   /** The 13-relation Allen interval-algebra classifier as ONE CASE text,

@@ -34,6 +34,37 @@ class Batteries4Spec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("markov transitions: rows normalize to 1, transition mass reconciles") {
+    val m = Advanced.markovTransitions(spark, sf0001).cache()
+    val rowSums = m.groupBy($"event_type").agg(sum($"p").as("sp"))
+      .filter(abs($"sp" - 1.0) > 1e-4).count()
+    assert(rowSums === 0)
+    // each user contributes (events - 1) transitions
+    val ev = Tables.events(spark, sf0001)
+    val want = ev.count() - ev.select($"user_id").distinct().count()
+    val got = m.agg(sum($"n")).head().getLong(0)
+    assert(got === want, s"transitions $got vs $want")
+    m.unpersist()
+  }
+
+  test("vector battery: norms positive, argmax consistent, unit bounded") {
+    val v = Advanced.vectorBattery(spark, sf0001).cache()
+    assert(v.count() > 0)
+    assert(v.filter($"l2" <= 0).count() === 0)
+    assert(v.filter($"unit_first" < -1.0 || $"unit_first" > 1.0)
+      .count() === 0)
+    assert(v.filter($"argmax_idx" < 1 || $"argmax_idx" > 64).count() === 0)
+    v.unpersist()
+  }
+
+  test("fold assignment partitions the corpus") {
+    val f = Advanced.foldAssignment(spark, sf0001).cache()
+    assert(f.filter($"fold" < 0 || $"fold" >= 4).count() === 0)
+    val total = f.agg(sum($"n_docs")).head().getLong(0)
+    assert(total === Tables.documents(spark, sf0001).count())
+    f.unpersist()
+  }
+
   test("global row number equals the single-partition window form") {
     val got = Advanced.globalRowNumber(spark, sf0001)
     val want = Tables.orders(spark, sf0001)
