@@ -205,6 +205,8 @@ object SparkEntry {
     "q177_markov_transitions" -> (Advanced.markovTransitions(_, _)),
     "q178_vector_battery" -> (Advanced.vectorBattery(_, _)),
     "q179_fold_assignment" -> ((s, d) => Advanced.foldAssignment(s, d)),
+    "q180_autocorrelation" -> ((s, d) => Advanced.autocorrelation(s, d)),
+    "q181_reservoir_sample" -> ((s, d) => Advanced.reservoirSample(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1542,5 +1544,20 @@ object SparkEntry {
         "CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens, " +
         "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
         "FROM documents GROUP BY 1"),
+    "q180_autocorrelation" ->
+      // cents sums keep the daily series engine-order-independent
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS v " +
+        "FROM events GROUP BY 1), " +
+        "lags(k) AS (VALUES (1), (7)) " +
+        "SELECT k AS lag, count(*) AS n, round(corr(a.v, b.v), 6) AS r " +
+        "FROM lags, daily a JOIN daily b ON a.day + k = b.day GROUP BY k"),
+    "q181_reservoir_sample" ->
+      // fixed-width hex sorts lexicographically == numerically, so the
+      // window ORDER BY matches the kernel's negated-hash heap order
+      ("SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (" +
+        "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 5"),
   )
 }

@@ -2059,6 +2059,49 @@ object Advanced {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         countDistinct(col("source")).as("n_sources"))
 
+  /** Lag-k autocorrelation of the daily value series — the seasonality
+    * diagnostic (q141 decomposes; this measures): the series aggregates
+    * to CENTS (order-independent integer sums — a plain double sum per
+    * day would be engine-order-dependent), lag alignment is an exact
+    * date self-join, and the corr aggregate rounds to 6 (q93's stats
+    * precedent). The daily table is tiny at any corpus scale (one row
+    * per day), so the per-lag joins are broadcast territory. */
+  def autocorrelation(s: SparkSession, d: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg((sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+        .as("v"))
+      .localCheckpoint()
+    lags.map { k =>
+      daily.as("a")
+        .join(daily.as("b"), expr(s"date_add(a.day, $k) = b.day"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("a.v"), col("b.v")), 6).as("r"))
+        .select(lit(k).as("lag"), col("n"), col("r"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact k-per-group reservoir sampling through the bounded
+    * [[graft.functions.AggregateKernels.topKByScore]] heap: the "random"
+    * order is the deterministic md5-hex draw (q63/q101's idiom), so the
+    * sample is reproducible AND oracle-checkable, while the kernel keeps
+    * ≤ k entries per group per mapper — no per-group sort, no ranking
+    * window, which is the shape that survives groups of any size. The
+    * heap ranks (score desc, id asc); negating the hash value makes that
+    * exactly the oracle's (hex asc, doc_id asc). */
+  def reservoirSample(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+          .cast("long").as("hv"))
+      .groupBy(col("source"))
+      .agg(graft.functions.AggregateKernels.topKByScore(
+        -col("hv").cast("double"), col("doc_id"), k).as("sample"))
+      .select(col("source"), posexplode(col("sample")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+
   // ---------------------------------------------------- Allen's intervals
 
   /** The 13-relation Allen interval-algebra classifier as ONE CASE text,

@@ -319,22 +319,36 @@ object Graph {
     * same left-to-right chain of additions in both engines. Fixed `rounds`
     * hops bound the plan exactly like the oracle's unrolled CTEs
     * (convergence-free compose-only loop, PageRank's pattern). */
+  /** Interaction-count-weighted edges (w = round(1/cnt, 6), both
+    * orientations) — a deterministic corpus function like [[eventEdges]],
+    * so it persists through [[WarehouseCache]] on the same fingerprint
+    * contract. */
+  def weightedEventEdges(s: SparkSession, d: String): DataFrame =
+    WarehouseCache.cachedParquet(s,
+      s"graft_wedges_${WarehouseCache.dirSuffix(d)}",
+      WarehouseCache.sourceFingerprint(s, d, "events.parquet")) {
+      val uk = Tables.events(s, d)
+        .select(concat(lit("u"), col("user_id")).as("a"),
+          concat(lit("k"), get_json_object(col("props"), "$.k").cast("int"))
+            .as("b"))
+        .filter(col("b").isNotNull)
+      val pair = uk.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        .select(col("a"), col("b"), round(lit(1.0) / col("cnt"), 6).as("w"))
+      pair.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(
+          pair.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    }
+
   def shortestPaths(s: SparkSession, d: String,
       rounds: Int = 6): DataFrame = {
-    val uk = Tables.events(s, d)
-      .select(concat(lit("u"), col("user_id")).as("a"),
-        concat(lit("k"), get_json_object(col("props"), "$.k").cast("int"))
-          .as("b"),
-        col("user_id"))
-      .filter(col("b").isNotNull)
-    val pair = uk.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
-      .select(col("a"), col("b"), round(lit(1.0) / col("cnt"), 6).as("w"))
-    val e = pair.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(
-        pair.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
-    val seeds = uk.filter(col("user_id") % 100 === 0)
-      .select(col("a").as("node")).distinct()
+    val e = weightedEventEdges(s, d).localCheckpoint()
+    // seed predicate over the edge srcs — a 'u' node exists iff the user
+    // has some valid-k event, so this is the same seed set as filtering
+    // the raw events (and skips the second events scan)
+    val seeds = e
+      .filter(col("src").startsWith("u") &&
+        substring(col("src"), 2, 12).cast("long") % 100 === 0)
+      .select(col("src").as("node")).distinct()
     shortestPathsEdges(e, seeds, rounds)
   }
 

@@ -65,6 +65,20 @@ class Batteries4Spec extends SparkTestBase {
     f.unpersist()
   }
 
+  test("reservoir sample equals the ranking-window formulation") {
+    val got = Advanced.reservoirSample(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(expr("substring(md5(CAST(doc_id AS STRING)), 1, 8)"),
+        $"doc_id")
+    val want = Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id",
+        row_number().over(w).cast("int").as("rk"))
+      .filter($"rk" <= 5)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("global row number equals the single-partition window form") {
     val got = Advanced.globalRowNumber(spark, sf0001)
     val want = Tables.orders(spark, sf0001)
