@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, DotProduct, KllSketch, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, KllSketch, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register2(e, "cosine_similarity", classOf[CosineSimilarity],
       CosineSimilarity(_, _))
     register2(e, "dot_product", classOf[DotProduct], DotProduct(_, _))
+    register2(e, "jaro_winkler", classOf[JaroWinkler], JaroWinkler(_, _))
     register1(e, "minhash_signature", classOf[MinHashSignature],
       MinHashSignature(_))
     register1(e, "shingle_set", classOf[ShingleSet], ShingleSet(_))

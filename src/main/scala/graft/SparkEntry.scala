@@ -207,6 +207,8 @@ object SparkEntry {
     "q179_fold_assignment" -> ((s, d) => Advanced.foldAssignment(s, d)),
     "q180_autocorrelation" -> ((s, d) => Advanced.autocorrelation(s, d)),
     "q181_reservoir_sample" -> ((s, d) => Advanced.reservoirSample(s, d)),
+    "q182_regression_battery" -> (Advanced.regressionBattery(_, _)),
+    "q183_jaro_winkler" -> (Advanced.jaroWinklerJoin(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1559,5 +1561,23 @@ object SparkEntry {
         "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
         "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk " +
         "FROM documents) WHERE rk <= 5"),
+    "q182_regression_battery" ->
+      ("SELECT o_orderstatus, regr_count(o_totalprice, o_custkey) AS n, " +
+        "round(regr_avgx(o_totalprice, o_custkey), 4) AS avgx, " +
+        "round(regr_avgy(o_totalprice, o_custkey), 2) AS avgy, " +
+        "round(regr_r2(o_totalprice, o_custkey), 6) AS r2, " +
+        "round(regr_sxx(o_totalprice, o_custkey) / 1e9, 4) AS sxx_b, " +
+        "round(regr_syy(o_totalprice, o_custkey) / 1e12, 4) AS syy_t, " +
+        "round(regr_sxy(o_totalprice, o_custkey) / 1e9, 4) AS sxy_b " +
+        "FROM orders GROUP BY o_orderstatus"),
+    "q183_jaro_winkler" ->
+      // DuckDB's jaro_winkler_similarity is an independent implementation
+      // of the same standard algorithm — the hash match pins semantics
+      ("SELECT ka, kb, sim FROM (SELECT a.p_partkey AS ka, " +
+        "b.p_partkey AS kb, " +
+        "round(jaro_winkler_similarity(a.p_name, b.p_name), 5) AS sim " +
+        "FROM part a, part b WHERE a.p_partkey % 37 = 0 " +
+        "AND b.p_partkey % 53 = 0 AND a.p_partkey < b.p_partkey) " +
+        "WHERE sim >= 0.85"),
   )
 }

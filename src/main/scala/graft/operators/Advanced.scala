@@ -2102,6 +2102,46 @@ object Advanced {
       .select(col("source"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rk"))
 
+  /** Linear-regression aggregate battery (regr_count/avgx/avgy/r2 and the
+    * moment sums), per order status — completing q93's stats surface with
+    * the regr_* family both engines implement natively. The moment sums
+    * accumulate with single-pass cancellation, so they are scaled down
+    * and rounded coarsely enough that cross-engine summation-order noise
+    * (bounded by n·ε·Σ|terms|) sits orders of magnitude below the
+    * rounding step. */
+  def regressionBattery(s: SparkSession, d: String): DataFrame = {
+    val y = col("o_totalprice")
+    val x = col("o_custkey")
+    orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(
+        regr_count(y, x).as("n"),
+        round(regr_avgx(y, x), 4).as("avgx"),
+        round(regr_avgy(y, x), 2).as("avgy"),
+        round(regr_r2(y, x), 6).as("r2"),
+        round(regr_sxx(y, x) / 1e9, 4).as("sxx_b"),
+        round(regr_syy(y, x) / 1e12, 4).as("syy_t"),
+        round(regr_sxy(y, x) / 1e9, 4).as("sxy_b"))
+  }
+
+  /** Jaro-Winkler fuzzy name join through the native [[JaroWinkler]]
+    * codegen expression (Spark ships levenshtein — q59 — but no JW; the
+    * oracle side runs DuckDB's INDEPENDENT implementation, so the hash
+    * match pins the algorithm, not just the plumbing). Sampled key
+    * ranges keep the cross join bounded; at scale this kernel sits
+    * behind a blocking key (q134's prefix filter / q59's length band),
+    * not a bare cross join. */
+  def jaroWinklerJoin(s: SparkSession, d: String): DataFrame = {
+    val a = part(s, d).filter(col("p_partkey") % 37 === 0)
+      .select(col("p_partkey").as("ka"), col("p_name").as("na"))
+    val b = part(s, d).filter(col("p_partkey") % 53 === 0)
+      .select(col("p_partkey").as("kb"), col("p_name").as("nb"))
+    a.join(broadcast(b), col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(graft.functions.StringSimilarityExpressions
+          .jaroWinkler(col("na"), col("nb")), 5).as("sim"))
+      .filter(col("sim") >= 0.85)
+  }
+
   // ---------------------------------------------------- Allen's intervals
 
   /** The 13-relation Allen interval-algebra classifier as ONE CASE text,

@@ -144,15 +144,53 @@ class NativeKernelSpec extends SparkTestBase {
     assert(r.head.isNullAt(0))
   }
 
+  test("jaro_winkler matches the reference values and conventions") {
+    // pinned against DuckDB's independent implementation (probed values)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("kitten", "sitting", 0.746031746031746),
+      ("aaxxxxxx", "aayyyyyy", 0.5), // jaro ≤ 0.7 ⇒ no prefix boost
+      ("aaaax", "aaaay", 0.92), // prefix boost capped at 4
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0), // window 0: adjacent transposition ≠ match
+      ("abc", "", 0.0), // empty-side convention
+      ("", "", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(graft.functions.StringSimilarityExpressions
+        .jaroWinkler(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"got ${r.getDouble(0)} want ${r.getDouble(1)}")
+    }
+    // symmetry over real data
+    val p = Tables.part(spark, d).limit(50)
+      .select(col("p_partkey"), col("p_name"))
+    val asym = p.as("x").join(p.as("y"),
+        col("x.p_partkey") < col("y.p_partkey"))
+      .select(graft.functions.StringSimilarityExpressions
+        .jaroWinkler(col("x.p_name"), col("y.p_name")).as("ab"),
+        graft.functions.StringSimilarityExpressions
+          .jaroWinkler(col("y.p_name"), col("x.p_name")).as("ba"))
+      .filter(col("ab") =!= col("ba")).count()
+    assert(asym === 0)
+  }
+
   test("SQL registry exposes the native kernels") {
     Tables.documents(spark, d).limit(5).createOrReplaceTempView("nk_docs")
     val out = spark.sql(
       """SELECT simhash64(array_distinct(filter(split(text, ' '), t -> length(t) > 0))) AS s,
         |       minhash_signature(filter(split(text, ' '), t -> length(t) > 0)) AS m,
         |       shingle_set(filter(split(text, ' '), t -> length(t) > 0)) AS sh,
-        |       cosine_similarity(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c
+        |       cosine_similarity(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c,
+        |       jaro_winkler('martha', 'marhta') AS jw
         |FROM nk_docs""".stripMargin).collect()
     assert(out.length === 5)
     out.foreach { r => assert(math.abs(r.getDouble(3) - 1.0) < 1e-12) }
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(4) - 0.9611111111111111) < 1e-12)
+    }
   }
 }
