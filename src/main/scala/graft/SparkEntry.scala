@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{Advanced, Geo, Graph, Relational, TextQueries}
+import graft.operators.{Advanced, Analytics, Geo, Graph, Relational, TextQueries}
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -209,6 +209,13 @@ object SparkEntry {
     "q181_reservoir_sample" -> ((s, d) => Advanced.reservoirSample(s, d)),
     "q182_regression_battery" -> (Advanced.regressionBattery(_, _)),
     "q183_jaro_winkler" -> (Advanced.jaroWinklerJoin(_, _)),
+    "q184_compression_signal" -> (TextQueries.compressionSignal(_, _)),
+    "q185_sparse_cosine" -> (TextQueries.sparseCosine(_, _)),
+    "q186_basket_lift" -> (Analytics.basketLift(_, _)),
+    "q187_rfm_segments" -> (Analytics.rfmSegments(_, _)),
+    "q188_quantile_normalize" -> (Analytics.quantileNormalize(_, _)),
+    "q189_fk_audit" -> (Analytics.fkAudit(_, _)),
+    "q190_attribution" -> (Analytics.lastTouchAttribution(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1579,5 +1586,98 @@ object SparkEntry {
         "FROM part a, part b WHERE a.p_partkey % 37 = 0 " +
         "AND b.p_partkey % 53 = 0 AND a.p_partkey < b.p_partkey) " +
         "WHERE sim >= 0.85"),
+    "q185_sparse_cosine" ->
+      // weights quantized to 4 BEFORE norms/dots on both engines
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
+        "tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS word FROM d), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word), " +
+        "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), " +
+        "nd AS (SELECT count(*) AS nd FROM d), " +
+        "w AS (SELECT tf.doc_id, tf.word, " +
+        "round(tf.tf * (ln((nd.nd + 1.0) / (df.df + 1.0)) + 1.0), 4) AS w " +
+        "FROM tf JOIN df USING (word), nd), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id), " +
+        "dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot " +
+        "FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT doc_a, doc_b, cos FROM (" +
+        "SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 5) AS cos " +
+        "FROM dt JOIN nrm na ON dt.doc_a = na.doc_id " +
+        "JOIN nrm nb ON dt.doc_b = nb.doc_id) WHERE cos >= 0.8"),
+    "q186_basket_lift" ->
+      ("WITH ob AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey), " +
+        "n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob), " +
+        "bc AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY 1), " +
+        "pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, " +
+        "count(*) AS n_ab FROM ob a JOIN ob b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT brand_a, brand_b, n_ab, " +
+        "round(n_ab * 1.0 / n.n_orders, 5) AS support, " +
+        "round(n_ab * 1.0 / ca.c, 5) AS confidence, " +
+        "round(n_ab * 1.0 * n.n_orders / (ca.c * cb.c), 5) AS lift " +
+        "FROM pr CROSS JOIN n " +
+        "JOIN bc ca ON pr.brand_a = ca.p_brand " +
+        "JOIN bc cb ON pr.brand_b = cb.p_brand"),
+    "q187_rfm_segments" ->
+      ("WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders), " +
+        "rfm AS (SELECT o_custkey, " +
+        "datediff('day', max(o_orderdate), (SELECT a FROM anchor)) AS r, " +
+        "count(*) AS f, round(sum(o_totalprice), 2) AS m " +
+        "FROM orders GROUP BY 1), " +
+        "tiled AS (SELECT r, f, m, " +
+        "ntile(4) OVER (ORDER BY r, o_custkey) AS r_q, " +
+        "ntile(4) OVER (ORDER BY f DESC, o_custkey) AS f_q, " +
+        "ntile(4) OVER (ORDER BY m DESC, o_custkey) AS m_q FROM rfm) " +
+        "SELECT r_q, f_q, m_q, count(*) AS n_customers, " +
+        "round(avg(m), 2) AS avg_monetary, " +
+        "round(avg(f), 4) AS avg_frequency " +
+        "FROM tiled GROUP BY 1, 2, 3"),
+    "q188_quantile_normalize" ->
+      ("SELECT c_nationkey, count(*) AS n, " +
+        "round(avg(q), 5) AS avg_q, round(min(q), 5) AS min_q, " +
+        "round(max(q), 5) AS max_q FROM (" +
+        "SELECT c_nationkey, " +
+        "percent_rank() OVER (ORDER BY c_acctbal) AS q FROM customer) " +
+        "GROUP BY 1"),
+    "q189_fk_audit" ->
+      ("SELECT edge, n_child, n_orphan, " +
+        "round(n_orphan * 100.0 / n_child, 4) AS orphan_pct FROM (" +
+        "SELECT 'lineitem.l_orderkey->orders' AS edge, " +
+        "(SELECT count(*) FROM lineitem) AS n_child, " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM orders)) AS n_orphan " +
+        "UNION ALL SELECT 'lineitem.l_partkey->part', " +
+        "(SELECT count(*) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem WHERE l_partkey NOT IN " +
+        "(SELECT p_partkey FROM part)) " +
+        "UNION ALL SELECT 'lineitem.l_suppkey->supplier', " +
+        "(SELECT count(*) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier)) " +
+        "UNION ALL SELECT 'orders.o_custkey->customer', " +
+        "(SELECT count(*) FROM orders), " +
+        "(SELECT count(*) FROM orders WHERE o_custkey NOT IN " +
+        "(SELECT c_custkey FROM customer)) " +
+        "UNION ALL SELECT 'customer.c_nationkey->nation', " +
+        "(SELECT count(*) FROM customer), " +
+        "(SELECT count(*) FROM customer WHERE c_nationkey NOT IN " +
+        "(SELECT n_nationkey FROM nation)) " +
+        "UNION ALL SELECT 'supplier.s_nationkey->nation', " +
+        "(SELECT count(*) FROM supplier), " +
+        "(SELECT count(*) FROM supplier WHERE s_nationkey NOT IN " +
+        "(SELECT n_nationkey FROM nation)))"),
+    "q190_attribution" ->
+      ("SELECT channel, count(*) AS n_purchases, " +
+        "round(sum(value), 2) AS revenue, " +
+        "count(DISTINCT user_id) AS n_users FROM (" +
+        "SELECT coalesce(last_value(CASE WHEN event_type <> 'purchase' " +
+        "THEN event_type END IGNORE NULLS) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'direct') " +
+        "AS channel, event_type, user_id, value FROM events) " +
+        "WHERE event_type = 'purchase' GROUP BY 1"),
   )
 }

@@ -391,4 +391,64 @@ object TextQueries {
       .select(explode(col("subs")).as("bpe_token"))
       .groupBy(col("bpe_token")).agg(count(lit(1)).as("n"))
   }
+
+  /** Compression-ratio quality signal per source: DEFLATE bytes / chars
+    * via the native [[graft.functions.DeflateSize]] codegen expression —
+    * highly compressible documents are templated/repetitive, the signal
+    * most public corpus-cleaning recipes pair with the Gopher rules
+    * (q75). The whole computation lives in the scan projection; one
+    * shuffle for the per-source rollup. Rows-only for the driver (no
+    * DEFLATE in DuckDB); the spec pins the signal's discriminative
+    * behavior on crafted fixtures. */
+  def compressionSignal(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        (graft.functions.CompressionExpressions.deflateSize(col("text"))
+          .cast("double") / length(col("text"))).as("ratio"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 4).as("avg_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"),
+        count_if(col("ratio") < 0.35).as("n_repetitive"))
+
+  /** Sparse TF-IDF cosine similarity through an inverted-index join —
+    * the sparse-vector sibling of the dense ANN family (q29/q30): the
+    * dot product decomposes over SHARED TERMS, so candidate pairs come
+    * from the postings join (docs sharing no term never meet) and the
+    * per-pair work is one partial-aggregated sum. Weights reuse q42's
+    * tf·(ln((N+1)/(df+1))+1) formula ROUNDED to 4 before any norm or
+    * dot, so both engines fold identical quantized values and the
+    * summation-order tail stays far below the output rounding. */
+  def sparseCosine(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = tf.join(df, Seq("word")).crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") *
+          (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
+          4).as("w"))
+      .localCheckpoint() // reused by the norm pass and both join sides
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dot = w.select(col("doc_id").as("doc_a"), col("word"),
+        col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("word"),
+        col("w").as("wb")), Seq("word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 5).as("cos"))
+      .filter(col("cos") >= 0.8)
+  }
 }

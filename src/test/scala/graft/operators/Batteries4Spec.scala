@@ -65,6 +65,72 @@ class Batteries4Spec extends SparkTestBase {
     f.unpersist()
   }
 
+  test("compression signal separates repetitive from high-entropy text") {
+    import graft.functions.CompressionExpressions.deflateSize
+    val fx = Seq(
+      ("rep", "spam ham " * 200),
+      ("mix", ("the quick brown fox jumps over the lazy dog " * 40)),
+      ("rnd", (0 until 1600).map(i =>
+        Integer.toHexString((i * 2654435761L % 4099).toInt)).mkString(" ")))
+      .toDF("kind", "text")
+      .select($"kind",
+        (deflateSize($"text").cast("double") / length($"text")).as("ratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fx("rep") < 0.05, s"repetitive ratio ${fx("rep")}")
+    assert(fx("rep") < fx("mix") && fx("mix") < fx("rnd"),
+      s"ordering violated: $fx")
+    // determinism: same text, same size, twice
+    val again = Seq(("x", "spam ham " * 200)).toDF("k", "text")
+      .select(deflateSize($"text")).head().getInt(0)
+    val first = Seq(("x", "spam ham " * 200)).toDF("k", "text")
+      .select(deflateSize($"text")).head().getInt(0)
+    assert(again === first)
+    // the corpus query itself: per-doc ratio stays in (0, 1 + hdr/len]
+    // (DEFLATE stored-block overhead can exceed 10% on sub-100-char docs),
+    // while the per-source AVERAGE stays in ordinary-text territory
+    val q = TextQueries.compressionSignal(spark, sf0001).cache()
+    assert(q.count() > 0)
+    assert(q.filter($"min_ratio" <= 0 || $"max_ratio" > 1.5).count() === 0)
+    assert(q.filter($"avg_ratio" > 1.1).count() === 0)
+    q.unpersist()
+  }
+
+  test("sparse cosine matches a driver-side brute force on the same weights") {
+    val got = TextQueries.sparseCosine(spark, sf0001).cache()
+    // invariants: ordered pair ids, cos within [0.8, 1 + eps]
+    assert(got.filter($"doc_a" >= $"doc_b").count() === 0)
+    assert(got.filter($"cos" < 0.8 || $"cos" > 1.00001).count() === 0)
+    // brute force: same tokenizer, same quantized tf-idf, dense dot
+    val docs = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, a) => w -> a.length.toDouble }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, a) => w -> a.size }
+    val nd = docs.length
+    def q4(x: Double) = math.rint(x * 1e4) / 1e4
+    val w = tf.map { case (id, m) =>
+      id -> m.map { case (word, f) =>
+        word -> q4(f * (math.log((nd + 1.0) / (df(word) + 1.0)) + 1.0)) }
+    }
+    val ids = docs.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = w(ids(i)); b = w(ids(j))
+      dot = a.keysIterator.filter(b.contains)
+        .map(k => a(k) * b(k)).sum
+      na = math.sqrt(a.values.map(x => x * x).sum)
+      nb = math.sqrt(b.values.map(x => x * x).sum)
+      c = math.rint(dot / (na * nb) * 1e5) / 1e5 if c >= 0.8
+    } yield (ids(i), ids(j), c)).toSet
+    val gotSet = got.as[(Long, Long, Double)].collect().toSet
+    assert(gotSet === want, s"spark=${gotSet.size} brute=${want.size}")
+    got.unpersist()
+  }
+
   test("reservoir sample equals the ranking-window formulation") {
     val got = Advanced.reservoirSample(spark, sf0001)
     val w = org.apache.spark.sql.expressions.Window
