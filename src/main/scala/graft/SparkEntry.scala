@@ -216,6 +216,12 @@ object SparkEntry {
     "q188_quantile_normalize" -> (Analytics.quantileNormalize(_, _)),
     "q189_fk_audit" -> (Analytics.fkAudit(_, _)),
     "q190_attribution" -> (Analytics.lastTouchAttribution(_, _)),
+    "q191_cusum" -> (Analytics.cusumDetect(_, _)),
+    "q192_kaplan_meier" -> (Analytics.kaplanMeier(_, _)),
+    "q193_gini" -> (Analytics.giniSpend(_, _)),
+    "q194_benford" -> (Analytics.benfordAudit(_, _)),
+    "q195_path_trigrams" -> (Analytics.pathTrigrams(_, _)),
+    "q196_ab_test" -> (Analytics.abTest(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1669,6 +1675,88 @@ object SparkEntry {
         "(SELECT count(*) FROM supplier), " +
         "(SELECT count(*) FROM supplier WHERE s_nationkey NOT IN " +
         "(SELECT n_nationkey FROM nation)))"),
+    "q191_cusum" ->
+      ("WITH daily AS (SELECT user_id, ts::date AS day, " +
+        "round(sum(value), 2) AS x FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT round(avg(x), 6) AS mu, " +
+        "round(stddev_pop(x), 6) AS sigma FROM daily), " +
+        "r AS (SELECT user_id, day, x, sigma, " +
+        "sum(x::decimal(18,2) - mu::decimal(18,6)) OVER (" +
+        "PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r " +
+        "FROM daily CROSS JOIN st), " +
+        "m AS (SELECT user_id, day, x, sigma, r, " +
+        "min(r) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mr " +
+        "FROM r), " +
+        "c AS (SELECT user_id, day, x, sigma, " +
+        "CASE WHEN mr < 0 THEN r - mr ELSE r END AS cusum FROM m) " +
+        "SELECT user_id, day, round(x, 2) AS x, " +
+        "cast(round(cusum, 4) AS double) AS cusum " +
+        "FROM c WHERE cusum > cast(round(4 * sigma, 6) AS decimal(18,6))"),
+    "q192_kaplan_meier" ->
+      ("WITH u AS (SELECT user_id, min(ts::date) AS d0, " +
+        "max(ts::date) AS d1 FROM events GROUP BY 1), " +
+        "hz AS (SELECT max(ts::date) AS hz FROM events), " +
+        "life AS (SELECT datediff('day', d0, d1) AS t, " +
+        "CASE WHEN d1 < hz.hz THEN 1 ELSE 0 END AS died " +
+        "FROM u CROSS JOIN hz), " +
+        "byt AS (SELECT t, count(*) AS n_ending, sum(died) AS d " +
+        "FROM life GROUP BY 1), " +
+        "k AS (SELECT t, d, cast(sum(n_ending) OVER () - " +
+        "coalesce(sum(n_ending) OVER (ORDER BY t ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS n_risk " +
+        "FROM byt) " +
+        "SELECT t, n_risk, cast(d AS bigint) AS d, " +
+        "round(exp(sum(ln(greatest(1 - d * 1.0 / n_risk, 1e-300))) " +
+        "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW)), 5) AS surv FROM k"),
+    "q193_gini" ->
+      ("WITH spend AS (SELECT c_mktsegment, o_custkey, " +
+        "round(sum(o_totalprice), 2) AS x FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "rk AS (SELECT c_mktsegment, x, row_number() OVER (" +
+        "PARTITION BY c_mktsegment ORDER BY x, o_custkey) AS i " +
+        "FROM spend) " +
+        "SELECT c_mktsegment, count(*) AS n, " +
+        "round(sum(x), 2) AS total_spend, " +
+        "round(2.0 * sum(i * x) / (count(*) * sum(x)) - " +
+        "(count(*) + 1.0) / count(*), 5) AS gini " +
+        "FROM rk GROUP BY 1"),
+    "q194_benford" ->
+      ("WITH bd AS (SELECT o_orderpriority, " +
+        "cast(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) " +
+        "AS int) AS digit, count(*) AS n FROM orders " +
+        "WHERE o_totalprice > 0 GROUP BY 1, 2), " +
+        "g AS (SELECT o_orderpriority, digit, n, " +
+        "cast(sum(n) OVER (PARTITION BY o_orderpriority) AS bigint) " +
+        "AS n_grp, log(10, 1.0 + 1.0 / digit) AS expected_p FROM bd) " +
+        "SELECT o_orderpriority, max(n_grp) AS n_orders, " +
+        "round(sum(power(n * 1.0 / n_grp - expected_p, 2) / expected_p) " +
+        "* max(n_grp), 4) AS chi2 FROM g GROUP BY 1"),
+    "q195_path_trigrams" ->
+      ("SELECT e1, e2, e3, n FROM (SELECT e1, e2, e3, count(*) AS n " +
+        "FROM (SELECT event_type AS e1, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS e2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS e3 FROM events) " +
+        "WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3) " +
+        "ORDER BY n DESC, e1, e2, e3 LIMIT 20"),
+    "q196_ab_test" ->
+      ("WITH pu AS (SELECT user_id % 2 AS variant, " +
+        "round(sum(CASE WHEN event_type = 'purchase' THEN value " +
+        "ELSE 0.0 END), 2) AS m FROM events GROUP BY user_id), " +
+        "v AS (SELECT variant, count(*) AS n, avg(m) AS mean, " +
+        "var_samp(m) / count(*) AS se2 FROM pu GROUP BY 1), " +
+        "a AS (SELECT n AS n_a, mean AS mean_a, se2 AS se2_a FROM v " +
+        "WHERE variant = 0), " +
+        "b AS (SELECT n AS n_b, mean AS mean_b, se2 AS se2_b FROM v " +
+        "WHERE variant = 1) " +
+        "SELECT n_a, n_b, round(mean_a, 4) AS mean_a, " +
+        "round(mean_b, 4) AS mean_b, " +
+        "round((mean_b - mean_a) / sqrt(se2_a + se2_b), 4) AS z " +
+        "FROM a CROSS JOIN b"),
     "q190_attribution" ->
       ("SELECT channel, count(*) AS n_purchases, " +
         "round(sum(value), 2) AS revenue, " +

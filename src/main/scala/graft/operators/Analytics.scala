@@ -107,39 +107,229 @@ object Analytics {
   }
 
   /** Referential-integrity audit: orphan counts for every foreign-key
-    * edge in the schema, one row per edge, via LEFT ANTI joins. Parent
-    * key sets project to a single column before joining — nation /
-    * customer / part / supplier broadcast outright, and the two
-    * lineitem edges against orders reuse one shuffle. This is the
-    * data-quality gate a pipeline runs after every ingest; at 100 TB
-    * each anti-join is a broadcast probe when the parent's KEY COLUMN
-    * fits (a billion longs ≈ 8 GB — then it degrades to a shuffled
-    * anti-join on exactly that edge, nothing else changes). */
+    * edge in the schema, one row per edge. Each CHILD TABLE IS SCANNED
+    * EXACTLY ONCE — all of its FK edges resolve in that single pass as
+    * broadcast LEFT JOINs against deduped parent-key sets, with the
+    * row count and every per-edge orphan count collected by one
+    * conditional aggregate (lineitem: 3 probes, 1 scan). The per-edge
+    * rows come from unpivoting the one-row aggregate, not re-scanning.
+    * This is the data-quality gate a pipeline runs after every ingest;
+    * at 100 TB each probe is a broadcast hash lookup while the parent's
+    * KEY COLUMN fits (a billion longs ≈ 8 GB) — past that, the affected
+    * edge degrades to a shuffled anti-join and the others keep the
+    * single-scan shape. */
   def fkAudit(s: SparkSession, d: String): DataFrame = {
-    def edge(name: String, child: DataFrame, ck: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(ck))
-        .join(broadcast(parent.select(col(pk)).distinct()),
-          col(ck) === col(pk), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
-        .select(lit(name).as("edge"), col("n_child"), col("n_orphan"),
-          round(col("n_orphan") * 100.0 / col("n_child"), 4)
+    /** One scan of `child`: broadcast-probe every (fk, parent) edge,
+      * then unpivot the single aggregate row to one row per edge. */
+    def audit(childName: String, child: DataFrame,
+        edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+      val probed = edges.foldLeft(child.select(
+          edges.map(e => col(e._1)).distinct: _*)) {
+        case (acc, (ck, _, parent, pk)) =>
+          acc.join(broadcast(parent.select(col(pk)).distinct()),
+            col(ck) === col(pk), "left_outer")
+      }
+      val aggs = count(lit(1)).as("n_child") +:
+        edges.map { case (ck, _, _, pk) =>
+          count_if(col(pk).isNull).as(s"orphan_$ck") }
+      // one-row result, materialized once — the per-edge unpivot below
+      // references it edges.size times and must not re-run the scan
+      val one = probed.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      edges.map { case (ck, parentName, _, _) =>
+        one.select(
+          lit(s"$childName.$ck->$parentName").as("edge"),
+          col("n_child"), col(s"orphan_$ck").as("n_orphan"),
+          round(col(s"orphan_$ck") * 100.0 / col("n_child"), 4)
             .as("orphan_pct"))
+      }.reduce(_ unionAll _)
     }
-    val li = lineitem(s, d)
-    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
-        orders(s, d), "o_orderkey")
-      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
-        part(s, d), "p_partkey"))
-      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        supplier(s, d), "s_suppkey"))
-      .unionAll(edge("orders.o_custkey->customer", orders(s, d),
-        "o_custkey", customer(s, d), "c_custkey"))
-      .unionAll(edge("customer.c_nationkey->nation", customer(s, d),
-        "c_nationkey", nation(s, d), "n_nationkey"))
-      .unionAll(edge("supplier.s_nationkey->nation", supplier(s, d),
-        "s_nationkey", nation(s, d), "n_nationkey"))
+    audit("lineitem", lineitem(s, d), Seq(
+        ("l_orderkey", "orders", orders(s, d), "o_orderkey"),
+        ("l_partkey", "part", part(s, d), "p_partkey"),
+        ("l_suppkey", "supplier", supplier(s, d), "s_suppkey")))
+      .unionAll(audit("orders", orders(s, d),
+        Seq(("o_custkey", "customer", customer(s, d), "c_custkey"))))
+      .unionAll(audit("customer", customer(s, d),
+        Seq(("c_nationkey", "nation", nation(s, d), "n_nationkey"))))
+      .unionAll(audit("supplier", supplier(s, d),
+        Seq(("s_nationkey", "nation", nation(s, d), "n_nationkey"))))
+  }
+
+  /** CUSUM change detection over each user's daily event-value series.
+    * The recurrence S_i = max(0, S_{i-1} + (x_i - target)) looks
+    * inherently sequential, but it closes over prefix sums:
+    * S_i = R_i - min(0, min_{j<=i} R_j) with R the running sum of
+    * (x_i - target) — so the whole detector is TWO stacked window
+    * passes on the same (user, day) ordering, one shuffle total, no
+    * UDAF and no driver loop. Flags days where the statistic exceeds
+    * 4·sigma of the daily deltas. The identical prefix-sum rewrite is
+    * the oracle SQL — and the accumulation runs in exact DECIMAL
+    * arithmetic (inputs quantized to 2dp/6dp first), because windowed
+    * DOUBLE sums associate differently across engines and a 1e-10
+    * disagreement that lands on a rounding midpoint flips the 4dp
+    * output. Decimals make every prefix sum bit-identical. */
+  def cusumDetect(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(round(sum(col("value")), 2).as("x"))
+    val stats = daily.agg(round(avg(col("x")), 6).as("mu"),
+      round(stddev_pop(col("x")), 6).as("sigma"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("r", sum(col("x").cast("decimal(18,2)") -
+        col("mu").cast("decimal(18,6)")).over(w))
+      // CASE, not least()/greatest(): those promote max-precision
+      // decimals to double in some engines; CASE and decimal
+      // subtraction keep the exact type
+      .withColumn("mr", min(col("r")).over(w))
+      .withColumn("cusum",
+        when(col("mr") < 0, col("r") - col("mr")).otherwise(col("r")))
+      .filter(col("cusum") >
+        round(lit(4) * col("sigma"), 6).cast("decimal(18,6)"))
+      // round the DECIMAL (exact midpoints, HALF_UP both engines),
+      // THEN cast — rounding after the lossy double cast diverges
+      .select(col("user_id"), col("day"), round(col("x"), 2).as("x"),
+        round(col("cusum"), 4).cast("double").as("cusum"))
+  }
+
+  /** Kaplan-Meier survival estimate of user lifetime (days from first
+    * to last event; users still active on the global last day are
+    * right-censored). The survival curve S(t) = prod_{u<=t}(1 - d_u/n_u)
+    * is a product over ordered event times — rewritten as
+    * exp(sum(ln(1 - d/n))) it becomes one window pass over the
+    * per-duration death/at-risk table, which is at most a few thousand
+    * rows after the per-user rollup (the only wide shuffle). Standard
+    * epidemiology/churn shape, fully distributed. */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val user = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("d0"),
+        max(col("ts").cast("date")).as("d1"))
+    val horizon = ev.agg(max(col("ts").cast("date")).as("hz"))
+    val life = user.crossJoin(broadcast(horizon))
+      .select(datediff(col("d1"), col("d0")).as("t"),
+        (col("d1") < col("hz")).cast("int").as("died"))
+    val byT = life.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_ending"), sum(col("died")).as("d"))
+    val atRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_ending")).over(atRisk) -
+          coalesce(sum(col("n_ending")).over(
+            Window.orderBy(col("t")).rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+      // greatest-guard: at the final time point d == n_risk and the
+      // factor is exactly 0 — ln would be -inf (engine-dependent);
+      // 1e-300 folds to surv = 0 at 5dp in both engines identically
+      .withColumn("surv", exp(sum(
+        log(greatest(lit(1.0) - col("d") / col("n_risk"),
+          lit(1e-300)))).over(upTo)))
+      .select(col("t"), col("n_risk"), col("d"),
+        round(col("surv"), 5).as("surv"))
+  }
+
+  /** Gini coefficient + decile Lorenz points of customer spend, per
+    * market segment — the standard inequality summary over a revenue
+    * distribution. Uses the rank formulation
+    * G = 2·sum(i·x_i)/(n·sum x) − (n+1)/n on spend ordered ascending
+    * (customer-key tiebreak ⇒ identical ordering in both engines).
+    * One shuffle to the per-customer rollup, one segment-partitioned
+    * window pass for ranks and running shares. */
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("x"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x"), col("o_custkey"))
+    spend.withColumn("i", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x")), 2).as("total_spend"),
+        round((lit(2.0) * sum(col("i") * col("x")) /
+          (count(lit(1)) * sum(col("x")))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 5).as("gini"))
+  }
+
+  /** Benford first-digit audit of order totals: observed digit mass vs
+    * the log10(1+1/d) expectation and the chi-square distance, per
+    * order priority. First digits come from pure integer/log arithmetic
+    * (no string casts), the rollup is digit-cardinality tiny, and the
+    * chi-square reduces 9 rows per group — an anomaly/fraud screen that
+    * runs in one aggregation pass at any scale. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val firstDigit = floor(col("o_totalprice") /
+      pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("int")
+    val byDigit = orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .groupBy(col("o_orderpriority"), firstDigit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val wGrp = Window.partitionBy(col("o_orderpriority"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDigit
+      .withColumn("n_grp", sum(col("n")).over(wGrp))
+      .withColumn("expected_p",
+        log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n_grp")).as("n_orders"),
+        round(sum(pow(col("n") / col("n_grp") - col("expected_p"), 2) /
+          col("expected_p")) * max(col("n_grp")), 4).as("chi2"))
+  }
+
+  /** Top user-journey trigrams: consecutive event-type triples per user
+    * (ts + event-id ordered), global frequency ranked. Two lead()
+    * columns in one window pass build the trigrams in place — no
+    * self-joins — then one count rollup; ties rank deterministically by
+    * the path string so the LIMIT is stable cross-engine. */
+  def pathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** A/B experiment readout: users hash-split 50/50 (deterministic —
+    * pmod of the user key, the same assignment both engines compute),
+    * per-user purchase value as the metric, Welch z-test on the
+    * variant means. The whole test reduces to per-variant first/second
+    * moments — one user-level rollup (the only wide shuffle), one
+    * 2-row aggregate, driver-free arithmetic for the z statistic. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(round(sum(when(col("event_type") === "purchase",
+        col("value")).otherwise(0.0)), 2).as("m"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("variant"),
+        col("m"))
+    val v = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), avg(col("m")).as("mean"),
+        (var_samp(col("m")) / count(lit(1))).as("se2"))
+      .localCheckpoint() // 2 rows, referenced by both variant branches
+    val a = v.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("mean").as("mean_a"),
+        col("se2").as("se2_a"))
+    val b = v.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("mean").as("mean_b"),
+        col("se2").as("se2_b"))
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"),
+      round(col("mean_a"), 4).as("mean_a"),
+      round(col("mean_b"), 4).as("mean_b"),
+      round((col("mean_b") - col("mean_a")) /
+        sqrt(col("se2_a") + col("se2_b")), 4).as("z"))
   }
 
   /** Last-touch marketing attribution: every purchase event credits the

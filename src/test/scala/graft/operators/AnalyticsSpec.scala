@@ -79,6 +79,129 @@ class AnalyticsSpec extends SparkTestBase {
     assert(orphans === 1L)
   }
 
+  test("cusum window identity equals the sequential recurrence") {
+    val daily = Tables.events(spark, sf0001)
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(round(sum($"value"), 2).as("x")).cache()
+    val st = daily.agg(round(avg($"x"), 6), round(stddev_pop($"x"), 6))
+      .head()
+    val (mu, sigma) = (st.getDouble(0), st.getDouble(1))
+    // sequential S_i = max(0, S_{i-1} + (x_i - mu)) per user, in the
+    // same exact-decimal arithmetic the query accumulates in
+    val muD = BigDecimal(mu).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val thr = BigDecimal(4 * sigma)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = daily.orderBy($"user_id", $"day")
+      .as[(Long, java.sql.Date, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+        var sCur = BigDecimal(0)
+        rows.sortBy(_._2.toString).toSeq.flatMap { case (_, day, x) =>
+          val xD = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          sCur = (sCur + (xD - muD)).max(BigDecimal(0))
+          if (sCur > thr)
+            Some((uid, day.toString,
+              sCur.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else None
+        }
+      }.toSet
+    val got = Analytics.cusumDetect(spark, sf0001)
+      .select($"user_id", $"day".cast("string"), $"cusum")
+      .as[(Long, String, Double)].collect()
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(got.nonEmpty, "detector fired nowhere — threshold too high")
+    assert(got === want,
+      s"spark=${got.size} seq=${want.size} diff=${(got diff want).take(3)}")
+    daily.unpersist()
+  }
+
+  test("kaplan-meier: survival monotone in [0,1], risk set telescopes") {
+    val r = Analytics.kaplanMeier(spark, sf0001)
+      .orderBy($"t").as[(Int, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    val nUsers = Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(r.head._2 === nUsers) // everyone at risk at t = min
+    assert(r.forall(x => x._4 >= 0.0 && x._4 <= 1.0))
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 + 1e-12, s"survival increased at t=${b._1}")
+      assert(b._2 < a._2, s"risk set grew at t=${b._1}")
+    case _ => }
+    assert(r.forall(x => x._3 <= x._2)) // deaths never exceed at-risk
+  }
+
+  test("gini: bounded, one segment brute-forced") {
+    val r = Analytics.giniSpend(spark, sf0001).cache()
+    assert(r.filter($"gini" < 0 || $"gini" >= 1).count() === 0)
+    val seg = r.orderBy($"c_mktsegment").head()
+    val name = seg.getAs[String]("c_mktsegment")
+    val xs = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment" === name)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("x"))
+      .select($"o_custkey", $"x").as[(Long, Double)].collect()
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = xs.length
+    val gini = 2.0 * xs.zipWithIndex.map { case (x, i) =>
+      (i + 1) * x }.sum / (n * xs.sum) - (n + 1.0) / n
+    assert(seg.getAs[Long]("n") === n)
+    assert(math.abs(seg.getAs[Double]("gini") -
+      math.rint(gini * 1e5) / 1e5) < 1e-9)
+    r.unpersist()
+  }
+
+  test("benford: orders conserved, chi2 non-negative and finite") {
+    val r = Analytics.benfordAudit(spark, sf0001).cache()
+    val nOrders = Tables.orders(spark, sf0001)
+      .filter($"o_totalprice" > 0).count()
+    assert(r.agg(sum($"n_orders")).head().getLong(0) === nOrders)
+    assert(r.filter($"chi2" < 0 || isnan($"chi2")).count() === 0)
+    r.unpersist()
+  }
+
+  test("path trigrams: top-20 equals the unlimited recount") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val all = Tables.events(spark, sf0001)
+      .select($"event_type".as("e1"),
+        lead($"event_type", 1).over(w).as("e2"),
+        lead($"event_type", 2).over(w).as("e3"))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"e1", $"e2", $"e3").agg(count(lit(1)).as("n"))
+      .as[(String, String, String, Long)].collect()
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20).toSet
+    val got = Analytics.pathTrigrams(spark, sf0001)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === all)
+    // trigram mass conservation over the full (unlimited) counts
+    val perUser = Tables.events(spark, sf0001)
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .select(sum(greatest($"c" - 2, lit(0L)))).head().getLong(0)
+    assert(all.toSeq.map(_._4).sum <= perUser)
+  }
+
+  test("ab test: one row, users conserved, z recomputed by hand") {
+    val row = Analytics.abTest(spark, sf0001).head()
+    val pu = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(round(sum(when($"event_type" === "purchase", $"value")
+        .otherwise(0.0)), 2).as("m"))
+      .select($"user_id", $"m").as[(Long, Double)].collect()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") === pu.length)
+    def stats(v: Array[Double]) = {
+      val n = v.length; val mean = v.sum / n
+      val se2 = v.map(x => (x - mean) * (x - mean)).sum / (n - 1) / n
+      (n, mean, se2)
+    }
+    val (na, ma, sa) = stats(pu.filter(_._1 % 2 == 0).map(_._2))
+    val (nb, mb, sb) = stats(pu.filter(_._1 % 2 == 1).map(_._2))
+    assert(row.getAs[Long]("n_a") === na && row.getAs[Long]("n_b") === nb)
+    val z = (mb - ma) / math.sqrt(sa + sb)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3,
+      s"z ${row.getAs[Double]("z")} vs $z")
+  }
+
   test("attribution: purchases conserved, channels only from event types") {
     val r = Analytics.lastTouchAttribution(spark, sf0001).cache()
     val ev = Tables.events(spark, sf0001).cache()
