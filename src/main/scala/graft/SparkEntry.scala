@@ -222,6 +222,12 @@ object SparkEntry {
     "q194_benford" -> (Analytics.benfordAudit(_, _)),
     "q195_path_trigrams" -> (Analytics.pathTrigrams(_, _)),
     "q196_ab_test" -> (Analytics.abTest(_, _)),
+    "q197_auc" -> (Analytics.aucRank(_, _)),
+    "q198_ks_test" -> (Analytics.ksTest(_, _)),
+    "q199_theil_sen" -> (Analytics.theilSen(_, _)),
+    "q200_pareto" -> (Analytics.paretoCoverage(_, _)),
+    "q201_mutual_info" -> (Analytics.mutualInfo(_, _)),
+    "q202_seat_alloc" -> (Analytics.seatAllocation(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1757,6 +1763,107 @@ object SparkEntry {
         "round(mean_b, 4) AS mean_b, " +
         "round((mean_b - mean_a) / sqrt(se2_a + se2_b), 4) AS z " +
         "FROM a CROSS JOIN b"),
+    "q197_auc" ->
+      ("WITH bs AS (SELECT value AS score, count(*) AS n, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT n, p, coalesce(sum(n) OVER (ORDER BY score " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS cum_prev FROM bs), " +
+        "a AS (SELECT sum(p) AS n_pos, sum(n) - sum(p) AS n_neg, " +
+        "sum(p * (2 * cum_prev + n + 1)) AS r2, " +
+        "sum(n * n * n - n) AS ties FROM r) " +
+        "SELECT cast(n_pos AS bigint) AS n_pos, " +
+        "cast(n_neg AS bigint) AS n_neg, " +
+        "round((r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6) " +
+        "AS auc, " +
+        "round(((r2 - n_pos * (n_pos + 1)) / 2.0 - " +
+        "n_pos * n_neg / 2.0) / " +
+        "sqrt(n_pos * n_neg / 12.0 * ((n_pos + n_neg + 1) - " +
+        "ties / ((n_pos + n_neg) * (n_pos + n_neg - 1.0)))), 4) AS z " +
+        "FROM a"),
+    "q198_ks_test" ->
+      ("WITH bs AS (SELECT value AS score, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS na, count(*) - sum(CASE WHEN event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS nb FROM events GROUP BY 1), " +
+        "t AS (SELECT na, nb, " +
+        "sum(na) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS ca, " +
+        "sum(nb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cb, " +
+        "sum(na) OVER () AS tot_a, sum(nb) OVER () AS tot_b FROM bs), " +
+        "a AS (SELECT max(tot_a) AS n_a, max(tot_b) AS n_b, " +
+        "max(abs(ca / tot_a - cb / tot_b)) AS d_raw FROM t) " +
+        "SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b, " +
+        "round(d_raw, 6) AS d, " +
+        "round(d_raw * sqrt(n_a * n_b / cast(n_a + n_b AS double)), 4) " +
+        "AS ks_stat, " +
+        "round(2.0 * exp(-2.0 * d_raw * d_raw * " +
+        "(n_a * n_b / cast(n_a + n_b AS double))), 4) AS p_approx " +
+        "FROM a"),
+    "q199_theil_sen" ->
+      ("WITH daily AS (SELECT c_mktsegment, " +
+        "datediff('day', DATE '1970-01-01', o_orderdate::date) AS t, " +
+        "round(sum(o_totalprice), 2) AS x FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "sl AS (SELECT a.c_mktsegment AS c_mktsegment, " +
+        "(b.x - a.x) / (b.t - a.t) AS slope FROM daily a " +
+        "JOIN daily b ON a.c_mktsegment = b.c_mktsegment " +
+        "AND a.t < b.t), " +
+        "med AS (SELECT c_mktsegment, quantile_cont(slope, 0.5) AS m, " +
+        "count(*) AS n_pairs FROM sl GROUP BY 1) " +
+        "SELECT c_mktsegment, count(*) AS n_days, " +
+        "max(n_pairs) AS n_pairs, round(max(m), 6) AS slope, " +
+        "round(quantile_cont(x - m * t, 0.5), 4) AS intercept " +
+        "FROM daily JOIN med USING (c_mktsegment) GROUP BY 1"),
+    "q200_pareto" ->
+      ("WITH spend AS (SELECT c_mktsegment, o_custkey, " +
+        "cast(round(sum(o_totalprice) * 100, 0) AS bigint) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT c_mktsegment, cents, " +
+        "coalesce(sum(cents) OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY cents DESC, o_custkey ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0) AS cum_prev, " +
+        "sum(cents) OVER (PARTITION BY c_mktsegment) AS total " +
+        "FROM spend) " +
+        "SELECT c_mktsegment, count(*) AS n_customers, " +
+        "cast(sum(CASE WHEN 10 * cum_prev < 8 * total THEN 1 ELSE 0 " +
+        "END) AS bigint) AS k_top, " +
+        "round(sum(CASE WHEN 10 * cum_prev < 8 * total THEN 1 ELSE 0 " +
+        "END) * 100.0 / count(*), 4) AS pct_top FROM r GROUP BY 1"),
+    "q201_mutual_info" ->
+      ("WITH j AS (SELECT c_mktsegment, o_orderpriority, " +
+        "count(*) AS nij FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "e AS (SELECT nij, sum(nij) OVER () AS n, " +
+        "sum(nij) OVER (PARTITION BY c_mktsegment) AS ni, " +
+        "sum(nij) OVER (PARTITION BY o_orderpriority) AS nj FROM j), " +
+        "a AS (SELECT max(n) AS n, " +
+        "-sum(nij / n * ln(ni / n)) AS hx, " +
+        "-sum(nij / n * ln(nj / n)) AS hy, " +
+        "-sum(nij / n * ln(nij / n)) AS hxy FROM e) " +
+        "SELECT cast(n AS bigint) AS n, round(hx, 6) AS h_segment, " +
+        "round(hy, 6) AS h_priority, round(hxy, 6) AS h_joint, " +
+        "round(hx + hy - hxy, 6) AS mi FROM a"),
+    "q202_seat_alloc" ->
+      ("WITH c AS (SELECT c_mktsegment, " +
+        "cast(round(sum(o_totalprice) * 100, 0) AS bigint) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1), " +
+        "t AS (SELECT c_mktsegment, cents, " +
+        "sum(cents) OVER () AS total, " +
+        "(10000 * cents) // sum(cents) OVER () AS base, " +
+        "(10000 * cents) % sum(cents) OVER () AS rem FROM c), " +
+        "r AS (SELECT c_mktsegment, cents, total, base, rem, " +
+        "10000 - sum(base) OVER () AS residual, " +
+        "row_number() OVER (ORDER BY rem DESC, c_mktsegment) AS rk " +
+        "FROM t) " +
+        "SELECT c_mktsegment, cents, " +
+        "round(cents * 100.0 / total, 4) AS share_pct, " +
+        "cast(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END " +
+        "AS bigint) AS seats FROM r"),
     "q190_attribution" ->
       ("SELECT channel, count(*) AS n_purchases, " +
         "round(sum(value), 2) AS revenue, " +

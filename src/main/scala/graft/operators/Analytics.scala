@@ -357,4 +357,216 @@ object Analytics {
         round(sum(col("value")), 2).as("revenue"),
         count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Mann-Whitney U / ROC-AUC of event value as a purchase classifier,
+    * ties handled by average ranks. The rank sum never ranks individual
+    * rows: the stream first reduces to DISTINCT SCORES (count + positive
+    * count per score), then ONE ordered pass over that reduced table
+    * assigns each score block its average rank. All rank arithmetic is
+    * kept in DOUBLED integers (2·avgrank = 2·cumprev + n + 1), so
+    * U, AUC and the tie-corrected z-statistic derive from exact BIGINT
+    * sums — bit-identical across engines, no float-associativity drift.
+    * At 100 TB the ordered pass touches only distinct-value cardinality;
+    * if that explodes, bucket the scores first (rank statistics on
+    * binned scores are the standard large-N approximation). */
+  def aucRank(s: SparkSession, d: String): DataFrame = {
+    val byScore = events(s, d)
+      .select(col("value").as("score"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val wPrev = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = byScore
+      .withColumn("cum_prev",
+        coalesce(sum(col("n")).over(wPrev), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"),
+        (sum(col("n")) - sum(col("p"))).as("n_neg"),
+        // sum of p · (2·avgrank) — exact integer rank mass
+        sum(col("p") * (lit(2) * col("cum_prev") + col("n") + 1))
+          .as("r2"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("ties"))
+    agg.select(col("n_pos"), col("n_neg"),
+      round((col("r2") - col("n_pos") * (col("n_pos") + 1)) /
+        (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+      round(((col("r2") - col("n_pos") * (col("n_pos") + 1)) / lit(2.0) -
+        col("n_pos") * col("n_neg") / lit(2.0)) /
+        sqrt(col("n_pos") * col("n_neg") / lit(12.0) *
+          ((col("n_pos") + col("n_neg") + 1) - col("ties") /
+            ((col("n_pos") + col("n_neg")) *
+             (col("n_pos") + col("n_neg") - 1.0)))), 4).as("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test: purchase event values vs all
+    * other event values. Both empirical CDFs evaluate on the same
+    * distinct-score grid (per-score counts → one ordered cumulative
+    * pass), and each CDF value is an exact integer ratio cum/total, so
+    * the sup-distance is engine-exact before the final rounding. Output:
+    * sample sizes, D, the scaled statistic and the asymptotic p-value
+    * 2·exp(−2c²). Same scale shape as [[aucRank]]: the wide data
+    * reduces to distinct values before any ordered pass. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val byScore = events(s, d)
+      .select(col("value").as("score"),
+        (col("event_type") === "purchase").cast("long").as("isa"))
+      .groupBy(col("score"))
+      .agg(sum(col("isa")).as("na"),
+        (count(lit(1)) - sum(col("isa"))).as("nb"))
+    val wCum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .withColumn("tot_a", sum(col("na")).over(wAll))
+      .withColumn("tot_b", sum(col("nb")).over(wAll))
+      .withColumn("gap", abs(
+        sum(col("na")).over(wCum) / col("tot_a") -
+        sum(col("nb")).over(wCum) / col("tot_b")))
+      .agg(max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
+        max(col("gap")).as("d_raw"))
+      .select(col("n_a"), col("n_b"), round(col("d_raw"), 6).as("d"),
+        round(col("d_raw") * sqrt(col("n_a") * col("n_b") /
+          (col("n_a") + col("n_b")).cast("double")), 4).as("ks_stat"),
+        round(lit(2.0) * exp(lit(-2.0) * col("d_raw") * col("d_raw") *
+          (col("n_a") * col("n_b") /
+            (col("n_a") + col("n_b")).cast("double"))), 4)
+          .as("p_approx"))
+  }
+
+  /** Theil-Sen robust trend of daily revenue per market segment: the
+    * median of all pairwise slopes, plus the median-residual intercept.
+    * The pairwise self-join is quadratic in CALENDAR DAYS, not rows —
+    * the per-(segment, day) rollup happens first, so 100 TB of orders
+    * still reduces to (segments × days) before the join, and the pair
+    * count is bounded by the date range alone. Slopes are ratios of
+    * 2dp-rounded revenues over integer day gaps (identical doubles both
+    * engines), so the interpolated median matches exactly. */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .as("t"))
+      .agg(round(sum(col("o_totalprice")), 2).as("x"))
+      .localCheckpoint() // both sides of the pair join + residual pass
+    val slopes = daily.select(col("c_mktsegment"), col("t").as("t1"),
+        col("x").as("x1"))
+      .join(daily.select(col("c_mktsegment"), col("t").as("t2"),
+        col("x").as("x2")), Seq("c_mktsegment"))
+      .filter(col("t1") < col("t2"))
+      .select(col("c_mktsegment"),
+        ((col("x2") - col("x1")) / (col("t2") - col("t1"))).as("slope"))
+    val med = slopes.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(slope, 0.5)").as("m"),
+        count(lit(1)).as("n_pairs"))
+    daily.join(broadcast(med), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+        round(max(col("m")), 6).as("slope"),
+        round(expr("percentile(x - m * t, 0.5)"), 4).as("intercept"))
+  }
+
+  /** Pareto concentration: per market segment, the smallest number of
+    * customers (spend-descending) covering 80% of segment revenue.
+    * Spend quantizes to integer CENTS immediately, so the running
+    * coverage test 10·cumprev < 8·total is pure BIGINT comparison —
+    * no float threshold can flip a boundary customer. One rollup
+    * shuffle, one segment-partitioned window pass. Headroom: bigint
+    * cents cap at ~9·10^16 dollars per segment. */
+  def paretoCoverage(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long")
+        .as("cents"))
+    val wPrev = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spend
+      .withColumn("cum_prev",
+        coalesce(sum(col("cents")).over(wPrev), lit(0L)))
+      .withColumn("total", sum(col("cents")).over(wAll))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum((lit(10) * col("cum_prev") < lit(8) * col("total"))
+          .cast("long")).as("k_top"))
+      .withColumn("pct_top",
+        round(col("k_top") * 100.0 / col("n_customers"), 4))
+  }
+
+  /** Mutual information between market segment and order priority —
+    * "does WHO you are predict HOW you order?" — from the exact
+    * contingency table: MI = H(seg) + H(pri) − H(joint), entropies in
+    * nats. Counts are exact bigints; each entropy sums at most
+    * |segments|·|priorities| terms, so the doubles never see large-N
+    * associativity. The contingency rollup is the only shuffle; at
+    * 100 TB it reduces to a 25-cell table on the first pass. */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val joint = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // 25 rows: marginals + entropies reuse it
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+    val wPri = Window.partitionBy(col("o_orderpriority"))
+    joint
+      .withColumn("n", sum(col("nij")).over(wAll))
+      .withColumn("ni", sum(col("nij")).over(wSeg))
+      .withColumn("nj", sum(col("nij")).over(wPri))
+      .agg(max(col("n")).as("n"),
+        // marginal entropies: each cell contributes its share of the
+        // marginal term, nij/ni of pi·ln(pi) — sums to H exactly
+        (-sum(col("nij") / col("n") * log(col("ni") / col("n"))))
+          .as("hx"),
+        (-sum(col("nij") / col("n") * log(col("nj") / col("n"))))
+          .as("hy"),
+        (-sum(col("nij") / col("n") * log(col("nij") / col("n"))))
+          .as("hxy"))
+      .select(col("n"), round(col("hx"), 6).as("h_segment"),
+        round(col("hy"), 6).as("h_priority"),
+        round(col("hxy"), 6).as("h_joint"),
+        round(col("hx") + col("hy") - col("hxy"), 6).as("mi"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment: 10000 budget units
+    * allocated across market segments proportional to revenue cents.
+    * Quotas, floors and remainders are all BIGINT (10000·cents fits
+    * comfortably; headroom ~9·10^14 revenue cents), the leftover seats
+    * go to the largest fractional remainders with segment-name
+    * tiebreak — a fully deterministic integer algorithm, so both
+    * engines produce the identical seat vector and the sum-to-10000
+    * invariant is structural. Segment cardinality is tiny; everything
+    * after the one rollup shuffle is a 5-row computation. */
+  def seatAllocation(s: SparkSession, d: String): DataFrame = {
+    val cents = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long")
+        .as("cents"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cents
+      .withColumn("total", sum(col("cents")).over(wAll))
+      .withColumn("base", expr("(10000 * cents) div total"))
+      .withColumn("rem", expr("(10000 * cents) % total"))
+      .withColumn("residual", lit(10000) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(Window
+        .orderBy(col("rem").desc, col("c_mktsegment"))))
+      .select(col("c_mktsegment"), col("cents"),
+        round(col("cents") * 100.0 / col("total"), 4).as("share_pct"),
+        (col("base") + (col("rk") <= col("residual")).cast("long"))
+          .as("seats"))
+  }
 }

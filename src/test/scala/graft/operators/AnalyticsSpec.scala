@@ -202,6 +202,151 @@ class AnalyticsSpec extends SparkTestBase {
       s"z ${row.getAs[Double]("z")} vs $z")
   }
 
+  test("auc: matches brute-force average-rank computation") {
+    val row = Analytics.aucRank(spark, sf0001).head()
+    val scored = Tables.events(spark, sf0001)
+      .select($"value", ($"event_type" === "purchase").cast("int"))
+      .as[(Double, Int)].collect()
+    // average ranks over the full sorted sample
+    val sorted = scored.sortBy(_._1)
+    val avgRank = new Array[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val r = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+      (i until j).foreach(k => avgRank(k) = r)
+      i = j
+    }
+    val nPos = sorted.count(_._2 == 1)
+    val nNeg = sorted.length - nPos
+    val rPos = sorted.zip(avgRank).filter(_._1._2 == 1).map(_._2).sum
+    val auc = (rPos - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    assert(row.getAs[Long]("n_pos") === nPos.toLong)
+    assert(row.getAs[Long]("n_neg") === nNeg.toLong)
+    assert(math.abs(row.getAs[Double]("auc") - auc) < 1e-6)
+    assert(row.getAs[Double]("auc") >= 0 && row.getAs[Double]("auc") <= 1)
+  }
+
+  test("ks test: D matches brute-force ECDF sup-distance") {
+    val row = Analytics.ksTest(spark, sf0001).head()
+    val ev = Tables.events(spark, sf0001)
+      .select($"value", $"event_type" === "purchase")
+      .as[(Double, Boolean)].collect()
+    val a = ev.filter(_._2).map(_._1).sorted
+    val b = ev.filterNot(_._2).map(_._1).sorted
+    def ecdf(xs: Array[Double], x: Double): Double = {
+      // rightmost index with value <= x, binary-search style via count
+      var lo = 0; var hi = xs.length
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (xs(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo.toDouble / xs.length
+    }
+    val grid = (a ++ b).distinct
+    val d = grid.map(x => math.abs(ecdf(a, x) - ecdf(b, x))).max
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    assert(math.abs(row.getAs[Double]("d") - d) < 1e-6)
+    assert(row.getAs[Double]("p_approx") >= 0 &&
+      row.getAs[Double]("p_approx") <= 2.0)
+  }
+
+  test("theil-sen: one segment brute-forced") {
+    val r = Analytics.theilSen(spark, sf0001)
+      .orderBy($"c_mktsegment").head()
+    val name = r.getAs[String]("c_mktsegment")
+    val daily = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment" === name)
+      .groupBy(datediff($"o_orderdate".cast("date"), lit("1970-01-01"))
+        .as("t"))
+      .agg(round(sum($"o_totalprice"), 2).as("x"))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1)).sorted
+    def median(v: Seq[Double]) =
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+    assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    assert(r.getAs[Long]("n_pairs") === slopes.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope") -
+      math.rint(median(slopes) * 1e6) / 1e6) < 1e-9)
+    val m = median(slopes)
+    val residuals = daily.map { case (t, x) => x - m * t }.sorted.toSeq
+    assert(math.abs(r.getAs[Double]("intercept") -
+      math.rint(median(residuals) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("pareto: one segment brute-forced, k within bounds") {
+    val all = Analytics.paretoCoverage(spark, sf0001).cache()
+    assert(all.filter($"k_top" > $"n_customers" || $"k_top" < 1)
+      .count() === 0)
+    val r = all.orderBy($"c_mktsegment").head()
+    val name = r.getAs[String]("c_mktsegment")
+    val cents = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment" === name)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice") * 100, 0).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+      .sortBy(t => (-t._2, t._1)).map(_._2)
+    val total = cents.sum
+    var cum = 0L; var k = 0
+    while (k < cents.length && 10 * cum < 8 * total) {
+      cum += cents(k); k += 1
+    }
+    assert(r.getAs[Long]("n_customers") === cents.length.toLong)
+    assert(r.getAs[Long]("k_top") === k.toLong)
+    all.unpersist()
+  }
+
+  test("mutual info: information inequalities hold, brute-forced") {
+    val row = Analytics.mutualInfo(spark, sf0001).head()
+    val cells = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("nij"))
+      .as[(String, String, Long)].collect()
+    val n = cells.map(_._3).sum.toDouble
+    def h(groups: Map[_, Long]): Double =
+      -groups.values.map(c => c / n * math.log(c / n)).sum
+    val hx = h(cells.groupBy(_._1).map { case (k, v) =>
+      (k, v.map(_._3).sum) })
+    val hy = h(cells.groupBy(_._2).map { case (k, v) =>
+      (k, v.map(_._3).sum) })
+    val hxy = h(cells.map(c => ((c._1, c._2), c._3)).toMap)
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(math.abs(row.getAs[Double]("h_segment") - hx) < 1e-5)
+    assert(math.abs(row.getAs[Double]("h_priority") - hy) < 1e-5)
+    assert(math.abs(row.getAs[Double]("h_joint") - hxy) < 1e-5)
+    val mi = row.getAs[Double]("mi")
+    assert(mi >= -1e-6, "MI must be non-negative")
+    assert(mi <= math.min(row.getAs[Double]("h_segment"),
+      row.getAs[Double]("h_priority")) + 1e-6)
+  }
+
+  test("seat allocation: Hamilton method brute-forced, seats sum exact") {
+    val rows = Analytics.seatAllocation(spark, sf0001)
+      .orderBy($"c_mktsegment")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.map(_._4).sum === 10000L)
+    val cents = rows.map(t => (t._1, t._2))
+    val total = cents.map(_._2).sum
+    val base = cents.map { case (seg, c) => (seg, 10000L * c / total,
+      10000L * c % total) }
+    val residual = 10000L - base.map(_._2).sum
+    val winners = base.sortBy(t => (-t._3, t._1)).take(residual.toInt)
+      .map(_._1).toSet
+    val want = base.map { case (seg, b, _) =>
+      (seg, b + (if (winners(seg)) 1L else 0L)) }.toMap
+    rows.foreach(t => assert(t._4 === want(t._1),
+      s"segment ${t._1}: got ${t._4} want ${want(t._1)}"))
+  }
+
   test("attribution: purchases conserved, channels only from event types") {
     val r = Analytics.lastTouchAttribution(spark, sf0001).cache()
     val ev = Tables.events(spark, sf0001).cache()
