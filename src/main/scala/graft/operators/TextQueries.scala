@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis._
@@ -412,14 +413,24 @@ object TextQueries {
         round(max(col("ratio")), 4).as("max_ratio"),
         count_if(col("ratio") < 0.35).as("n_repetitive"))
 
-  /** Sparse TF-IDF cosine similarity through an inverted-index join —
-    * the sparse-vector sibling of the dense ANN family (q29/q30): the
-    * dot product decomposes over SHARED TERMS, so candidate pairs come
-    * from the postings join (docs sharing no term never meet) and the
-    * per-pair work is one partial-aggregated sum. Weights reuse q42's
-    * tf·(ln((N+1)/(df+1))+1) formula ROUNDED to 4 before any norm or
-    * dot, so both engines fold identical quantized values and the
-    * summation-order tail stays far below the output rounding. */
+  /** Sparse TF-IDF cosine similarity with AllPairs-style prefix
+    * pruning (Bayardo et al., WWW'07 shape): the dot product decomposes
+    * over SHARED TERMS, but a naive postings self-join blows up
+    * quadratically on high-df stopwords. Instead each unit-normalized
+    * vector leaves its LOW-WEIGHT TAIL (cumulative squared mass
+    * < 0.159) out of the inverted index — exactly the high-df/low-idf
+    * terms that cause the df² blowup — and only indexed-term collisions
+    * become candidate pairs. For unit vectors a non-colliding pair has
+    * dot ≤ ‖a_tail‖+‖b_tail‖ < 0.798, safely below the 0.8 output
+    * threshold even at 5dp rounding (cutoff 0.799995), so the pruning
+    * is LOSSLESS: candidates are exactly rescored over their full
+    * postings and the result matches the naive join bit-for-bit.
+    * Weights reuse q42's tf·(ln((N+1)/(df+1))+1) formula ROUNDED to 4
+    * before any norm or dot, so both engines fold identical quantized
+    * values. At 100 TB the index join touches only discriminative
+    * terms (df-bounded by construction), and the rescore is
+    * |candidates|·|doc terms| — near-duplicate-bounded, not
+    * vocabulary-bounded. */
   def sparseCosine(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
     val tf = docs.select(col("doc_id"),
@@ -432,14 +443,31 @@ object TextQueries {
         round(col("tf") *
           (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
           4).as("w"))
-      .localCheckpoint() // reused by the norm pass and both join sides
+      .localCheckpoint() // reused: norm pass, index build, both rescore sides
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val dot = w.select(col("doc_id").as("doc_a"), col("word"),
-        col("w").as("wa"))
-      .join(w.select(col("doc_id").as("doc_b"), col("word"),
-        col("w").as("wb")), Seq("word"))
+      .localCheckpoint() // reused: index build + both cosine denominators
+    // prefix index: per doc, ascending-weight cumulative squared mass;
+    // rows past 0.159 carry enough norm that every ≥0.8 pair collides
+    val wCum = Window.partitionBy(col("doc_id"))
+      .orderBy(col("u"), col("word"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val idx = w.join(nrm, Seq("doc_id"))
+      .withColumn("u", col("w") / col("nrm"))
+      .withColumn("cum", sum(col("u") * col("u")).over(wCum))
+      .filter(col("cum") >= 0.159)
+      .select(col("doc_id"), col("word"))
+    val cand = idx.select(col("doc_id").as("doc_a"), col("word"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("word")),
+        Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact rescore: full-posting dot for the surviving pairs only
+    val dot = cand
+      .join(w.select(col("doc_id").as("doc_a"), col("word"),
+        col("w").as("wa")), Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("word"),
+        col("w").as("wb")), Seq("doc_b", "word"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
     dot
