@@ -228,6 +228,9 @@ object SparkEntry {
     "q200_pareto" -> (Analytics.paretoCoverage(_, _)),
     "q201_mutual_info" -> (Analytics.mutualInfo(_, _)),
     "q202_seat_alloc" -> (Analytics.seatAllocation(_, _)),
+    "q203_rank_correlation" -> (Analytics.rankCorrelation(_, _)),
+    "q204_chunk_dedup" -> (TextQueries.chunkDedup(_, _)),
+    "q205_fifo_costing" -> (Analytics.fifoCosting(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1874,5 +1877,75 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'direct') " +
         "AS channel, event_type, user_id, value FROM events) " +
         "WHERE event_type = 'purchase' GROUP BY 1"),
+    "q203_rank_correlation" ->
+      ("WITH li AS (SELECT l_returnflag AS g, " +
+        "cast(round(l_extendedprice * 100, 0) AS bigint) AS x, " +
+        "cast(l_quantity AS bigint) AS y FROM lineitem), " +
+        "rk AS (SELECT g, " +
+        "2 * rank() OVER (PARTITION BY g ORDER BY x) + " +
+        "count(*) OVER (PARTITION BY g, x) - 1 AS ra, " +
+        "2 * rank() OVER (PARTITION BY g ORDER BY y) + " +
+        "count(*) OVER (PARTITION BY g, y) - 1 AS rb, " +
+        "count(*) OVER (PARTITION BY g) AS n FROM li), " +
+        "dev AS (SELECT g, cast(ra - n - 1 AS decimal(19,0)) AS dx, " +
+        "cast(rb - n - 1 AS decimal(19,0)) AS dy FROM rk), " +
+        "sp AS (SELECT 'spearman' AS stat, g AS grp, " +
+        "round(cast(sum(dx * dy) AS double) / " +
+        "(sqrt(cast(sum(dx * dx) AS double)) * " +
+        "sqrt(cast(sum(dy * dy) AS double))), 6) AS value " +
+        "FROM dev GROUP BY g), " +
+        "pts AS (SELECT n_name, count(*) AS x, " +
+        "cast(round(sum(c_acctbal) * 100, 0) AS bigint) AS y " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name), " +
+        "pr AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb " +
+        "FROM pts a JOIN pts b ON a.n_name < b.n_name), " +
+        "kd AS (SELECT 'kendall_tau_b' AS stat, 'nation' AS grp, " +
+        "round((count(*) FILTER (WHERE (xa < xb AND ya < yb) OR " +
+        "(xa > xb AND ya > yb)) - count(*) FILTER (WHERE (xa < xb AND " +
+        "ya > yb) OR (xa > xb AND ya < yb))) / " +
+        "sqrt((count(*) - count(*) FILTER (WHERE xa = xb)) * " +
+        "(count(*) - count(*) FILTER (WHERE ya = yb))), 6) AS value " +
+        "FROM pr) " +
+        "SELECT * FROM sp UNION ALL SELECT * FROM kd"),
+    "q204_chunk_dedup" ->
+      ("WITH toks AS (SELECT doc_id, source, " +
+        "list_filter(string_split(text, ' '), tk -> tk <> '') AS t " +
+        "FROM documents), " +
+        "ch AS (SELECT doc_id, source, i AS chunk_idx, " +
+        "array_to_string(t[i * 20 + 1 : i * 20 + 20], ' ') AS chunk " +
+        "FROM toks, unnest(range(0, " +
+        "cast(ceil(len(t) / 20.0) AS bigint))) AS u(i) " +
+        "WHERE len(t) > 0), " +
+        "k AS (SELECT source, doc_id, chunk_idx, row_number() OVER (" +
+        "PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch) " +
+        "SELECT source, count(DISTINCT doc_id) AS n_docs, " +
+        "count(*) AS n_chunks, " +
+        "count(*) FILTER (WHERE rn = 1) AS n_kept, " +
+        "round((count(*) FILTER (WHERE rn = 1)) / " +
+        "cast(count(*) AS double), 5) AS pct_kept " +
+        "FROM k GROUP BY source"),
+    "q205_fifo_costing" ->
+      ("WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber, " +
+        "l_shipdate, cast(l_quantity AS bigint) AS qty, " +
+        "cast(round(l_extendedprice * 100, 0) AS bigint) AS pc " +
+        "FROM lineitem), " +
+        "r AS (SELECT l_partkey, qty AS rq, pc, hi - qty AS rlo, " +
+        "hi AS rhi FROM (SELECT l_partkey, qty, pc, " +
+        "sum(qty) OVER (PARTITION BY l_partkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi " +
+        "FROM li WHERE l_orderkey % 2 = 0)), " +
+        "i AS (SELECT l_partkey, hi - qty AS ilo, hi AS ihi " +
+        "FROM (SELECT l_partkey, qty, " +
+        "sum(qty) OVER (PARTITION BY l_partkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi " +
+        "FROM li WHERE l_orderkey % 2 = 1)) " +
+        "SELECT l_partkey, sum(m) AS matched_qty, " +
+        "round(sum(m * pc * 1000 // rq) / 100000.0, 2) AS cogs FROM (" +
+        "SELECT r.l_partkey, least(rhi, ihi) - greatest(rlo, ilo) AS m, " +
+        "rq, pc FROM r JOIN i ON r.l_partkey = i.l_partkey " +
+        "AND rlo < ihi AND ilo < rhi) GROUP BY l_partkey"),
   )
 }

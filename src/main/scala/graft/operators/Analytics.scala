@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -568,5 +568,113 @@ object Analytics {
         round(col("cents") * 100.0 / col("total"), 4).as("share_pct"),
         (col("base") + (col("rk") <= col("residual")).cast("long"))
           .as("seats"))
+  }
+
+  /** Rank-correlation battery: Spearman ρ per return flag over lineitem
+    * (price vs quantity — l_quantity's 50 distinct values make ties the
+    * NORM, exercising the average-rank convention) and Kendall τ-b over
+    * the 25 nation-level (customer count, balance) points. Average ranks
+    * are carried DOUBLED (2r = 2·rank + ties − 1, a pure integer whose
+    * group mean is exactly n+1), so the deviation products are integers
+    * summed in DECIMAL where reassociation is lossless: both engines
+    * fold bit-identical values and only the final ρ division happens in
+    * double, rounded to 6. The 2× scale cancels in the ratio.
+    * Kendall counts concordant/discordant/tie pairs with an n²=300 pair
+    * join (the 25-row aggregate broadcasts; at 100 TB this input is a
+    * GROUPED aggregate of the big table, so the quadratic stage stays
+    * constant-size). The lineitem ranking is the standard two-window
+    * shape: one sort-based rank per axis, reusing the per-flag hash
+    * partitioning. */
+  def rankCorrelation(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag").as("g"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("x"),
+      col("l_quantity").cast("long").as("y"))
+    // doubled average rank 2r = 2·rank + ties − 1 is a pure BIGINT; the
+    // group mean of 2r is exactly n+1 (average ranks preserve the rank
+    // total), so deviations are integers and the 2× scale cancels in ρ.
+    def rank2(v: String): Column =
+      rank().over(Window.partitionBy(col("g")).orderBy(col(v)))
+        .cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("g"), col(v))) - 1
+    val ranked = li.select(col("g"),
+        rank2("x").as("ra"), rank2("y").as("rb"),
+        count(lit(1)).over(Window.partitionBy(col("g"))).as("n"))
+      .select(col("g"),
+        (col("ra") - col("n") - 1).cast("decimal(19,0)").as("dx"),
+        (col("rb") - col("n") - 1).cast("decimal(19,0)").as("dy"))
+    val spearman = ranked.groupBy(col("g"))
+      .agg(sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(lit("spearman").as("stat"), col("g").as("grp"),
+        round(col("sxy").cast("double") /
+          (sqrt(col("sxx").cast("double")) *
+            sqrt(col("syy").cast("double"))), 6).as("value"))
+    // Kendall τ-b over nation-level points: all-integer pair census.
+    val pts = customer(s, d)
+      .join(broadcast(nation(s, d).select(col("n_nationkey"),
+        col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("x"),
+        round(sum(col("c_acctbal")) * 100, 0).cast("long").as("y"))
+    val p = pts.select(col("n_name").as("na"), col("x").as("xa"),
+      col("y").as("ya"))
+      .join(pts.select(col("n_name").as("nb"), col("x").as("xb"),
+        col("y").as("yb")), col("na") < col("nb"))
+    val kendall = p.agg(
+        count_if(((col("xa") < col("xb")) && (col("ya") < col("yb"))) ||
+          ((col("xa") > col("xb")) && (col("ya") > col("yb")))).as("c"),
+        count_if(((col("xa") < col("xb")) && (col("ya") > col("yb"))) ||
+          ((col("xa") > col("xb")) && (col("ya") < col("yb")))).as("dd"),
+        count_if(col("xa") === col("xb")).as("tx"),
+        count_if(col("ya") === col("yb")).as("ty"),
+        count(lit(1)).as("n0"))
+      .select(lit("kendall_tau_b").as("stat"), lit("nation").as("grp"),
+        round((col("c") - col("dd")) /
+          sqrt((col("n0") - col("tx")) * (col("n0") - col("ty"))), 6)
+          .as("value"))
+    spearman.unionByName(kendall)
+  }
+
+  /** FIFO inventory costing as a relational cumulative-interval join —
+    * the classic "needs a sequential scan" workload turned distributed.
+    * Receipts (even order keys) and issues (odd) per part each get
+    * exclusive cumulative-quantity intervals [cum−qty, cum) ordered by
+    * ship date; FIFO matching is then EXACTLY interval overlap, so the
+    * whole allocation is one per-part equi-join with an overlap
+    * predicate — no loop, no state. Quantities are integral (cast long)
+    * so the cumulative sums are exact; allocated cost is
+    * matched·price_cents·1000 div qty in integer milli-cents (floor
+    * allocation, engine-identical truncation on non-negative values),
+    * summed in long. At 100 TB the join key is the part key, so the
+    * quadratic stage is bounded by per-part lot counts — the shuffle
+    * partitions by part and AQE handles hot parts; nothing global is
+    * ever materialized. */
+  def fifoCosting(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_partkey"), col("l_orderkey"),
+      col("l_linenumber"), col("l_shipdate"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def side(mod: Int) = li.filter(col("l_orderkey") % 2 === mod)
+      .select(col("l_partkey"), col("qty"), col("pc"),
+        sum(col("qty")).over(w).as("hi"))
+      .withColumn("lo", col("hi") - col("qty"))
+    val r = side(0).select(col("l_partkey"), col("qty").as("rq"),
+      col("pc"), col("lo").as("rlo"), col("hi").as("rhi"))
+    val i = side(1).select(col("l_partkey"), col("lo").as("ilo"),
+      col("hi").as("ihi"))
+    r.join(i, Seq("l_partkey"))
+      .filter(col("rlo") < col("ihi") && col("ilo") < col("rhi"))
+      .select(col("l_partkey"),
+        (least(col("rhi"), col("ihi")) -
+          greatest(col("rlo"), col("ilo"))).as("m"),
+        col("rq"), col("pc"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("m")).as("matched_qty"),
+        round(sum(expr("m * pc * 1000 div rq")) / 100000.0, 2)
+          .as("cogs"))
   }
 }

@@ -479,4 +479,37 @@ object TextQueries {
         round(col("dot") / (col("na") * col("nb")), 5).as("cos"))
       .filter(col("cos") >= 0.8)
   }
+
+  /** Cross-document chunk-level deduplication (the C4/RefinedWeb
+    * line-dedup shape at paragraph granularity): every document splits
+    * into consecutive 20-token chunks, a chunk survives only at its
+    * FIRST corpus occurrence (ordered by doc_id, then position), and the
+    * per-source report shows how much of each source is boilerplate
+    * repeated elsewhere. The first-occurrence pick is one window
+    * row_number partitioned BY CHUNK TEXT — the only wide shuffle, keyed
+    * on content, so at 100 TB it scales with distinct-chunk cardinality
+    * and hot boilerplate chunks are single-key skew AQE splits.
+    * Chunking itself is a scan-side lambda (sequence + slice inside the
+    * projection — no join, no explode of single tokens). */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val chunks = toks.select(col("doc_id"), col("source"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(t) / 20.0) as int) - 1)," +
+            " i -> array_join(slice(t, i * 20 + 1, 20), ' '))")))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val first = chunks.withColumn("rn", row_number().over(
+      Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))))
+    first.groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        count_if(col("rn") === 1).as("n_kept"),
+        round(count_if(col("rn") === 1) / count(lit(1)).cast("double"), 5)
+          .as("pct_kept"))
+  }
 }

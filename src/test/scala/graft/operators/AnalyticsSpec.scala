@@ -384,4 +384,114 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === want.toMap, s"user $uid: $got vs $want")
     ev.unpersist(); r.unpersist()
   }
+
+  test("rank correlation: matches driver-side brute force") {
+    val r = Analytics.rankCorrelation(spark, sf0001).cache()
+    assert(r.filter($"value" < -1.0 || $"value" > 1.0).count() === 0)
+    // Spearman brute force for one flag: average ranks, explicit sums
+    val xy = Tables.lineitem(spark, sf0001)
+      .filter($"l_returnflag" === "A")
+      .select(round($"l_extendedprice" * 100, 0).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(Long, Long)].collect()
+    def avgRanks(v: Array[Long]): Array[Double] = {
+      val sorted = v.sorted
+      val first = sorted.zipWithIndex.reverse.toMap // min index per value
+      val cnt = v.groupBy(identity).map { case (k, a) => k -> a.length }
+      v.map(x => first(x) + 1 + (cnt(x) - 1) / 2.0)
+    }
+    val ra = avgRanks(xy.map(_._1)); val rb = avgRanks(xy.map(_._2))
+    val n = xy.length
+    val mean = (n + 1) / 2.0
+    val sxy = ra.zip(rb).map { case (a, b) => (a - mean) * (b - mean) }.sum
+    val sxx = ra.map(a => (a - mean) * (a - mean)).sum
+    val syy = rb.map(b => (b - mean) * (b - mean)).sum
+    val want = math.rint(sxy / math.sqrt(sxx * syy) * 1e6) / 1e6
+    val got = r.filter($"stat" === "spearman" && $"grp" === "A")
+      .head().getAs[Double]("value")
+    assert(math.abs(got - want) < 2e-6, s"spearman got $got want $want")
+    // Kendall brute force over the nation points
+    val pts = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("x"),
+        round(sum($"c_acctbal") * 100, 0).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+    var c = 0L; var dd = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+    for (i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1) {
+      val (_, xa, ya) = pts(i); val (_, xb, yb) = pts(j)
+      n0 += 1
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) c += 1
+      if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) dd += 1
+    }
+    val wantK = math.rint((c - dd) /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty)) * 1e6) / 1e6
+    val gotK = r.filter($"stat" === "kendall_tau_b")
+      .head().getAs[Double]("value")
+    assert(math.abs(gotK - wantK) < 2e-6, s"kendall got $gotK want $wantK")
+    r.unpersist()
+  }
+
+  test("chunk dedup: kept chunks equal global distinct, brute-force match") {
+    val q = TextQueries.chunkDedup(spark, sf0001).cache()
+    // total kept across sources == number of DISTINCT chunk texts
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val chunks = docs.flatMap { case (id, src, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      toks.grouped(20).zipWithIndex.map { case (g, i) =>
+        (id, src, i, g.mkString(" ")) }
+    }
+    val nDistinct = chunks.map(_._4).distinct.length
+    assert(q.agg(sum($"n_kept")).head().getLong(0) === nDistinct)
+    // brute-force per-source counts (first occurrence by doc_id, idx)
+    val firstOf = chunks.groupBy(_._4).map { case (_, occ) =>
+      occ.minBy(o => (o._1, o._3)) }.toSet
+    val bySrc = chunks.groupBy(_._2)
+    for (row <- q.collect()) {
+      val src = row.getAs[String]("source")
+      val all = bySrc(src)
+      assert(row.getAs[Long]("n_chunks") === all.length.toLong)
+      assert(row.getAs[Long]("n_kept") ===
+        all.count(firstOf.contains).toLong)
+      assert(row.getAs[Long]("n_docs") ===
+        all.map(_._1).distinct.length.toLong)
+    }
+    q.unpersist()
+  }
+
+  test("fifo costing: conservation identity and one part sequential") {
+    val q = Analytics.fifoCosting(spark, sf0001).cache()
+    // interval-overlap identity: matched == min(supply, demand) per part
+    val li = Tables.lineitem(spark, sf0001)
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
+        $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100, 0).cast("long").as("pc"))
+      .as[(Long, Long, Int, java.sql.Timestamp, Long, Long)]
+      .collect()
+    val byPart = li.groupBy(_._1)
+    for (row <- q.collect()) {
+      val pk = row.getAs[Long]("l_partkey")
+      val rows = byPart(pk).sortBy(r => (r._4.getTime, r._2, r._3))
+      val rec = rows.filter(_._2 % 2 == 0)
+      val iss = rows.filter(_._2 % 2 == 1)
+      val supply = rec.map(_._5).sum; val demand = iss.map(_._5).sum
+      assert(row.getAs[Long]("matched_qty") === math.min(supply, demand))
+      // sequential FIFO walk: consume receipts in order against demand
+      var remaining = demand
+      var cogsMilli = 0L
+      for ((_, _, _, _, q0, pc) <- rec if remaining > 0) {
+        val take = math.min(q0, remaining)
+        cogsMilli += take * pc * 1000 / q0
+        remaining -= take
+      }
+      assert(math.abs(row.getAs[Double]("cogs") - cogsMilli / 100000.0)
+        < 0.011, s"part $pk")
+    }
+    q.unpersist()
+  }
 }
