@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, KllSketch, MinHashSignature, MisraGries, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, KllSketch, MinHashSignature, MisraGries, NfcNormalize, ShingleSet, SimHash64, SortedIntersectSize, TopKByScore, VectorSum}
 
 /** Session extensions: registers the engine's native expressions into the
   * SQL function registry, so `spark.sql("... sorted_intersect_size(a,b)")`
@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature(_))
     register1(e, "shingle_set", classOf[ShingleSet], ShingleSet(_))
     register1(e, "simhash64", classOf[SimHash64], SimHash64(_))
+    register1(e, "nfc", classOf[NfcNormalize], NfcNormalize(_))
     // aggregates: the analyzer wraps a returned AggregateFunction in an
     // AggregateExpression automatically
     register1(e, "vector_sum", classOf[VectorSum], VectorSum(_))

@@ -231,6 +231,9 @@ object SparkEntry {
     "q203_rank_correlation" -> (Analytics.rankCorrelation(_, _)),
     "q204_chunk_dedup" -> (TextQueries.chunkDedup(_, _)),
     "q205_fifo_costing" -> (Analytics.fifoCosting(_, _)),
+    "q206_nfc_normalize" -> (TextQueries.unicodeNormalize(_, _)),
+    "q207_three_core" -> ((s, d) => Graph.threeCore(s, d)),
+    "q208_psi_drift" -> (Analytics.psiDrift(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -1947,5 +1950,57 @@ object SparkEntry {
         "SELECT r.l_partkey, least(rhi, ihi) - greatest(rlo, ilo) AS m, " +
         "rq, pc FROM r JOIN i ON r.l_partkey = i.l_partkey " +
         "AND rlo < ihi AND ilo < rhi) GROUP BY l_partkey"),
+    "q206_nfc_normalize" ->
+      ("WITH b AS (SELECT p_partkey, " +
+        "lower(p_name) || ' e' || chr(769) || 'a' || chr(776) || " +
+        "'A' || chr(778) AS dc, " +
+        "lower(p_name) || ' ' || chr(233) || chr(228) || chr(197) " +
+        "AS comp FROM part) " +
+        "SELECT p_partkey, nfc_normalize(dc) AS nfc_str, " +
+        "length(dc) AS len_raw, " +
+        "length(nfc_normalize(dc)) AS len_nfc, " +
+        "nfc_normalize(dc) = comp AS composed_ok, " +
+        "nfc_normalize(comp) = comp AS idempotent_ok FROM b"),
+    "q207_three_core" -> {
+      // MATERIALIZED: each round references the previous one three
+      // times; inlined CTEs would expand the plan 3^15-fold.
+      val rounds = (1 to 15).map { r =>
+        s"n$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src " +
+          "HAVING count(*) >= 3), " +
+          s"e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e " +
+          s"JOIN n$r a ON e.src = a.src JOIN n$r b ON e.dst = b.src)"
+      }.mkString(", ")
+      "WITH uk AS MATERIALIZED (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "e0 AS (SELECT a AS src, b AS dst FROM uk " +
+        "UNION ALL SELECT b, a FROM uk), " + rounds +
+        " SELECT src AS node, count(*) AS core_deg FROM e15 GROUP BY src"
+    },
+    "q208_psi_drift" ->
+      ("WITH o AS (SELECT c_mktsegment AS seg, " +
+        "year(o_orderdate) <= 1997 AS is_base, " +
+        "least(cast(floor(round(o_totalprice * 100, 0) / 5000000) " +
+        "AS bigint), 9) AS bin " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cnt AS (SELECT seg, bin, " +
+        "count(*) FILTER (WHERE is_base) AS cb, " +
+        "count(*) FILTER (WHERE NOT is_base) AS cc " +
+        "FROM o GROUP BY seg, bin), " +
+        "uni AS (SELECT seg, i AS bin FROM " +
+        "(SELECT DISTINCT seg FROM o), unnest(range(0, 10)) AS u(i)), " +
+        "f AS (SELECT uni.seg, uni.bin, coalesce(cb, 0) AS cb, " +
+        "coalesce(cc, 0) AS cc FROM uni LEFT JOIN cnt " +
+        "ON uni.seg = cnt.seg AND uni.bin = cnt.bin), " +
+        "tot AS (SELECT seg, sum(cb) AS n_base, sum(cc) AS n_curr " +
+        "FROM f GROUP BY seg) " +
+        "SELECT f.seg, n_base, n_curr, " +
+        "round(sum(((cb + 1) / (n_base + 10) - " +
+        "(cc + 1) / (n_curr + 10)) * " +
+        "ln(((cb + 1) / (n_base + 10)) / " +
+        "((cc + 1) / (n_curr + 10)))), 6) AS psi " +
+        "FROM f JOIN tot ON f.seg = tot.seg " +
+        "GROUP BY f.seg, n_base, n_curr"),
   )
 }

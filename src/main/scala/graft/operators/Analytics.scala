@@ -677,4 +677,46 @@ object Analytics {
         round(sum(expr("m * pc * 1000 div rq")) / 100000.0, 2)
           .as("cogs"))
   }
+
+  /** Population Stability Index — the standard model-monitoring drift
+    * score — of the order-value distribution per market segment,
+    * baseline (≤1997) vs current (≥1998). Values bin into ten fixed
+    * 50k-wide buckets on EXACT cents (floor on an exact-integer ratio,
+    * engine-identical), the bin universe is materialized with a
+    * sequence so EMPTY bins contribute their Laplace-smoothed share
+    * ((c+1)/(n+10) — PSI is undefined on zero cells), and
+    * psi = Σ (p_b − p_c)·ln(p_b/p_c) rounded to 6 (each term is a
+    * handful of IEEE ops on exact rationals; engines agree far below
+    * the rounding). The whole query is two broadcast-joined aggregates
+    * over one orders scan — at 100 TB it is scan-bound with a 5×10-cell
+    * shuffle. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .join(broadcast(customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        (year(col("o_orderdate")) <= 1997).as("is_base"),
+        least(floor(round(col("o_totalprice") * 100, 0) / 5000000)
+          .cast("long"), lit(9L)).as("bin"))
+    val counts = o.groupBy(col("seg"), col("bin"))
+      .agg(count_if(col("is_base")).as("cb"),
+        count_if(!col("is_base")).as("cc"))
+    val universe = o.select(col("seg")).distinct()
+      .select(col("seg"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val full = universe.join(counts, Seq("seg", "bin"), "left_outer")
+      .select(col("seg"), col("bin"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    full.groupBy(col("seg"))
+      .agg(sum(col("cb")).as("n_base"), sum(col("cc")).as("n_curr"))
+      .join(full, Seq("seg"))
+      .select(col("seg"), col("n_base"), col("n_curr"),
+        (((col("cb") + 1) / (col("n_base") + 10) -
+          (col("cc") + 1) / (col("n_curr") + 10)) *
+          log(((col("cb") + 1) / (col("n_base") + 10)) /
+            ((col("cc") + 1) / (col("n_curr") + 10)))).as("term"))
+      .groupBy(col("seg"), col("n_base"), col("n_curr"))
+      .agg(round(sum(col("term")), 6).as("psi"))
+  }
 }

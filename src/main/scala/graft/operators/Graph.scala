@@ -425,4 +425,42 @@ object Graph {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** 3-core of the interaction graph via iterative peeling: drop every
+    * node with degree < 3, delete its edges, repeat until stable — the
+    * standard k-core fixpoint (the result is order-independent, so the
+    * synchronous rounds here equal the sequential textbook peel). Each
+    * round is one degree aggregate plus two semi-join-shaped edge
+    * restrictions on an edge set that only SHRINKS — per-round cost is
+    * proportional to the surviving subgraph, and the per-round edge
+    * count rides the checkpoint job via observe() (no extra action).
+    * Convergence is edge-count stability; the round cap only guards the
+    * oracle's fixed unroll and a violation throws rather than returning
+    * a non-fixpoint. At 100 TB: every round shuffles on node id only,
+    * the degree aggregate is map-side-combined, and peeling rounds on
+    * real interaction graphs are few (degeneracy cascades, not
+    * diameter). */
+  def threeCore(s: SparkSession, d: String,
+      maxRounds: Int = 15): DataFrame = {
+    var e = eventEdges(s, d).localCheckpoint()
+    var prev = -1L
+    var cnt = e.count()
+    var rounds = 0
+    while (rounds < maxRounds && cnt != prev) {
+      prev = cnt
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src"))
+      val obs = new org.apache.spark.sql.Observation()
+      e = e.join(keep, Seq("src"))
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      cnt = obs.get("n").asInstanceOf[Long]
+      rounds += 1
+    }
+    require(cnt == prev, s"3-core peeling not stable after $maxRounds rounds")
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
 }

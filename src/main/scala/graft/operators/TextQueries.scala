@@ -512,4 +512,34 @@ object TextQueries {
         round(count_if(col("rn") === 1) / count(lit(1)).cast("double"), 5)
           .as("pct_kept"))
   }
+
+  /** Unicode NFC normalization battery driving the native [[
+    * graft.functions.NfcNormalize]] expression (scan-side projection,
+    * whole-stage codegen — a UDF here would de-codegen the cleaning
+    * path every multilingual corpus runs first). The corpus is ASCII,
+    * so each row APPENDS canonically-decomposed sequences (base letter
+    * + combining accent, built with chr() so the same construction runs
+    * in DuckDB) and the battery checks composition against the
+    * precomposed code points, char-length shrinkage, and idempotence —
+    * all verified against DuckDB's independent nfc_normalize. */
+  def unicodeNormalize(s: SparkSession, d: String): DataFrame = {
+    // Spark's chr() is ASCII-only (mod 256), so the combining sequences
+    // are Scala literals; the oracle builds the same code points with
+    // DuckDB's codepoint-wide chr().
+    val dec = concat(lower(col("p_name")),
+      lit(" e\u0301a\u0308A\u030A")) // decomposed: base + combining accents
+    val composed = concat(lower(col("p_name")),
+      lit(" \u00E9\u00E4\u00C5")) // precomposed NFC forms
+    Tables.part(s, d).select(col("p_partkey"), dec.as("dec"),
+        composed.as("comp"))
+      .select(col("p_partkey"),
+        graft.functions.UnicodeExpressions.nfc(col("dec")).as("nfc_str"),
+        length(col("dec")).as("len_raw"),
+        length(graft.functions.UnicodeExpressions.nfc(col("dec")))
+          .as("len_nfc"),
+        (graft.functions.UnicodeExpressions.nfc(col("dec")) ===
+          col("comp")).as("composed_ok"),
+        (graft.functions.UnicodeExpressions.nfc(col("comp")) ===
+          col("comp")).as("idempotent_ok"))
+  }
 }

@@ -193,4 +193,34 @@ class NativeKernelSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(4) - 0.9611111111111111) < 1e-12)
     }
   }
+
+  test("nfc normalization matches java.text.Normalizer on edge cases") {
+    val cases = Seq(
+      // decomposed base + combining acute composes
+      "e\u0301" -> "\u00e9",
+      // already-NFC input unchanged
+      "\u00e9" -> "\u00e9",
+      "" -> "",
+      "plain ascii" -> "plain ascii",
+      // Hangul jamo sequence composes to the precomposed syllable
+      "\u1100\u1161\u11a8" -> "\uac01",
+      // singleton: Angstrom sign maps to Latin capital A with ring
+      "\u212b" -> "\u00c5",
+      // canonical reordering: dot-above (ccc 230) sorts after dot-below (220)
+      "q\u0307\u0323" -> "q\u0323\u0307")
+    val df = cases.map(_._1).toDF("s")
+      .select(UnicodeExpressions.nfc(col("s")).as("n"))
+    assert(df.as[String].collect().toSeq === cases.map(_._2))
+    // SQL registry path + idempotence over real data with appended marks
+    Tables.documents(spark, d).limit(20)
+      .createOrReplaceTempView("nfc_docs")
+    val r = spark.sql(
+      "SELECT nfc(concat(text, ' e\u0301')) AS a, " +
+        "nfc(nfc(concat(text, ' e\u0301'))) AS b FROM nfc_docs").collect()
+    assert(r.length === 20)
+    r.foreach { row =>
+      assert(row.getString(0) === row.getString(1))
+      assert(row.getString(0).endsWith(" \u00e9"))
+    }
+  }
 }

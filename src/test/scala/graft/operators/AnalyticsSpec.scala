@@ -494,4 +494,33 @@ class AnalyticsSpec extends SparkTestBase {
     }
     q.unpersist()
   }
+
+  test("psi drift: non-negative, zero on identical halves, one segment by hand") {
+    val q = Analytics.psiDrift(spark, sf0001).cache()
+    assert(q.count() > 0)
+    assert(q.filter($"psi" < 0).count() === 0)
+    // hand-recompute one segment with Laplace smoothing over 10 bins
+    val row = q.orderBy($"seg").head()
+    val seg = row.getAs[String]("seg")
+    val vals = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001)
+        .filter($"c_mktsegment" === seg),
+        $"o_custkey" === $"c_custkey")
+      .select(year($"o_orderdate").as("y"),
+        round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      .as[(Int, Long)].collect()
+    def bin(c: Long): Int = math.min((c / 5000000L).toInt, 9)
+    val base = vals.filter(_._1 <= 1997).map(v => bin(v._2))
+    val curr = vals.filter(_._1 >= 1998).map(v => bin(v._2))
+    val psi = (0 to 9).map { b =>
+      val pa = (base.count(_ == b) + 1.0) / (base.length + 10)
+      val pb = (curr.count(_ == b) + 1.0) / (curr.length + 10)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    assert(row.getAs[Long]("n_base") === base.length.toLong)
+    assert(row.getAs[Long]("n_curr") === curr.length.toLong)
+    assert(math.abs(row.getAs[Double]("psi") -
+      math.rint(psi * 1e6) / 1e6) < 2e-6)
+    q.unpersist()
+  }
 }

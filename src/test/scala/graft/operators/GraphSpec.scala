@@ -177,4 +177,25 @@ class GraphSpec extends SparkTestBase {
     assert(matched.filter($"hops" === 0).count() > 0)
     matched.unpersist(); sp.unpersist(); bfs.unpersist()
   }
+
+  test("3-core equals a driver-side sequential peel") {
+    val got = Graph.threeCore(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    // sequential reference peel on collected edges
+    val edges = Graph.eventEdges(spark, sf0001)
+      .as[(String, String)].collect()
+    var adj = edges.groupBy(_._1).map { case (k, v) =>
+      k -> scala.collection.mutable.Set(v.map(_._2): _*) }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (k, v) if v.size < 3 => k }.toSet
+      changed = drop.nonEmpty
+      adj = adj.collect { case (k, v) if !drop(k) =>
+        k -> v.filterNot(drop) }
+    }
+    val want = adj.map { case (k, v) => k -> v.size.toLong }
+    assert(got === want, s"got ${got.size} nodes, want ${want.size}")
+    // every member of the 3-core has in-core degree >= 3
+    assert(got.values.forall(_ >= 3))
+  }
 }
