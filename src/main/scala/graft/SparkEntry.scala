@@ -234,6 +234,10 @@ object SparkEntry {
     "q206_nfc_normalize" -> (TextQueries.unicodeNormalize(_, _)),
     "q207_three_core" -> ((s, d) => Graph.threeCore(s, d)),
     "q208_psi_drift" -> (Analytics.psiDrift(_, _)),
+    "q209_price_volume_mix" -> (Analytics.priceVolumeMix(_, _)),
+    "q210_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
+    "q211_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "q213_bh_fdr" -> (Analytics.bhFdr(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2002,5 +2006,105 @@ object SparkEntry {
         "((cc + 1) / (n_curr + 10)))), 6) AS psi " +
         "FROM f JOIN tot ON f.seg = tot.seg " +
         "GROUP BY f.seg, n_base, n_curr"),
+    "q209_price_volume_mix" ->
+      ("WITH pp AS (SELECT l_partkey, " +
+        "sum(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity " +
+        "ELSE 0 END) AS q1, " +
+        "sum(CASE WHEN year(l_shipdate) = 1998 THEN l_quantity " +
+        "ELSE 0 END) AS q2, " +
+        "sum(CASE WHEN year(l_shipdate) = 1997 THEN " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) " +
+        "AS r1, " +
+        "sum(CASE WHEN year(l_shipdate) = 1998 THEN " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) " +
+        "AS r2 FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) " +
+        "GROUP BY l_partkey), " +
+        "j AS (SELECT p_brand, q1, q2, r1, r2, " +
+        "(r1 / 100.0) / q1 AS p1, (r2 / 100.0) / q2 AS p2, " +
+        "q1 > 0 AND q2 > 0 AS b FROM pp " +
+        "JOIN part ON l_partkey = p_partkey), " +
+        "g AS (SELECT p_brand, " +
+        "sum(r1) / 100.0 AS rev1, sum(r2) / 100.0 AS rev2, " +
+        "sum(CASE WHEN q1 = 0 THEN r2 ELSE 0 END) / 100.0 AS new_eff, " +
+        "-sum(CASE WHEN q2 = 0 THEN r1 ELSE 0 END) / 100.0 AS lost_eff, " +
+        "sum(CASE WHEN b THEN CAST(q2 * (p2 - p1) AS DECIMAL(30,12)) " +
+        "ELSE CAST(0 AS DECIMAL(30,12)) END) AS price_dec, " +
+        "CAST(sum(CASE WHEN b THEN " +
+        "CAST((q2 - q1) * p1 AS DECIMAL(30,12)) " +
+        "ELSE CAST(0 AS DECIMAL(30,12)) END) AS DOUBLE) AS volmix, " +
+        "sum(CASE WHEN b THEN q1 ELSE 0 END) AS q1b, " +
+        "sum(CASE WHEN b THEN q2 ELSE 0 END) AS q2b, " +
+        "sum(CASE WHEN b THEN r1 ELSE 0 END) AS r1b FROM j " +
+        "GROUP BY p_brand) " +
+        "SELECT p_brand, rev1, rev2, new_eff, lost_eff, " +
+        "CAST(round(price_dec, 4) AS DOUBLE) AS price_eff, " +
+        "round(CASE WHEN q1b > 0 THEN (q2b - q1b) * " +
+        "((r1b / 100.0) / q1b) ELSE 0.0 END, 4) AS volume_eff, " +
+        "round(volmix - CASE WHEN q1b > 0 THEN (q2b - q1b) * " +
+        "((r1b / 100.0) / q1b) ELSE 0.0 END, 4) AS mix_eff FROM g"),
+    "q210_adamic_adar" ->
+      ("WITH uk AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "deg AS (SELECT k, round(1.0 / ln(count(*)), 9) AS term FROM uk " +
+        "GROUP BY k HAVING count(*) >= 2), " +
+        "qs AS (SELECT DISTINCT u FROM uk ORDER BY u LIMIT 25), " +
+        "qi AS (SELECT uk.u AS q, uk.k, term FROM uk " +
+        "JOIN qs ON uk.u = qs.u JOIN deg ON uk.k = deg.k), " +
+        "pairs AS (SELECT q, c.u AS cand, " +
+        "sum(CAST(term AS DECIMAL(30,12))) AS aa_exact, " +
+        "count(*) AS common FROM qi JOIN uk c ON qi.k = c.k " +
+        "AND qi.q <> c.u GROUP BY q, c.u) " +
+        "SELECT q, cand, rk, common, " +
+        "CAST(round(aa_exact, 6) AS DOUBLE) AS aa FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q " +
+        "ORDER BY aa_exact DESC, cand) AS rk FROM pairs) " +
+        "WHERE rk <= 5"),
+    "q211_assortativity" ->
+      ("WITH uk AS (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk " +
+        "UNION ALL SELECT b, a FROM uk), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+        "m AS (SELECT count(*) AS n, sum(x.deg) AS sx, " +
+        "sum(y.deg) AS sy, sum(x.deg * x.deg) AS sxx, " +
+        "sum(y.deg * y.deg) AS syy, sum(x.deg * y.deg) AS sxy " +
+        "FROM e JOIN deg x ON e.src = x.src " +
+        "JOIN deg y ON e.dst = y.src) " +
+        "SELECT n AS n_edges, " +
+        "round((n * sxy - sx * sy) / " +
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+        "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity, " +
+        "round(sx / CAST(n AS DOUBLE), 4) AS avg_deg FROM m"),
+    "q213_bh_fdr" ->
+      ("WITH o AS (SELECT n_name, o_totalprice AS v, " +
+        "count(*) FILTER (WHERE year(o_orderdate) = 1997) AS na, " +
+        "count(*) FILTER (WHERE year(o_orderdate) = 1998) AS nb " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE year(o_orderdate) IN (1997, 1998) " +
+        "GROUP BY n_name, o_totalprice), " +
+        "c AS (SELECT n_name, " +
+        "sum(na) OVER w AS ca, sum(nb) OVER w AS cb, " +
+        "sum(na) OVER (PARTITION BY n_name) AS ta, " +
+        "sum(nb) OVER (PARTITION BY n_name) AS tb FROM o " +
+        "WINDOW w AS (PARTITION BY n_name ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "pn AS (SELECT n_name, max(ta) AS n_a, max(tb) AS n_b, " +
+        "max(abs(ca / ta - cb / tb)) AS dr FROM c GROUP BY n_name), " +
+        "p AS (SELECT n_name, n_a, n_b, dr, least(1.0, 2.0 * " +
+        "exp(-2.0 * dr * dr * (n_a * n_b / " +
+        "CAST(n_a + n_b AS DOUBLE)))) AS p FROM pn), " +
+        "r AS (SELECT *, count(*) OVER () AS m, " +
+        "row_number() OVER (ORDER BY p, n_name) AS rk FROM p), " +
+        "a AS (SELECT *, least(1.0, min(p * m / rk) OVER " +
+        "(ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW)) AS padj FROM r) " +
+        "SELECT n_name, n_a, n_b, round(dr, 6) AS d, rk, " +
+        "round(p, 8) AS p_raw, round(padj, 8) AS p_adj, " +
+        "padj <= 0.1 AS significant FROM a"),
   )
 }

@@ -678,6 +678,119 @@ object Analytics {
           .as("cogs"))
   }
 
+  /** Benjamini-Hochberg FDR correction over a family of per-nation
+    * two-sample KS tests (1997 vs 1998 order-value distributions) —
+    * the standard multiple-testing control when a pipeline runs one
+    * drift test per segment. Per nation: ecdf-gap D from exact integer
+    * cumulative counts (single divisions, bit-identical), asymptotic
+    * p = min(1, 2·exp(−2·D²·nm/(n+m))); then the BH step-up is a
+    * REVERSED running minimum of p·m/rank over the p-ascending order
+    * (rank ties broken by nation name). Everything after the per-nation
+    * reduction is a 25-row window pass. At 100 TB: the per-(nation,
+    * value) pre-aggregation is the only wide shuffle; the KS scan per
+    * nation is a window over value order, partition-parallel across
+    * nations. */
+  def bhFdr(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1997, 1998))
+      .groupBy(col("n_name"), col("o_totalprice").as("v"))
+      .agg(count_if(year(col("o_orderdate")) === 1997).as("na"),
+        count_if(year(col("o_orderdate")) === 1998).as("nb"))
+    val wCum = Window.partitionBy(col("n_name")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("n_name"))
+    val perNation = o
+      .withColumn("ta", sum(col("na")).over(wAll))
+      .withColumn("tb", sum(col("nb")).over(wAll))
+      .withColumn("gap", abs(sum(col("na")).over(wCum) / col("ta") -
+        sum(col("nb")).over(wCum) / col("tb")))
+      .groupBy(col("n_name"))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        max(col("gap")).as("dr"))
+      .withColumn("p", least(lit(1.0), lit(2.0) *
+        exp(lit(-2.0) * col("dr") * col("dr") *
+          (col("n_a") * col("n_b") /
+            (col("n_a") + col("n_b")).cast("double")))))
+    val m = count(lit(1)).over(Window.partitionBy())
+    val wRank = Window.orderBy(col("p"), col("n_name"))
+    val wStepUp = Window.orderBy(col("rk").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perNation
+      .withColumn("m", m)
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("p_adj", least(lit(1.0),
+        min(col("p") * col("m") / col("rk")).over(wStepUp)))
+      .select(col("n_name"), col("n_a"), col("n_b"),
+        round(col("dr"), 6).as("d"), col("rk"),
+        round(col("p"), 8).as("p_raw"),
+        round(col("p_adj"), 8).as("p_adj"),
+        (col("p_adj") <= 0.1).as("significant"))
+  }
+
+  /** Price-volume-mix bridge: decomposes per-brand revenue change from
+    * ship-year 1997 to 1998 into new-part, lost-part, price, volume and
+    * mix effects — the standard FP&A waterfall. Per-part unit prices are
+    * single divisions of EXACT integers (cents-as-long revenue, integer
+    * quantities summed in double where they are exact), so every
+    * per-part effect term is a handful of bit-identical IEEE ops; the
+    * per-brand reductions of those terms run in DECIMAL(30,12) where
+    * reassociation is lossless (NOTES_r4's float-summation rule). The
+    * identity new+lost+price+volume+mix = Δrevenue holds to rounding
+    * and is asserted in the spec. At 100 TB: the year filter pushes to
+    * the scan, the per-(part, year) rollup is the only wide shuffle
+    * (partial-aggregated), part is a broadcast dim, and the brand-level
+    * pass reduces parts→25 rows. */
+  def priceVolumeMix(s: SparkSession, d: String): DataFrame = {
+    val yr = year(col("l_shipdate"))
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val perPart = lineitem(s, d)
+      .filter(yr.isin(1997, 1998))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(yr === 1997, col("l_quantity")).otherwise(0.0)).as("q1"),
+        sum(when(yr === 1998, col("l_quantity")).otherwise(0.0)).as("q2"),
+        sum(when(yr === 1997, cents).otherwise(0L)).as("r1"),
+        sum(when(yr === 1998, cents).otherwise(0L)).as("r2"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val both = col("q1") > 0 && col("q2") > 0
+    val p1 = (col("r1") / 100.0) / col("q1")
+    val p2 = (col("r2") / 100.0) / col("q2")
+    val dec = (c: Column) => c.cast("decimal(30,12)")
+    // revenue columns stay UNROUNDED exact-cents/100 doubles (identical
+    // bit patterns both engines); decimal-summed effects round IN
+    // DECIMAL (half-up on exact digits — engine-identical), and only
+    // the volume/mix pair rounds in double space
+    val vol = when(col("q1b") > 0, (col("q2b") - col("q1b")) *
+      ((col("r1b") / 100.0) / col("q1b"))).otherwise(lit(0.0))
+    perPart.groupBy(col("p_brand"))
+      .agg(
+        (sum(col("r1")) / 100.0).as("rev1"),
+        (sum(col("r2")) / 100.0).as("rev2"),
+        (sum(when(col("q1") === 0, col("r2")).otherwise(0L)) / 100.0)
+          .as("new_eff"),
+        (-sum(when(col("q2") === 0, col("r1")).otherwise(0L)) / 100.0)
+          .as("lost_eff"),
+        sum(when(both, dec(col("q2") * (p2 - p1))).otherwise(dec(lit(0))))
+          .as("price_dec"),
+        sum(when(both, dec((col("q2") - col("q1")) * p1))
+          .otherwise(dec(lit(0)))).cast("double").as("volmix"),
+        sum(when(both, col("q1")).otherwise(0.0)).as("q1b"),
+        sum(when(both, col("q2")).otherwise(0.0)).as("q2b"),
+        sum(when(both, col("r1")).otherwise(0L)).as("r1b"))
+      .select(col("p_brand"), col("rev1"), col("rev2"),
+        col("new_eff"), col("lost_eff"),
+        round(col("price_dec"), 4).cast("double").as("price_eff"),
+        round(vol, 4).as("volume_eff"),
+        round(col("volmix") - vol, 4).as("mix_eff"))
+  }
+
   /** Population Stability Index — the standard model-monitoring drift
     * score — of the order-value distribution per market segment,
     * baseline (≤1997) vs current (≥1998). Values bin into ten fixed

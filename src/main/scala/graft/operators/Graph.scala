@@ -426,6 +426,81 @@ object Graph {
     frames.reduce(_ unionByName _)
   }
 
+  /** Adamic-Adar link prediction over the bipartite interaction graph:
+    * for each of the [[AaQueries]] lowest-id query users, the top-5
+    * candidate users ranked by AA = Σ_k 1/ln(deg(k)) over shared items
+    * k — the classic common-neighbor index that down-weights popular
+    * items. The per-QUERY-user formulation is the one that scales:
+    * all-pairs AA is quadratic in users (item degrees here grow
+    * linearly with the corpus), while candidate generation for a query
+    * set is bounded by |queries| × Σ deg(items of query). Per-pair
+    * sums of the 1/ln terms run in DECIMAL(30,12) — each term is one
+    * division on an exact integer degree, quantized at 9dp so the
+    * engines' last-ulp ln() differences cannot move the decimal cast;
+    * reassociation is then lossless. Ranking is (exact decimal score
+    * desc, candidate id) — fully deterministic. At 100 TB: one shuffle
+    * builds (user, item) distinct, the query set broadcasts, and the
+    * candidate join shuffles on item only for query-touched items. */
+  val AaQueries = 25
+
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val uk = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+      .localCheckpoint() // degree pass + both sides of the candidate join
+    val deg = uk.groupBy(col("k")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("k"), round(lit(1.0) / log(col("deg")), 9).as("term"))
+    val queries = uk.select(col("u")).distinct()
+      .orderBy(col("u")).limit(AaQueries)
+    val qItems = uk.join(broadcast(queries), Seq("u"))
+      .select(col("u").as("q"), col("k"))
+      .join(deg, Seq("k"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("aa_exact").desc, col("cand"))
+    qItems
+      .join(uk.select(col("k"), col("u").as("cand")), Seq("k"))
+      .filter(col("q") =!= col("cand"))
+      .groupBy(col("q"), col("cand"))
+      .agg(sum(col("term").cast("decimal(30,12)")).as("aa_exact"),
+        count(lit(1)).as("common"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q"), col("cand"), col("rk"), col("common"),
+        round(col("aa_exact"), 6).cast("double").as("aa"))
+  }
+
+  /** Degree assortativity of the interaction graph: the Pearson
+    * correlation of endpoint degrees over the directed edge list (both
+    * directions, so the coefficient is the undirected one). Every sum
+    * in the correlation is an EXACT integer sum (degrees are counts;
+    * their products fit comfortably in long), so the final expression
+    * is a fixed handful of IEEE ops on identical integers — no float
+    * summation anywhere. At 100 TB: degrees are one map-side-combined
+    * aggregate, the two degree attachments shuffle on node id, and the
+    * moment reduction is a single-row partial agg. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = eventEdges(s, d)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // attached on both endpoints
+    val xy = e.join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("assortativity"),
+        round(col("sx") / col("n").cast("double"), 4).as("avg_deg"))
+  }
+
   /** 3-core of the interaction graph via iterative peeling: drop every
     * node with degree < 3, delete its edges, repeat until stable — the
     * standard k-core fixpoint (the result is order-independent, so the

@@ -495,6 +495,50 @@ class AnalyticsSpec extends SparkTestBase {
     q.unpersist()
   }
 
+  test("price-volume-mix: waterfall identity and one brand brute-forced") {
+    val q = Analytics.priceVolumeMix(spark, sf0001).cache()
+    assert(q.count() > 0)
+    // new + lost + price + volume + mix must bridge rev1 → rev2 for
+    // every brand (each effect rounded at 4dp, so tolerance is loose)
+    q.collect().foreach { r =>
+      val bridge = r.getAs[Double]("new_eff") + r.getAs[Double]("lost_eff") +
+        r.getAs[Double]("price_eff") + r.getAs[Double]("volume_eff") +
+        r.getAs[Double]("mix_eff")
+      val delta = r.getAs[Double]("rev2") - r.getAs[Double]("rev1")
+      assert(math.abs(bridge - delta) < 1e-2,
+        s"brand ${r.getAs[String]("p_brand")}: bridge $bridge vs $delta")
+    }
+    // brute-force one brand from raw rows
+    val brand = q.orderBy($"p_brand").head().getAs[String]("p_brand")
+    val rows = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001).filter($"p_brand" === brand),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", year($"l_shipdate").as("y"),
+        $"l_quantity", round($"l_extendedprice" * 100, 0).cast("long")
+          .as("c"))
+      .filter($"y".isin(1997, 1998))
+      .as[(Long, Int, Double, Long)].collect()
+    val byPart = rows.groupBy(_._1).map { case (pk, rs) =>
+      val q1 = rs.filter(_._2 == 1997).map(_._3).sum
+      val q2 = rs.filter(_._2 == 1998).map(_._3).sum
+      val r1 = rs.filter(_._2 == 1997).map(_._4).sum
+      val r2 = rs.filter(_._2 == 1998).map(_._4).sum
+      (pk, q1, q2, r1, r2)
+    }.toSeq
+    val got = q.filter($"p_brand" === brand).head()
+    assert(got.getAs[Double]("rev1") === byPart.map(_._4).sum / 100.0)
+    assert(got.getAs[Double]("rev2") === byPart.map(_._5).sum / 100.0)
+    val newE = byPart.filter(_._2 == 0).map(_._5).sum / 100.0
+    val lostE = -byPart.filter(_._3 == 0).map(_._4).sum / 100.0
+    assert(got.getAs[Double]("new_eff") === newE)
+    assert(got.getAs[Double]("lost_eff") === lostE)
+    val priceE = byPart.filter(p => p._2 > 0 && p._3 > 0).map { p =>
+      p._3 * ((p._5 / 100.0) / p._3 - (p._4 / 100.0) / p._2)
+    }.sum
+    assert(math.abs(got.getAs[Double]("price_eff") - priceE) < 1e-3)
+    q.unpersist()
+  }
+
   test("psi drift: non-negative, zero on identical halves, one segment by hand") {
     val q = Analytics.psiDrift(spark, sf0001).cache()
     assert(q.count() > 0)

@@ -178,6 +178,63 @@ class GraphSpec extends SparkTestBase {
     matched.unpersist(); sp.unpersist(); bfs.unpersist()
   }
 
+  test("adamic-adar matches a driver-side brute force") {
+    val got = Graph.adamicAdar(spark, sf0001)
+      .as[(Long, Long, Int, Long, Double)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(got.length > 0)
+    // brute force over collected (user, item) pairs with the same
+    // query-set and 9dp term quantization
+    val uk = Tables.events(spark, sf0001)
+      .select($"user_id", get_json_object($"props", "$.k").cast("int")
+        .as("k"))
+      .filter($"k".isNotNull)
+      .distinct()
+      .as[(Long, Int)].collect()
+    val deg = uk.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val terms = deg.collect { case (k, n) if n >= 2 =>
+      k -> (math.rint(1.0 / math.log(n) * 1e9) / 1e9) }
+    val queries = uk.map(_._1).distinct.sorted.take(Graph.AaQueries)
+    val byUser = uk.groupBy(_._1).map { case (u, v) =>
+      u -> v.map(_._2).filter(terms.contains).toSet }
+    val want = queries.flatMap { q =>
+      val cands = byUser.toSeq.collect {
+        case (c, ks) if c != q && (ks & byUser(q)).nonEmpty =>
+          val shared = (ks & byUser(q)).toSeq
+          (c, shared.map(k => BigDecimal(terms(k))).sum, shared.size.toLong)
+      }
+      cands.sortBy { case (c, aa, _) => (-aa, c) }.take(5).zipWithIndex
+        .map { case ((c, aa, cn), i) => (q, c, i + 1, cn, aa) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((q, c, rk, cn, aa), (wq, wc, wrk, wcn, waa)) =>
+      assert((q, c, rk, cn) === (wq, wc, wrk, wcn))
+      assert(math.abs(aa - waa.toDouble) < 1e-6)
+    }
+  }
+
+  test("assortativity matches exact integer moments on collected edges") {
+    val r = Graph.assortativity(spark, sf0001).head()
+    val edges = Graph.eventEdges(spark, sf0001)
+      .as[(String, String)].collect()
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val xy = edges.map { case (s0, d0) => (deg(s0), deg(d0)) }
+    val n = BigInt(xy.length)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sy = xy.map(p => BigInt(p._2)).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val syy = xy.map(p => BigInt(p._2) * p._2).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(r.getAs[Long]("n_edges") === xy.length.toLong)
+    assert(math.abs(r.getAs[Double]("assortativity") -
+      math.rint(want * 1e6) / 1e6) < 2e-6)
+    // bipartite graphs with heterogeneous degrees are disassortative
+    assert(r.getAs[Double]("assortativity") < 0.5)
+  }
+
   test("3-core equals a driver-side sequential peel") {
     val got = Graph.threeCore(spark, sf0001)
       .as[(String, Long)].collect().toMap
