@@ -238,6 +238,7 @@ object SparkEntry {
     "q210_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "q211_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
     "q213_bh_fdr" -> (Analytics.bhFdr(_, _)),
+    "q214_isotonic_calibration" -> (Analytics.isotonicCalibration(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2106,5 +2107,30 @@ object SparkEntry {
         "SELECT n_name, n_a, n_b, round(dr, 6) AS d, rk, " +
         "round(p, 8) AS p_raw, round(padj, 8) AS p_adj, " +
         "padj <= 0.1 AS significant FROM a"),
+    "q214_isotonic_calibration" ->
+      ("WITH e AS (SELECT CAST(user_id % 3 AS INT) AS model, " +
+        "CAST(least(floor(CAST(round(value * 100, 0) AS BIGINT) " +
+        "/ 2500), 19) AS INT) AS bin, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events), " +
+        "c AS (SELECT model, bin, count(*) AS n, sum(y) AS pos " +
+        "FROM e GROUP BY model, bin), " +
+        "idx AS (SELECT *, row_number() OVER (PARTITION BY model " +
+        "ORDER BY bin) AS i FROM c), " +
+        "pre AS (SELECT *, sum(n) OVER (PARTITION BY model " +
+        "ORDER BY i) AS cn, sum(pos) OVER (PARTITION BY model " +
+        "ORDER BY i) AS cp FROM idx), " +
+        "trip AS (SELECT i.model, i.i AS i, j.i AS j, " +
+        "min((k.cp - (j.cp - j.pos)) / " +
+        "CAST(k.cn - (j.cn - j.n) AS DOUBLE)) AS mr " +
+        "FROM pre i JOIN pre j ON j.model = i.model AND j.i <= i.i " +
+        "JOIN pre k ON k.model = i.model AND k.i >= i.i " +
+        "GROUP BY i.model, i.i, j.i), " +
+        "fit AS (SELECT model, i, max(mr) AS iso FROM trip " +
+        "GROUP BY model, i) " +
+        "SELECT c.model, c.bin, c.n, c.pos, " +
+        "round(c.pos / CAST(c.n AS DOUBLE), 6) AS rate_raw, " +
+        "round(fit.iso, 6) AS rate_iso FROM idx c JOIN fit " +
+        "ON c.model = fit.model AND c.i = fit.i"),
   )
 }

@@ -47,6 +47,14 @@ object AggregateKernels {
   def misraGries(item: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGries(ColumnBridge.expression(item), k).toAggregateExpression())
+
+  /** Column API: weighted isotonic (nondecreasing) fit of binary
+    * outcomes over a fixed bin grid, as sorted
+    * array<struct<bin,n,pos,rate_iso>>. */
+  def isotonicPava(bin: Column, y: Column, bins: Int): Column =
+    ColumnBridge.column(
+      IsotonicPava(ColumnBridge.expression(bin),
+        ColumnBridge.expression(y), bins).toAggregateExpression())
 }
 
 /** Misra-Gries frequent-items sketch over string items: at most k
@@ -426,6 +434,143 @@ object VectorSumBuffer {
       var i = 0
       while (i < n) { b.sums(i) = bb.getDouble; i += 1 }
     }
+    b
+  }
+}
+
+/** Weighted isotonic regression over a fixed bin grid via pool-adjacent-
+  * violators (PAVA) — the calibration step behind reliability curves
+  * (Platt/isotonic calibration of model scores). Input rows are
+  * (bin, y∈{0,1}); the buffer is two fixed-size count arrays, so the
+  * shuffle carries 2·B longs per group per mapper regardless of input
+  * size (the map-side-combine contract of this file). The fitted value
+  * of every pooled block is ONE double division of exact long counts,
+  * and PAVA's output equals the minimax formula
+  * max_{j≤i} min_{k≥i} avg(y[j..k]) over the same exact rationals —
+  * double rounding is monotone, so the oracle's quadratic minimax over
+  * single-division doubles is BIT-IDENTICAL to this sequential pool
+  * (the q97-q100 algorithm-diverse-oracle pattern: a hash match proves
+  * the algorithm, not just arithmetic). Block-merge comparisons use
+  * BigInt cross-multiplication — exact at any scale, no float ties. */
+@ExpressionDescription(
+  usage = "isotonic_pava(bin, y) - nondecreasing fit per bin as array<struct<bin int, n bigint, pos bigint, rate_iso double>>")
+case class IsotonicPava(left: Expression, right: Expression, bins: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[PavaBuffer] {
+
+  require(bins > 0 && bins <= 4096, "isotonic_pava: 1 <= bins <= 4096")
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(IsotonicPava.EntryType, containsNull = false)
+  override def prettyName: String = "isotonic_pava"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, bigint), got " +
+          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def createAggregationBuffer(): PavaBuffer = new PavaBuffer(bins)
+
+  override def update(buf: PavaBuffer, input: InternalRow): PavaBuffer = {
+    val b = left.eval(input)
+    val y = right.eval(input)
+    if (b != null && y != null)
+      buf.add(b.asInstanceOf[Int], y.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: PavaBuffer, b: PavaBuffer): PavaBuffer = {
+    a.absorb(b); a
+  }
+
+  override def eval(buf: PavaBuffer): Any = {
+    // collect nonempty bins in bin order, then sequential PAVA: push a
+    // block per bin, merge backward while the nondecreasing constraint
+    // is violated (exact BigInt cross-multiplication comparison)
+    val idx = (0 until bins).filter(buf.n(_) > 0)
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long)] // (first bin position in idx, pos, n)
+    idx.indices.foreach { i =>
+      var blk = (i, buf.pos(idx(i)), buf.n(idx(i)))
+      while (stack.nonEmpty && {
+        val t = stack.last
+        // violation: rate(blk) < rate(top)  ⇔  pos_b·n_t < pos_t·n_b
+        BigInt(blk._2) * t._3 < BigInt(t._2) * blk._3
+      }) {
+        val t = stack.remove(stack.length - 1)
+        blk = (t._1, t._2 + blk._2, t._3 + blk._3)
+      }
+      stack += blk
+    }
+    // each block covers the idx positions [first, next block's first)
+    val out = new Array[Any](idx.length)
+    stack.indices.foreach { s =>
+      val (first, p, nTot) = stack(s)
+      val end = if (s + 1 < stack.length) stack(s + 1)._1 else idx.length
+      val rate = p.toDouble / nTot.toDouble
+      (first until end).foreach { u =>
+        val b = idx(u)
+        out(u) = InternalRow(b, buf.n(b), buf.pos(b), rate)
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: PavaBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): PavaBuffer =
+    PavaBuffer.fromBytes(bins, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): IsotonicPava =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): IsotonicPava =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : IsotonicPava = copy(left = c(0), right = c(1))
+}
+
+object IsotonicPava {
+  val EntryType: StructType = StructType(Seq(
+    StructField("bin", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("rate_iso", DoubleType, nullable = false)))
+}
+
+final class PavaBuffer(val bins: Int) {
+  val pos: Array[Long] = new Array[Long](bins)
+  val n: Array[Long] = new Array[Long](bins)
+
+  def add(bin: Int, y: Long): Unit = {
+    require(bin >= 0 && bin < bins,
+      s"isotonic_pava: bin $bin outside [0, $bins)")
+    pos(bin) += y
+    n(bin) += 1
+  }
+
+  def absorb(other: PavaBuffer): Unit = {
+    var i = 0
+    while (i < bins) { pos(i) += other.pos(i); n(i) += other.n(i); i += 1 }
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 * bins)
+    var i = 0
+    while (i < bins) { bb.putLong(pos(i)); bb.putLong(n(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object PavaBuffer {
+  def fromBytes(bins: Int, bytes: Array[Byte]): PavaBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new PavaBuffer(bins)
+    var i = 0
+    while (i < bins) { b.pos(i) = bb.getLong; b.n(i) = bb.getLong; i += 1 }
     b
   }
 }

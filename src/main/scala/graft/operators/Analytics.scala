@@ -678,6 +678,34 @@ object Analytics {
           .as("cogs"))
   }
 
+  /** Isotonic calibration curve via the native PAVA aggregate
+    * ([[graft.functions.IsotonicPava]]): per model (a deterministic
+    * user split), event values bin into 20 fixed 25-unit buckets on
+    * exact cents, outcome = purchase, and the nondecreasing fitted
+    * rate per bin comes out of ONE aggregation whose shuffle carries
+    * 2·20 longs per (group, mapper) — input-size-independent map-side
+    * combine. The DuckDB oracle computes the same fit via the
+    * QUADRATIC minimax formula max_{j≤i} min_{k≥i} avg(y[j..k]) —
+    * a hash match proves the sequential pooling algorithm against an
+    * algebraically different formulation (the q97-q100 pattern). Both
+    * sides' fitted values are single divisions of identical exact
+    * integers, so the compare is bit-exact. */
+  def isotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    val binned = events(s, d).select(
+      pmod(col("user_id"), lit(3)).cast("int").as("model"),
+      least(floor(round(col("value") * 100, 0) / 2500), lit(19L))
+        .cast("int").as("bin"),
+      (col("event_type") === "purchase").cast("long").as("y"))
+    binned.groupBy(col("model"))
+      .agg(graft.functions.AggregateKernels
+        .isotonicPava(col("bin"), col("y"), 20).as("fit"))
+      .select(col("model"), explode(col("fit")).as("e"))
+      .select(col("model"), col("e.bin").as("bin"), col("e.n").as("n"),
+        col("e.pos").as("pos"),
+        round(col("e.pos") / col("e.n"), 6).as("rate_raw"),
+        round(col("e.rate_iso"), 6).as("rate_iso"))
+  }
+
   /** Benjamini-Hochberg FDR correction over a family of per-nation
     * two-sample KS tests (1997 vs 1998 order-value distributions) —
     * the standard multiple-testing control when a pipeline runs one

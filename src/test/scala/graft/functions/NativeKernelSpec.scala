@@ -194,6 +194,29 @@ class NativeKernelSpec extends SparkTestBase {
     }
   }
 
+  test("isotonic pava: hand-derived fixture, merge path, invariants") {
+    val rows = Seq(
+      (0, 1L), (0, 0L), // rate 0.5
+      (1, 0L), (1, 0L), // rate 0.0 -> pools with bin 0 to 0.25
+      (2, 1L), (2, 1L), (2, 0L), (2, 0L), // 0.5 stands
+      (3, 1L), (3, 1L), (3, 1L), (3, 1L), (3, 0L)) // 0.8 stands
+    val df = rows.toDF("bin", "y").repartition(5) // force partial merges
+      .agg(AggregateKernels.isotonicPava(col("bin"), col("y"), 4).as("f"))
+      .select(explode(col("f")).as("e"))
+      .select(col("e.bin"), col("e.n"), col("e.pos"), col("e.rate_iso"))
+    val got = df.as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got === Array(
+      (0, 2L, 1L, 0.25), (1, 2L, 0L, 0.25),
+      (2, 4L, 2L, 0.5), (3, 5L, 4L, 0.8)))
+    // empty bins are skipped, already-monotone input is untouched
+    val mono = Seq((0, 0L), (2, 1L), (2, 0L), (3, 1L)).toDF("bin", "y")
+      .agg(AggregateKernels.isotonicPava(col("bin"), col("y"), 4).as("f"))
+      .select(explode(col("f")).as("e"))
+      .select(col("e.bin"), col("e.rate_iso"))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(mono === Array((0, 0.0), (2, 0.5), (3, 1.0)))
+  }
+
   test("nfc normalization matches java.text.Normalizer on edge cases") {
     val cases = Seq(
       // decomposed base + combining acute composes

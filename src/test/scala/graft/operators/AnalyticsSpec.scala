@@ -495,6 +495,81 @@ class AnalyticsSpec extends SparkTestBase {
     q.unpersist()
   }
 
+  test("bh fdr: full driver-side recompute of KS p-values and step-up") {
+    val got = Analytics.bhFdr(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("n_name"), r))
+      .toMap
+    assert(got.nonEmpty)
+    val rows = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf0001),
+        $"c_nationkey" === $"n_nationkey")
+      .filter(year($"o_orderdate").isin(1997, 1998))
+      .select($"n_name", year($"o_orderdate").as("y"), $"o_totalprice")
+      .as[(String, Int, Double)].collect()
+    val pByNation = rows.groupBy(_._1).map { case (nn, rs) =>
+      val byV = rs.groupBy(_._3).toSeq.sortBy(_._1)
+      val ta = rs.count(_._2 == 1997).toLong
+      val tb = rs.count(_._2 == 1998).toLong
+      var ca = 0L; var cb = 0L; var dmax = 0.0
+      byV.foreach { case (_, vs) =>
+        ca += vs.count(_._2 == 1997); cb += vs.count(_._2 == 1998)
+        val gap = math.abs(ca.toDouble / ta - cb.toDouble / tb)
+        if (gap > dmax) dmax = gap
+      }
+      val p = math.min(1.0,
+        2.0 * math.exp(-2.0 * dmax * dmax * (ta * tb / (ta + tb).toDouble)))
+      nn -> (ta, tb, dmax, p)
+    }
+    val m = pByNation.size
+    val ranked = pByNation.toSeq.sortBy { case (nn, (_, _, _, p)) => (p, nn) }
+    var runMin = Double.MaxValue
+    val adj = ranked.zipWithIndex.reverse.map { case ((nn, (_, _, _, p)), i) =>
+      runMin = math.min(runMin, p * m / (i + 1))
+      (nn, i + 1, p, math.min(1.0, runMin))
+    }
+    adj.foreach { case (nn, rk, p, padj) =>
+      val r = got(nn)
+      assert(r.getAs[Int]("rk") === rk, s"$nn rank")
+      assert(math.abs(r.getAs[Double]("p_raw") -
+        math.rint(p * 1e8) / 1e8) < 2e-8, s"$nn p_raw")
+      assert(math.abs(r.getAs[Double]("p_adj") -
+        math.rint(padj * 1e8) / 1e8) < 2e-8, s"$nn p_adj")
+      assert(r.getAs[Boolean]("significant") === (padj <= 0.1), s"$nn sig")
+    }
+  }
+
+  test("isotonic calibration: monotone fit matching a driver-side PAVA") {
+    val got = Analytics.isotonicCalibration(spark, sf0001)
+      .as[(Int, Int, Long, Long, Double, Double)].collect()
+      .groupBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (model, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // nondecreasing fitted rates
+      assert(sorted.map(_._6).sliding(2)
+        .forall(w => w.length < 2 || w(0) <= w(1)), s"model $model monotone")
+      // driver-side PAVA on the same (pos, n) bins
+      val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      sorted.foreach { r =>
+        var blk = (r._4, r._3, 1)
+        while (stack.nonEmpty &&
+            BigInt(blk._1) * stack.last._2 < BigInt(stack.last._1) * blk._2) {
+          val t = stack.remove(stack.length - 1)
+          blk = (t._1 + blk._1, t._2 + blk._2, t._3 + blk._3)
+        }
+        stack += blk
+      }
+      val want = stack.flatMap { case (p, n, c) =>
+        Seq.fill(c)(math.rint(p.toDouble / n.toDouble * 1e6) / 1e6) }
+      assert(sorted.map(_._6).toSeq === want.toSeq, s"model $model fit")
+      // weighted mean conservation: sum n*fit == sum pos (PAVA invariant)
+      val lhs = sorted.map(r => r._3 * r._6).sum
+      assert(math.abs(lhs - sorted.map(_._4).sum) < 1.0, s"model $model mass")
+    }
+  }
+
   test("price-volume-mix: waterfall identity and one brand brute-forced") {
     val q = Analytics.priceVolumeMix(spark, sf0001).cache()
     assert(q.count() > 0)
