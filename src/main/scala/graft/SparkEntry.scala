@@ -237,6 +237,7 @@ object SparkEntry {
     "q209_price_volume_mix" -> (Analytics.priceVolumeMix(_, _)),
     "q210_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "q211_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "q212_pca_power" -> (graft.similarity.PCA.powerIteration(_, _)),
     "q213_bh_fdr" -> (Analytics.bhFdr(_, _)),
     "q214_isotonic_calibration" -> (Analytics.isotonicCalibration(_, _)),
   )
@@ -2080,6 +2081,44 @@ object SparkEntry {
         "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
         "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity, " +
         "round(sx / CAST(n AS DOUBLE), 4) AS avg_deg FROM m"),
+    "q212_pca_power" -> {
+      // MATERIALIZED rounds: each round reads the previous twice
+      // (mat-vec + norm); inlined CTEs would recompute exponentially
+      val rounds = (1 to 6).map { r =>
+        s"w$r AS MATERIALIZED (SELECT cov.i, " +
+          "CAST(sum(CAST(c * v AS DECIMAL(30,12))) AS DOUBLE) AS w " +
+          s"FROM cov JOIN v${r - 1} ON cov.j = v${r - 1}.j " +
+          "GROUP BY cov.i), " +
+          s"n$r AS MATERIALIZED (SELECT " +
+          "sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE)) " +
+          s"AS nrm FROM w$r), " +
+          s"v$r AS MATERIALIZED (SELECT i AS j, round(w / nrm, 9) AS v " +
+          s"FROM w$r, n$r)"
+      }.mkString(", ")
+      "WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "px AS (SELECT vec_id, unnest(range(0, len(emb))) AS i, " +
+        "unnest(emb) AS x FROM ve), " +
+        "lin AS (SELECT i, sum(t // 1000000000) AS shi, " +
+        "sum(t % 1000000000) AS slo, count(*) AS n FROM " +
+        "(SELECT i, CAST(floor(x * 1e9) AS BIGINT) AS t FROM px) " +
+        "GROUP BY i), " +
+        "m AS (SELECT i, CAST(CAST(shi AS DECIMAL(38,0)) * 1000000000 " +
+        "+ slo AS DOUBLE) / 1e9 / n AS m FROM lin), " +
+        "sxy AS (SELECT i, j, sum(t // 1000000000) AS shi, " +
+        "sum(t % 1000000000) AS slo, count(*) AS n FROM " +
+        "(SELECT a.i AS i, b.i AS j, " +
+        "CAST(floor(a.x * b.x * 1e9) AS BIGINT) AS t " +
+        "FROM px a JOIN px b ON a.vec_id = b.vec_id) GROUP BY i, j), " +
+        "cov AS MATERIALIZED (SELECT sxy.i, sxy.j, " +
+        "round(CAST(CAST(sxy.shi AS DECIMAL(38,0)) * 1000000000 " +
+        "+ sxy.slo AS DOUBLE) / 1e9 / sxy.n - mi.m * mj.m, 9) AS c " +
+        "FROM sxy JOIN m mi ON sxy.i = mi.i JOIN m mj ON sxy.j = mj.i), " +
+        "v0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS v FROM m), " +
+        rounds +
+        " SELECT v6.j AS pos, v6.v AS loading, " +
+        "round(n6.nrm, 6) AS eigenvalue FROM v6, n6"
+    },
     "q213_bh_fdr" ->
       ("WITH o AS (SELECT n_name, o_totalprice AS v, " +
         "count(*) FILTER (WHERE year(o_orderdate) = 1997) AS na, " +
