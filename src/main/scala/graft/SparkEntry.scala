@@ -240,6 +240,10 @@ object SparkEntry {
     "q212_pca_power" -> (graft.similarity.PCA.powerIteration(_, _)),
     "q213_bh_fdr" -> (Analytics.bhFdr(_, _)),
     "q214_isotonic_calibration" -> (Analytics.isotonicCalibration(_, _)),
+    "q215_zipf_fit" -> (TextQueries.zipfFit(_, _)),
+    "q216_sq8_ann" ->
+      ((s, d) => graft.similarity.Similarity.sq8TopK(s, d)),
+    "q217_wilson_ranking" -> (Analytics.wilsonRanking(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2171,5 +2175,65 @@ object SparkEntry {
         "round(c.pos / CAST(c.n AS DOUBLE), 6) AS rate_raw, " +
         "round(fit.iso, 6) AS rate_iso FROM idx c JOIN fit " +
         "ON c.model = fit.model AND c.i = fit.i"),
+    "q215_zipf_fit" ->
+      ("WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS tok FROM documents), " +
+        "cnt AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok), " +
+        "top AS (SELECT round(ln(rk), 9) AS x, round(ln(freq), 9) AS y " +
+        "FROM (SELECT freq, row_number() OVER " +
+        "(ORDER BY freq DESC, tok) AS rk FROM cnt) WHERE rk <= 100), " +
+        "mo AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(round(x * x, 9) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "AS sxx, " +
+        "CAST(sum(CAST(round(y * y, 9) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "AS syy, " +
+        "CAST(sum(CAST(round(x * y, 9) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "AS sxy FROM top), " +
+        "tot AS (SELECT sum(freq) AS total_tokens, count(*) AS vocab " +
+        "FROM cnt) " +
+        "SELECT total_tokens, vocab, n, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, " +
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) " +
+        "/ n, 6) AS intercept, " +
+        "round((n * sxy - sx * sy) * (n * sxy - sx * sy) / " +
+        "((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 " +
+        "FROM mo, tot"),
+    "q216_sq8_ann" ->
+      ("WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "px AS (SELECT vec_id, unnest(range(0, len(emb))) AS i, " +
+        "unnest(emb) AS x FROM ve), " +
+        "mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM px GROUP BY i), " +
+        "mml AS (SELECT list(mn ORDER BY i) AS mns, " +
+        "list(mx ORDER BY i) AS mxs FROM mm), " +
+        "dq AS (SELECT vec_id, list_transform(range(1, len(emb) + 1), " +
+        "i -> CASE WHEN mxs[i] > mns[i] THEN mns[i] + " +
+        "(least(floor((emb[i] - mns[i]) / (mxs[i] - mns[i]) * 256), " +
+        "255) + 0.5) * (mxs[i] - mns[i]) / 256 " +
+        "ELSE mns[i] END) AS deq FROM ve, mml) " +
+        "SELECT query_id, neighbor_id, sim, rk FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "round(list_sum(list_transform(range(1, len(q.emb) + 1), " +
+        "i -> q.emb[i] * c.deq[i])), 6) AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_sum(list_transform(range(1, len(q.emb) + 1), " +
+        "i -> q.emb[i] * c.deq[i])), 6) DESC, c.vec_id) AS INT) AS rk " +
+        "FROM ve q JOIN dq c ON q.vec_id <> c.vec_id " +
+        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+    "q217_wilson_ranking" ->
+      ("WITH b AS (SELECT p_brand, count(*) AS n, " +
+        "count(*) FILTER (WHERE l_returnflag = 'R') AS pos " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand) " +
+        "SELECT p_brand, n, pos, round(pos / n, 6) AS rate, " +
+        "round((pos / n + 3.8416 / (2 * n) - 1.96 * " +
+        "sqrt((pos / n * (1.0 - pos / n) + 3.8416 / (4 * n)) / n)) / " +
+        "(1.0 + 3.8416 / n), 6) AS wilson_lower, " +
+        "CAST(row_number() OVER (ORDER BY " +
+        "round((pos / n + 3.8416 / (2 * n) - 1.96 * " +
+        "sqrt((pos / n * (1.0 - pos / n) + 3.8416 / (4 * n)) / n)) / " +
+        "(1.0 + 3.8416 / n), 6) DESC, p_brand) AS INT) AS rk FROM b"),
   )
 }

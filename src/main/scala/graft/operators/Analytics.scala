@@ -678,6 +678,32 @@ object Analytics {
           .as("cogs"))
   }
 
+  /** Wilson-score lower-bound ranking of per-brand return rates — the
+    * statistically sound way to rank proportions with unequal sample
+    * sizes (a 3/4 return rate must not outrank 290/1000; the plain
+    * ratio does, the Wilson lower bound doesn't). All inputs are exact
+    * integer counts; p̂ and the bound are a fixed chain of IEEE ops on
+    * them — bit-identical cross-engine — and the ranking orders by the
+    * ROUNDED bound with brand tie-break. One scan, one partial-agg
+    * shuffle to 25 brand rows, window over 25 rows. */
+  def wilsonRanking(s: SparkSession, d: String): DataFrame = {
+    val z2 = lit(3.8416) // 1.96²: literal text mirrored in the oracle SQL
+    val p = col("pos") / col("n")
+    val lower = (p + z2 / (col("n") * 2) -
+      lit(1.96) * sqrt((p * (lit(1.0) - p) + z2 / (col("n") * 4)) /
+        col("n"))) / (lit(1.0) + z2 / col("n"))
+    lineitem(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("l_returnflag") === "R").as("pos"))
+      .select(col("p_brand"), col("n"), col("pos"),
+        round(p, 6).as("rate"), round(lower, 6).as("wilson_lower"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("wilson_lower").desc, col("p_brand"))))
+  }
+
   /** Isotonic calibration curve via the native PAVA aggregate
     * ([[graft.functions.IsotonicPava]]): per model (a deterministic
     * user split), event values bin into 20 fixed 25-unit buckets on

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -511,6 +511,48 @@ object TextQueries {
         count_if(col("rn") === 1).as("n_kept"),
         round(count_if(col("rn") === 1) / count(lit(1)).cast("double"), 5)
           .as("pct_kept"))
+  }
+
+  /** Zipf's-law fit of the corpus token-frequency distribution: OLS of
+    * log(freq) on log(rank) over the top-100 tokens — the standard
+    * sanity signal that a scraped corpus has natural-language token
+    * statistics (synthetic/templated text shows a flattened slope).
+    * The token count is the only corpus-sized stage (one shuffle,
+    * map-side combined); the top-100 ranking and the regression are
+    * 100-row work. Determinism: ranks tie-break on token; ln values
+    * quantize at 9dp BEFORE the product/square terms (last-ulp ln
+    * differences can't reach the decimal cast), and every OLS moment
+    * accumulates in DECIMAL(30,12) from 9dp-rounded terms — lossless
+    * reconstruction, so the final few IEEE ops see identical inputs. */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val top = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))))
+      .filter(col("rk") <= 100)
+      .select(round(log(col("rk")), 9).as("x"),
+        round(log(col("freq")), 9).as("y"))
+    val dec = (c: Column) => c.cast("decimal(30,12)")
+    val moments = top.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(round(col("x") * col("x"), 9))).cast("double").as("sxx"),
+      sum(dec(round(col("y") * col("y"), 9))).cast("double").as("syy"),
+      sum(dec(round(col("x") * col("y"), 9))).cast("double").as("sxy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    moments
+      .crossJoin(counts.agg(sum(col("freq")).as("total_tokens"),
+        count(lit(1)).as("vocab")))
+      .select(col("total_tokens"), col("vocab"), col("n"),
+        round(covN / varX, 6).as("slope"),
+        round((col("sy") - (covN / varX) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(covN * covN / (varX * varY), 6).as("r2"))
   }
 
   /** Unicode NFC normalization battery driving the native [[

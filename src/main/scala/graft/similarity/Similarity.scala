@@ -500,4 +500,52 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
+
+  /** Scalar-quantized (SQ8) ANN — the third quantization family next to
+    * IVF (q31/q96) and PQ (q84/q112): each dimension compresses to one
+    * byte against per-dim corpus [min, max] (code = ⌊(x−mn)/(mx−mn)·256⌋
+    * clamped to 255), and search scores the RAW query against the
+    * dequantized reconstruction mn + (c+0.5)·(mx−mn)/256 — asymmetric
+    * distance computation, 4× smaller vectors than float32 with no
+    * codebook training. Unlike PQ, the quantizer is CLOSED-FORM, so the
+    * whole path is DuckDB-oracle-checkable (floor is IEEE-exact — no
+    * rounding-mode ties — and every scalar op is a mirrored single IEEE
+    * instruction; the dot fold runs in index order on both engines).
+    * Scale shape: min/max is one map-side-combined pass whose 2·dim
+    * result broadcasts; encoding is a pure map (codes persist beside the
+    * corpus at 100 TB — same artifact contract as the PQ codes); queries
+    * broadcast and the corpus never shuffles; top-k is the bounded-heap
+    * aggregate (k entries per query per mapper). */
+  def sq8TopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val v = vectors(s, d)
+    val mm = v.select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(i, mn))), " +
+        "t -> t.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), " +
+          "t -> t.mx)").as("mxs"))
+    val deq = v.crossJoin(broadcast(mm))
+      .select(col("vec_id"),
+        expr("transform(sequence(0, size(emb) - 1), i -> " +
+          "CASE WHEN element_at(mxs, i + 1) > element_at(mns, i + 1) " +
+          "THEN element_at(mns, i + 1) + " +
+          "(least(floor((element_at(emb, i + 1) - element_at(mns, i + 1))" +
+          " / (element_at(mxs, i + 1) - element_at(mns, i + 1)) * 256), " +
+          "255) + 0.5) * " +
+          "(element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256 " +
+          "ELSE element_at(mns, i + 1) END)").as("deq"))
+    val q = v.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    deq.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("aggregate(zip_with(qe, deq, (x, y) -> x * y), 0D, " +
+          "(a, b) -> a + b)"), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+  }
 }

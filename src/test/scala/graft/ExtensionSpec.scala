@@ -176,6 +176,38 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall > 0.5, s"IVF recall $recall")
   }
 
+  test("SQ8 topk: high recall vs brute force, bounded quantization error") {
+    val bf = Similarity.bruteForceTopK(spark, d).cache()
+    val sq = Similarity.sq8TopK(spark, d).cache()
+    assert(sq.groupBy(col("query_id")).count()
+      .select(max(col("count"))).head().getLong(0) === 5)
+    // 8-bit scalar quantization barely moves a 64-dim dot product:
+    // recall@5 should be near-perfect
+    val bfSet = bf.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val sqSet = sq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bfSet & sqSet).size.toDouble / bfSet.size
+    assert(recall >= 0.8, s"SQ8 recall $recall")
+    // per-dim reconstruction error is at most half a quantization step,
+    // so the dot-product error is bounded by sum(|q_i|) * step/2
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val dim = vecs.head._2.length
+    val mns = (0 until dim).map(i => vecs.values.map(_(i)).min)
+    val mxs = (0 until dim).map(i => vecs.values.map(_(i)).max)
+    sq.as[(Long, Long, Double, Int)].collect().foreach {
+      case (q, nb, sim, _) =>
+        val exact = vecs(q).zip(vecs(nb)).map { case (a, b) => a * b }.sum
+        val bound = (0 until dim).map(i =>
+          math.abs(vecs(q)(i)) * (mxs(i) - mns(i)) / 512).sum + 1e-6
+        assert(math.abs(sim - exact) <= bound,
+          s"query $q nb $nb: |$sim - $exact| > $bound")
+    }
+    bf.unpersist(); sq.unpersist()
+  }
+
   test("RP-LSH near-dup: recovers planted duplicates with high recall") {
     val found = Similarity.rpLshNearDup(spark, d)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -495,6 +495,30 @@ class AnalyticsSpec extends SparkTestBase {
     q.unpersist()
   }
 
+  test("wilson ranking: hand-recomputed bounds, lower <= rate, rank order") {
+    val got = Analytics.wilsonRanking(spark, sf0001).collect()
+    assert(got.length > 0)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val pos = r.getAs[Long]("pos").toDouble
+      val p = pos / n
+      val z2 = 3.8416
+      val lower = (p + z2 / (2 * n) - 1.96 *
+        math.sqrt((p * (1.0 - p) + z2 / (4 * n)) / n)) / (1.0 + z2 / n)
+      assert(math.abs(r.getAs[Double]("rate") -
+        math.rint(p * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(r.getAs[Double]("wilson_lower") -
+        math.rint(lower * 1e6) / 1e6) < 2e-6)
+      assert(r.getAs[Double]("wilson_lower") <=
+        r.getAs[Double]("rate") + 1e-9)
+    }
+    // ranks are a permutation ordered by the bound
+    val byRank = got.sortBy(_.getAs[Int]("rk"))
+    assert(byRank.map(_.getAs[Int]("rk")).toSeq === (1 to got.length))
+    assert(byRank.map(_.getAs[Double]("wilson_lower")).sliding(2)
+      .forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("bh fdr: full driver-side recompute of KS p-values and step-up") {
     val got = Analytics.bhFdr(spark, sf0001).collect()
       .map(r => (r.getAs[String]("n_name"), r))

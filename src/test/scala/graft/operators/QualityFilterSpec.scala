@@ -109,4 +109,33 @@ class QualityFilterSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(2L))
   }
+
+  test("zipf fit: driver-side OLS recompute, negative slope on real data") {
+    val r = TextQueries.zipfFit(spark, sf0001).head()
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("tok"))
+      .as[String].collect()
+      .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    assert(r.getAs[Long]("total_tokens") === counts.values.sum)
+    assert(r.getAs[Long]("vocab") === counts.size.toLong)
+    val top = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+      .zipWithIndex.map { case ((_, f), i) =>
+        (math.rint(math.log(i + 1.0) * 1e9) / 1e9,
+          math.rint(math.log(f.toDouble) * 1e9) / 1e9)
+      }
+    val n = top.length.toDouble
+    val sx = top.map(_._1).sum; val sy = top.map(_._2).sum
+    val sxx = top.map(p => p._1 * p._1).sum
+    val syy = top.map(p => p._2 * p._2).sum
+    val sxy = top.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4)
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-4)
+    // frequency is decreasing in rank, so the fitted slope is negative
+    assert(r.getAs[Double]("slope") < 0.0)
+    assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0)
+  }
 }
