@@ -678,6 +678,57 @@ object Analytics {
           .as("cogs"))
   }
 
+  /** Incremental JOIN maintenance (delta algebra): with lineitem and
+    * orders each split into a base and an insert batch, the maintained
+    * aggregate folds the three delta joins ΔL⋈R₀ ∪ L₀⋈ΔR ∪ ΔL⋈ΔR into
+    * the base aggregate instead of rejoining everything — the update
+    * cost is |Δ|-proportional, which is THE point at 100 TB (q140's
+    * incremental-agg idea lifted to binary joins). The query runs BOTH
+    * paths and proves them identical in exact integers (cents-as-long
+    * revenue, long counts) — `consistent` must be true on every row;
+    * the oracle recomputes the same two paths, so a hash match pins the
+    * delta algebra itself. */
+  def joinIvm(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+      (col("l_orderkey") % 10 === 0).as("dl"))
+      .localCheckpoint() // split into L0/ΔL for four independent joins
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      (col("o_custkey") % 7 === 0).as("dr"))
+      .localCheckpoint()
+    val l0 = li.filter(!col("dl")); val dL = li.filter(col("dl"))
+    val r0 = o.filter(!col("dr")); val dR = o.filter(col("dr"))
+    def agg(left: DataFrame, right: DataFrame, cnt: String,
+        rev: String): DataFrame =
+      left.join(right, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(cnt), sum(col("cents")).as(rev))
+    // full recompute vs base + the three delta joins — four SEPARATE
+    // joins, so the equality is the delta-algebra identity, not a
+    // partition-of-one-join triviality
+    val full = agg(li, o, "n_full", "rev_full")
+    val base = agg(l0, r0, "n0", "r0")
+    val dLR0 = agg(dL, r0, "n1", "r1")
+    val l0DR = agg(l0, dR, "n2", "r2")
+    val dLDR = agg(dL, dR, "n3", "r3")
+    val incr = base
+      .join(dLR0, Seq("o_orderpriority"), "full_outer")
+      .join(l0DR, Seq("o_orderpriority"), "full_outer")
+      .join(dLDR, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)) +
+          coalesce(col("n2"), lit(0L)) + coalesce(col("n3"), lit(0L)))
+          .as("n_incr"),
+        (coalesce(col("r0"), lit(0L)) + coalesce(col("r1"), lit(0L)) +
+          coalesce(col("r2"), lit(0L)) + coalesce(col("r3"), lit(0L)))
+          .as("rev_incr"))
+    full.join(incr, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"), col("n_full"), col("rev_full"),
+        col("n_incr"), col("rev_incr"),
+        (col("n_full") === col("n_incr") &&
+          col("rev_full") === col("rev_incr")).as("consistent"))
+  }
+
   /** Wilson-score lower-bound ranking of per-brand return rates — the
     * statistically sound way to rank proportions with unequal sample
     * sizes (a 3/4 return rate must not outrank 290/1000; the plain

@@ -555,6 +555,56 @@ object TextQueries {
         round(covN * covN / (varX * varY), 6).as("r2"))
   }
 
+  /** Heaps'-law vocabulary growth: cumulative vocabulary size vs
+    * cumulative token count at ten corpus-prefix checkpoints (doc_id
+    * deciles), plus the fitted growth exponent β from log-log OLS
+    * (V ≈ K·N^β; natural corpora sit at β ≈ 0.4-0.6 — a saturating or
+    * linear vocabulary is a template/boilerplate red flag). The heavy
+    * stages are corpus-shaped: one token explode for per-doc counts and
+    * one groupBy for token first-occurrence (both map-side combined);
+    * the decile rollup and the 10-point regression are constant-size.
+    * Same determinism recipe as q215: integer counts, 9dp-quantized ln
+    * terms, DECIMAL moment sums. */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .localCheckpoint() // token explode + per-doc counts share it
+    val decile = ntile(10).over(Window.orderBy(col("doc_id")))
+    val bounds = docs.select(col("doc_id"), decile.as("dec"))
+      .groupBy(col("dec"))
+      .agg(max(col("doc_id")).as("hi"))
+    val perDoc = docs.select(col("doc_id"), size(col("ws")).as("nw"))
+    val nCum = perDoc.crossJoin(broadcast(bounds))
+      .filter(col("doc_id") <= col("hi"))
+      .groupBy(col("dec")).agg(sum(col("nw")).as("n_tokens_cum"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val vCum = firstSeen.crossJoin(broadcast(bounds))
+      .filter(col("fd") <= col("hi"))
+      .groupBy(col("dec")).agg(count(lit(1)).as("vocab_cum"))
+    val pts = nCum.join(vCum, Seq("dec"))
+      .select(col("dec"), col("n_tokens_cum"), col("vocab_cum"),
+        round(log(col("n_tokens_cum")), 9).as("x"),
+        round(log(col("vocab_cum")), 9).as("y"))
+      .localCheckpoint() // 10 rows: points output + OLS moments
+    val dc = (c: Column) => c.cast("decimal(30,12)")
+    val fit = pts.agg(count(lit(1)).as("n"),
+        sum(dc(col("x"))).cast("double").as("sx"),
+        sum(dc(col("y"))).cast("double").as("sy"),
+        sum(dc(round(col("x") * col("x"), 9))).cast("double").as("sxx"),
+        sum(dc(round(col("x") * col("y"), 9))).cast("double").as("sxy"))
+      .select(
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6).as("log_k"))
+    pts.select(col("dec"), col("n_tokens_cum"), col("vocab_cum"))
+      .crossJoin(broadcast(fit))
+  }
+
   /** Unicode NFC normalization battery driving the native [[
     * graft.functions.NfcNormalize]] expression (scan-side projection,
     * whole-stage codegen — a UDF here would de-codegen the cleaning
