@@ -253,6 +253,11 @@ object SparkEntry {
     "q224_changepoint" -> (MLPrep.changepoint(_, _)),
     "q225_rerank_ann" ->
       ((s, d) => graft.similarity.Similarity.rerankTopK(s, d)),
+    "q226_hits" -> ((s, d) => Graph.hits(s, d)),
+    "q227_grid_dbscan" -> ((s, d) => Graph.gridDbscan(s, d)),
+    "q228_hodges_lehmann" -> (MLPrep.hodgesLehmann(_, _)),
+    "q229_pmi_collocations" ->
+      ((s, d) => TextQueries.pmiCollocations(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2386,5 +2391,78 @@ object SparkEntry {
         "AS rk FROM embeddings q JOIN embeddings v " +
         "ON q.vec_id <> v.vec_id WHERE q.vec_id % 100 = 0) " +
         "WHERE rk <= 5"),
+    "q226_hits" -> {
+      def half(src: String, dst: String, prev: String, cur: String,
+          outCol: String, prevCol: String): String =
+        s"$cur AS (SELECT e.$dst AS node, sum($prev.$prevCol) " +
+          s"AS $outCol FROM e JOIN $prev ON e.$src = $prev.node " +
+          s"GROUP BY e.$dst)"
+      "WITH uk AS (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk " +
+        "UNION ALL SELECT b, a FROM uk), " +
+        "h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h " +
+        "FROM e), " +
+        (1 to 3).map { i =>
+          half("src", "dst", s"h${i - 1}", s"a$i", "a", "h") + ", " +
+            half("dst", "src", s"a$i", s"h$i", "h", "a")
+        }.mkString(", ") +
+        ", j AS (SELECT a3.node, a3.a AS auth_raw, h3.h AS hub_raw " +
+        "FROM a3 JOIN h3 ON a3.node = h3.node) " +
+        "SELECT node, auth_raw, hub_raw, " +
+        "round(auth_raw / (SELECT max(auth_raw) FROM j), 6) AS auth, " +
+        "round(hub_raw / (SELECT max(hub_raw) FROM j), 6) AS hub FROM j"
+    },
+    "q227_grid_dbscan" ->
+      ("WITH RECURSIVE c AS (SELECT o_custkey, " +
+        "CAST(sum(round(o_totalprice, 0)) AS BIGINT) AS spend, " +
+        "count(*) AS n FROM orders GROUP BY 1), " +
+        "g AS (SELECT spend // 50000 AS cx, n // 2 AS cy, " +
+        "count(*) AS pts FROM c GROUP BY 1, 2), " +
+        "core AS (SELECT cx * 1000 + cy AS id, cx, cy, pts FROM g " +
+        "WHERE pts >= 12), " +
+        "e AS (SELECT a.id AS src, b.id AS dst FROM core a " +
+        "JOIN core b ON abs(a.cx - b.cx) <= 1 " +
+        "AND abs(a.cy - b.cy) <= 1 AND a.id <> b.id), " +
+        "reach(id, r) AS (SELECT id, id FROM core " +
+        "UNION SELECT e.dst, reach.r FROM reach " +
+        "JOIN e ON e.src = reach.id), " +
+        "lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+        "SELECT cluster, count(*) AS n_cells, sum(pts) AS n_pts, " +
+        "min(cx) AS cx_min, max(cx) AS cx_max, " +
+        "min(cy) AS cy_min, max(cy) AS cy_max " +
+        "FROM core JOIN lbl USING (id) GROUP BY cluster"),
+    "q228_hodges_lehmann" ->
+      ("WITH vc AS (SELECT CAST(l_quantity AS BIGINT) AS v, " +
+        "count(*) AS c FROM lineitem WHERE l_returnflag = 'R' " +
+        "GROUP BY 1), " +
+        "walsh AS (SELECT a.v + b.v AS w2, " +
+        "sum(CASE WHEN a.v = b.v THEN a.c * (a.c + 1) // 2 " +
+        "ELSE a.c * b.c END) AS wt " +
+        "FROM vc a JOIN vc b ON a.v <= b.v GROUP BY 1), " +
+        "r AS (SELECT w2, sum(wt) OVER (ORDER BY w2 " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(wt) OVER () AS t FROM walsh) " +
+        "SELECT t AS n_walsh, w2 / 2.0 AS hl FROM r " +
+        "WHERE cum >= (t + 1) // 2 ORDER BY w2 LIMIT 1"),
+    "q229_pmi_collocations" ->
+      ("WITH dt AS (SELECT DISTINCT doc_id, " +
+        "unnest(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '')) AS tok FROM documents), " +
+        "df AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1 " +
+        "HAVING count(*) >= 50), " +
+        "ft AS (SELECT dt.doc_id, dt.tok, df.df FROM dt " +
+        "JOIN df ON dt.tok = df.tok), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, " +
+        "a.df AS c_a, b.df AS c_b, count(*) AS c_ab " +
+        "FROM ft a JOIN ft b ON a.doc_id = b.doc_id " +
+        "AND a.tok < b.tok GROUP BY 1, 2, 3, 4) " +
+        "SELECT tok_a, tok_b, c_a, c_b, c_ab, " +
+        "round(ln(CAST(c_ab * n_docs AS DOUBLE) / " +
+        "CAST(c_a * c_b AS DOUBLE)), 6) AS pmi " +
+        "FROM p, nd WHERE c_ab >= 20"),
   )
 }

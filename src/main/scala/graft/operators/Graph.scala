@@ -538,4 +538,84 @@ object Graph {
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) as an EXACT INTEGER
+    * power iteration: with h₀ = 1 and no per-round normalization, every
+    * authority/hub score is a path count — pure long arithmetic, so the
+    * whole iterate is bit-exact under any partitioning and the oracle
+    * needs no per-round float pinning (cf. [[pagerank]]'s round-to-8
+    * discipline, which this construction makes unnecessary). Scores are
+    * scale-free, so the output normalizes ONCE by the max (a
+    * deterministic long), one IEEE division per row. Three rounds keep
+    * the largest path count < 2⁵³ on any graph this pipeline feeds
+    * (bounded by n·deg_max⁶); deeper iterates would switch to the
+    * pagerank-style per-round rounding instead. Like [[pagerank]], the
+    * loop only composes the plan — each round is one join + one
+    * shuffle-on-endpoint with partial aggregation, and no mid-loop
+    * action means no checkpoint. */
+  def hits(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val e = eventEdges(s, d).localCheckpoint()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1L))
+    var a = h.select(col("node"), col("h").as("a")) // placeholder pre-loop
+    for (_ <- 1 to rounds) {
+      a = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a"))
+      h = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h"))
+    }
+    val joined = a.join(h, Seq("node"))
+    val mx = joined.agg(max(col("a")).as("ma"), max(col("h")).as("mh"))
+    joined.crossJoin(broadcast(mx))
+      .select(col("node"), col("a").as("auth_raw"), col("h").as("hub_raw"),
+        round(col("a") / col("ma"), 6).as("auth"),
+        round(col("h") / col("mh"), 6).as("hub"))
+  }
+
+  /** Grid-based DBSCAN over the customer (total-spend, order-count)
+    * plane: points bin into fixed cells, cells with ≥ minPts points are
+    * core, and core cells within Chebyshev distance 1 merge into
+    * clusters via [[connectedComponents]] — density clustering as a
+    * composition of operators the engine already has. The neighbor
+    * relation is built scalably as a 9-stencil EQUI-join (each core
+    * cell emits its 3×3 neighbor keys; matching is a hash join on the
+    * key), not an |cells|² theta-join — at 100 TB the stencil is the
+    * difference between a broadcastable join and a cross product. Point
+    * counts, cell ids and extents are all exact integers; there are no
+    * floats anywhere in the query. */
+  def gridDbscan(s: SparkSession, d: String, sx: Long = 50000L,
+      sy: Long = 2L, minPts: Long = 12L): DataFrame = {
+    val pts = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("spend"),
+        count(lit(1)).as("n"))
+    val cells = pts
+      .select((col("spend") / sx).cast("long").as("cx"),
+        (col("n") / sy).cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("pts"))
+    val core = cells.filter(col("pts") >= minPts)
+      .withColumn("id", col("cx") * 1000 + col("cy"))
+      .localCheckpoint() // consumed by stencil, CC nodes, and the rollup
+    // 9-stencil neighbor keys → equi-join on the key finds all core
+    // pairs at Chebyshev distance ≤ 1 (self-pairs filtered)
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probes = core.select(col("id"), col("cx"), col("cy"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("id"),
+        ((col("cx") + col("o.dx")) * 1000 + (col("cy") + col("o.dy")))
+          .as("nkey"))
+    val edges = probes
+      .join(core.select(col("id").as("nid")), col("nkey") === col("nid"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id").as("src"), col("nid").as("dst"))
+    val lbl = connectedComponents(core.select(col("id")), edges)
+    core.join(lbl, core("id") === lbl("node"))
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("pts")).as("n_pts"),
+        min(col("cx")).as("cx_min"), max(col("cx")).as("cx_max"),
+        min(col("cy")).as("cy_min"), max(col("cy")).as("cy_max"))
+  }
 }

@@ -236,4 +236,38 @@ object MLPrep {
       round((col("st") - col("s")).cast("double") / rk -
         col("s").cast("double") / k, 4).as("delta_mean"))
   }
+
+  /** Hodges-Lehmann pseudo-median of returned-line quantities — the
+    * robust location estimator behind the Wilcoxon test: the median of
+    * all N(N+1)/2 Walsh averages (vᵢ+vⱼ)/2, i ≤ j. Materializing N²/2
+    * pairs is impossible at scale; quantities are small integers, so the
+    * computation COMPRESSES to value counts first (one tiny partial-agg
+    * shuffle) and runs the pairing on the ~50-row count table with
+    * multiplicities — the pair weights (cᵢ·cⱼ, or cᵢ(cᵢ+1)/2 on the
+    * diagonal) reconstruct the full multiset exactly. Walsh values are
+    * carried ×2 as integers; the lower median comes off a cumulative
+    * weight scan, and the single /2.0 at the edge is exactly
+    * representable (.0 or .5). Zero float risk end to end. */
+  def hodgesLehmann(s: SparkSession, d: String): DataFrame = {
+    val vc = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val a = vc.select(col("v").as("va"), col("c").as("ca"))
+    val b = vc.select(col("v").as("vb"), col("c").as("cb"))
+    val walsh = a.join(b, col("va") <= col("vb"))
+      .select((col("va") + col("vb")).as("w2"),
+        when(col("va") === col("vb"),
+          expr("ca * (ca + 1) div 2"))
+          .otherwise(col("ca") * col("cb")).as("wt"))
+      .groupBy(col("w2")).agg(sum(col("wt")).as("wt"))
+    val wCum = Window.orderBy(col("w2"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ranked = walsh
+      .withColumn("cum", sum(col("wt")).over(wCum))
+      .withColumn("t", sum(col("wt")).over(wAll))
+    ranked.filter(col("cum") >= expr("(t + 1) div 2"))
+      .orderBy(col("w2")).limit(1)
+      .select(col("t").as("n_walsh"), (col("w2") / lit(2.0)).as("hl"))
+  }
 }

@@ -634,4 +634,42 @@ object TextQueries {
         (graft.functions.UnicodeExpressions.nfc(col("comp")) ===
           col("comp")).as("idempotent_ok"))
   }
+
+  /** Pointwise-mutual-information collocation mining over document
+    * co-occurrence: which frequent token pairs appear in the same
+    * document more often than independence predicts? pmi =
+    * ln(c_ab·D / (c_a·c_b)) on document frequencies — the classic
+    * corpus-statistics feature for phrase detection. The plan shrinks
+    * first: per-doc DISTINCT tokens (one shuffle), document-frequency
+    * marginals (tiny, broadcast), and a df-threshold BEFORE the pair
+    * self-join so the quadratic step runs only over frequent tokens per
+    * doc — the same bound-the-blowup discipline as q186's basket lift.
+    * All counts are exact longs; pmi is one division + one ln at the
+    * output edge. */
+  def pmiCollocations(s: SparkSession, d: String, minDf: Long = 50L,
+      minPair: Long = 20L): DataFrame = {
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
+      .distinct()
+    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val ft = dt.join(broadcast(df), Seq("tok")).localCheckpoint()
+    val nDocs = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"))
+    val a = ft.select(col("doc_id"), col("tok").as("tok_a"),
+      col("df").as("c_a"))
+    val b = ft.select(col("doc_id"), col("tok").as("tok_b"),
+      col("df").as("c_b"))
+    a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("c_a"), col("c_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("c_a"), col("c_b"),
+        col("c_ab"),
+        round(log((col("c_ab") * col("n_docs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
+  }
 }
