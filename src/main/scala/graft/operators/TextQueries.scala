@@ -251,12 +251,18 @@ object TextQueries {
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
           "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    // pin the per-doc bigram counts: every downstream relation (global
+    // bigram counts, unigram marginals, vocabulary, the scoring join)
+    // derives from dbg, so without the checkpoint the tokenize+explode
+    // scan would re-run once per branch (~4 full passes at bench scale)
     val dbg = bigf.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val cnt = dbg.groupBy(col("w1"), col("w2"))
       .agg(sum(col("k")).as("c12"))
     val uni = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val voc = bigf.agg(count_distinct(col("w2")).as("v"))
+    // distinct w2 over dbg ≡ distinct w2 over the raw bigram stream
+    val voc = dbg.agg(count_distinct(col("w2")).as("v"))
     dbg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
       .crossJoin(broadcast(voc))
       .select(col("doc_id"), col("k"),
