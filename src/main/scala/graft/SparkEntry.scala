@@ -258,6 +258,13 @@ object SparkEntry {
     "q228_hodges_lehmann" -> (MLPrep.hodgesLehmann(_, _)),
     "q229_pmi_collocations" ->
       ((s, d) => TextQueries.pmiCollocations(s, d)),
+    "q230_skipgram_cooc" ->
+      ((s, d) => TextQueries.skipgramCooc(s, d)),
+    "q231_weighted_jaccard" ->
+      ((s, d) => TextQueries.weightedJaccard(s, d)),
+    "q232_item_cosine" -> ((s, d) => Graph.itemCosine(s, d)),
+    "q233_two_hop_reach" -> ((s, d) => Graph.twoHopReach(s, d)),
+    "q234_lexical_richness" -> (TextQueries.lexicalRichness(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2464,5 +2471,75 @@ object SparkEntry {
         "round(ln(CAST(c_ab * n_docs AS DOUBLE) / " +
         "CAST(c_a * c_b AS DOUBLE)), 6) AS pmi " +
         "FROM p, nd WHERE c_ab >= 20"),
+    "q230_skipgram_cooc" ->
+      ("WITH ws AS (SELECT list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "px AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM ws), " +
+        "pr AS (SELECT w[i] AS w_a, w[i + 1] AS w_b, 1 AS dist " +
+        "FROM px WHERE i + 1 <= len(w) " +
+        "UNION ALL SELECT w[i], w[i + 2], 2 FROM px " +
+        "WHERE i + 2 <= len(w)) " +
+        "SELECT w_a, w_b, count(*) AS c, " +
+        "sum(2 // dist) / 2.0 AS w FROM pr GROUP BY w_a, w_b " +
+        "HAVING count(*) >= 50"),
+    "q231_weighted_jaccard" ->
+      ("WITH tf AS (SELECT doc_id, tok AS word, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(list_filter(string_split(lower(text), " +
+        "' '), x -> x <> '')) AS tok FROM documents " +
+        "WHERE doc_id % 5 = 0) GROUP BY doc_id, tok), " +
+        "tot AS (SELECT doc_id, sum(tf) AS t FROM tf GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "sum(least(a.tf, b.tf)) AS smin FROM tf a JOIN tf b " +
+        "ON a.word = b.word AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT doc_a, doc_b, round(smin / " +
+        "CAST(ta.t + tb.t - smin AS DOUBLE), 6) AS jw FROM inter " +
+        "JOIN tot ta ON doc_a = ta.doc_id " +
+        "JOIN tot tb ON doc_b = tb.doc_id " +
+        "WHERE smin / CAST(ta.t + tb.t - smin AS DOUBLE) >= 0.3"),
+    "q232_item_cosine" ->
+      ("WITH uk AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS item " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "deg AS (SELECT item, count(*) AS deg FROM uk GROUP BY item), " +
+        "p AS (SELECT a.item AS i, b.item AS j, count(*) AS c " +
+        "FROM uk a JOIN uk b ON a.u = b.u AND a.item <> b.item " +
+        "GROUP BY 1, 2), " +
+        "sc AS (SELECT i, j, c, round(c / sqrt(CAST(di.deg * dj.deg " +
+        "AS DOUBLE)), 6) AS sim FROM p " +
+        "JOIN deg di ON p.i = di.item JOIN deg dj ON p.j = dj.item) " +
+        "SELECT i, j, c, sim, rk FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY i " +
+        "ORDER BY sim DESC, j) AS INT) AS rk FROM sc) WHERE rk <= 5"),
+    "q233_two_hop_reach" ->
+      ("WITH uk AS (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk " +
+        "UNION ALL SELECT b, a FROM uk), " +
+        "o AS (SELECT src AS node, count(*) AS n_1hop FROM e " +
+        "GROUP BY 1), " +
+        "r2 AS (SELECT a, c FROM (SELECT x.src AS a, y.dst AS c " +
+        "FROM e x JOIN e y ON x.dst = y.src WHERE x.src <> y.dst " +
+        "UNION SELECT src, dst FROM e)), " +
+        "t AS (SELECT a AS node, count(*) AS n_2hop FROM r2 " +
+        "GROUP BY 1) " +
+        "SELECT o.node, n_1hop, n_2hop FROM o JOIN t ON o.node = t.node"),
+    "q234_lexical_richness" ->
+      ("WITH tc AS (SELECT source, tok, count(*) AS c FROM (" +
+        "SELECT source, unnest(list_filter(string_split(lower(text), " +
+        "' '), x -> x <> '')) AS tok FROM documents) " +
+        "GROUP BY source, tok), " +
+        "agg AS (SELECT source, sum(c) AS n_tokens, " +
+        "count(*) AS vocab, " +
+        "count(*) FILTER (WHERE c = 1) AS hapax FROM tc " +
+        "GROUP BY source) " +
+        "SELECT source, n_tokens, vocab, hapax, " +
+        "round(vocab / CAST(n_tokens AS DOUBLE), 6) AS ttr, " +
+        "round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_frac, " +
+        "round(ln(CAST(vocab AS DOUBLE)) / " +
+        "ln(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c FROM agg"),
   )
 }

@@ -618,4 +618,61 @@ object Graph {
         min(col("cx")).as("cx_min"), max(col("cx")).as("cx_max"),
         min(col("cy")).as("cy_min"), max(col("cy")).as("cy_max"))
   }
+
+  /** Bipartite projection to item-item cosine similarity — the
+    * collaborative-filtering item-sim build: two items' similarity is
+    * co-engagement count over the geometric mean of their user counts,
+    * sim(i,j) = c_ij / √(dᵢ·dⱼ), top-5 per item. The pair join is the
+    * per-user self-join of the (user, item) incidence list, so its
+    * blowup is Σᵤ deg(u)² — bounded by per-user activity, never global
+    * (q186's basket-lift discipline on the interaction graph). Degrees
+    * broadcast; counts are exact longs; sim is two IEEE ops; ranking
+    * orders on the ROUNDED sim with item tie-break (the q30 idiom). */
+  def itemCosine(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val uk = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .localCheckpoint() // both pair-join sides + the degree pass
+    val deg = uk.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+    val pairs = uk.select(col("u"), col("item").as("i"))
+      .join(uk.select(col("u"), col("item").as("j")), Seq("u"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("sim").desc, col("j"))
+    pairs
+      .join(broadcast(deg.select(col("item").as("i"),
+        col("deg").as("di"))), Seq("i"))
+      .join(broadcast(deg.select(col("item").as("j"),
+        col("deg").as("dj"))), Seq("j"))
+      .select(col("i"), col("j"), col("c"),
+        round(col("c") / sqrt((col("di") * col("dj")).cast("double")), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact 1-hop / 2-hop reach per node — the friend-of-friend feature:
+    * distinct neighbors at distance exactly ≤ 1 and ≤ 2. The 2-hop set
+    * is the classic wedge join e(a,b)⋈e(b,c); its output is bounded by
+    * Σᵥ deg(v)² wedges BEFORE the distinct, which is why the distinct
+    * (the one wide shuffle) runs on (a, c) pairs only — no path
+    * materialization. Self-loops excluded; counts exact. */
+  def twoHopReach(s: SparkSession, d: String): DataFrame = {
+    val e = eventEdges(s, d).localCheckpoint()
+    val oneHop = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_1hop")) // edge list is already distinct
+    val twoHop = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .filter(col("a") =!= col("c"))
+      .select(col("a"), col("c"))
+      // reach within ≤2: union the direct neighbors (some 2-hop targets
+      // are also 1-hop); ONE distinct deduplicates wedges and overlap
+      .unionByName(e.select(col("src").as("a"), col("dst").as("c")))
+      .distinct()
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("n_2hop"))
+    oneHop.join(twoHop, Seq("node"))
+  }
 }

@@ -641,6 +641,101 @@ object TextQueries {
           col("comp")).as("idempotent_ok"))
   }
 
+  /** Skip-gram co-occurrence counts (window ≤ 2, the word2vec/GloVe
+    * counting step): for every ordered-position pair (wᵢ, wⱼ) with
+    * j − i ∈ {1, 2}, the pair count and the distance-weighted count
+    * Σ 1/(j−i). Pair generation happens ENTIRELY inside the scan
+    * projection — an array HOF builds both offsets' pairs per document
+    * with zero joins (the positional self-join formulation shuffles the
+    * token stream twice; this shape shuffles only the aggregated pair
+    * counts). Distance weights are carried ×2 (2/dist ∈ {2,1}) so the
+    * whole query is exact integer arithmetic; the /2.0 at the edge is
+    * exactly representable. */
+  def skipgramCooc(s: SparkSession, d: String, minCount: Long = 50L)
+      : DataFrame =
+    Tables.documents(s, d)
+      .select(expr("filter(split(lower(text), ' '), x -> x != '')")
+        .as("w"))
+      .select(explode(expr(
+        // for each position i (0-based), emit (w[i], w[i+1], dist 1)
+        // and (w[i], w[i+2], dist 2); flatten drops the empty tails
+        "flatten(transform(w, (x, i) -> " +
+          "filter(array(" +
+          "IF(i + 2 <= size(w), named_struct(" +
+          "'a', x, 'b', element_at(w, i + 2), 'dist', 1), NULL), " +
+          "IF(i + 3 <= size(w), named_struct(" +
+          "'a', x, 'b', element_at(w, i + 3), 'dist', 2), NULL)), " +
+          "p -> p IS NOT NULL)))")).as("p"))
+      .groupBy(col("p.a").as("w_a"), col("p.b").as("w_b"))
+      .agg(count(lit(1)).as("c"),
+        sum(lit(2) / col("p.dist")).cast("long").as("wx2"))
+      .filter(col("c") >= minCount)
+      .select(col("w_a"), col("w_b"), col("c"),
+        (col("wx2") / lit(2.0)).as("w"))
+
+  /** Weighted-Jaccard (Ruzicka) near-dup pairs over term-frequency
+    * vectors on the deterministic doc_id % 5 sample: J_w = Σ min(tfₐ,
+    * tf_b) / Σ max(tfₐ, tf_b) — the dedup metric that sees REPEATED
+    * tokens (plain Jaccard on token SETS scores a doc and its
+    * double-concatenation identical; weighted Jaccard doesn't). The
+    * denominator never materializes the token UNION: Σmax = Tₐ + T_b −
+    * Σmin, so the only pair work is the intersection join — absent
+    * tokens contribute nothing, which is what makes the sparse
+    * formulation scale. Everything is exact integers up to the single
+    * output division. */
+  def weightedJaccard(s: SparkSession, d: String,
+      threshold: Double = 0.3): DataFrame = {
+    val tf = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')"))
+          .as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // both join sides + the totals pass
+    val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("t"))
+    val inter = tf.select(col("doc_id").as("doc_a"), col("word"),
+        col("tf").as("ta"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("word"),
+        col("tf").as("tb")), Seq("word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ta"), col("tb"))).as("smin"))
+    inter
+      .join(tot.select(col("doc_id").as("doc_a"), col("t").as("tta")),
+        Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("t").as("ttb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("smin") /
+          (col("tta") + col("ttb") - col("smin")).cast("double"), 6)
+          .as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+
+  /** Per-source lexical-richness profile — the corpus-health metrics a
+    * pretraining pipeline tracks per ingestion source: token count N,
+    * vocabulary V, type-token ratio V/N, hapax fraction (tokens seen
+    * exactly once — the long-tail share), and Herdan's C = ln V / ln N
+    * (the TTR variant that is stable across corpus sizes). Two partial-
+    * aggregated shuffles (token counts per (source, token); per-source
+    * rollup); ratios are single divisions of exact longs, ln on exact
+    * longs. */
+  def lexicalRichness(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')"))
+          .as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count_if(col("c") === 1).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("hapax") / col("vocab").cast("double"), 6)
+          .as("hapax_frac"),
+        round(log(col("vocab").cast("double")) /
+          log(col("n_tokens").cast("double")), 6).as("herdan_c"))
+
   /** Pointwise-mutual-information collocation mining over document
     * co-occurrence: which frequent token pairs appear in the same
     * document more often than independence predicts? pmi =
