@@ -265,6 +265,13 @@ object SparkEntry {
     "q232_item_cosine" -> ((s, d) => Graph.itemCosine(s, d)),
     "q233_two_hop_reach" -> ((s, d) => Graph.twoHopReach(s, d)),
     "q234_lexical_richness" -> (TextQueries.lexicalRichness(_, _)),
+    "q235_tpch_q6" -> (graft.operators.TpchClassics.q6(_, _)),
+    "q236_tpch_q15" -> (graft.operators.TpchClassics.q15(_, _)),
+    "q237_tpch_q17" -> (graft.operators.TpchClassics.q17(_, _)),
+    "q238_calibration_ece" -> (MLPrep.calibrationError(_, _)),
+    "q239_ndcg" -> (MLPrep.ndcgAt10(_, _)),
+    "q240_shingle_containment" ->
+      ((s, d) => TextQueries.shingleContainment(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2541,5 +2548,83 @@ object SparkEntry {
         "round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_frac, " +
         "round(ln(CAST(vocab AS DOUBLE)) / " +
         "ln(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c FROM agg"),
+    "q235_tpch_q6" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q236_tpch_q15" ->
+      ("WITH r AS (SELECT l_suppkey AS supplier_no, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, " +
+        "CAST(tr AS DOUBLE) AS total_revenue " +
+        "FROM supplier JOIN r ON s_suppkey = supplier_no " +
+        "WHERE tr = (SELECT max(tr) FROM r)"),
+    "q237_tpch_q17" ->
+      ("WITH lim AS (SELECT l_partkey AS pk, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / " +
+        "(5.0 * count(*)) AS lim FROM lineitem GROUP BY 1) " +
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) / 7.0 AS avg_yearly FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN lim ON l_partkey = pk " +
+        "WHERE p_brand = 'Brand#23' AND l_quantity < lim"),
+    "q238_calibration_ece" ->
+      ("WITH sc AS (SELECT ('0x' || substring(md5(" +
+        "CAST(event_id AS VARCHAR)), 1, 4))::BIGINT AS c16, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events), " +
+        "b AS (SELECT least(c16 * 10 // 65536, 9) AS bin, " +
+        "count(*) AS n, sum(y) AS pos, sum(c16) AS sc16 FROM sc " +
+        "GROUP BY 1), " +
+        "l AS (SELECT bin, n, pos, " +
+        "round(sc16 / (n * 65536.0), 6) AS conf, " +
+        "round(pos / CAST(n AS DOUBLE), 6) AS acc, " +
+        "n / CAST(sum(n) OVER () AS DOUBLE) * " +
+        "abs(pos / CAST(n AS DOUBLE) - sc16 / (n * 65536.0)) AS gt " +
+        "FROM b) " +
+        "SELECT bin, n, pos, conf, acc, " +
+        "round(sum(gt) OVER (), 6) AS ece FROM l"),
+    "q239_ndcg" ->
+      ("WITH ui AS (SELECT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS item, " +
+        "count(*) AS rel FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "deg AS (SELECT item, count(*) AS deg FROM ui GROUP BY 1), " +
+        "r AS (SELECT u, rel, " +
+        "row_number() OVER (PARTITION BY u " +
+        "ORDER BY deg DESC, ui.item) AS pp, " +
+        "row_number() OVER (PARTITION BY u " +
+        "ORDER BY rel DESC, ui.item) AS ip " +
+        "FROM ui JOIN deg ON ui.item = deg.item) " +
+        "SELECT u, count(*) AS n_items, " +
+        "round(sum(CASE WHEN pp <= 10 THEN rel / log2(pp + 1) " +
+        "ELSE 0.0 END) / sum(CASE WHEN ip <= 10 THEN " +
+        "rel / log2(ip + 1) ELSE 0.0 END), 6) AS ndcg10 " +
+        "FROM r GROUP BY u"),
+    "q240_shingle_containment" ->
+      ("WITH ws AS (SELECT doc_id, " +
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') " +
+        "AS w FROM documents WHERE doc_id % 5 = 0), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || " +
+        "' ' || w[i + 2] AS sh FROM (SELECT doc_id, w, " +
+        "unnest(range(1, len(w) - 1)) AS i FROM ws " +
+        "WHERE len(w) >= 3)), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "count(*) AS cap FROM sh a JOIN sh b ON a.sh = b.sh " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, cap, " +
+        "round(cap / CAST(sa.sz AS DOUBLE), 6) AS c_ab, " +
+        "round(cap / CAST(sb.sz AS DOUBLE), 6) AS c_ba FROM inter " +
+        "JOIN sz sa ON doc_a = sa.doc_id " +
+        "JOIN sz sb ON doc_b = sb.doc_id " +
+        "WHERE round(cap / CAST(sa.sz AS DOUBLE), 6) >= 0.05 " +
+        "OR round(cap / CAST(sb.sz AS DOUBLE), 6) >= 0.05"),
   )
 }

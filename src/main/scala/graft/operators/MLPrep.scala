@@ -270,4 +270,68 @@ object MLPrep {
       .orderBy(col("w2")).limit(1)
       .select(col("t").as("n_walsh"), (col("w2") / lit(2.0)).as("hl"))
   }
+
+  /** Expected calibration error of a deterministic scorer against the
+    * purchase outcome — the standard reliability-diagram metric. The
+    * "model" is a portable md5-derived confidence (16 bits of
+    * md5(event_id) / 65536 — the repo's deterministic-sampling idiom,
+    * identical in every engine), binned into 10 equal-width buckets.
+    * Per-bin confidence sums the RAW 16-bit integers (exact longs) and
+    * divides once, so conf/acc/gap are fixed IEEE chains on exact
+    * integers; the ECE rollup is a window sum over 10 rows. One
+    * partial-aggregated shuffle at any scale. */
+  def calibrationError(s: SparkSession, d: String): DataFrame = {
+    val scored = events(s, d).select(
+      expr("cast(conv(substring(md5(cast(event_id as string)), 1, 4), " +
+        "16, 10) as bigint)").as("c16"),
+      (col("event_type") === "purchase").cast("long").as("y"))
+      .select(col("c16"), col("y"),
+        least(expr("c16 * 10 div 65536"), lit(9L)).as("bin"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("c16")).as("sc16"))
+    val wAll = Window.partitionBy()
+    val conf = col("sc16") / (col("n") * lit(65536.0))
+    val acc = col("pos") / col("n").cast("double")
+    val gapTerm = col("n").cast("double") /
+      sum(col("n")).over(wAll) * abs(acc - conf)
+    val layered = bins.select(col("bin"), col("n"), col("pos"),
+      round(conf, 6).as("conf"), round(acc, 6).as("acc"),
+      gapTerm.as("gt"))
+    layered.select(col("bin"), col("n"), col("pos"), col("conf"),
+      col("acc"), round(sum(col("gt")).over(wAll), 6).as("ece"))
+  }
+
+  /** NDCG@10 of a popularity ranker per user — the ranking-quality
+    * metric of a recommender eval: items rank by GLOBAL engagement
+    * (the q232 degree), relevance is the user's own interaction count,
+    * DCG = Σ rel/log₂(pos+1) over the top 10, normalized by the ideal
+    * (relevance-sorted) ordering. Both orderings are row_number windows
+    * with full tie-breaks; rel and pos are exact integers, each term a
+    * single division, per-user sums run over ≤ 10 doubles (noise
+    * ~1e-16 vs the 1e-6 output rounding). Degrees broadcast; the only
+    * wide shuffle is the per-(user, item) count. */
+  def ndcgAt10(s: SparkSession, d: String): DataFrame = {
+    val ui = events(s, d).select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("u"), col("item")).agg(count(lit(1)).as("rel"))
+      .localCheckpoint() // degree pass + both ranking windows
+    val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+    val wPred = Window.partitionBy(col("u"))
+      .orderBy(col("deg").desc, col("item"))
+    val wIdeal = Window.partitionBy(col("u"))
+      .orderBy(col("rel").desc, col("item"))
+    val scored = ui.join(broadcast(deg), Seq("item"))
+      .withColumn("pp", row_number().over(wPred))
+      .withColumn("ip", row_number().over(wIdeal))
+    val dcg = sum(when(col("pp") <= 10,
+      col("rel") / log2(col("pp") + 1)).otherwise(lit(0.0)))
+    val idcg = sum(when(col("ip") <= 10,
+      col("rel") / log2(col("ip") + 1)).otherwise(lit(0.0)))
+    scored.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_items"), dcg.as("d"), idcg.as("i"))
+      .select(col("u"), col("n_items"),
+        round(col("d") / col("i"), 6).as("ndcg10"))
+  }
 }

@@ -711,6 +711,43 @@ object TextQueries {
       .filter(col("jw") >= threshold)
   }
 
+  /** Asymmetric shingle containment (Broder's C(A→B) = |S_A ∩ S_B| /
+    * |S_A| on 3-gram token shingles) over the doc_id % 5 sample —
+    * the quote/subset detector that symmetric Jaccard misses: a
+    * paragraph wholly contained in a larger doc scores ~1.0 in one
+    * direction and low in the other. Shingle SETS build inside the
+    * scan projection (array HOF + array_distinct, no joins); the
+    * intersection is the one pair join, per-doc set sizes attach
+    * broadcast, and both directions emit from the SAME intersection
+    * row. Exact integers to the single output division. */
+  def shingleContainment(s: SparkSession, d: String,
+      threshold: Double = 0.05): DataFrame = {
+    val sh = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), " +
+          "element_at(w, i + 3)))"))).as("sh"))
+      .localCheckpoint() // sizes pass + both intersection sides
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("cap"))
+    inter
+      .join(broadcast(sz.select(col("doc_id").as("doc_a"),
+        col("sz").as("sa"))), Seq("doc_a"))
+      .join(broadcast(sz.select(col("doc_id").as("doc_b"),
+        col("sz").as("sb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("cap"),
+        round(col("cap") / col("sa").cast("double"), 6).as("c_ab"),
+        round(col("cap") / col("sb").cast("double"), 6).as("c_ba"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+  }
+
   /** Per-source lexical-richness profile — the corpus-health metrics a
     * pretraining pipeline tracks per ingestion source: token count N,
     * vocabulary V, type-token ratio V/N, hapax fraction (tokens seen

@@ -293,4 +293,71 @@ object TpchClassics {
       .groupBy(col("n_name"))
       .agg(revenueSum.as("revenue"))
   }
+
+  /** Q6: forecasting revenue change — the canonical full-pushdown query:
+    * every predicate (shipdate year, discount band, quantity cap)
+    * reaches the parquet scan, and the single global aggregate is one
+    * partial+final pass over the pruned 3-column read. Revenue
+    * accumulates in DECIMAL (exact, associative) and widens to double
+    * once. */
+  def q6(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      // NO scale-reduction cast before the double: Spark rounds decimal
+      // ties HALF_UP, DuckDB HALF_EVEN — a half-cent tie (q236 hit one)
+      // flips the last cent between engines. The scale-4 sum is exact;
+      // its double cast is correctly rounded and identical everywhere.
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** Q15: top supplier by quarterly revenue. The revenue "view" is one
+    * partial-aggregated rollup per supplier; the max-revenue filter
+    * compares IN DECIMAL (exact), so the ties-included semantics of the
+    * original query survive — a double comparison could drop or add a
+    * tied supplier on summation-order noise. The 1-row max broadcasts. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount")))).as("tr"))
+      .localCheckpoint() // max pass + the equality filter
+    val mx = rev.agg(max(col("tr")).as("mx"))
+    supplier(s, d)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(mx))
+      .filter(col("tr") === col("mx"))
+      // full-scale decimal → double (see q6's tie-rounding note)
+      .select(col("s_suppkey"), col("s_name"),
+        col("tr").cast("double").as("total_revenue"))
+  }
+
+  /** Q17 (adapted: brand filter only — the p_container column does not
+    * exist in this schema): average yearly revenue lost if small-
+    * quantity orders (below 20% of the part's average quantity) were
+    * not taken. The correlated scalar subquery is decorrelated by hand
+    * into a per-part aggregate joined back — the rewrite Catalyst
+    * would have to find, stated directly. The threshold comparison is
+    * sum/(5·cnt) on exact integers (0.2·avg with a single division);
+    * revenue sums in DECIMAL. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val lim = lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"),
+        count(lit(1)).as("cq"))
+      .select(col("pk"),
+        (col("sq") / (lit(5.0) * col("cq"))).as("lim"))
+    val p = part(s, d).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(lim, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("lim"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("decimal(38,2)")
+        .cast("double") / 7.0).as("avg_yearly"))
+  }
 }
