@@ -329,4 +329,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("skip-gram co-occurrence: pair generation is join-free " +
+      "(array HOF in the projection, only pair counts shuffle)") {
+    val p = plan(TextQueries.skipgramCooc(spark, sf0001))
+    assert(!p.contains("Join"), p.take(2000))
+    // one Generate (the explode), partial+final agg around one exchange
+    assert(p.contains("Generate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("grid-DBSCAN: the 9-stencil neighbor match is an equi-join " +
+      "(hash), never a nested-loop over cell pairs") {
+    val p = plan(Graph.gridDbscan(spark, sf0001))
+    assert(!p.contains("NestedLoop"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("item-cosine: both degree attachments broadcast; the only " +
+      "shuffles are the incidence distinct and the pair count") {
+    val p = plan(Graph.itemCosine(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("rerank ANN: the query set broadcasts in BOTH stages — the " +
+      "corpus is never on the build side") {
+    val p = plan(Similarity.rerankTopK(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("TPC-H Q6: all three predicates reach the parquet scan as " +
+      "pushed filters; one partial+final agg pass") {
+    val q6 = TpchClassics.q6(spark, sf0001)
+    val scan = q6.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan.take(2000))
+    assert(scan.contains("l_shipdate"), scan.take(2000))
+    assert("HashAggregate".r.findAllIn(scan).length >= 2, scan.take(2000))
+    assert(!scan.contains("Join"), scan.take(2000))
+  }
+
 }
