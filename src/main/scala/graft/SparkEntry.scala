@@ -272,6 +272,9 @@ object SparkEntry {
     "q239_ndcg" -> (MLPrep.ndcgAt10(_, _)),
     "q240_shingle_containment" ->
       ((s, d) => TextQueries.shingleContainment(s, d)),
+    "q241_tpch_q9" -> (graft.operators.TpchClassics.q9(_, _)),
+    "q242_time_decay" -> (MLPrep.timeDecayScore(_, _)),
+    "q243_fd_histogram" -> (MLPrep.fdHistogram(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2626,5 +2629,35 @@ object SparkEntry {
         "JOIN sz sb ON doc_b = sb.doc_id " +
         "WHERE round(cap / CAST(sa.sz AS DOUBLE), 6) >= 0.05 " +
         "OR round(cap / CAST(sb.sz AS DOUBLE), 6) >= 0.05"),
+    "q241_tpch_q9" ->
+      ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) - " +
+        "CAST(p_retailprice AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%blue%' " +
+        "GROUP BY n_name, year(o_orderdate)"),
+    "q242_time_decay" ->
+      ("WITH ev AS (SELECT user_id, value, CAST(ts AS DATE) AS day " +
+        "FROM events), " +
+        "mx AS (SELECT max(day) AS mxd FROM ev) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "sum(CAST(round(round(value * 100, 0) * " +
+        "round(pow(2.0, -date_diff('day', day, mxd) / 30.0), 9) " +
+        "* 10000, 0) AS BIGINT)) / 1000000.0 AS decayed_value " +
+        "FROM ev, mx GROUP BY user_id"),
+    "q243_fd_histogram" ->
+      ("WITH v AS (SELECT o_totalprice AS x FROM orders), " +
+        "st AS (SELECT count(*) AS n, min(x) AS mn, max(x) AS mx, " +
+        "round(2.0 * (quantile_disc(x, 0.75) - quantile_disc(x, 0.25)) " +
+        "/ cbrt(count(*)), 6) AS h FROM v) " +
+        "SELECT bin, round(mn + bin * h, 2) AS lo, h, count(*) AS n " +
+        "FROM (SELECT CAST(least(floor((x - mn) / h), " +
+        "ceil((mx - mn) / h) - 1) AS BIGINT) AS bin, h, mn FROM v, st) " +
+        "GROUP BY bin, h, mn"),
   )
 }

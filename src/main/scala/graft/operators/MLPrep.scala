@@ -334,4 +334,56 @@ object MLPrep {
       .select(col("u"), col("n_items"),
         round(col("d") / col("i"), 6).as("ndcg10"))
   }
+
+  /** Exponentially time-decayed engagement score per user (half-life
+    * 30 days against the corpus max timestamp) — the feature-store
+    * recency weighting: score = Σ value·2^(−age_days/30). Decay terms
+    * are transcendental, so each one rounds to 9 decimals and sums as
+    * a scaled long (the q215/q212 exact-sum discipline — a plain
+    * double sum would be partition-order-dependent); ages are exact
+    * integer day differences from the broadcast 1-row max. One wide
+    * shuffle (per-user partial agg) at any scale. */
+  def timeDecayScore(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      col("value"), col("ts").cast("date").as("day"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        // value is dollars-and-cents: exact as cents; the decay factor
+        // rounds to 1e-9 and the product re-quantizes to 1e-6 before
+        // the exact scaled-long sum
+        round(round(col("value") * 100, 0) *
+          round(pow(lit(2.0), -datediff(col("mxd"), col("day")) / 30.0),
+            9) * 10000, 0).cast("long").as("t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("t")) / lit(1000000.0)).as("decayed_value"))
+  }
+
+  /** Freedman-Diaconis auto-binned histogram of order totals — the
+    * data-driven bin-width rule (h = 2·IQR/∛n) every profiling layer
+    * needs before it can draw a histogram. IQR comes from EXACT
+    * discrete percentiles (order statistics — engine-independent,
+    * unlike interpolating quantiles), the width rounds to 6 decimals
+    * so both engines bin with the IDENTICAL constant, and assignment
+    * is a broadcast of the 1-row stats + a map-side floor division —
+    * one partial-aggregated shuffle for the counts. */
+  def fdHistogram(s: SparkSession, d: String): DataFrame = {
+    val v = orders(s, d).select(col("o_totalprice").as("x"))
+    val stats = v.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
+      max(col("x")).as("mx"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)").as("q1"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)").as("q3"))
+      .select(col("n"), col("mn"), col("mx"),
+        round(lit(2.0) * (col("q3") - col("q1")) /
+          cbrt(col("n")), 6).as("h"))
+    v.crossJoin(broadcast(stats))
+      .select(col("h"), col("mn"),
+        least(floor((col("x") - col("mn")) / col("h")),
+          ceil((col("mx") - col("mn")) / col("h")) - 1).as("bin"))
+      .groupBy(col("bin"))
+      .agg(max(col("h")).as("h"), count(lit(1)).as("n"),
+        round(max(col("mn")) + col("bin") * max(col("h")), 2).as("lo"))
+      .select(col("bin"), col("lo"), col("h"), col("n"))
+  }
 }

@@ -360,4 +360,36 @@ object TpchClassics {
       .agg((sum(dec(col("l_extendedprice"))).cast("decimal(38,2)")
         .cast("double") / 7.0).as("avg_yearly"))
   }
+
+  /** Q9 (adapted: p_retailprice stands in for the absent
+    * ps_supplycost — partsupp does not exist in this schema): product
+    * type profit by supplier nation and order year, for parts whose
+    * name carries the "blue" marker (this corpus's color vocabulary
+    * has no "green"). The canonical 5-way star join:
+    * part (filtered, broadcast), supplier→nation (broadcast chain),
+    * orders joined on the fact key for the year. Profit stays in
+    * DECIMAL through the aggregation (scale-4 exact; no scale-
+    * reduction recast — see q6's tie-rounding note). */
+  def q9(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_name").contains("blue"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = orders(s, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount"))) -
+          dec(col("p_retailprice")) * dec(col("l_quantity")))
+        .cast("double").as("sum_profit"))
+  }
 }
