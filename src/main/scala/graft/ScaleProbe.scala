@@ -244,6 +244,40 @@ object ScaleProbe {
             .select(col("doc_id"), col("text")),
           n)).count())
       results += (("prefix_filter_join", n, tPf, rPf))
+
+      // skip-gram co-occurrence (round 5): pair generation is an array
+      // HOF in the projection — zero joins — so cost must track the
+      // token count and the shuffle only the distinct-pair count
+      val (tSg, rSg) = time {
+        docs.select(expr("filter(split(lower(text), ' '), x -> x != '')")
+            .as("w"))
+          .select(explode(expr(
+            "flatten(transform(w, (x, i) -> filter(array(" +
+              "IF(i + 2 <= size(w), named_struct(" +
+              "'a', x, 'b', element_at(w, i + 2), 'dist', 1), NULL), " +
+              "IF(i + 3 <= size(w), named_struct(" +
+              "'a', x, 'b', element_at(w, i + 3), 'dist', 2), NULL)), " +
+              "p -> p IS NOT NULL)))")).as("p"))
+          .groupBy(col("p.a"), col("p.b")).count().count()
+      }
+      results += (("skipgram_cooc", n, tSg, rSg))
+
+      // bipartite item-cosine pair join (round 5): blowup is
+      // Σᵤ deg(u)² by construction; with per-user item degree fixed by
+      // replication, cost must track the user count linearly
+      val (tIc, rIc) = time {
+        val uk = replicateKeyed(
+          Tables.events(spark, sfDir)
+            .select(col("user_id").as("u"),
+              get_json_object(col("props"), "$.k").cast("int").as("item"))
+            .filter(col("item").isNotNull), "u", n)
+          .distinct()
+        uk.select(col("u"), col("item").as("i"))
+          .join(uk.select(col("u"), col("item").as("j")), Seq("u"))
+          .filter(col("i") =!= col("j"))
+          .groupBy(col("i"), col("j")).count().count()
+      }
+      results += (("item_cosine_pairs", n, tIc, rIc))
     }
 
     val body = results.map { case (p, n, sec, rows) =>
