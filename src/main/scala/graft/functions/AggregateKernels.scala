@@ -55,6 +55,13 @@ object AggregateKernels {
     ColumnBridge.column(
       IsotonicPava(ColumnBridge.expression(bin),
         ColumnBridge.expression(y), bins).toAggregateExpression())
+
+  /** Column API: exact scaled second-moment matrix of array<double>
+    * rows — all dim² cells of Σ floor(xᵢ·xⱼ·1e9), carried as (hi, lo)
+    * long pairs, in ONE pass with no Generate. */
+  def momentMatrix(v: Column): Column =
+    ColumnBridge.column(
+      MomentMatrix(ColumnBridge.expression(v)).toAggregateExpression())
 }
 
 /** Misra-Gries frequent-items sketch over string items: at most k
@@ -571,6 +578,172 @@ object PavaBuffer {
     val b = new PavaBuffer(bins)
     var i = 0
     while (i < bins) { b.pos(i) = bb.getLong; b.n(i) = bb.getLong; i += 1 }
+    b
+  }
+}
+
+/** Exact scaled second-moment matrix over array<double> rows: every cell
+  * (i, j) accumulates Σ floor(xᵢ·xⱼ·1e9) as an exact (hi, lo) long pair
+  * (lo is carried into hi whenever |lo| reaches 1e9, so the pair never
+  * overflows at ANY row count while hi·1e9 + lo stays the exact total).
+  *
+  * This replaces the outer-product explode formulation of the PCA
+  * covariance pass (dim²·|rows| generated rows through a Generate + one
+  * partial-aggregated shuffle — 200M rows at bench scale) with one
+  * dim²-cell buffer per mapper: the scan does the same multiplications
+  * in a tight JVM loop and the shuffle carries dim² longs per partition,
+  * input-size-independent. Per-cell arithmetic mirrors the SQL path
+  * bit-for-bit (same double multiply association, same floor, same
+  * truncating div/mod), so swapping formulations cannot move a result.
+  */
+@ExpressionDescription(
+  usage = "moment_matrix(v) - exact scaled second-moment matrix cells " +
+    "of array<double> rows as array<struct<i,j,shi,slo,n>>")
+case class MomentMatrix(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MomentBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("i", IntegerType).add("j", IntegerType)
+    .add("shi", LongType).add("slo", LongType).add("n", LongType),
+    containsNull = false)
+  override def prettyName: String = "moment_matrix"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.simpleString(10)}")
+    }
+
+  override def createAggregationBuffer(): MomentBuffer = new MomentBuffer
+
+  override def update(buf: MomentBuffer, input: InternalRow)
+      : MomentBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(a: MomentBuffer, b: MomentBuffer): MomentBuffer = {
+    a.absorb(b); a
+  }
+
+  override def eval(buf: MomentBuffer): Any =
+    if (buf.d == 0) null
+    else {
+      val cells = new Array[Any](buf.d * buf.d)
+      var c = 0
+      while (c < cells.length) {
+        cells(c) = InternalRow(c / buf.d, c % buf.d,
+          buf.shi(c), buf.slo(c), buf.n)
+        c += 1
+      }
+      new GenericArrayData(cells)
+    }
+
+  override def serialize(buf: MomentBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): MomentBuffer =
+    MomentBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MomentMatrix =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MomentMatrix =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : MomentMatrix = copy(child = c(0))
+}
+
+final class MomentBuffer {
+  import MomentBuffer.B
+  var d: Int = 0
+  var n: Long = 0L
+  var shi: Array[Long] = _
+  var slo: Array[Long] = _
+
+  private def init(dim: Int): Unit = {
+    d = dim; shi = new Array[Long](d * d); slo = new Array[Long](d * d)
+  }
+
+  @inline private def put(c: Int, t: Long): Unit = {
+    shi(c) += t / B
+    val s = slo(c) + t % B
+    if (s >= B || s <= -B) { shi(c) += s / B; slo(c) = s % B }
+    else slo(c) = s
+  }
+
+  def add(v: ArrayData): Unit = {
+    val dim = v.numElements()
+    if (d == 0) init(dim)
+    else require(dim == d,
+      s"moment_matrix: dimension mismatch ($d vs $dim)")
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) { x(i) = v.getDouble(i); i += 1 }
+    n += 1
+    var c = 0
+    i = 0
+    while (i < d) {
+      val xi = x(i)
+      var j = 0
+      while (j < d) {
+        // same association as the SQL path: (xᵢ·xⱼ)·1e9, then floor
+        put(c, math.floor(xi * x(j) * 1e9).toLong)
+        j += 1; c += 1
+      }
+      i += 1
+    }
+  }
+
+  def absorb(o: MomentBuffer): Unit =
+    if (o.d != 0) {
+      if (d == 0) {
+        init(o.d)
+        System.arraycopy(o.shi, 0, shi, 0, shi.length)
+        System.arraycopy(o.slo, 0, slo, 0, slo.length)
+        n = o.n
+      } else {
+        require(d == o.d,
+          s"moment_matrix: dimension mismatch ($d vs ${o.d})")
+        n += o.n
+        var c = 0
+        while (c < shi.length) {
+          shi(c) += o.shi(c)
+          val s = slo(c) + o.slo(c)
+          if (s >= B || s <= -B) { shi(c) += s / B; slo(c) = s % B }
+          else slo(c) = s
+          c += 1
+        }
+      }
+    }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 + 16 * (if (d == 0) 0 else d * d))
+    bb.putInt(d); bb.putLong(n)
+    if (d != 0) {
+      var c = 0
+      while (c < shi.length) { bb.putLong(shi(c)); bb.putLong(slo(c)); c += 1 }
+    }
+    bb.array()
+  }
+}
+
+object MomentBuffer {
+  val B = 1000000000L
+
+  def fromBytes(bytes: Array[Byte]): MomentBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new MomentBuffer
+    val dim = bb.getInt
+    val n = bb.getLong
+    if (dim != 0) {
+      b.d = dim; b.n = n
+      b.shi = new Array[Long](dim * dim); b.slo = new Array[Long](dim * dim)
+      var c = 0
+      while (c < b.shi.length) { b.shi(c) = bb.getLong; b.slo(c) = bb.getLong; c += 1 }
+    }
     b
   }
 }

@@ -68,18 +68,20 @@ object PCA {
       px.select(col("i"), floor(col("x") * 1e9).as("t")).groupBy(col("i")))
       .select(col("i"), (exact(col("shi"), col("slo")) / 1e9 / col("n"))
         .as("m"))
-    // dim² cross moments in ONE generator: the outer product flattens
-    // to a dim²-array per row (built once, codegen'd lambdas), then a
-    // single posexplode feeds the partial-aggregated long sums —
-    // chaining two posexplodes instead would copy the row vector dim
-    // times through the first generator
-    val sxy = scaledSum(rows
-      .select(size(col("e")).as("dm"),
-        posexplode(flatten(transform(col("e"), x =>
-          transform(col("e"), y => x * y)))).as(Seq("p", "xy")))
-      .select(col("dm"), col("p"), floor(col("xy") * 1e9).as("t"))
-      .groupBy(floor(col("p") / col("dm")).cast("int").as("i"),
-        pmod(col("p"), col("dm")).cast("int").as("j")))
+    // dim² cross moments via the native moment_matrix aggregate: one
+    // dim²-cell buffer per mapper, NO Generate — the earlier outer-
+    // product posexplode pushed |rows|·dim² rows (200M at bench scale)
+    // through a generator + shuffle; the kernel does the same
+    // multiplications in a tight JVM loop with bit-identical per-cell
+    // arithmetic (same association, floor, truncating div/mod), so the
+    // swap cannot move a result (PCASpec + oracle pin it)
+    val sxy = rows
+      .agg(graft.functions.AggregateKernels.momentMatrix(col("e"))
+        .as("m"))
+      .select(explode(col("m")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.shi").as("shi"), col("c.slo").as("slo"),
+        col("c.n").as("n"))
     val cov = sxy
       .join(means.select(col("i"), col("m").as("mi")), Seq("i"))
       .join(means.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
