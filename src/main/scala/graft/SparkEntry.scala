@@ -275,6 +275,12 @@ object SparkEntry {
     "q241_tpch_q9" -> (graft.operators.TpchClassics.q9(_, _)),
     "q242_time_decay" -> (MLPrep.timeDecayScore(_, _)),
     "q243_fd_histogram" -> (MLPrep.fdHistogram(_, _)),
+    "q244_tpch_q2" -> (graft.operators.TpchClassics.q2(_, _)),
+    "q245_tpch_q11" -> ((s, d) => graft.operators.TpchClassics.q11(s, d)),
+    "q246_tpch_q12" -> (graft.operators.TpchClassics.q12(_, _)),
+    "q247_tpch_q16" -> (graft.operators.TpchClassics.q16(_, _)),
+    "q248_tpch_q20" -> (graft.operators.TpchClassics.q20(_, _)),
+    "q249_tpch_q21" -> (graft.operators.TpchClassics.q21(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2659,5 +2665,83 @@ object SparkEntry {
         "FROM (SELECT CAST(least(floor((x - mn) / h), " +
         "ceil((mx - mn) / h) - 1) AS BIGINT) AS bin, h, mn FROM v, st) " +
         "GROUP BY bin, h, mn"),
+    "q244_tpch_q2" ->
+      ("WITH supply AS (SELECT l_partkey, l_suppkey, " +
+        "min(CAST(round(l_extendedprice * 100, 0) AS BIGINT) // " +
+        "CAST(l_quantity AS BIGINT)) AS cost FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'EUROPE'), " +
+        "p AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15), " +
+        "cand AS (SELECT * FROM supply " +
+        "JOIN p ON l_partkey = p_partkey " +
+        "JOIN rs ON l_suppkey = s_suppkey), " +
+        "mc AS (SELECT p_partkey AS pk, min(cost) AS m FROM cand " +
+        "GROUP BY 1) " +
+        "SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, " +
+        "p_partkey, p_name, cost / 100.0 AS supply_cost FROM cand " +
+        "JOIN mc ON p_partkey = pk AND cost = m"),
+    "q245_tpch_q11" ->
+      ("WITH sup AS (SELECT s_suppkey FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_9'), " +
+        "v AS (SELECT l_partkey, " +
+        "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS val " +
+        "FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1), " +
+        "t AS (SELECT sum(val) AS tot FROM v) " +
+        "SELECT l_partkey, val / 100.0 AS value FROM v, t " +
+        "WHERE val > 0.001 * tot"),
+    "q246_tpch_q12" ->
+      ("SELECT CASE WHEN l_suppkey % 3 = 0 THEN 'MAIL' ELSE 'SHIP' END " +
+        "AS shipmode, " +
+        "count(*) FILTER (WHERE o_orderpriority IN " +
+        "('1-URGENT', '2-HIGH')) AS high_line_count, " +
+        "count(*) FILTER (WHERE o_orderpriority NOT IN " +
+        "('1-URGENT', '2-HIGH')) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE year(l_shipdate) = 1997 AND l_suppkey % 3 IN (0, 1) " +
+        "AND l_shipdate > o_orderdate GROUP BY 1"),
+    "q247_tpch_q16" ->
+      ("WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem " +
+        "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier " +
+        "WHERE s_acctbal < 0)) " +
+        "SELECT p_brand, p_type, p_size, " +
+        "count(DISTINCT l_suppkey) AS supplier_cnt FROM sp " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 5, 15, 25, 35, 45) " +
+        "GROUP BY 1, 2, 3"),
+    "q248_tpch_q20" ->
+      ("WITH q97 AS (SELECT l_partkey, l_suppkey, " +
+        "sum(CAST(l_quantity AS BIGINT)) AS q FROM lineitem " +
+        "WHERE year(l_shipdate) = 1997 GROUP BY 1, 2), " +
+        "qt AS (SELECT l_partkey AS pk, sum(q) AS tot FROM q97 " +
+        "GROUP BY 1), " +
+        "dom AS (SELECT DISTINCT l_suppkey FROM q97 " +
+        "JOIN qt ON l_partkey = pk " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE q > 0.5 * tot AND p_name LIKE '%red%') " +
+        "SELECT s_suppkey, s_name FROM dom " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_9'"),
+    "q249_tpch_q21" ->
+      ("WITH sl AS (SELECT DISTINCT l_orderkey AS ok, " +
+        "l_suppkey AS sk FROM lineitem), " +
+        "late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate), " +
+        "ho AS (SELECT l_orderkey, l_suppkey FROM late " +
+        "WHERE EXISTS (SELECT 1 FROM sl WHERE ok = l_orderkey " +
+        "AND sk <> l_suppkey)), " +
+        "w AS (SELECT l_orderkey, l_suppkey FROM ho h " +
+        "WHERE NOT EXISTS (SELECT 1 FROM late o " +
+        "WHERE o.l_orderkey = h.l_orderkey " +
+        "AND o.l_suppkey <> h.l_suppkey)) " +
+        "SELECT s_suppkey, s_name, count(*) AS numwait FROM w " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1, 2"),
   )
 }

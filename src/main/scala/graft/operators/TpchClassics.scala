@@ -392,4 +392,172 @@ object TpchClassics {
           dec(col("p_retailprice")) * dec(col("l_quantity")))
         .cast("double").as("sum_profit"))
   }
+
+  /** The lineitem-derived SUPPLY CATALOG standing in for the absent
+    * partsupp table (Q2/Q11/Q16/Q20 below): every (part, supplier) pair
+    * that ever traded, with its minimum observed unit price in exact
+    * integer cents — `div`, not `/`, so the "cost" is bit-stable. */
+  private def supplyCatalog(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr(
+        "cast(round(l_extendedprice * 100, 0) as bigint) " +
+          "div cast(l_quantity as bigint)")).as("cost"))
+
+  /** Q2 (adapted): minimum-cost supplier per part in a region, over the
+    * lineitem-derived supply catalog. The correlated min subquery
+    * decorrelates into a per-part MIN joined back on equality — exact
+    * integer cents, so the tie semantics (ALL min-cost suppliers
+    * return) are precise. Region chain and part filter broadcast. */
+  def q2(s: SparkSession, d: String): DataFrame = {
+    val rs = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .join(broadcast(region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val p = part(s, d).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val cand = supplyCatalog(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+    val mc = cand.groupBy(col("p_partkey").as("pk"))
+      .agg(min(col("cost")).as("m"))
+    cand.join(mc, col("p_partkey") === col("pk") &&
+        col("cost") === col("m"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_name"),
+        (col("cost") / lit(100.0)).as("supply_cost"))
+  }
+
+  /** Q11 (adapted): important stock — parts whose traded value through
+    * one nation's suppliers exceeds a fraction of that nation's total.
+    * Values are exact cent longs; the single global total broadcasts;
+    * the fraction compare is one IEEE multiply. */
+  def q11(s: SparkSession, d: String, frac: Double = 0.001): DataFrame = {
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = lineitem(s, d)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+        .as("val"))
+    val tot = v.agg(sum(col("val")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val") > lit(frac) * col("tot"))
+      .select(col("l_partkey"), (col("val") / lit(100.0)).as("value"))
+  }
+
+  /** Q12 (adapted): shipping-mode priority analysis. The schema has no
+    * l_shipmode/commitdate/receiptdate; mode is key-derived (the q19/q22
+    * idiom) and "late" is ship-after-order (the q4 stand-in). One
+    * fact-fact join, counts conditional inside the aggregation. */
+  def q12(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997 &&
+        (col("l_suppkey") % 3).isin(0, 1))
+      .select(col("l_orderkey"), col("l_shipdate"),
+        when(col("l_suppkey") % 3 === 0, "MAIL").otherwise("SHIP")
+          .as("shipmode"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("shipmode"))
+      .agg(count_if(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .as("high_line_count"),
+        count_if(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .as("low_line_count"))
+
+  /** Q16 (adapted): supplier counts per (brand, type, size) bucket over
+    * the supply catalog, excluding one brand, one type class, and
+    * "complaint" suppliers (negative balance stands in for the comment
+    * filter). The exclusion is a broadcast anti-join; the count is a
+    * distinct aggregate per bucket. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val bad = supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val sp = lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    sp.join(broadcast(part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 15, 25, 35, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q20 (adapted): dominant suppliers of "red" parts in one nation —
+    * suppliers who shipped more than half of a red part's 1997 volume
+    * (availqty-vs-half-demand becomes a share-of-volume threshold on
+    * exact integer quantities). Two partial-aggregated rollups, one
+    * equality join between them, broadcast part filter and nation
+    * chain, one distinct. */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val q97 = lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .localCheckpoint() // per-pair rollup feeds both the total and join
+    val qt = q97.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("tot"))
+    val rp = part(s, d).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    val dom = q97.join(qt, col("l_partkey") === col("pk"))
+      .filter(col("q") > lit(0.5) * col("tot"))
+      .join(broadcast(rp), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey")).distinct()
+    dom.join(supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** Q21 (adapted): suppliers who kept orders waiting — for finished
+    * orders, the supplier shipped late (ship-after-order stands in for
+    * receipt-after-commit), ANOTHER supplier was on the order (semi
+    * join), and NO other supplier was also late (anti join). The
+    * EXISTS/NOT EXISTS pair is the whole point of Q21 and survives the
+    * adaptation intact; both run as pair-level semi/anti joins with an
+    * order-key equi component. */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val sl = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+      .localCheckpoint() // probe side of the EXISTS
+    val late = lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .localCheckpoint() // reused: base, EXISTS probe, NOT EXISTS probe
+    val hasOther = late.join(sl,
+      col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+      "left_semi")
+    val lateOther = late.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"))
+    val waits = hasOther.join(lateOther,
+      col("l_orderkey") === col("ok2") &&
+        col("l_suppkey") =!= col("sk2"), "left_anti")
+    waits
+      .join(broadcast(supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
 }
