@@ -2535,11 +2535,12 @@ object SparkEntry {
         "IS NOT NULL), " +
         "e AS (SELECT a AS src, b AS dst FROM uk " +
         "UNION ALL SELECT b, a FROM uk), " +
-        "o AS (SELECT src AS node, count(*) AS n_1hop FROM e " +
+        "s AS (SELECT src, dst FROM e WHERE src LIKE '%0'), " +
+        "o AS (SELECT src AS node, count(*) AS n_1hop FROM s " +
         "GROUP BY 1), " +
         "r2 AS (SELECT a, c FROM (SELECT x.src AS a, y.dst AS c " +
-        "FROM e x JOIN e y ON x.dst = y.src WHERE x.src <> y.dst " +
-        "UNION SELECT src, dst FROM e)), " +
+        "FROM s x JOIN e y ON x.dst = y.src WHERE x.src <> y.dst " +
+        "UNION SELECT src, dst FROM s)), " +
         "t AS (SELECT a AS node, count(*) AS n_2hop FROM r2 " +
         "GROUP BY 1) " +
         "SELECT o.node, n_1hop, n_2hop FROM o JOIN t ON o.node = t.node"),

@@ -654,23 +654,29 @@ object Graph {
       .filter(col("rk") <= k)
   }
 
-  /** Exact 1-hop / 2-hop reach per node — the friend-of-friend feature:
-    * distinct neighbors at distance exactly ≤ 1 and ≤ 2. The 2-hop set
-    * is the classic wedge join e(a,b)⋈e(b,c); its output is bounded by
-    * Σᵥ deg(v)² wedges BEFORE the distinct, which is why the distinct
-    * (the one wide shuffle) runs on (a, c) pairs only — no path
-    * materialization. Self-loops excluded; counts exact. */
+  /** Exact 1-hop / 2-hop reach for a deterministic QUERY SET (node ids
+    * ending in '0' — every 10th entity of both partitions) — the
+    * friend-of-friend feature. The 2-hop set is the classic wedge join
+    * e(a,b)⋈e(b,c) with the source filter applied BEFORE the wedge
+    * expands, so the generated volume is Σ_b deg_in(b|queries)·deg(b),
+    * not the full Σ deg², and the one wide shuffle is the distinct on
+    * (a, c) pairs. Computing exact reach for EVERY node at corpus scale
+    * is deliberately out of scope — all-nodes neighborhood sizes are
+    * what HLL sketch propagation (HyperANF) is for; the exact wedge
+    * path is the per-query-set feature builder. Self-loops excluded;
+    * counts exact. */
   def twoHopReach(s: SparkSession, d: String): DataFrame = {
     val e = eventEdges(s, d).localCheckpoint()
-    val oneHop = e.groupBy(col("src").as("node"))
+    val src = e.filter(col("src").endsWith("0"))
+    val oneHop = src.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("n_1hop")) // edge list is already distinct
-    val twoHop = e.select(col("src").as("a"), col("dst").as("b"))
+    val twoHop = src.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
       .filter(col("a") =!= col("c"))
       .select(col("a"), col("c"))
       // reach within ≤2: union the direct neighbors (some 2-hop targets
       // are also 1-hop); ONE distinct deduplicates wedges and overlap
-      .unionByName(e.select(col("src").as("a"), col("dst").as("c")))
+      .unionByName(src.select(col("src").as("a"), col("dst").as("c")))
       .distinct()
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("n_2hop"))
     oneHop.join(twoHop, Seq("node"))
