@@ -168,4 +168,62 @@ class AggregateKernelSpec extends SparkTestBase {
       .as[Seq[Double]].head()
     assert(v === Seq(4.0, 6.0))
   }
+
+  test("moment_matrix equals the outer-product explode formulation " +
+      "cell-for-cell and is partitioning-invariant") {
+    val rows = Tables.embeddings(spark, d)
+      .select(VectorFunctions.asDouble(col("embedding")).as("e"))
+    // reference: the q212 pre-kernel SQL path (posexplode + scaled sums)
+    val ref = rows
+      .select(size(col("e")).as("dm"),
+        posexplode(flatten(transform(col("e"), x =>
+          transform(col("e"), y => x * y)))).as(Seq("p", "xy")))
+      .select(col("dm"), col("p"), floor(col("xy") * 1e9).as("t"))
+      .groupBy(floor(col("p") / col("dm")).cast("int").as("i"),
+        pmod(col("p"), col("dm")).cast("int").as("j"))
+      .agg(sum(expr("t div 1000000000")).as("shi"),
+        sum(expr("t % 1000000000")).as("slo"),
+        count(lit(1)).as("n"))
+      .select(col("i"), col("j"),
+        // compare the exact TOTAL, not the (hi, lo) split — the kernel
+        // carries lo into hi eagerly, the SQL path doesn't
+        (col("shi").cast("decimal(38,0)") * 1000000000L + col("slo"))
+          .as("tot"), col("n"))
+    def kernel(df: org.apache.spark.sql.DataFrame) = df
+      .agg(AggregateKernels.momentMatrix(col("e")).as("m"))
+      .select(explode(col("m")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (col("c.shi").cast("decimal(38,0)") * 1000000000L + col("c.slo"))
+          .as("tot"), col("c.n").as("n"))
+    val k1 = kernel(rows).collect().map(r => (r.getInt(0), r.getInt(1),
+      r.getDecimal(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    val k2 = kernel(rows.repartition(7)).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val rf = ref.collect().map(r => (r.getInt(0), r.getInt(1),
+      r.getDecimal(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(k1.length === rf.length && k1.length === 64 * 64)
+    assert(k1.toSeq === rf.toSeq)   // kernel ≡ SQL formulation, exactly
+    assert(k1.toSeq === k2.toSeq)   // partial-merge path changes nothing
+  }
+
+  test("moment_matrix lo-to-hi carrying survives adversarial inputs " +
+      "(values that push |lo| past 1e9 every few rows)") {
+    // each row's self-product scales to ~0.9e9, so lo crosses the carry
+    // threshold constantly; the exact total must still match a direct
+    // BigInt sum of the per-row quantized products
+    val xs = Seq.fill(200)(Array(0.95, -0.97))
+    val df = xs.toDF("e").select(col("e").cast("array<double>").as("e"))
+    val out = df.agg(AggregateKernels.momentMatrix(col("e")).as("m"))
+      .select(explode(col("m")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.shi"), col("c.slo"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        BigInt(r.getLong(2)) * 1000000000L + r.getLong(3))).toMap
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val expected = xs.map { a =>
+        BigInt(math.floor(a(i) * a(j) * 1e9).toLong)
+      }.sum
+      assert(out((i, j)) === expected, s"cell ($i, $j)")
+    }
+  }
 }
