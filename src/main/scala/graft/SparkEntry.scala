@@ -281,6 +281,9 @@ object SparkEntry {
     "q247_tpch_q16" -> (graft.operators.TpchClassics.q16(_, _)),
     "q248_tpch_q20" -> (graft.operators.TpchClassics.q20(_, _)),
     "q249_tpch_q21" -> (graft.operators.TpchClassics.q21(_, _)),
+    // rows-only: HLL sketches have no DuckDB equivalent; GraphSpec
+    // bounds the estimate error against the exact wedge-join counts
+    "q250_hyperanf" -> ((s, d) => Graph.hyperAnf(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both

@@ -665,6 +665,46 @@ object Graph {
     * what HLL sketch propagation (HyperANF) is for; the exact wedge
     * path is the per-query-set feature builder. Self-loops excluded;
     * counts exact. */
+  /** HyperANF (Boldi-Rosa-Vigna, WWW'11): approximate neighborhood
+    * sizes for EVERY node via HLL sketch propagation — the scale path
+    * [[twoHopReach]]'s doc points at. Per node the state is ONE fixed-
+    * size HLL sketch; each round unions every node's sketch with its
+    * neighbors' (one join + one hll_union_agg shuffle — register-wise
+    * max, so merge order cannot change a sketch), after which
+    * hll_sketch_estimate reads |N≤r(v)| out. Round cost is |E|·sketch
+    * bytes regardless of how large the true neighborhoods get — the
+    * wedge blowup that forces [[twoHopReach]] to a query set never
+    * happens. The query joins the round-2 estimates against the EXACT
+    * wedge-join counts on the query set and reports relative error
+    * (the estimate includes the node itself — undirected graphs always
+    * close a→b→a — so exact+1 is the comparison target). Rows-only at
+    * the driver gate (DuckDB has no HLL); GraphSpec bounds the error. */
+  def hyperAnf(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
+    val e = eventEdges(s, d).localCheckpoint()
+    // round 1: sketch of the direct neighborhood ∪ self
+    var sk = e.groupBy(col("src").as("node"))
+      .agg(hll_union(hll_sketch_agg(col("dst")),
+        hll_sketch_agg(col("src"))).as("hll"))
+      .localCheckpoint() // referenced twice per propagation round
+    for (_ <- 2 to rounds) {
+      val prop = e
+        .join(sk.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(hll_union_agg(col("hll")).as("nh"))
+      sk = sk.join(prop, Seq("node"))
+        .select(col("node"), hll_union(col("hll"), col("nh")).as("hll"))
+        .localCheckpoint()
+    }
+    val est = sk.select(col("node"),
+      hll_sketch_estimate(col("hll")).as("est"))
+    twoHopReach(s, d)
+      .join(est, Seq("node"))
+      .select(col("node"), col("n_2hop"),
+        round(col("est"), 2).as("est_incl_self"),
+        round(abs(col("est") - (col("n_2hop") + 1)) /
+          (col("n_2hop") + 1), 4).as("rel_err"))
+  }
+
   def twoHopReach(s: SparkSession, d: String): DataFrame = {
     val e = eventEdges(s, d).localCheckpoint()
     val src = e.filter(col("src").endsWith("0"))

@@ -255,4 +255,16 @@ class GraphSpec extends SparkTestBase {
     // every member of the 3-core has in-core degree >= 3
     assert(got.values.forall(_ >= 3))
   }
+
+  test("HyperANF round-2 estimates track the exact wedge-join counts") {
+    val rows = Graph.hyperAnf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // HLL at default lgK (12) on neighborhoods this size: every
+    // query-set node's estimate stays within 15% of exact(+self),
+    // and the mean error is tighter than the worst case
+    val errs = rows.map(_.getAs[Double]("rel_err"))
+    assert(errs.max <= 0.15, s"max rel_err ${errs.max}")
+    assert(errs.sum / errs.length <= 0.05,
+      s"mean rel_err ${errs.sum / errs.length}")
+  }
 }
