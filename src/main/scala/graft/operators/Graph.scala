@@ -611,7 +611,38 @@ object Graph {
       .join(core.select(col("id").as("nid")), col("nkey") === col("nid"))
       .filter(col("id") =!= col("nid"))
       .select(col("id").as("src"), col("nid").as("dst"))
-    val lbl = connectedComponents(core.select(col("id")), edges)
+    // The FIXED grid bounds the core-cell count at ANY corpus size
+    // (cells ≤ spend_range/sx · count_range/sy — a geometry constant,
+    // not a data volume), so the cell graph is driver-scale by
+    // construction and a local union-find beats 3-4 distributed CC
+    // rounds of checkpoint+shuffle machinery. The distributed
+    // [[connectedComponents]] stays as the fallback for a degenerate
+    // configuration; both produce comp = min member id, so the choice
+    // is invisible in the result (oracle + spec unchanged).
+    val coreRows = core.select(col("id")).limit(100001).collect()
+    val lbl =
+      if (coreRows.length > 100000)
+        connectedComponents(core.select(col("id")), edges)
+      else {
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        coreRows.foreach(r => parent(r.getLong(0)) = r.getLong(0))
+        edges.select(col("src"), col("dst")).collect().foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) { // min root wins → comp = min member id
+            if (a < b) parent(b) = a else parent(a) = b
+          }
+        }
+        val s = core.sparkSession
+        import s.implicits._
+        parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "comp")
+      }
     core.join(lbl, core("id") === lbl("node"))
       .groupBy(col("comp").as("cluster"))
       .agg(count(lit(1)).as("n_cells"), sum(col("pts")).as("n_pts"),
