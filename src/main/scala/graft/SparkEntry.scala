@@ -1995,7 +1995,7 @@ object SparkEntry {
         "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi " +
         "FROM li WHERE l_orderkey % 2 = 1)) " +
-        "SELECT l_partkey, sum(m) AS matched_qty, " +
+        "SELECT l_partkey, CAST(sum(m) AS BIGINT) AS matched_qty, " +
         "round(sum(m * pc * 1000 // rq) / 100000.0, 2) AS cogs FROM (" +
         "SELECT r.l_partkey, least(rhi, ihi) - greatest(rlo, ilo) AS m, " +
         "rq, pc FROM r JOIN i ON r.l_partkey = i.l_partkey " +
@@ -2045,7 +2045,8 @@ object SparkEntry {
         "ON uni.seg = cnt.seg AND uni.bin = cnt.bin), " +
         "tot AS (SELECT seg, sum(cb) AS n_base, sum(cc) AS n_curr " +
         "FROM f GROUP BY seg) " +
-        "SELECT f.seg, n_base, n_curr, " +
+        "SELECT f.seg, CAST(n_base AS BIGINT) AS n_base, " +
+        "CAST(n_curr AS BIGINT) AS n_curr, " +
         "round(sum(((cb + 1) / (n_base + 10) - " +
         "(cc + 1) / (n_curr + 10)) * " +
         "ln(((cb + 1) / (n_base + 10)) / " +
@@ -2187,7 +2188,8 @@ object SparkEntry {
         "a AS (SELECT *, least(1.0, min(p * m / rk) OVER " +
         "(ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND " +
         "CURRENT ROW)) AS padj FROM r) " +
-        "SELECT n_name, n_a, n_b, round(dr, 6) AS d, rk, " +
+        "SELECT n_name, CAST(n_a AS BIGINT) AS n_a, " +
+        "CAST(n_b AS BIGINT) AS n_b, round(dr, 6) AS d, rk, " +
         "round(p, 8) AS p_raw, round(padj, 8) AS p_adj, " +
         "padj <= 0.1 AS significant FROM a"),
     "q214_isotonic_calibration" ->
@@ -2211,7 +2213,7 @@ object SparkEntry {
         "GROUP BY i.model, i.i, j.i), " +
         "fit AS (SELECT model, i, max(mr) AS iso FROM trip " +
         "GROUP BY model, i) " +
-        "SELECT c.model, c.bin, c.n, c.pos, " +
+        "SELECT c.model, c.bin, c.n, CAST(c.pos AS BIGINT) AS pos, " +
         "round(c.pos / CAST(c.n AS DOUBLE), 6) AS rate_raw, " +
         "round(fit.iso, 6) AS rate_iso FROM idx c JOIN fit " +
         "ON c.model = fit.model AND c.i = fit.i"),
@@ -2233,7 +2235,7 @@ object SparkEntry {
         "AS sxy FROM top), " +
         "tot AS (SELECT sum(freq) AS total_tokens, count(*) AS vocab " +
         "FROM cnt) " +
-        "SELECT total_tokens, vocab, n, " +
+        "SELECT CAST(total_tokens AS BIGINT) AS total_tokens, vocab, n, " +
         "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, " +
         "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) " +
         "/ n, 6) AS intercept, " +
@@ -2299,7 +2301,10 @@ object SparkEntry {
         "i AS (SELECT o_orderpriority, sum(n) AS n_incr, " +
         "sum(rev) AS rev_incr FROM pc GROUP BY 1) " +
         "SELECT coalesce(f.o_orderpriority, i.o_orderpriority) " +
-        "AS o_orderpriority, n_full, rev_full, n_incr, rev_incr, " +
+        "AS o_orderpriority, n_full, " +
+        "CAST(rev_full AS BIGINT) AS rev_full, " +
+        "CAST(n_incr AS BIGINT) AS n_incr, " +
+        "CAST(rev_incr AS BIGINT) AS rev_incr, " +
         "n_full = n_incr AND rev_full = rev_incr AS consistent " +
         "FROM f FULL JOIN i ON f.o_orderpriority = i.o_orderpriority"),
     "q219_feature_hashing" ->
@@ -2310,7 +2315,7 @@ object SparkEntry {
         "('0x' || substring(md5(tok), 1, 6))::BIGINT % 64 AS bucket, " +
         "CASE WHEN ('0x' || substring(md5(tok), 7, 1))::BIGINT % 2 = 0 " +
         "THEN 1 ELSE -1 END AS sgn FROM tk) " +
-        "SELECT doc_id, bucket, sum(sgn) AS w FROM h " +
+        "SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w FROM h " +
         "GROUP BY doc_id, bucket"),
     "q220_target_encoding" ->
       ("WITH b AS (SELECT c_mktsegment AS seg, o_orderkey % 5 AS fold, " +
@@ -2319,8 +2324,9 @@ object SparkEntry {
         "cf AS (SELECT seg, fold, count(*) AS n, sum(y) AS pos " +
         "FROM b GROUP BY seg, fold) " +
         "SELECT seg, fold, " +
-        "sum(n) OVER (PARTITION BY seg) - n AS n_of, " +
-        "sum(pos) OVER (PARTITION BY seg) - pos AS pos_of, " +
+        "CAST(sum(n) OVER (PARTITION BY seg) - n AS BIGINT) AS n_of, " +
+        "CAST(sum(pos) OVER (PARTITION BY seg) - pos AS BIGINT) " +
+        "AS pos_of, " +
         "round(((sum(pos) OVER (PARTITION BY seg) - pos) + 10.0 * " +
         "((sum(pos) OVER () - sum(pos) OVER (PARTITION BY fold)) / " +
         "(sum(n) OVER () - sum(n) OVER (PARTITION BY fold)))) / " +
@@ -2334,7 +2340,8 @@ object SparkEntry {
         "t AS (SELECT bin, pos, neg, " +
         "(pos + 0.5) / (sum(pos) OVER ()) AS dp, " +
         "(neg + 0.5) / (sum(neg) OVER ()) AS dn FROM c) " +
-        "SELECT bin, pos, neg, round(ln(dp / dn), 6) AS woe, " +
+        "SELECT bin, CAST(pos AS BIGINT) AS pos, " +
+        "CAST(neg AS BIGINT) AS neg, round(ln(dp / dn), 6) AS woe, " +
         "round(sum((dp - dn) * ln(dp / dn)) OVER (), 6) AS iv FROM t"),
     "q222_corr_matrix" -> {
       val feats = Seq("qty", "price", "disc", "tax")
@@ -2370,7 +2377,8 @@ object SparkEntry {
         "sum(na * (2 * below + na + nb + 1)) AS r1x2, " +
         "sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS tie " +
         "FROM w) " +
-        "SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1, " +
+        "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, " +
+        "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1, " +
         "round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - " +
         "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2) / " +
         "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12 * " +
@@ -2437,7 +2445,8 @@ object SparkEntry {
         }.mkString(", ") +
         ", j AS (SELECT a3.node, a3.a AS auth_raw, h3.h AS hub_raw " +
         "FROM a3 JOIN h3 ON a3.node = h3.node) " +
-        "SELECT node, auth_raw, hub_raw, " +
+        "SELECT node, CAST(auth_raw AS BIGINT) AS auth_raw, " +
+        "CAST(hub_raw AS BIGINT) AS hub_raw, " +
         "round(auth_raw / (SELECT max(auth_raw) FROM j), 6) AS auth, " +
         "round(hub_raw / (SELECT max(hub_raw) FROM j), 6) AS hub FROM j"
     },
@@ -2456,7 +2465,8 @@ object SparkEntry {
         "UNION SELECT e.dst, reach.r FROM reach " +
         "JOIN e ON e.src = reach.id), " +
         "lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
-        "SELECT cluster, count(*) AS n_cells, sum(pts) AS n_pts, " +
+        "SELECT cluster, count(*) AS n_cells, " +
+        "CAST(sum(pts) AS BIGINT) AS n_pts, " +
         "min(cx) AS cx_min, max(cx) AS cx_max, " +
         "min(cy) AS cy_min, max(cy) AS cy_max " +
         "FROM core JOIN lbl USING (id) GROUP BY cluster"),
@@ -2471,7 +2481,7 @@ object SparkEntry {
         "r AS (SELECT w2, sum(wt) OVER (ORDER BY w2 " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
         "sum(wt) OVER () AS t FROM walsh) " +
-        "SELECT t AS n_walsh, w2 / 2.0 AS hl FROM r " +
+        "SELECT CAST(t AS BIGINT) AS n_walsh, w2 / 2.0 AS hl FROM r " +
         "WHERE cum >= (t + 1) // 2 ORDER BY w2 LIMIT 1"),
     "q229_pmi_collocations" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, " +
@@ -2515,7 +2525,8 @@ object SparkEntry {
         "CAST(ta.t + tb.t - smin AS DOUBLE), 6) AS jw FROM inter " +
         "JOIN tot ta ON doc_a = ta.doc_id " +
         "JOIN tot tb ON doc_b = tb.doc_id " +
-        "WHERE smin / CAST(ta.t + tb.t - smin AS DOUBLE) >= 0.3"),
+        "WHERE round(smin / CAST(ta.t + tb.t - smin AS DOUBLE), 6) " +
+        ">= 0.3"),
     "q232_item_cosine" ->
       ("WITH uk AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS item " +
@@ -2556,7 +2567,8 @@ object SparkEntry {
         "count(*) AS vocab, " +
         "count(*) FILTER (WHERE c = 1) AS hapax FROM tc " +
         "GROUP BY source) " +
-        "SELECT source, n_tokens, vocab, hapax, " +
+        "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "vocab, hapax, " +
         "round(vocab / CAST(n_tokens AS DOUBLE), 6) AS ttr, " +
         "round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_frac, " +
         "round(ln(CAST(vocab AS DOUBLE)) / " +
@@ -2600,7 +2612,7 @@ object SparkEntry {
         "n / CAST(sum(n) OVER () AS DOUBLE) * " +
         "abs(pos / CAST(n AS DOUBLE) - sc16 / (n * 65536.0)) AS gt " +
         "FROM b) " +
-        "SELECT bin, n, pos, conf, acc, " +
+        "SELECT bin, n, CAST(pos AS BIGINT) AS pos, conf, acc, " +
         "round(sum(gt) OVER (), 6) AS ece FROM l"),
     "q239_ndcg" ->
       ("WITH ui AS (SELECT user_id AS u, " +

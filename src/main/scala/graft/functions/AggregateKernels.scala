@@ -676,6 +676,11 @@ final class MomentBuffer {
 
   def add(v: ArrayData): Unit = {
     val dim = v.numElements()
+    // An empty array is a degenerate input, not a dimension: ignore it
+    // entirely so it can neither throw (empty after non-empty) nor
+    // leave a half-initialized buffer (d=0 with n>0) that a later
+    // non-empty row would absorb into a miscounted n.
+    if (dim == 0) return
     if (d == 0) init(dim)
     else require(dim == d,
       s"moment_matrix: dimension mismatch ($d vs $dim)")

@@ -492,20 +492,8 @@ object Advanced {
       : DataFrame = {
     val t = docs.select(col("doc_id"),
       graft.functions.TextAnalysis.tokenCount(col("text")).as("ntok"))
-    val parts = t
-      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val local = parts.withColumn("local_cum",
-      sum(col("ntok")).over(
-        Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
-    val offsets = local.groupBy(col("pid"))
-      .agg(max(col("local_cum")).as("psum"))
-      .withColumn("offset",
-        coalesce(sum(col("psum")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("offset"))
-    local.join(broadcast(offsets), Seq("pid"))
-      .withColumn("cum_before", col("offset") + col("local_cum") - col("ntok"))
+    GlobalOrder.runningSums(t, Seq(col("doc_id")), Seq("cum" -> col("ntok")))
+      .withColumn("cum_before", col("cum") - col("ntok"))
       .withColumn("shard",
         floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
       .groupBy(col("shard"))
@@ -1515,17 +1503,21 @@ object Advanced {
   }
 
   /** Equi-DEPTH histogram (q57 is equi-width): ntile deciles over the
-    * price distribution with per-bucket count/min/max. The global sort
-    * ranks a slim (price, key) pair stream only; at corpus scale the
-    * same result comes from q111's sketch boundaries + range assignment
-    * instead of a global ntile — this query pins the exact semantics
-    * that path must reproduce. */
+    * price distribution with per-bucket count/min/max. ntile itself is
+    * never evaluated as a global window (that would single-partition
+    * the whole table): the global rank comes from [[GlobalOrder]]'s
+    * range-partitioned two-level prefix sum, and the decile is integer
+    * arithmetic on (rank, n) reproducing SQL ntile semantics exactly —
+    * deterministic because (price, orderkey) is a total order. */
   def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders(s, d)
+    val base = orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("bucket", ntile(10).over(w))
+    val total = base.agg(count(lit(1)).as("__n"))
+    GlobalOrder.rowNumber(base, "rn",
+        col("o_totalprice"), col("o_orderkey"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", GlobalOrder
+        .ntileFromRowNumber(col("rn"), col("__n"), 10).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 2).as("lo"),
@@ -1976,23 +1968,10 @@ object Advanced {
     * result is the exact global rank regardless of where the (sampled,
     * run-varying) range boundaries land, because ranks only depend on the
     * total order of the distinct keys. */
-  def globalRowNumber(s: SparkSession, d: String): DataFrame = {
-    val parts = orders(s, d).select(col("o_orderkey"))
-      .repartitionByRange(s.sparkContext.defaultParallelism,
-        col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
-    val local = parts.withColumn("local_rn",
-      row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))))
-    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-      .withColumn("offset",
-        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("offset"))
-    local.join(broadcast(offsets), Seq("pid"))
-      .select(col("o_orderkey"),
-        (col("offset") + col("local_rn")).cast("long").as("rn"))
-  }
+  def globalRowNumber(s: SparkSession, d: String): DataFrame =
+    GlobalOrder.rowNumber(orders(s, d).select(col("o_orderkey")),
+        "rn", col("o_orderkey"))
+      .select(col("o_orderkey"), col("rn"))
 
   /** First-order Markov transition matrix over per-user event sequences —
     * the sequence-statistics prep under next-event models and funnel

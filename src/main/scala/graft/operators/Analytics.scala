@@ -54,15 +54,14 @@ object Analytics {
   }
 
   /** RFM segmentation: per-customer recency / frequency / monetary from
-    * the orders table, each quartiled with ntile(4), then segment-level
-    * rollup. Monetary is rounded to cents BEFORE the ntile ordering so
-    * both engines sort identical values; every ntile ordering carries the
-    * customer key as tiebreaker, making tile assignment fully
-    * deterministic. ntile needs a global sort of the CUSTOMER-level
-    * rollup (not the raw orders) — at 100 TB that is ~hundreds of
-    * millions of 4-column rows, a range-partitioned sort Spark handles;
-    * if even that is too hot, the swap-in is approx-quantile cutoffs
-    * joined as a broadcast, same downstream shape. */
+    * the orders table, each quartiled with ntile(4) SEMANTICS, then
+    * segment-level rollup. Monetary is rounded to cents BEFORE the
+    * ordering so both engines sort identical values; every ordering
+    * carries the customer key as tiebreaker, making tile assignment
+    * fully deterministic. No global window anywhere: each quartile
+    * comes from a [[GlobalOrder]] range-partitioned global rank plus
+    * exact integer ntile arithmetic — at 100 TB the customer rollup
+    * stays spread across the cluster for all three ranking passes. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
@@ -74,13 +73,20 @@ object Analytics {
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_order")).as("r"),
         col("f"), col("m"))
-    val rq = ntile(4).over(Window.orderBy(col("r"), col("o_custkey")))
-    val fq = ntile(4).over(
-      Window.orderBy(col("f").desc, col("o_custkey")))
-    val mq = ntile(4).over(
-      Window.orderBy(col("m").desc, col("o_custkey")))
-    rfm.select(col("r"), col("f"), col("m"),
-        rq.as("r_q"), fq.as("f_q"), mq.as("m_q"))
+    val total = rfm.agg(count(lit(1)).as("__n"))
+    val ranked = GlobalOrder.rowNumber(
+      GlobalOrder.rowNumber(
+        GlobalOrder.rowNumber(rfm,
+          "rn_r", col("r"), col("o_custkey")),
+        "rn_f", col("f").desc, col("o_custkey")),
+      "rn_m", col("m").desc, col("o_custkey"))
+    def tile(rn: Column, n: Column): Column =
+      GlobalOrder.ntileFromRowNumber(rn, n, 4).cast("int")
+    ranked.crossJoin(broadcast(total))
+      .select(col("r"), col("f"), col("m"),
+        tile(col("rn_r"), col("__n")).as("r_q"),
+        tile(col("rn_f"), col("__n")).as("f_q"),
+        tile(col("rn_m"), col("__n")).as("m_q"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         round(avg(col("m")), 2).as("avg_monetary"),
@@ -90,15 +96,25 @@ object Analytics {
   /** Quantile normalization: map every account balance to its global
     * percent_rank (rank-based, so equal balances normalize identically —
     * no tiebreaker needed), then per-nation distribution summary of the
-    * normalized values. The rank is one global sort of a 2-column
-    * projection; the rollup reuses nothing wider. The cross-engine
-    * contract is exact because percent_rank is pure rank arithmetic —
-    * no float summation before the final rounded aggregates. */
+    * normalized values. percent_rank = (rank−1)/(n−1) is pure rank
+    * arithmetic, and rank(v) = 1 + #{values < v}, so it reduces to the
+    * DISTINCT-VALUE grid: per-balance counts, one [[GlobalOrder]]
+    * running sum over the grid (range-partitioned — never a global
+    * window over the customer table), then a hash join maps each
+    * customer back to its q. Exact integer ranks before the one final
+    * division; scale-safe because the ordered pass touches only
+    * distinct balances. */
   def quantileNormalize(s: SparkSession, d: String): DataFrame = {
-    val pr = percent_rank().over(Window.orderBy(col("c_acctbal")))
-    customer(s, d)
+    val c = customer(s, d)
       .select(col("c_nationkey"), col("c_acctbal"))
-      .withColumn("q", pr)
+    val grid = c.groupBy(col("c_acctbal")).agg(count(lit(1)).as("cnt"))
+    val total = grid.agg(sum(col("cnt")).as("__n"))
+    val q = GlobalOrder
+      .runningSums(grid, Seq(col("c_acctbal")), Seq("cum" -> col("cnt")))
+      .crossJoin(broadcast(total))
+      .select(col("c_acctbal"),
+        ((col("cum") - col("cnt")) / (col("__n") - 1)).as("q"))
+    c.join(q, Seq("c_acctbal"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("q")), 5).as("avg_q"),
@@ -366,8 +382,11 @@ object Analytics {
     * kept in DOUBLED integers (2·avgrank = 2·cumprev + n + 1), so
     * U, AUC and the tie-corrected z-statistic derive from exact BIGINT
     * sums — bit-identical across engines, no float-associativity drift.
-    * At 100 TB the ordered pass touches only distinct-value cardinality;
-    * if that explodes, bucket the scores first (rank statistics on
+    * At 100 TB the ordered pass touches only distinct-value cardinality,
+    * and even that pass is a [[GlobalOrder]] range-partitioned prefix
+    * sum (continuous scores can make the grid approach row count, so it
+    * must never collapse into one WindowExec partition); if the grid
+    * itself explodes, bucket the scores first (rank statistics on
     * binned scores are the standard large-N approximation). */
   def aucRank(s: SparkSession, d: String): DataFrame = {
     val byScore = events(s, d)
@@ -375,11 +394,9 @@ object Analytics {
         (col("event_type") === "purchase").cast("long").as("pos"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
-    val wPrev = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = byScore
-      .withColumn("cum_prev",
-        coalesce(sum(col("n")).over(wPrev), lit(0L)))
+    val agg = GlobalOrder
+      .runningSums(byScore, Seq(col("score")), Seq("cum_incl" -> col("n")))
+      .withColumn("cum_prev", col("cum_incl") - col("n"))
       .agg(sum(col("p")).as("n_pos"),
         (sum(col("n")) - sum(col("p"))).as("n_neg"),
         // sum of p · (2·avgrank) — exact integer rank mass
@@ -404,7 +421,10 @@ object Analytics {
     * the sup-distance is engine-exact before the final rounding. Output:
     * sample sizes, D, the scaled statistic and the asymptotic p-value
     * 2·exp(−2c²). Same scale shape as [[aucRank]]: the wide data
-    * reduces to distinct values before any ordered pass. */
+    * reduces to distinct values before any ordered pass, and the
+    * ordered pass itself is a [[GlobalOrder]] range-partitioned prefix
+    * sum with the grand totals crossed in from a broadcast one-row
+    * aggregate — no WindowExec ever sees a single global partition. */
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val byScore = events(s, d)
       .select(col("value").as("score"),
@@ -412,16 +432,14 @@ object Analytics {
       .groupBy(col("score"))
       .agg(sum(col("isa")).as("na"),
         (count(lit(1)) - sum(col("isa"))).as("nb"))
-    val wCum = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    byScore
-      .withColumn("tot_a", sum(col("na")).over(wAll))
-      .withColumn("tot_b", sum(col("nb")).over(wAll))
+    val totals = byScore
+      .agg(sum(col("na")).as("tot_a"), sum(col("nb")).as("tot_b"))
+    GlobalOrder
+      .runningSums(byScore, Seq(col("score")),
+        Seq("ca" -> col("na"), "cb" -> col("nb")))
+      .crossJoin(broadcast(totals))
       .withColumn("gap", abs(
-        sum(col("na")).over(wCum) / col("tot_a") -
-        sum(col("nb")).over(wCum) / col("tot_b")))
+        col("ca") / col("tot_a") - col("cb") / col("tot_b")))
       .agg(max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
         max(col("gap")).as("d_raw"))
       .select(col("n_a"), col("n_b"), round(col("d_raw"), 6).as("d"),

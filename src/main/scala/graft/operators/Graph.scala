@@ -598,17 +598,22 @@ object Graph {
     val core = cells.filter(col("pts") >= minPts)
       .withColumn("id", col("cx") * 1000 + col("cy"))
       .localCheckpoint() // consumed by stencil, CC nodes, and the rollup
-    // 9-stencil neighbor keys → equi-join on the key finds all core
-    // pairs at Chebyshev distance ≤ 1 (self-pairs filtered)
+    // 9-stencil neighbor keys → equi-join on the TRUE (cx, cy) pair
+    // finds all core pairs at Chebyshev distance ≤ 1 (self-pairs
+    // filtered). Joining on the coordinate pair, not the packed id,
+    // keeps adjacency exact for any cell range — the packed id is a
+    // LABEL only (same cx*1000+cy formula as the oracle), never a
+    // join key, so id aliasing cannot fabricate or merge adjacencies.
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val probes = core.select(col("id"), col("cx"), col("cy"),
         explode(array(offsets: _*)).as("o"))
-      .select(col("id"),
-        ((col("cx") + col("o.dx")) * 1000 + (col("cy") + col("o.dy")))
-          .as("nkey"))
+      .select(col("id"), (col("cx") + col("o.dx")).as("ncx"),
+        (col("cy") + col("o.dy")).as("ncy"))
     val edges = probes
-      .join(core.select(col("id").as("nid")), col("nkey") === col("nid"))
+      .join(core.select(col("id").as("nid"), col("cx").as("bcx"),
+          col("cy").as("bcy")),
+        col("ncx") === col("bcx") && col("ncy") === col("bcy"))
       .filter(col("id") =!= col("nid"))
       .select(col("id").as("src"), col("nid").as("dst"))
     // The FIXED grid bounds the core-cell count at ANY corpus size

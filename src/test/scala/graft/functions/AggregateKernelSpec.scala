@@ -226,4 +226,33 @@ class AggregateKernelSpec extends SparkTestBase {
       assert(out((i, j)) === expected, s"cell ($i, $j)")
     }
   }
+
+  test("moment_matrix ignores empty arrays in any arrival order and " +
+      "across partial merges") {
+    // empty-first, empty-last, and an all-empty partition (absorb with
+    // d == 0 on one side) must all yield the same 2x2 matrix with n = 3
+    def run(xs: Seq[Array[Double]], parts: Int) = {
+      val df = xs.toDF("e")
+        .select(col("e").cast("array<double>").as("e"))
+        .repartition(parts)
+      df.agg(AggregateKernels.momentMatrix(col("e")).as("m"))
+        .select(explode(col("m")).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.shi"), col("c.slo"),
+          col("c.n"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          (BigInt(r.getLong(2)) * 1000000000L + r.getLong(3),
+            r.getLong(4)))).toMap
+    }
+    val nonEmpty = Seq(Array(0.5, 1.0), Array(-0.25, 2.0), Array(1.5, 0.5))
+    val base = run(nonEmpty, 1)
+    assert(base((0, 0))._2 === 3L)
+    for (mixed <- Seq(
+        Array[Double]() +: nonEmpty,            // empty first
+        nonEmpty :+ Array[Double](),            // empty last
+        Array[Double]() +: nonEmpty :+ Array[Double]());
+      parts <- Seq(1, 4)) {                     // 4 → some all-empty parts
+      assert(run(mixed, parts) === base,
+        s"mixed=${mixed.map(_.length).mkString(",")} parts=$parts")
+    }
+  }
 }

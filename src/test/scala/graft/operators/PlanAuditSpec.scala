@@ -130,17 +130,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
   }
 
-  test("shard pack: corpus windows partition by pid — the only global window is the P-row offset table") {
-    val df = Advanced.shardPack(spark, sf0001)
-    val p = plan(df)
-    // the corpus running sum must be a pid-PARTITIONED window (a regression
-    // to a global window would drop this spec string and trip the assert)
-    assert(p.contains("windowspecdefinition(pid"), p.take(3000))
-    // at most one SinglePartition exchange: the P-row offset table's global
-    // window — the corpus itself never collapses into one partition
-    val singlePartitionExchanges =
-      "Exchange SinglePartition".r.findAllIn(p).length
-    assert(singlePartitionExchanges <= 1, p.take(3000))
+  test("GlobalOrder corpus pass: window partitions by __pid, zero " +
+      "single-partition exchanges") {
+    // audit the pre-checkpoint production subtree directly — the eager
+    // localCheckpoint in runningSums hides it from downstream plans
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val p = plan(GlobalOrder.localFrame(base,
+      Seq(col("o_totalprice"), col("o_orderkey")),
+      Seq("rn" -> org.apache.spark.sql.functions.lit(1L))))
+    // the corpus running sum must be a __pid-PARTITIONED window (a
+    // regression to a global window would drop this string)
+    assert(p.contains("windowspecdefinition(__pid"), p.take(3000))
+    // and the corpus itself never collapses into one partition
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("ranking/CDF family: the only global windows run over the P-row " +
+      "offset tables, never the data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dfs = Seq(
+      "q64_shard_pack" -> Advanced.shardPack(spark, sf0001),
+      "q122_equidepth_hist" -> Advanced.equidepthHistogram(spark, sf0001),
+      "q175_global_rownumber" -> Advanced.globalRowNumber(spark, sf0001),
+      "q187_rfm_segments" -> Analytics.rfmSegments(spark, sf0001),
+      "q188_quantile_normalize" -> Analytics.quantileNormalize(spark, sf0001),
+      "q197_auc" -> Analytics.aucRank(spark, sf0001),
+      "q198_ks_test" -> Analytics.ksTest(spark, sf0001))
+    for ((name, df) <- dfs) {
+      val globalWins = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      // every unpartitioned window must rank the ≤P-row per-__pid offset
+      // aggregate, not the data stream
+      globalWins.foreach { w =>
+        assert(w.child.toString.contains("__pid"),
+          s"$name has a global window over non-offset data:\n" +
+            w.toString.take(2000))
+      }
+    }
   }
 
   test("bloom-pruned join probes on the scan side of the exchange and " +
