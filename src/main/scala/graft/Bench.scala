@@ -63,11 +63,35 @@ object Bench {
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val total = results.map(_._2).sum
 
+    // Machine-enforced baseline protocol: every query must run within 2×
+    // its FIRST recorded BASELINE.md number (the round-1 table is the
+    // first "| qNN_name | secs |" match per query). Violations are
+    // reported in the JSON ("over_2x") and on stderr so a regression
+    // fails loudly in the bench artifact itself instead of waiting for a
+    // judge to diff tables. Only meaningful at the protocol's sf0.1.
+    val baseline: Map[String, Double] =
+      try {
+        val md = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BASELINE.md"))
+        val row = """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|""".r
+        row.findAllMatchIn(md).toSeq
+          .groupBy(_.group(1)).map { case (k, ms) =>
+            k -> ms.head.group(2).toDouble } // first table = round-1 entry
+      } catch { case _: Throwable => Map.empty }
+    val over2x =
+      if (sfDir.endsWith("sf0.1")) results.collect {
+        case (n, t) if t > 0 && baseline.get(n).exists(b => t > 2 * b) => n
+      } else Seq.empty
+    over2x.foreach(n => System.err.println(
+      f"[bench] OVER 2x BASELINE: $n ${results.toMap.apply(n)}%.2fs vs " +
+        f"baseline ${baseline(n)}%.2fs"))
+
     def entry(k: String, v: Double) = "\"" + k + f"""":$v%.3f"""
     // full map → bench_full.json (judge-readable, no size limit)
     val fullQs = results.map((entry _).tupled).mkString("{", ",", "}")
+    val overJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"over_2x":$overJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case e: Throwable =>
@@ -90,7 +114,7 @@ object Bench {
     val qs = (kept.map((entry _).tupled) :+ entry("other", other))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,11 +50,11 @@ object SparkEntry {
     "q24_dedup_exact" -> (Dedup.exactStats(_, _)),
     "q25_dedup_normalized" -> (Dedup.normalizedDupGroups(_, _)),
     "q26_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
-    "q27_dedup_minhash" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
+    "q27_dedup_minhash" -> ((s, d) => Dedup.minhashRecallCheck(s, d)),
     "q28_dedup_simhash" -> (Dedup.simhashGroups(_, _)),
     "q29_embed_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "q30_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
-    "q31_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q31_ann_ivf" -> ((s, d) => Similarity.ivfRecallCheck(s, d)),
     "q32_multimodal_meta" -> (Multimodal.metadata(_, _)),
     "q33_frame_sample" -> ((s, d) => Multimodal.sampleFramesAscii(s, d)),
     "q34_asof_join" -> (Relational.asofJoin(_, _)),
@@ -71,7 +71,7 @@ object SparkEntry {
     "q45_predicates" -> (Relational.predicates(_, _)),
     "q46_pivot" -> (Relational.pivotAgg(_, _)),
     "q47_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
-    "q48_approx_distinct" -> (Relational.approxDistinctSketch(_, _)),
+    "q48_approx_distinct" -> (Relational.approxDistinctCheck(_, _)),
     "q49_hotkey_salted_join" -> ((s, d) => Relational.hotKeySaltedJoin(s, d)),
     "q50_window_battery" -> (Advanced.windowBattery(_, _)),
     "q51_grouping_sets" -> (Advanced.groupingSetsAgg(_, _)),
@@ -106,8 +106,8 @@ object SparkEntry {
     "q80_char_entropy" -> (TextQueries.charEntropy(_, _)),
     "q81_heavy_hitters" -> (TextQueries.heavyHitters(_, _)),
     "q82_column_profile" -> (Advanced.columnProfile(_, _)),
-    "q83_rp_lsh_neardup" -> ((s, d) => Similarity.rpLshNearDup(s, d)),
-    "q84_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q83_rp_lsh_neardup" -> ((s, d) => Similarity.rpLshRecallCheck(s, d)),
+    "q84_pq_ann" -> ((s, d) => Similarity.pqRecallCheck(s, d)),
     "q85_gap_fill" -> (Advanced.gapFill(_, _)),
     "q86_pagerank" -> (Graph.pagerank(_, _)),
     "q87_unpivot" -> (Advanced.unpivotBands(_, _)),
@@ -119,7 +119,7 @@ object SparkEntry {
     "q93_stats_battery" -> (Advanced.statsBattery(_, _)),
     "q94_session_window" -> (Advanced.sessionWindowAgg(_, _)),
     "q95_asof_sql" -> (Relational.asofJoinSql(_, _)),
-    "q96_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q96_ivfpq_ann" -> ((s, d) => Similarity.ivfPqRecallCheck(s, d)),
     "q97_scd2_merge" -> (Advanced.scd2Merge(_, _)),
     "q98_bfs_reach" -> ((s, d) => Graph.bfsReachability(s, d)),
     "q99_interval_concurrency" -> ((s, d) => Advanced.intervalConcurrency(s, d)),
@@ -135,11 +135,11 @@ object SparkEntry {
     "q109_bitwise_aggs" -> (Advanced.bitwiseAggs(_, _)),
     "q110_recursive_chain" -> (Advanced.recursiveChain(_, _)),
     "q111_sketch_quantiles" -> (Advanced.sketchQuantiles(_, _)),
-    "q112_opq_ann" -> ((s, d) => Similarity.opqTopK(s, d)),
+    "q112_opq_ann" -> ((s, d) => Similarity.opqRecallCheck(s, d)),
     "q113_url_extract" -> (Advanced.urlExtract(_, _)),
     "q114_try_battery" -> (Advanced.tryBattery(_, _)),
     "q115_explode_outer" -> (Advanced.explodeOuter(_, _)),
-    "q116_hll_union" -> (Advanced.hllUnion(_, _)),
+    "q116_hll_union" -> (Advanced.hllUnionCheck(_, _)),
     "q117_map_battery" -> (Advanced.mapBattery(_, _)),
     "q118_percentile_disc" -> (Advanced.percentileDisc(_, _)),
     "q119_linear_interpolate" -> (Advanced.linearInterpolate(_, _)),
@@ -182,14 +182,14 @@ object SparkEntry {
     "q156_rolling_wau" -> (Advanced.rollingWau(_, _)),
     "q157_nth_value" -> (Advanced.nthValueBattery(_, _)),
     "q158_codec_battery" -> ((s, d) =>
-      Multimodal.codecBattery(Multimodal.assets(s, d), s)),
+      Multimodal.codecRoundtrip(Multimodal.assets(s, d), s)),
     "q159_xml_battery" -> (Advanced.xmlBattery(_, _)),
     "q160_group_by_all" -> (Advanced.groupByAll(_, _)),
     "q161_multi_distinct" -> (Advanced.multiDistinct(_, _)),
     "q162_asof_tolerance" -> (Relational.asofJoinTolerance(_, _)),
     "q163_typed_pipeline" -> (Advanced.typedPipeline(_, _)),
     "q164_audio_battery" -> ((s, d) =>
-      Multimodal.audioBattery(Multimodal.assets(s, d), s)),
+      Multimodal.audioRoundtrip(Multimodal.assets(s, d), s)),
     "q165_kmeans" -> (graft.similarity.Clustering.kmeans(_, _)),
     "q166_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     "q167_shortest_paths" -> ((s, d) => Graph.shortestPaths(s, d)),
@@ -199,7 +199,7 @@ object SparkEntry {
     "q171_bloom_decontaminate" -> (Advanced.bloomDecontaminate(_, _)),
     "q172_mode_battery" -> (Advanced.modeBattery(_, _)),
     "q173_cm_frequent" -> (TextQueries.cmFrequentBigrams(_, _)),
-    "q174_bpe_tokens" -> (TextQueries.bpeTokens(_, _)),
+    "q174_bpe_tokens" -> (TextQueries.bpeLossless(_, _)),
     "q175_global_rownumber" -> (Advanced.globalRowNumber(_, _)),
     "q176_binned_range_join" -> (Advanced.binnedRangeJoin(_, _)),
     "q177_markov_transitions" -> (Advanced.markovTransitions(_, _)),
@@ -375,6 +375,22 @@ object SparkEntry {
         "FROM (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) a " +
         "JOIN (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks FROM documents WHERE doc_id % 4 = 0) b " +
         "ON a.doc_id < b.doc_id) WHERE jac >= 0.6"),
+    "q27_dedup_minhash" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS w FROM documents WHERE doc_id % 4 = 0), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || " +
+        "w[i + 2] AS sh FROM (SELECT doc_id, w, " +
+        "unnest(range(1, len(w) - 1)) AS i FROM ws WHERE len(w) >= 3)), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "count(*) AS cap FROM sh a JOIN sh b ON a.sh = b.sh " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "t AS (SELECT count(*) AS c FROM inter " +
+        "JOIN sz sa ON doc_a = sa.doc_id " +
+        "JOIN sz sb ON doc_b = sb.doc_id " +
+        "WHERE cap * 5 >= (sa.sz + sb.sz - cap) * 4) " +
+        "SELECT CAST(c AS BIGINT) AS n_true_pairs, true AS recall_ok " +
+        "FROM t"),
     "q29_embed_neardup" ->
       ("SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (" +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
@@ -388,6 +404,9 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) AS rk " +
         "FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id " +
         "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+    "q31_ann_ivf" ->
+      ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q32_multimodal_meta" ->
       ("SELECT doc_id AS asset_id, 'text/plain' AS mime, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
@@ -474,6 +493,9 @@ object SparkEntry {
         "count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high, " +
         "count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS n_other " +
         "FROM orders GROUP BY o_orderstatus"),
+    "q48_approx_distinct" ->
+      ("SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+        "true AS within_5pct FROM lineitem"),
     "q49_hotkey_salted_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "round(sum(l_extendedprice), 2) AS total_price " +
@@ -753,6 +775,22 @@ object SparkEntry {
           s"CAST(min($c) AS VARCHAR) AS min_value, " +
           s"CAST(max($c) AS VARCHAR) AS max_value FROM orders")
         .mkString(" UNION ALL "),
+    "q83_rp_lsh_neardup" ->
+      ("WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "pl AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(emb, (x, i) -> CASE WHEN (i - 1) % 2 = 0 " +
+        "THEN x * 1.02 ELSE x * 0.98 END) AS emb FROM v0), " +
+        "v AS (SELECT vec_id, emb FROM (SELECT vec_id, emb FROM v0 " +
+        "UNION ALL SELECT vec_id, emb FROM pl) WHERE vec_id % 5 = 0), " +
+        "t AS (SELECT count(*) AS c FROM v a JOIN v b " +
+        "ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9) " +
+        "SELECT CAST(c AS BIGINT) AS n_true_pairs, true AS recall_ok " +
+        "FROM t"),
+    "q84_pq_ann" ->
+      ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q85_gap_fill" ->
       ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, " +
         "round(sum(value), 2) AS day_value FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
@@ -856,6 +894,9 @@ object SparkEntry {
         "FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms) " +
         "SELECT c.event_id, c.user_id, c.ts_ms, v.ts_ms AS view_ms, v.view_value " +
         "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms"),
+    "q96_ivfpq_ann" ->
+      ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q97_scd2_merge" ->
       ("WITH ch AS (SELECT user_id, epoch_ms(ts) AS valid_from_ms, event_id, " +
         "round(value, 2) AS attr_value FROM events WHERE event_type = 'purchase') " +
@@ -974,6 +1015,9 @@ object SparkEntry {
         "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50, " +
         "round(quantile_cont(l_extendedprice, 0.9), 2) AS p90, " +
         "count(l_extendedprice) AS n FROM lineitem GROUP BY l_returnflag"),
+    "q112_opq_ann" ->
+      ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q113_url_extract" ->
       ("WITH u AS (SELECT c_custkey, 'https://' || lower(c_mktsegment) || " +
         "'.example.com/user/' || c_custkey || '?ref=' || c_nationkey AS url " +
@@ -995,6 +1039,12 @@ object SparkEntry {
         "x -> x <> ''), t -> length(t) > 9) AS toks " +
         "FROM documents WHERE doc_id % 10 = 0) d " +
         "LEFT JOIN LATERAL (SELECT unnest(d.toks) AS tok) u ON true"),
+    "q116_hll_union" ->
+      ("SELECT o_orderstatus AS scope, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys, " +
+        "true AS est_ok FROM orders GROUP BY 1 " +
+        "UNION ALL SELECT 'ALL', " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT), true FROM orders"),
     "q117_map_battery" ->
       ("WITH wc AS (SELECT doc_id, word, count(*) AS cnt FROM (" +
         "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
@@ -1397,6 +1447,11 @@ object SparkEntry {
         "round(coalesce(lead(o_totalprice, 2) OVER w, -1.0), 2) AS lead_def " +
         "FROM orders WHERE o_custkey % 40 = 0 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"),
+    "q158_codec_battery" ->
+      ("SELECT CASE doc_id % 4 WHEN 0 THEN 'image/bmp' " +
+        "WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/jpeg' " +
+        "ELSE 'image/gif' END AS mime, count(*) AS n, 16 AS w, " +
+        "12 AS h, true AS roundtrip_ok FROM documents GROUP BY 1"),
     "q159_xml_battery" ->
       ("SELECT doc_id, doc_id AS vid, lang AS vlang, n_chars AS vn, " +
         "CAST(NULL AS VARCHAR) AS vmissing " +
@@ -1425,6 +1480,13 @@ object SparkEntry {
         "/ 100.0, 2) AS total, max(o_orderkey) AS max_key " +
         "FROM orders WHERE o_custkey % 10 = 0 " +
         "GROUP BY o_orderstatus, o_custkey % 3"),
+    "q164_audio_battery" ->
+      ("SELECT rate, channels, count(*) AS n, 400 AS n_frames, " +
+        "round(round(400000000.0 / rate) / 1000.0, 3) AS avg_dur_ms, " +
+        "true AS roundtrip_ok FROM (" +
+        "SELECT CAST(8000 * (1 + doc_id % 3) AS INT) AS rate, " +
+        "CAST(1 + doc_id % 2 AS INT) AS channels FROM documents) " +
+        "GROUP BY rate, channels"),
     "q165_kmeans" -> {
       // same per-round re-quantization as the Spark plan: distances fold
       // in index order and round to 6 before the argmin; centroid means
@@ -1580,6 +1642,12 @@ object SparkEntry {
         "tot AS (SELECT count(*) AS total FROM bg) " +
         "SELECT tok, count(*) AS n FROM bg, tot GROUP BY tok, tot.total " +
         "HAVING count(*) >= tot.total / 1000.0"),
+    "q174_bpe_tokens" ->
+      ("WITH v AS (SELECT count(DISTINCT tok) AS nw FROM (" +
+        "SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS tok FROM documents)) " +
+        "SELECT CAST(nw AS BIGINT) AS n_words, " +
+        "CAST(nw AS BIGINT) AS n_lossless, true AS all_lossless FROM v"),
     "q175_global_rownumber" ->
       ("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) " +
         "AS BIGINT) AS rn FROM orders"),

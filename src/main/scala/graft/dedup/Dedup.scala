@@ -500,4 +500,52 @@ object Dedup {
       .filter(col("n_same_sig") > 1)
       .select(col("doc_id"), col("sig"), col("n_same_sig"))
   }
+
+  /** Driver-checkable form of the MinHash pipeline (q27): exact
+    * ground-truth near-dup pairs built from STRING 3-gram shingles —
+    * a metric both engines can compute bit-identically — plus LSH
+    * recall against that truth as a boolean. The threshold compare is
+    * pure integer arithmetic (inter·5 ≥ (sa+sb−inter)·4 ⇔ jac ≥ 0.8),
+    * so no float boundary exists cross-engine. Universe: docs with ≥3
+    * tokens (the shingle special-case below 3 tokens is Spark-kernel
+    * specific and excluded from the contract). Truth at τ=0.8 sits well
+    * above the banding s-curve midpoint, where measured recall ≈ 1, so
+    * the 0.9 bound has margin on any testdata regeneration. Exact-pair
+    * generation is the inverted-index join (shared-shingle candidates
+    * only), never an all-pairs product — and it runs on the % 4 sample
+    * (the same ground-truth universe the recall spec uses), so the
+    * exact arm stays a fixed fraction of the corpus while the LSH arm
+    * under test is the full cached production pipeline. */
+  def minhashRecallCheck(s: SparkSession, d: String): DataFrame = {
+    val sh = docTokens(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .withColumnRenamed("toks", "w")
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), " +
+          "element_at(w, i + 3)))"))).as("sh"))
+      .localCheckpoint() // sizes pass + both sides of the pair join
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sz.select(col("doc_id").as("doc_a"),
+        col("sz").as("sa"))), Seq("doc_a"))
+      .join(broadcast(sz.select(col("doc_id").as("doc_b"),
+        col("sz").as("sb"))), Seq("doc_b"))
+      .filter(col("inter") * 5 >= (col("sa") + col("sb") - col("inter")) * 4)
+      .select(col("doc_a"), col("doc_b"))
+    val found = minhashDupPairs(s, d, threshold = 0.8)
+      .filter(col("doc_a") % 4 === 0 && col("doc_b") % 4 === 0)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = truth.join(found, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_true_pairs"),
+        (col("n_hits") >= col("n_true_pairs") * 0.9).as("recall_ok"))
+  }
 }

@@ -232,6 +232,54 @@ object Multimodal {
         round(avg(col("mean_r")), 2).as("avg_r"))
   }
 
+  /** Driver-checkable form of [[codecBattery]] (q158): per-mime counts
+    * (oracle-reproducible — the mime is a pure function of asset_id % 4
+    * over the documents table), fixed dimensions, and the round-trip
+    * contract collapsed to a boolean the driver can hash. BMP/PNG/GIF
+    * are lossless for this fixture (192 pixels ≤ the 256-entry GIF
+    * palette), so ok means byte-exact BGR recovery; JPEG is lossy, so
+    * ok means exact dimensions + mean color within a generous-but-fixed
+    * tolerance. All checks are deterministic (md5-seeded pixels), so a
+    * codec regression flips the boolean and fails the driver gate. */
+  def codecRoundtrip(assetsDf: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val checked = assetsDf.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, media) =>
+          val w = 16; val h = 12
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(media)
+          val bgr = Array.tabulate(w * h * 3) { i =>
+            (seed(i % 16) + i * 31).toByte
+          }
+          val img = BmpCodec.Decoded(w, h, bgr)
+          val (bytes, mime, lossless) = (id % 4) match {
+            case 0 => (BmpCodec.encode(img), "image/bmp", true)
+            case 1 => (PngCodec.encode(img), "image/png", true)
+            case 2 => (JpegCodec.encode(img), "image/jpeg", false)
+            case _ => (GifCodec.encode(img), "image/gif", true)
+          }
+          val ok = decodeAny(bytes).exists { back =>
+            val dims = back.width == w && back.height == h
+            if (lossless) dims && java.util.Arrays.equals(back.bgr, bgr)
+            else {
+              val (r0, g0, b0) = BmpCodec.meanColor(img)
+              val (r1, g1, b1) = BmpCodec.meanColor(back)
+              dims && math.abs(r1 - r0) <= 32 &&
+                math.abs(g1 - g0) <= 32 && math.abs(b1 - b0) <= 32
+            }
+          }
+          (mime, ok)
+        }
+      }
+      .toDF("mime", "ok")
+    checked.groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"), bool_and(col("ok")).as("roundtrip_ok"))
+      .select(col("mime"), col("n"), lit(16).as("w"), lit(12).as("h"),
+        col("roundtrip_ok"))
+  }
+
   /** Audio arm driven as a contract query: every document renders to a
     * deterministic PCM16 WAV (md5-seeded samples; rate and channel count
     * vary by id), encodes, decodes back, and reports per-(rate, channels)
@@ -264,6 +312,42 @@ object Multimodal {
       .agg(count(lit(1)).as("n"), max(col("n_frames")).as("n_frames"),
         round(avg(col("dur_ms")), 3).as("avg_dur_ms"),
         round(avg(col("rms")), 2).as("avg_rms"))
+  }
+
+  /** Driver-checkable form of [[audioBattery]] (q164): rate/channel mix,
+    * counts, frame count and duration are all pure arithmetic on
+    * asset_id over the documents table (oracle-reproducible), and the
+    * PCM16 WAV round trip — decode(encode(w)) returns the identical
+    * rate, channel count and sample array — collapses to a boolean.
+    * WAV is lossless by construction, so any false here is a codec
+    * regression the driver gate now catches. */
+  def audioRoundtrip(assetsDf: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    assetsDf.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, media) =>
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(media)
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 * (1 + (id % 3).toInt)
+          val samples = Array.tabulate(400 * ch) { i =>
+            ((seed(i % 16) * 191 + i * 37) % 32768).toShort
+          }
+          val w = WavCodec.Wav(rate, ch, samples)
+          val ok = WavCodec.decode(WavCodec.encode(w)).exists { back =>
+            back.sampleRate == rate && back.channels == ch &&
+              java.util.Arrays.equals(back.samples, samples)
+          }
+          (rate, ch, w.nFrames,
+            math.round(w.durationMs * 1000) / 1000.0, ok)
+        }
+      }
+      .toDF("rate", "channels", "n_frames", "dur_ms", "ok")
+      .groupBy(col("rate"), col("channels"))
+      .agg(count(lit(1)).as("n"), max(col("n_frames")).as("n_frames"),
+        round(avg(col("dur_ms")), 3).as("avg_dur_ms"),
+        bool_and(col("ok")).as("roundtrip_ok"))
   }
 
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size

@@ -1425,6 +1425,26 @@ object Advanced {
     per.unionByName(global)
   }
 
+  /** Driver-checkable form of [[hllUnion]]: per scope, the exact distinct
+    * count (oracle-reproducible) and the sketch-vs-exact error bound
+    * collapsed to a boolean — Datasketches HLL at lgK=12 has σ≈1.6%, so
+    * 5% is > 3σ and deterministic on fixed data. Upgrades q116 from
+    * rows-only to a real driver gate: a broken union or estimate path
+    * flips the boolean and fails the hash. */
+  def hllUnionCheck(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val exactPer = o.groupBy(col("o_orderstatus").as("scope"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
+    val exactAll = o.agg(countDistinct(col("o_custkey"))
+        .as("exact_custkeys"))
+      .select(lit("ALL").as("scope"), col("exact_custkeys"))
+    hllUnion(s, d)
+      .join(exactPer.unionByName(exactAll), Seq("scope"))
+      .select(col("scope"), col("exact_custkeys"),
+        (abs(col("est_custkeys") - col("exact_custkeys")) <=
+          col("exact_custkeys") * 0.05).as("est_ok"))
+  }
+
   /** Time-series LINEAR interpolation (q85's gap fill carries the last
     * value forward; this draws the line between the surrounding
     * observations — the resampling rule metric pipelines actually want).

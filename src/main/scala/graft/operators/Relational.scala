@@ -469,12 +469,24 @@ object Relational {
 
   /** HLL++ distinct-count sketch alongside the exact value — the sketch is
     * the 100 TB answer (no shuffle of distinct values, fixed memory per
-    * partition). Rows-only for the driver; the spec asserts the sketch is
-    * within 5% of exact. */
+    * partition). The spec asserts the sketch is within 5% of exact. */
   def approxDistinctSketch(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Driver-checkable form of [[approxDistinctSketch]]: the exact count
+    * (oracle-reproducible) plus the error bound collapsed to a boolean.
+    * The estimate itself cannot be hashed cross-engine (DuckDB has no
+    * HLL++ with Spark's exact register layout), but the INVARIANT —
+    * estimate within the configured 5% rsd of exact — is deterministic
+    * on fixed data, so the driver gate now fails if the sketch path
+    * breaks instead of recording rows-only. */
+  def approxDistinctCheck(s: SparkSession, d: String): DataFrame =
+    approxDistinctSketch(s, d).select(
+      col("exact_parts"),
+      (abs(col("approx_parts") - col("exact_parts")) <=
+        col("exact_parts") * 0.05).as("within_5pct"))
 
   /** Runtime bloom filter made EXPLICIT: the dim side's key set is
     * sketched once (one small-side aggregate), and the probe runs as a

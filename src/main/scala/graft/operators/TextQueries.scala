@@ -399,6 +399,35 @@ object TextQueries {
       .groupBy(col("bpe_token")).agg(count(lit(1)).as("n"))
   }
 
+  /** Driver-checkable form of [[bpeTokens]]: BPE encoding must be
+    * LOSSLESS — concatenating a word's subword tokens restores the word,
+    * for every distinct word in the corpus. The vocabulary size is
+    * oracle-reproducible (DuckDB counts the same distinct whitespace
+    * tokens); the lossless counts collapse the tokenizer's core
+    * invariant into values the driver can hash: n_lossless == n_words
+    * and all_lossless == true, or the gate fails. Same distributed
+    * shape as the histogram: train on the capped vocab at the driver,
+    * broadcast merges, encode each DISTINCT word once. */
+  def bpeLossless(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // shared: train collect + distinct-word encode
+    val top = wc.orderBy(col("c").desc, col("word")).limit(BpeVocabCap)
+      .as[(String, Long)].collect().toSeq
+    val merges = graft.functions.Bpe.train(top, BpeMerges)
+    val bc = s.sparkContext.broadcast(merges)
+    wc.select(col("word")).as[String]
+      .map(w => (w, graft.functions.Bpe.encode(w, bc.value).mkString == w))
+      .toDF("word", "ok")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ok").cast("long")).cast("long").as("n_lossless"),
+        (count(lit(1)) === sum(col("ok").cast("long")))
+          .as("all_lossless"))
+  }
+
   /** Compression-ratio quality signal per source: DEFLATE bytes / chars
     * via the native [[graft.functions.DeflateSize]] codegen expression —
     * highly compressible documents are templated/repetitive, the signal

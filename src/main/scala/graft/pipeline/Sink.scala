@@ -26,6 +26,46 @@ object Sink {
       .partitionBy(IngestDateCol)
       .parquet(path)
 
+  /** BigQuery arm of the sink contract (reference `code/beam.py:167-193`):
+    * the exact option mapping the public `spark-bigquery-connector`
+    * (`com.google.cloud.spark:spark-bigquery-with-dependencies`) takes to
+    * reproduce the reference's `WriteToBigQuery` semantics —
+    *
+    *   - `WRITE_APPEND`            → `.mode("append")`
+    *   - `CREATE_IF_NEEDED`        → connector default (creates the table
+    *                                  on first write; no option needed)
+    *   - `timePartitioning: DAY`   → `partitionType=DAY` (+`partitionField`
+    *                                  to partition on a data column rather
+    *                                  than ingestion time)
+    *   - indirect load staging     → `temporaryGcsBucket`
+    *
+    * Built as (format, mode, options) so it compiles and unit-tests
+    * WITHOUT the connector jar or GCP access (this sandbox has neither):
+    * [[bigQueryWriter]] applies the tuple to a `DataFrameWriter`, and the
+    * terminal `.save()` stays with the caller, who must have the
+    * connector on the classpath. The parquet sinks above implement the
+    * same contract locally; a deployment swaps sinks without touching
+    * any upstream plan. */
+  def bigQueryWriteConfig(table: String, temporaryGcsBucket: String,
+      partitionField: Option[String] = None)
+      : (String, String, Map[String, String]) =
+    ("bigquery", "append",
+      Map(
+        "table" -> table,
+        "temporaryGcsBucket" -> temporaryGcsBucket,
+        "partitionType" -> "DAY") ++
+        partitionField.map("partitionField" -> _))
+
+  /** Configure (but do not execute) a BigQuery append for `df`:
+    * `bigQueryWriter(df, t, b).save()` is the deployment call. */
+  def bigQueryWriter(df: DataFrame, table: String,
+      temporaryGcsBucket: String, partitionField: Option[String] = None)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val (fmt, mode, opts) =
+      bigQueryWriteConfig(table, temporaryGcsBucket, partitionField)
+    df.write.format(fmt).mode(mode).options(opts)
+  }
+
   /** Single-pass variant: write a branch-tagged frame once, partitioned by
     * (branch, ingest_date). `basePath/branch=delivered` and
     * `basePath/branch=other` are the two "tables" — one scan, two outputs. */

@@ -606,4 +606,75 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
+
+  // ------------------------------------------------- driver-checkable ANN
+
+  /** Collapses an ANN method's quality into values the driver's oracle
+    * gate can hash: the query count (oracle-reproducible — DuckDB counts
+    * the same deterministic query subset) and aggregate recall@k vs the
+    * exact brute-force top-k, as a boolean against `bound`. The
+    * neighbor SETS themselves cannot be oracled (they depend on
+    * centroid/codebook construction DuckDB cannot replicate), but on
+    * fixed data + fixed seeds the recall is a deterministic number, so
+    * "recall ≥ bound" is a hashable contract: break the index build and
+    * the boolean flips. Bounds sit well below the measured sf0.01
+    * values (IVF/SQ8 measure ≈1.0; PQ-family well above 0.5) so a
+    * testdata regeneration cannot flap them. */
+  def annRecallCheck(method: DataFrame, bf: DataFrame, bound: Double)
+      : DataFrame = {
+    val truth = bf.select(col("query_id"), col("neighbor_id"))
+    val hits = truth
+      .join(method.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val tot = truth.agg(
+      count_distinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_truth"))
+    tot.crossJoin(broadcast(hits))
+      .select(col("n_queries"),
+        (col("n_hits") >= col("n_truth") * bound).as("recall_ok"))
+  }
+
+  def ivfRecallCheck(s: SparkSession, d: String): DataFrame =
+    annRecallCheck(ivfTopK(s, d), bruteForceTopK(s, d), 0.5)
+  def pqRecallCheck(s: SparkSession, d: String): DataFrame =
+    annRecallCheck(pqTopK(s, d), bruteForceTopK(s, d), 0.5)
+  def opqRecallCheck(s: SparkSession, d: String): DataFrame =
+    annRecallCheck(opqTopK(s, d), bruteForceTopK(s, d), 0.5)
+  def ivfPqRecallCheck(s: SparkSession, d: String): DataFrame =
+    annRecallCheck(ivfPqTopK(s, d), bruteForceTopK(s, d), 0.5)
+
+  /** Driver-checkable form of [[rpLshNearDup]]: the exact ≥-threshold
+    * pair count over the planted corpus (oracle-reproducible — DuckDB
+    * rebuilds the same deterministic planted vectors and cosines) plus
+    * LSH recall against that exact truth as a boolean. The planted
+    * pairs sit at cosine ≈ 0.999 where 4×8-bit band detection is
+    * ~0.9998 per pair, so 0.9 has wide margin on any regeneration. The
+    * exact-truth arm runs on the deterministic vec_id % 5 sample
+    * (planted counterparts keep the residue: 10⁶ ≡ 0 mod 5), keeping
+    * the quadratic ground-truth pass a fixed 1/25 of the all-pairs
+    * cost while the LSH arm under test is the full production query. */
+  def rpLshRecallCheck(s: SparkSession, d: String,
+      threshold: Double = 0.9): DataFrame = {
+    val v0 = vectors(s, d)
+    val planted = v0.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(emb, (x, i) -> CASE WHEN i % 2 = 0 " +
+        "THEN x * 1.02 ELSE x * 0.98 END)").as("emb"))
+    val v = v0.unionByName(planted)
+      .filter(col("vec_id") % 5 === 0).localCheckpoint()
+    val truth = v.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+      .join(v.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
+        col("vec_a") < col("vec_b"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val found = rpLshNearDup(s, d, threshold)
+      .filter(col("vec_a") % 5 === 0 && col("vec_b") % 5 === 0)
+      .select(col("vec_a"), col("vec_b"))
+    val hits = truth.join(found, Seq("vec_a", "vec_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_true_pairs"),
+        (col("n_hits") >= col("n_true_pairs") * 0.9).as("recall_ok"))
+  }
 }

@@ -116,4 +116,25 @@ class SinkSpec extends SparkTestBase {
     assert(nAfter >= 2 && nAfter <= 6, s"nAfter=$nAfter")
     assert(spark.read.parquet(out).count() === 500)
   }
+
+  test("BigQuery sink arm mirrors the reference WriteToBigQuery options") {
+    // reference code/beam.py:170-193 — WRITE_APPEND + CREATE_IF_NEEDED +
+    // DAY time partitioning; CREATE_IF_NEEDED is the connector default,
+    // so it must NOT appear as an option
+    val (fmt, mode, opts) = Sink.bigQueryWriteConfig(
+      "proj.dataset.delivered_orders", "staging-bucket")
+    assert(fmt === "bigquery" && mode === "append")
+    assert(opts("table") === "proj.dataset.delivered_orders")
+    assert(opts("partitionType") === "DAY")
+    assert(opts("temporaryGcsBucket") === "staging-bucket")
+    assert(!opts.contains("createDisposition"))
+    // column-partitioned variant adds partitionField, changes nothing else
+    val (_, _, withField) = Sink.bigQueryWriteConfig(
+      "t", "b", partitionField = Some("order_date"))
+    assert(withField("partitionField") === "order_date")
+    // the writer is configurable without the connector jar: building it
+    // must not throw (only .save() needs the classpath)
+    Sink.bigQueryWriter(Seq((1L, "x")).toDF("id", "v"),
+      "proj.dataset.t", "staging-bucket")
+  }
 }
