@@ -51,7 +51,7 @@ object SparkEntry {
     "q25_dedup_normalized" -> (Dedup.normalizedDupGroups(_, _)),
     "q26_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q27_dedup_minhash" -> ((s, d) => Dedup.minhashRecallCheck(s, d)),
-    "q28_dedup_simhash" -> (Dedup.simhashGroups(_, _)),
+    "q28_dedup_simhash" -> (Dedup.simhashCoverageCheck(_, _)),
     "q29_embed_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "q30_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q31_ann_ivf" -> ((s, d) => Similarity.ivfRecallCheck(s, d)),
@@ -70,7 +70,7 @@ object SparkEntry {
     "q44_except" -> (Relational.exceptKeys(_, _)),
     "q45_predicates" -> (Relational.predicates(_, _)),
     "q46_pivot" -> (Relational.pivotAgg(_, _)),
-    "q47_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "q47_dedup_apply" -> ((s, d) => Dedup.dedupApplyCheck(s, d)),
     "q48_approx_distinct" -> (Relational.approxDistinctCheck(_, _)),
     "q49_hotkey_salted_join" -> ((s, d) => Relational.hotKeySaltedJoin(s, d)),
     "q50_window_battery" -> (Advanced.windowBattery(_, _)),
@@ -209,7 +209,7 @@ object SparkEntry {
     "q181_reservoir_sample" -> ((s, d) => Advanced.reservoirSample(s, d)),
     "q182_regression_battery" -> (Advanced.regressionBattery(_, _)),
     "q183_jaro_winkler" -> (Advanced.jaroWinklerJoin(_, _)),
-    "q184_compression_signal" -> (TextQueries.compressionSignal(_, _)),
+    "q184_compression_signal" -> (TextQueries.compressionSignalCheck(_, _)),
     "q185_sparse_cosine" -> (TextQueries.sparseCosine(_, _)),
     "q186_basket_lift" -> (Analytics.basketLift(_, _)),
     "q187_rfm_segments" -> (Analytics.rfmSegments(_, _)),
@@ -283,7 +283,7 @@ object SparkEntry {
     "q249_tpch_q21" -> (graft.operators.TpchClassics.q21(_, _)),
     // rows-only: HLL sketches have no DuckDB equivalent; GraphSpec
     // bounds the estimate error against the exact wedge-join counts
-    "q250_hyperanf" -> ((s, d) => Graph.hyperAnf(s, d)),
+    "q250_hyperanf" -> ((s, d) => Graph.hyperAnfCheck(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -391,6 +391,14 @@ object SparkEntry {
         "WHERE cap * 5 >= (sa.sz + sb.sz - cap) * 4) " +
         "SELECT CAST(c AS BIGINT) AS n_true_pairs, true AS recall_ok " +
         "FROM t"),
+    "q28_dedup_simhash" ->
+      ("WITH canon AS (SELECT doc_id, array_to_string(list_sort(" +
+        "list_distinct(list_filter(string_split(text, ' '), " +
+        "x -> x <> ''))), ' ') AS c FROM documents), " +
+        "g AS (SELECT c FROM canon GROUP BY c HAVING count(*) > 1), " +
+        "t AS (SELECT count(*) AS n FROM canon JOIN g USING (c)) " +
+        "SELECT CAST(n AS BIGINT) AS n_exact_dup_docs, " +
+        "true AS all_exact_dups_grouped FROM t"),
     "q29_embed_neardup" ->
       ("SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (" +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
@@ -493,6 +501,11 @@ object SparkEntry {
         "count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high, " +
         "count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS n_other " +
         "FROM orders GROUP BY o_orderstatus"),
+    "q47_dedup_apply" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(count(*) - count(DISTINCT text) AS BIGINT) " +
+        "AS min_dropped, true AS dedup_ok FROM documents " +
+        "GROUP BY source"),
     "q48_approx_distinct" ->
       ("SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
         "true AS within_5pct FROM lineitem"),
@@ -1722,6 +1735,9 @@ object SparkEntry {
         "FROM part a, part b WHERE a.p_partkey % 37 = 0 " +
         "AND b.p_partkey % 53 = 0 AND a.p_partkey < b.p_partkey) " +
         "WHERE sim >= 0.85"),
+    "q184_compression_signal" ->
+      ("SELECT source, count(*) AS n_docs, true AS ratios_ok " +
+        "FROM documents GROUP BY source"),
     "q185_sparse_cosine" ->
       // weights quantized to 4 BEFORE norms/dots on both engines
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
@@ -2827,5 +2843,19 @@ object SparkEntry {
         "SELECT s_suppkey, s_name, count(*) AS numwait FROM w " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "GROUP BY 1, 2"),
+    "q250_hyperanf" ->
+      ("WITH uk AS (SELECT DISTINCT 'u' || user_id AS a, " +
+        "'k' || CAST(json_extract_string(props, '$.k') AS INT) AS b " +
+        "FROM events WHERE json_extract_string(props, '$.k') " +
+        "IS NOT NULL), " +
+        "e AS (SELECT a AS src, b AS dst FROM uk " +
+        "UNION ALL SELECT b, a FROM uk), " +
+        "s AS (SELECT src, dst FROM e WHERE src LIKE '%0'), " +
+        "r2 AS (SELECT a, c FROM (SELECT x.src AS a, y.dst AS c " +
+        "FROM s x JOIN e y ON x.dst = y.src WHERE x.src <> y.dst " +
+        "UNION SELECT src, dst FROM s)), " +
+        "t AS (SELECT a AS node, count(*) AS n_2hop FROM r2 " +
+        "GROUP BY 1) " +
+        "SELECT node, n_2hop, true AS est_ok FROM t"),
   )
 }

@@ -501,6 +501,52 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("n_same_sig"))
   }
 
+  /** Driver-checkable form of [[simhashGroups]] (q28): identical
+    * distinct-token SETS hash to identical SimHash signatures by
+    * construction, so every doc in a ≥2-member exact set-duplicate
+    * class (q25's canonical-token-set classes — oracle-reproducible)
+    * MUST appear in the signature groups. Emits the exact-dup doc count
+    * plus that coverage invariant as a boolean: lose a signature
+    * collision and the driver gate fails. */
+  def simhashCoverageCheck(s: SparkSession, d: String): DataFrame = {
+    val canon = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_distinct(toks(col("text")))))
+          .as("canon"))
+    val w = Window.partitionBy(col("canon"))
+    val exactDups = canon
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") > 1)
+      .select(col("doc_id"))
+      .localCheckpoint() // count + anti-join consumers
+    val grouped = simhashGroups(s, d).select(col("doc_id"))
+    val missed = exactDups.join(grouped, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    exactDups.agg(count(lit(1)).as("n_exact_dup_docs"))
+      .crossJoin(broadcast(missed))
+      .select(col("n_exact_dup_docs"),
+        (col("n_missed") === 0).as("all_exact_dups_grouped"))
+  }
+
+  /** Driver-checkable form of [[dedupApply]] (q47): per source, the doc
+    * count and the exact-duplicate excess (docs minus distinct texts —
+    * both oracle-reproducible), plus the structural invariants of the
+    * LSH dedup as a boolean: kept + dropped partitions the source, and
+    * dropped covers at least the exact excess (byte-identical copies
+    * always band together, share every signature, verify at jac = 1,
+    * and at most one member of each component is kept — so a source can
+    * never keep more than its distinct-text count). */
+  def dedupApplyCheck(s: SparkSession, d: String): DataFrame =
+    dedupApply(s, d)
+      .join(exactStats(s, d)
+        .select(col("source"), col("n_docs").as("nd2"),
+          col("n_distinct")), Seq("source"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_distinct")).as("min_dropped"),
+        (col("n_kept") + col("n_dropped") === col("n_docs") &&
+          col("n_dropped") >= col("n_docs") - col("n_distinct"))
+          .as("dedup_ok"))
+
   /** Driver-checkable form of the MinHash pipeline (q27): exact
     * ground-truth near-dup pairs built from STRING 3-gram shingles —
     * a metric both engines can compute bit-identically — plus LSH

@@ -741,6 +741,18 @@ object Graph {
           (col("n_2hop") + 1), 4).as("rel_err"))
   }
 
+  /** Driver-checkable form of [[hyperAnf]] (q250): the exact 2-hop
+    * neighborhood size per query node (oracle-reproducible — the same
+    * recursive expansion q233 already hash-matches) plus the HyperANF
+    * estimate's relative error collapsed to a boolean. Datasketches HLL
+    * at default lgK=12 has σ ≈ 1.6%, so the 25% bound is far outside
+    * any plausible fluctuation (measured rel_err at sf0.01: 0.0) while
+    * still failing loudly if the register propagation breaks. */
+  def hyperAnfCheck(s: SparkSession, d: String): DataFrame =
+    hyperAnf(s, d)
+      .select(col("node"), col("n_2hop"),
+        (col("rel_err") <= 0.25).as("est_ok"))
+
   def twoHopReach(s: SparkSession, d: String): DataFrame = {
     val e = eventEdges(s, d).localCheckpoint()
     val src = e.filter(col("src").endsWith("0"))

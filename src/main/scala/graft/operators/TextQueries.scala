@@ -448,6 +448,20 @@ object TextQueries {
         round(max(col("ratio")), 4).as("max_ratio"),
         count_if(col("ratio") < 0.35).as("n_repetitive"))
 
+  /** Driver-checkable form of [[compressionSignal]] (q184): per-source
+    * doc counts (oracle-reproducible) plus the DEFLATE invariants as a
+    * boolean — every ratio positive (a compressor cannot emit zero
+    * bytes for non-empty text) and bounded by 1.2 (DEFLATE's stored-
+    * block overhead caps expansion at ~11 bytes per 64 KB + 6, far
+    * under 20% for these documents). DuckDB has no DEFLATE, so the
+    * ratios themselves stay Spark-side; the bounds make a broken codec
+    * expression fail the driver gate instead of passing unseen. */
+  def compressionSignalCheck(s: SparkSession, d: String): DataFrame =
+    compressionSignal(s, d)
+      .select(col("source"), col("n_docs"),
+        (col("min_ratio") > 0.0 && col("max_ratio") <= 1.2 &&
+          col("n_repetitive") <= col("n_docs")).as("ratios_ok"))
+
   /** Sparse TF-IDF cosine similarity with AllPairs-style prefix
     * pruning (Bayardo et al., WWW'07 shape): the dot product decomposes
     * over SHARED TERMS, but a naive postings self-join blows up
