@@ -35,7 +35,12 @@ object Bench {
     val spark: SparkSession = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: query-name prefixes to re-measure a subset (dev
+    // loop for chasing one regression without the 250-query run)
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all
+      else all.filter(n => args.exists(n.startsWith))
 
     // Warm up at the TARGET dir: one full untimed pass so the timed pass
     // measures steady state — JVM JIT, codegen cache, parquet footer

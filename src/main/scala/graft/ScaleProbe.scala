@@ -262,6 +262,33 @@ object ScaleProbe {
       }
       results += (("skipgram_cooc", n, tSg, rSg))
 
+      // rank-statistic AUC (round 6, q197/q198 shape): the GlobalOrder
+      // ordered pass touches only the DISTINCT-SCORE grid. Replicated
+      // events repeat the same score values, so the grid stays FLAT
+      // (rows counter = grid size) while the reducing scan grows —
+      // cost must track the scan, never the ordered pass
+      val (tRk, rRk) = time {
+        val ev = replicateKeyed(Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("value")),
+          "event_id", n)
+        graft.operators.Analytics.aucRankDf(ev).collect()
+        ev.select(col("value")).distinct().count()
+      }
+      results += (("rank_stats_auc", n, tRk, rRk))
+
+      // GlobalOrder global ranking (round 6, q122/q187/q188 shape):
+      // range-partitioned two-level prefix sum — the only global window
+      // ranks the P-row offset table, so cost must track the row count
+      // linearly with no single-partition collapse
+      val (tGo, rGo) = time {
+        val c = replicateKeyed(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_acctbal")), "c_custkey", n)
+        graft.operators.GlobalOrder
+          .rowNumber(c, "rn", col("c_acctbal"), col("c_custkey"))
+          .count()
+      }
+      results += (("global_order_rank", n, tGo, rGo))
+
       // bipartite item-cosine pair join (round 5): blowup is
       // Σᵤ deg(u)² by construction; with per-user item degree fixed by
       // replication, cost must track the user count linearly

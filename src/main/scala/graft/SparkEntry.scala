@@ -281,9 +281,10 @@ object SparkEntry {
     "q247_tpch_q16" -> (graft.operators.TpchClassics.q16(_, _)),
     "q248_tpch_q20" -> (graft.operators.TpchClassics.q20(_, _)),
     "q249_tpch_q21" -> (graft.operators.TpchClassics.q21(_, _)),
-    // rows-only: HLL sketches have no DuckDB equivalent; GraphSpec
-    // bounds the estimate error against the exact wedge-join counts
+    // oracle-exact arm: the q233 wedge-join 2-hop counts; the HLL
+    // estimate itself crosses the gate as the est_ok bound boolean
     "q250_hyperanf" -> ((s, d) => Graph.hyperAnfCheck(s, d)),
+    "q251_heaps_law" -> (TextQueries.heapsLaw(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2857,5 +2858,35 @@ object SparkEntry {
         "t AS (SELECT a AS node, count(*) AS n_2hop FROM r2 " +
         "GROUP BY 1) " +
         "SELECT node, n_2hop, true AS est_ok FROM t"),
+    "q251_heaps_law" ->
+      ("WITH docs AS (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws " +
+        "FROM documents), " +
+        "dd AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) " +
+        "AS dec FROM docs), " +
+        "bounds AS (SELECT dec, max(doc_id) AS hi FROM dd GROUP BY dec), " +
+        "ncum AS (SELECT b.dec, CAST(sum(len(d.ws)) AS BIGINT) " +
+        "AS n_tokens_cum FROM docs d, bounds b " +
+        "WHERE d.doc_id <= b.hi GROUP BY b.dec), " +
+        "fs AS (SELECT tok, min(doc_id) AS fd FROM " +
+        "(SELECT doc_id, unnest(ws) AS tok FROM docs) GROUP BY tok), " +
+        "vcum AS (SELECT b.dec, count(*) AS vocab_cum " +
+        "FROM fs f, bounds b WHERE f.fd <= b.hi GROUP BY b.dec), " +
+        "pts AS (SELECT n.dec, n_tokens_cum, vocab_cum, " +
+        "round(ln(n_tokens_cum), 9) AS x, " +
+        "round(ln(vocab_cum), 9) AS y " +
+        "FROM ncum n JOIN vcum v ON n.dec = v.dec), " +
+        "fit AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(round(x * x, 9) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "AS sxx, " +
+        "CAST(sum(CAST(round(x * y, 9) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "AS sxy FROM pts) " +
+        "SELECT p.dec AS decile, p.n_tokens_cum, p.vocab_cum, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta, " +
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) " +
+        "/ n, 6) AS log_k " +
+        "FROM pts p, fit"),
   )
 }

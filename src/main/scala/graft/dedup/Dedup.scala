@@ -149,15 +149,17 @@ object Dedup {
   /** [[prefixFilterJaccardPairs]] over any (doc_id, text) frame — the
     * production surface, also driven by the scale probe. */
   def prefixFilterJaccardPairsDf(src: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = src
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
     val occ = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
-    val rank = occ.groupBy(col("tok"))
-      .agg(count(lit(1)).as("dfreq"))
-      .select(col("tok"), row_number()
-        .over(Window.orderBy(col("dfreq"), col("tok"))).cast("long")
-        .as("rk"))
+    // token rarity rank over the whole VOCABULARY — at 100 TB that is
+    // billions of distinct tokens, so the global row number comes from
+    // GlobalOrder's range-partitioned two-level prefix sum, never a
+    // bare single-partition window
+    val rank = graft.operators.GlobalOrder
+      .rowNumber(occ.groupBy(col("tok")).agg(count(lit(1)).as("dfreq")),
+        "rk", col("dfreq"), col("tok"))
+      .select(col("tok"), col("rk"))
     val ranked = occ.join(rank, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("rk"))).as("toks"))

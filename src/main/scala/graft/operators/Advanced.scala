@@ -896,9 +896,16 @@ object Advanced {
     * comparison IS the numeric comparison. */
   def weightedSample(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-    val maxp = o.agg(max(col("o_totalprice")).as("maxp"))
-    o.crossJoin(broadcast(maxp))
-      .withColumn("p", col("o_totalprice") / col("maxp"))
+    // the global max comes from parquet footer statistics (exact zone
+    // maps — a metadata read, no scan job), falling back to a ONE-row
+    // driver-side aggregate if any row group lacks stats. Folding the
+    // scalar into the scan as a literal keeps the sample a single
+    // map-only stage — no broadcast exchange, no join, nothing between
+    // the scan and the filter at any data size
+    val mx = ParquetStats
+      .doubleMax(s, s"$d/orders.parquet", "o_totalprice")
+      .getOrElse(o.agg(max(col("o_totalprice"))).head.getDouble(0))
+    o.withColumn("p", col("o_totalprice") / lit(mx))
       .withColumn("h",
         substring(md5(col("o_orderkey").cast("string")), 1, 8))
       .withColumn("thresh", lower(lpad(hex(

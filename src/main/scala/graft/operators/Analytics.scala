@@ -388,8 +388,15 @@ object Analytics {
     * must never collapse into one WindowExec partition); if the grid
     * itself explodes, bucket the scores first (rank statistics on
     * binned scores are the standard large-N approximation). */
-  def aucRank(s: SparkSession, d: String): DataFrame = {
-    val byScore = events(s, d)
+  def aucRank(s: SparkSession, d: String): DataFrame =
+    aucRankDf(events(s, d))
+
+  /** [[aucRank]] on a caller-supplied events frame (needs `value`,
+    * `event_type`) — ScaleProbe runs this production path on replicated
+    * input to show the ordered pass touches the DISTINCT-SCORE grid,
+    * not the row count. */
+  def aucRankDf(ev: DataFrame): DataFrame = {
+    val byScore = ev
       .select(col("value").as("score"),
         (col("event_type") === "purchase").cast("long").as("pos"))
       .groupBy(col("score"))

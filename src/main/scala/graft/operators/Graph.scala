@@ -733,7 +733,8 @@ object Graph {
     }
     val est = sk.select(col("node"),
       hll_sketch_estimate(col("hll")).as("est"))
-    twoHopReach(s, d)
+    twoHopReachOf(e) // share the pinned edge list — no second
+      // eventEdges derivation + checkpoint for the exact arm
       .join(est, Seq("node"))
       .select(col("node"), col("n_2hop"),
         round(col("est"), 2).as("est_incl_self"),
@@ -753,8 +754,13 @@ object Graph {
       .select(col("node"), col("n_2hop"),
         (col("rel_err") <= 0.25).as("est_ok"))
 
-  def twoHopReach(s: SparkSession, d: String): DataFrame = {
-    val e = eventEdges(s, d).localCheckpoint()
+  def twoHopReach(s: SparkSession, d: String): DataFrame =
+    twoHopReachOf(eventEdges(s, d).localCheckpoint())
+
+  /** [[twoHopReach]] over an already-pinned edge frame, so callers that
+    * hold the edges (hyperAnf's exact arm) don't pay a second derivation
+    * and checkpoint. */
+  def twoHopReachOf(e: DataFrame): DataFrame = {
     val src = e.filter(col("src").endsWith("0"))
     val oneHop = src.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("n_1hop")) // edge list is already distinct

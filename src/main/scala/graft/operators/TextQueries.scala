@@ -578,10 +578,15 @@ object TextQueries {
       .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
         .as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // global top-100: orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition partial top-k, driver merge) — the rank window
+    // then runs over 100 rows, never the vocabulary (a bare
+    // row_number over all tokens would single-partition a
+    // billions-distinct vocabulary at 100 TB)
     val top = counts
+      .orderBy(col("freq").desc, col("tok")).limit(100)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("freq").desc, col("tok"))))
-      .filter(col("rk") <= 100)
       .select(round(log(col("rk")), 9).as("x"),
         round(log(col("freq")), 9).as("y"))
     val dec = (c: Column) => c.cast("decimal(30,12)")
@@ -611,7 +616,9 @@ object TextQueries {
     * linear vocabulary is a template/boilerplate red flag). The heavy
     * stages are corpus-shaped: one token explode for per-doc counts and
     * one groupBy for token first-occurrence (both map-side combined);
-    * the decile rollup and the 10-point regression are constant-size.
+    * the decile boundaries come from [[GlobalOrder]]'s range-
+    * partitioned row number (never a global ntile window), and the
+    * 10-point regression is constant-size.
     * Same determinism recipe as q215: integer counts, 9dp-quantized ln
     * terms, DECIMAL moment sums. */
   def heapsLaw(s: SparkSession, d: String): DataFrame = {
@@ -619,8 +626,17 @@ object TextQueries {
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .localCheckpoint() // token explode + per-doc counts share it
-    val decile = ntile(10).over(Window.orderBy(col("doc_id")))
-    val bounds = docs.select(col("doc_id"), decile.as("dec"))
+    // decile boundaries WITHOUT a global ntile window (which would
+    // single-partition every document): GlobalOrder's range-partitioned
+    // global row number + exact integer ntile arithmetic — the q122
+    // idiom. doc_id is unique, so the order is total.
+    val total = docs.select(col("doc_id")).agg(count(lit(1)).as("__n"))
+    val bounds = GlobalOrder
+      .rowNumber(docs.select(col("doc_id")), "rn", col("doc_id"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), GlobalOrder
+        .ntileFromRowNumber(col("rn"), col("__n"), 10).cast("int")
+        .as("dec"))
       .groupBy(col("dec"))
       .agg(max(col("doc_id")).as("hi"))
     val perDoc = docs.select(col("doc_id"), size(col("ws")).as("nw"))
@@ -650,7 +666,8 @@ object TextQueries {
         round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
           / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
           / col("n"), 6).as("log_k"))
-    pts.select(col("dec"), col("n_tokens_cum"), col("vocab_cum"))
+    pts.select(col("dec").as("decile"), col("n_tokens_cum"),
+        col("vocab_cum"))
       .crossJoin(broadcast(fit))
   }
 

@@ -138,4 +138,41 @@ class QualityFilterSpec extends SparkTestBase {
     assert(r.getAs[Double]("slope") < 0.0)
     assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0)
   }
+
+  test("heaps law: driver-side decile recompute, growth exponent sane") {
+    val rows = TextQueries.heapsLaw(spark, sf0001)
+      .orderBy($"decile").collect()
+    assert(rows.length === 10)
+    // driver recompute of the decile checkpoints: SQL ntile semantics
+    // over doc_id order, cumulative token count, first-seen vocabulary
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val n = docs.length
+    val base = n / 10; val rem = n % 10
+    val cuts = (1 to 10).map(t =>
+      (0 until t).map(i => base + (if (i < rem) 1 else 0)).sum)
+    val seen = scala.collection.mutable.HashSet[String]()
+    var tok = 0L
+    var idx = 0
+    val expect = cuts.map { c =>
+      while (idx < c) {
+        tok += docs(idx)._2.length; docs(idx)._2.foreach(seen += _)
+        idx += 1
+      }
+      (tok, seen.size.toLong)
+    }
+    rows.zip(expect).foreach { case (row, (tc, vc)) =>
+      assert(row.getAs[Long]("n_tokens_cum") === tc)
+      assert(row.getAs[Long]("vocab_cum") === vc)
+    }
+    // natural corpora give 0 < beta < 1; the sf0.001 synthetic corpus
+    // SATURATES its fixed vocabulary in the first decile, so beta can
+    // legitimately round to 0 — the bound only excludes superlinear
+    // growth (a template red flag) and negative slopes (broken fit)
+    val beta = rows.head.getAs[Double]("beta")
+    assert(beta >= 0.0 && beta < 1.0)
+    assert(rows.map(_.getAs[Long]("vocab_cum")).sliding(2)
+      .forall(p => p.head <= p.last))
+  }
 }
