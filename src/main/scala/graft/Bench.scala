@@ -48,13 +48,25 @@ object Bench {
     // IVF/PQ indexes) all warm. First-query startup otherwise lands ~4 s
     // on whichever query runs first, and index builds (offline work in
     // any production deployment) would masquerade as per-query cost.
+    // Between queries, drop every leftover persistent RDD directly
+    // (localCheckpoint blocks — every query rebuilds its own, nothing
+    // is shared across queries). Waiting for GC + ContextCleaner lets
+    // tens of GB of dead blocks pile into storage memory and
+    // contaminate whichever heavy query runs next: the round-6 full
+    // run measured q250 at 9.5 s in-sequence vs 3.8 s isolated.
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     names.zipWithIndex.foreach { case (n, i) =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      dropCheckpoints()
       if (i % 16 == 15) System.gc()
     }
 
     val results = names.zipWithIndex.map { case (n, i) =>
+      dropCheckpoints() // outside the timer
       if (i % 8 == 7) System.gc() // release dead localCheckpoint blocks
       val t0 = System.nanoTime()
       // a failing query must not masquerade as a fast success: mark it -1

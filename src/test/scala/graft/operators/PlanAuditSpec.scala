@@ -171,6 +171,39 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("zipf fit: vocabulary top-100 is TakeOrderedAndProject; global " +
+      "windows rank only the 100-row result") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = TextQueries.zipfFit(spark, sf0001)
+    val p = plan(df)
+    // per-partition partial top-k + driver merge, never a global sort
+    // or a vocabulary-sized rank window
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      assert(w.child.toString.contains("TakeOrderedAndProject"),
+        "global window not over the top-k result:\n" +
+          w.toString.take(2000))
+    }
+  }
+
+  test("heaps law and prefix-filter join: zero single-partition windows " +
+      "in the final plan (vocab/corpus ranks run through GlobalOrder)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, df) <- Seq(
+        "q251_heaps_law" -> TextQueries.heapsLaw(spark, sf0001),
+        "q134_prefix_filter_join" ->
+          Dedup.prefixFilterJaccardPairs(spark, sf0001))) {
+      val globalWins = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWins.isEmpty,
+        s"$name retains a global window:\n" +
+          globalWins.map(_.toString.take(1000)).mkString("\n"))
+    }
+  }
+
   test("bloom-pruned join probes on the scan side of the exchange and " +
     "stays transparent") {
     val df = Relational.bloomPrunedJoin(spark, sf0001)
