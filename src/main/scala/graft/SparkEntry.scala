@@ -285,6 +285,8 @@ object SparkEntry {
     // estimate itself crosses the gate as the est_ok bound boolean
     "q250_hyperanf" -> ((s, d) => Graph.hyperAnfCheck(s, d)),
     "q251_heaps_law" -> (TextQueries.heapsLaw(_, _)),
+    "q252_chunk_overlap" -> ((s, d) => TextQueries.chunkOverlap(s, d)),
+    "q253_mixture_rebalance" -> (Advanced.mixtureRebalance(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2888,5 +2890,30 @@ object SparkEntry {
         "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) " +
         "/ n, 6) AS log_k " +
         "FROM pts p, fit"),
+    "q252_chunk_overlap" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, ws, " +
+        "CASE WHEN len(ws) <= 64 THEN 1 " +
+        "ELSE ((len(ws) - 64 + 47) // 48) + 1 END AS nchunks FROM t), " +
+        "e AS (SELECT doc_id, ws, " +
+        "unnest(range(nchunks)) AS chunk_id FROM k), " +
+        "c AS (SELECT doc_id, chunk_id, " +
+        "list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ch " +
+        "FROM e) " +
+        "SELECT doc_id, chunk_id, len(ch) AS chunk_tokens, " +
+        "md5(array_to_string(ch, ' ')) AS chunk_md5 FROM c"),
+    "q253_mixture_rebalance" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_l FROM documents " +
+        "GROUP BY lang), " +
+        "m AS (SELECT min(n_l) AS minc FROM c), " +
+        "r AS (SELECT lang, CAST(minc AS DOUBLE) / n_l AS rate " +
+        "FROM c, m) " +
+        "SELECT d.doc_id, d.lang FROM documents d " +
+        "JOIN r ON d.lang = r.lang " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), " +
+        "1, 8) < printf('%08x', " +
+        "CAST(least(floor(rate * 4294967296), 4294967295) AS BIGINT))"),
   )
 }

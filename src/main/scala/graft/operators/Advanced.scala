@@ -904,7 +904,9 @@ object Advanced {
     // the scan and the filter at any data size
     val mx = ParquetStats
       .doubleMax(s, s"$d/orders.parquet", "o_totalprice")
-      .getOrElse(o.agg(max(col("o_totalprice"))).head.getDouble(0))
+      .orElse(Option(o.agg(max(col("o_totalprice"))).head
+        .getAs[java.lang.Double](0)).map(_.doubleValue))
+      .getOrElse(1.0) // empty input: no rows to scale, any value works
     o.withColumn("p", col("o_totalprice") / lit(mx))
       .withColumn("h",
         substring(md5(col("o_orderkey").cast("string")), 1, 8))
@@ -913,6 +915,40 @@ object Advanced {
           .cast("bigint")), 8, "0")))
       .filter(col("h") < col("thresh"))
       .select(col("o_orderkey"), round(col("p"), 6).as("p"))
+  }
+
+  /** Deterministic stratified language rebalancing — the data-mixture
+    * step of a multilingual training pipeline: downsample every
+    * language to the SMALLEST language's size (rate_l = min_count /
+    * count_l), so the surviving mixture is uniform across languages
+    * (the corpus is en-heavy by ~3×). Selection reuses
+    * [[weightedSample]]'s RNG-free draw: a per-row md5 over
+    * (doc_id, lang) compared against the rate mapped to the same
+    * 8-hex scale, so the sample is reproducible across runs, engines
+    * and partitionings, and re-running one shard yields the same rows
+    * (incremental reprocessing stays consistent). The rates come from
+    * a languages-sized aggregate (tiny, broadcast); the scan itself is
+    * map-only — at 100 TB this is one pass, no shuffle of data rows.
+    * Rates are IEEE divisions of exact counts, bit-identical in any
+    * engine — no rounding anywhere before the hex threshold. */
+  def mixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+    val minc = counts.agg(min(col("n_l")).as("minc"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select(col("lang"),
+        (col("minc").cast("double") / col("n_l")).as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("h", substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("lang"))), 1, 8))
+      .withColumn("thresh", lower(lpad(hex(
+        least(floor(col("rate") * lit(4294967296.0)),
+          lit(4294967295.0)).cast("bigint")), 8, "0")))
+      .filter(col("h") < col("thresh"))
+      .select(col("doc_id"), col("lang"))
   }
 
   // --------------------------------------------------- ordered string agg

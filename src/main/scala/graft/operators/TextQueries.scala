@@ -870,4 +870,40 @@ object TextQueries {
         round(log((col("c_ab") * col("n_docs")).cast("double") /
           (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
   }
+
+  /** Fixed-size overlapping token chunks — the context-window shard
+    * prep every training-data pipeline runs before tokenizer packing:
+    * chunk c covers tokens [c·stride, c·stride + size), the final
+    * chunk may run short, a document shorter than one window yields
+    * exactly one chunk. Chunk count is pure integer arithmetic
+    * (⌈(n−size)/stride⌉+1), the chunk index explodes from an in-row
+    * `sequence`, and the chunk itself is an array slice — the whole
+    * operator is a join-free, shuffle-free scan projection (one
+    * Generate), so it scales with the token count and nothing else.
+    * Each chunk emits its token count and an md5 fingerprint of the
+    * re-joined text (the downstream cross-shard dedup key). */
+  def chunkOverlap(s: SparkSession, d: String, size: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride > 0 && size >= stride,
+      "chunks must advance and overlap non-negatively")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .withColumn("n", size_(col("ws")))
+      .withColumn("nchunks",
+        when(col("n") <= size, lit(1L)).otherwise(
+          expr(s"((n - $size + ${stride - 1}) div $stride) + 1")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size)).as("ch"))
+      .select(col("doc_id"), col("chunk_id"),
+        size_(col("ch")).as("chunk_tokens"),
+        md5(array_join(col("ch"), " ")).as("chunk_md5"))
+  }
+
+  // org.apache.spark.sql.functions.size, un-shadowed by method params
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
 }

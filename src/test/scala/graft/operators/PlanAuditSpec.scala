@@ -204,6 +204,21 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("chunk overlap is a join-free scan projection: one Generate, " +
+      "zero exchanges") {
+    val p = plan(TextQueries.chunkOverlap(spark, sf0001))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("mixture rebalance: rates broadcast to a map-side join, the " +
+      "corpus never sort-merge shuffles") {
+    val p = plan(Advanced.mixtureRebalance(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("bloom-pruned join probes on the scan side of the exchange and " +
     "stays transparent") {
     val df = Relational.bloomPrunedJoin(spark, sf0001)

@@ -139,6 +139,51 @@ class QualityFilterSpec extends SparkTestBase {
     assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0)
   }
 
+  test("chunk overlap: stride-64/48 window arithmetic on hand-sized docs") {
+    val words150 = (1 to 150).map(i => s"w$i").mkString(" ")
+    val words10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = writeDocs(Seq((1L, words150), (2L, words10)))
+    val rows = TextQueries.chunkOverlap(spark, d)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    // 150 tokens: ⌈(150−64)/48⌉+1 = 3 chunks at offsets 0/48/96,
+    // sizes 64/64/54; 10 tokens: one short chunk
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq === Seq((1L, 0L, 64), (1L, 1L, 64), (1L, 2L, 54),
+        (2L, 0L, 10)))
+    // fingerprint is the md5 of the re-joined chunk text
+    val md5OfFirst = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 64).map(i => s"w$i").mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.head.getString(3) === md5OfFirst)
+    // consecutive chunks overlap by size−stride = 16 tokens
+    val all = TextQueries.chunkOverlap(spark, d, size = 6, stride = 4)
+      .filter($"doc_id" === 2L).orderBy($"chunk_id").collect()
+    assert(all.map(_.getInt(2)).toSeq === Seq(6, 6))
+  }
+
+  test("mixture rebalance: deterministic, rebalances langs toward the smallest") {
+    val a = Advanced.mixtureRebalance(spark, sf0001)
+    val sampled = a.collect().map(r => (r.getLong(0), r.getString(1)))
+    // repeatable: the md5 draw has no RNG
+    assert(sampled.toSet === Advanced.mixtureRebalance(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val orig = Tables.documents(spark, sf0001)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy(_._2).map { case (l, v) => l -> v.length }
+    // nothing oversamples, and the smallest language keeps every doc
+    // (rate 1.0 ⇒ threshold ffffffff admits all realistic md5 draws)
+    got.foreach { case (l, n) => assert(n <= orig(l)) }
+    val minLang = orig.minBy(_._2)._1
+    assert(got(minLang) === orig(minLang).toInt)
+    // every stratum lands within a loose Bernoulli band of the target
+    val target = orig.values.min.toDouble
+    got.foreach { case (l, n) =>
+      assert(math.abs(n - target) <= math.max(6.0, target * 0.45),
+        s"$l sampled $n vs target $target")
+    }
+  }
+
   test("heaps law: driver-side decile recompute, growth exponent sane") {
     val rows = TextQueries.heapsLaw(spark, sf0001)
       .orderBy($"decile").collect()
