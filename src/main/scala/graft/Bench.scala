@@ -54,9 +54,12 @@ object Bench {
     // tens of GB of dead blocks pile into storage memory and
     // contaminate whichever heavy query runs next: the round-6 full
     // run measured q250 at 9.5 s in-sequence vs 3.8 s isolated.
+    // blocking: the drop runs OUTSIDE the timer, so waiting here is
+    // free — an async drop would race its block-removal work into the
+    // next query's timed window, which is the contamination being fixed
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
 
     names.zipWithIndex.foreach { case (n, i) =>
       try SparkEntry.queries(n)(spark, sfDir).count()

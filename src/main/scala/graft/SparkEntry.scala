@@ -397,7 +397,8 @@ object SparkEntry {
     "q28_dedup_simhash" ->
       ("WITH canon AS (SELECT doc_id, array_to_string(list_sort(" +
         "list_distinct(list_filter(string_split(text, ' '), " +
-        "x -> x <> ''))), ' ') AS c FROM documents), " +
+        "x -> x <> ''))), ' ') AS c FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
         "g AS (SELECT c FROM canon GROUP BY c HAVING count(*) > 1), " +
         "t AS (SELECT count(*) AS n FROM canon JOIN g USING (c)) " +
         "SELECT CAST(n AS BIGINT) AS n_exact_dup_docs, " +
@@ -505,10 +506,13 @@ object SparkEntry {
         "count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS n_other " +
         "FROM orders GROUP BY o_orderstatus"),
     "q47_dedup_apply" ->
-      ("SELECT source, count(*) AS n_docs, " +
-        "CAST(count(*) - count(DISTINCT text) AS BIGINT) " +
-        "AS min_dropped, true AS dedup_ok FROM documents " +
-        "GROUP BY source"),
+      ("WITH a AS (SELECT source, count(*) AS n_docs FROM documents " +
+        "GROUP BY source), " +
+        "t AS (SELECT source, CAST(count(*) - count(DISTINCT text) " +
+        "AS BIGINT) AS min_dropped FROM documents " +
+        "WHERE length(trim(text)) > 0 GROUP BY source) " +
+        "SELECT a.source, n_docs, min_dropped, true AS dedup_ok " +
+        "FROM a JOIN t ON a.source = t.source"),
     "q48_approx_distinct" ->
       ("SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
         "true AS within_5pct FROM lineitem"),
@@ -1795,7 +1799,8 @@ object SparkEntry {
         "round(avg(q), 5) AS avg_q, round(min(q), 5) AS min_q, " +
         "round(max(q), 5) AS max_q FROM (" +
         "SELECT c_nationkey, " +
-        "percent_rank() OVER (ORDER BY c_acctbal) AS q FROM customer) " +
+        "percent_rank() OVER (ORDER BY c_acctbal) AS q FROM customer " +
+        "WHERE c_acctbal IS NOT NULL) " +
         "GROUP BY 1"),
     "q189_fk_audit" ->
       ("SELECT edge, n_child, n_orphan, " +

@@ -515,6 +515,12 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", array_sort(array_distinct(toks(col("text")))))
           .as("canon"))
+      // tokenless docs (canon = "") never enter simhashGroups (its
+      // size(toks) > 0 filter — a 0-token signature is meaningless),
+      // so the coverage universe must exclude them too or an
+      // empty-text duplicate pair would flip the boolean against the
+      // oracle's literal true
+      .filter(col("canon") =!= "")
     val w = Window.partitionBy(col("canon"))
     val exactDups = canon
       .withColumn("n", count(lit(1)).over(w))
@@ -531,23 +537,31 @@ object Dedup {
   }
 
   /** Driver-checkable form of [[dedupApply]] (q47): per source, the doc
-    * count and the exact-duplicate excess (docs minus distinct texts —
-    * both oracle-reproducible), plus the structural invariants of the
-    * LSH dedup as a boolean: kept + dropped partitions the source, and
-    * dropped covers at least the exact excess (byte-identical copies
-    * always band together, share every signature, verify at jac = 1,
-    * and at most one member of each component is kept — so a source can
-    * never keep more than its distinct-text count). */
-  def dedupApplyCheck(s: SparkSession, d: String): DataFrame =
+    * count and the exact-duplicate excess among TOKENFUL docs (docs
+    * minus distinct texts, both oracle-reproducible), plus the
+    * structural invariants of the LSH dedup as a boolean: kept +
+    * dropped partitions the source, and dropped covers at least that
+    * excess (byte-identical TOKENFUL copies always band together, share
+    * every signature, verify at jac = 1, and at most one member of each
+    * component is kept). Tokenless docs are excluded from the excess —
+    * minhashSignature is null for them, so LSH can never pair or drop
+    * them, and counting a hypothetical empty-text duplicate pair into
+    * min_dropped would flip the boolean against the oracle's literal
+    * true. */
+  def dedupApplyCheck(s: SparkSession, d: String): DataFrame = {
+    val tokStats = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("text")).as("n_tok_distinct"))
     dedupApply(s, d)
-      .join(exactStats(s, d)
-        .select(col("source"), col("n_docs").as("nd2"),
-          col("n_distinct")), Seq("source"))
+      .join(tokStats, Seq("source"))
       .select(col("source"), col("n_docs"),
-        (col("n_docs") - col("n_distinct")).as("min_dropped"),
+        (col("n_tok") - col("n_tok_distinct")).as("min_dropped"),
         (col("n_kept") + col("n_dropped") === col("n_docs") &&
-          col("n_dropped") >= col("n_docs") - col("n_distinct"))
+          col("n_dropped") >= col("n_tok") - col("n_tok_distinct"))
           .as("dedup_ok"))
+  }
 
   /** Driver-checkable form of the MinHash pipeline (q27): exact
     * ground-truth near-dup pairs built from STRING 3-gram shingles —
@@ -580,10 +594,13 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"),
-        col("sz").as("sa"))), Seq("doc_a"))
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"),
-        col("sz").as("sb"))), Seq("doc_b"))
+      // sz is per-DOC (corpus-sized at scale): plain shuffle joins —
+      // the pair table already shuffles on doc keys, and forcing a
+      // corpus-sized broadcast would OOM at any real size
+      .join(sz.select(col("doc_id").as("doc_a"),
+        col("sz").as("sa")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"),
+        col("sz").as("sb")), Seq("doc_b"))
       .filter(col("inter") * 5 >= (col("sa") + col("sb") - col("inter")) * 4)
       .select(col("doc_a"), col("doc_b"))
     val found = minhashDupPairs(s, d, threshold = 0.8)

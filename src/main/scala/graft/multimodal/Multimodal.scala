@@ -199,25 +199,52 @@ object Multimodal {
     * the per-codec correctness lives in the ImageIO-pinned specs — this
     * query is the DISTRIBUTED plumbing proof: encode and decode are
     * per-partition map work over asset rows, no driver involvement. */
+  /** The deterministic image fixture behind q158's battery AND
+    * roundtrip: a 16×12 BGR tile md5-seeded from the asset bytes,
+    * encoded through the arm picked by asset_id % 4. ONE definition on
+    * purpose — the DuckDB oracles are hand-derived from these exact
+    * formulas, so a fork between the two queries (they were verbatim
+    * copies before) would silently diverge a query from its oracle.
+    * Returns (decoded image, encoded bytes, mime, lossless-arm). */
+  private[multimodal] def imageFixture(id: Long, media: Array[Byte])
+      : (BmpCodec.Decoded, Array[Byte], String, Boolean) = {
+    val w = 16; val h = 12
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest(media)
+    val bgr = Array.tabulate(w * h * 3) { i =>
+      (seed(i % 16) + i * 31).toByte
+    }
+    val img = BmpCodec.Decoded(w, h, bgr)
+    val (bytes, mime, lossless) = (id % 4) match {
+      case 0 => (BmpCodec.encode(img), "image/bmp", true)
+      case 1 => (PngCodec.encode(img), "image/png", true)
+      case 2 => (JpegCodec.encode(img), "image/jpeg", false)
+      case _ => (GifCodec.encode(img), "image/gif", true)
+    }
+    (img, bytes, mime, lossless)
+  }
+
+  /** Same single-definition rule for q164's PCM16 WAV fixture:
+    * md5-seeded samples, rate/channels derived from asset_id. */
+  private[multimodal] def wavFixture(id: Long, media: Array[Byte])
+      : WavCodec.Wav = {
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest(media)
+    val ch = 1 + (id % 2).toInt
+    val rate = 8000 * (1 + (id % 3).toInt)
+    val samples = Array.tabulate(400 * ch) { i =>
+      ((seed(i % 16) * 191 + i * 37) % 32768).toShort
+    }
+    WavCodec.Wav(rate, ch, samples)
+  }
+
   def codecBattery(assetsDf: DataFrame, s: SparkSession): DataFrame = {
     import s.implicits._
     val decoded = assetsDf.select(col("asset_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, media) =>
-          val w = 16; val h = 12
-          val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(media)
-          val bgr = Array.tabulate(w * h * 3) { i =>
-            (seed(i % 16) + i * 31).toByte
-          }
-          val img = BmpCodec.Decoded(w, h, bgr)
-          val (bytes, mime) = (id % 4) match {
-            case 0 => (BmpCodec.encode(img), "image/bmp")
-            case 1 => (PngCodec.encode(img), "image/png")
-            case 2 => (JpegCodec.encode(img), "image/jpeg")
-            case _ => (GifCodec.encode(img), "image/gif")
-          }
+          val (_, bytes, mime, _) = imageFixture(id, media)
           decodeAny(bytes).map { back =>
             val (r, g, b) = BmpCodec.meanColor(back)
             (mime, bytes.length, back.width, back.height, r, g, b)
@@ -247,22 +274,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, media) =>
-          val w = 16; val h = 12
-          val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(media)
-          val bgr = Array.tabulate(w * h * 3) { i =>
-            (seed(i % 16) + i * 31).toByte
-          }
-          val img = BmpCodec.Decoded(w, h, bgr)
-          val (bytes, mime, lossless) = (id % 4) match {
-            case 0 => (BmpCodec.encode(img), "image/bmp", true)
-            case 1 => (PngCodec.encode(img), "image/png", true)
-            case 2 => (JpegCodec.encode(img), "image/jpeg", false)
-            case _ => (GifCodec.encode(img), "image/gif", true)
-          }
+          val (img, bytes, mime, lossless) = imageFixture(id, media)
           val ok = decodeAny(bytes).exists { back =>
-            val dims = back.width == w && back.height == h
-            if (lossless) dims && java.util.Arrays.equals(back.bgr, bgr)
+            val dims = back.width == img.width && back.height == img.height
+            if (lossless) dims && java.util.Arrays.equals(back.bgr, img.bgr)
             else {
               val (r0, g0, b0) = BmpCodec.meanColor(img)
               val (r1, g1, b1) = BmpCodec.meanColor(back)
@@ -292,14 +307,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, media) =>
-          val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(media)
-          val ch = 1 + (id % 2).toInt
-          val rate = 8000 * (1 + (id % 3).toInt)
-          val samples = Array.tabulate(400 * ch) { i =>
-            ((seed(i % 16) * 191 + i * 37) % 32768).toShort
-          }
-          val bytes = WavCodec.encode(WavCodec.Wav(rate, ch, samples))
+          val bytes = WavCodec.encode(wavFixture(id, media))
           WavCodec.decode(bytes).map { w =>
             (w.sampleRate, w.channels, w.nFrames,
               math.round(w.durationMs * 1000) / 1000.0,
@@ -327,19 +335,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, media) =>
-          val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(media)
-          val ch = 1 + (id % 2).toInt
-          val rate = 8000 * (1 + (id % 3).toInt)
-          val samples = Array.tabulate(400 * ch) { i =>
-            ((seed(i % 16) * 191 + i * 37) % 32768).toShort
-          }
-          val w = WavCodec.Wav(rate, ch, samples)
+          val w = wavFixture(id, media)
           val ok = WavCodec.decode(WavCodec.encode(w)).exists { back =>
-            back.sampleRate == rate && back.channels == ch &&
-              java.util.Arrays.equals(back.samples, samples)
+            back.sampleRate == w.sampleRate &&
+              back.channels == w.channels &&
+              java.util.Arrays.equals(back.samples, w.samples)
           }
-          (rate, ch, w.nFrames,
+          (w.sampleRate, w.channels, w.nFrames,
             math.round(w.durationMs * 1000) / 1000.0, ok)
         }
       }

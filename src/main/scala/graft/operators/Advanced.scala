@@ -1475,11 +1475,18 @@ object Advanced {
     * rows-only to a real driver gate: a broken union or estimate path
     * flips the boolean and fails the hash. */
   def hllUnionCheck(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
-    val exactPer = o.groupBy(col("o_orderstatus").as("scope"))
+    // ONE scan for both exact arms: reduce to distinct (status,
+    // custkey) pairs first, then the per-status counts and the ALL
+    // count both roll up from that shuffled-once frame (the naive form
+    // re-scanned orders for each arm)
+    val pairs = orders(s, d)
+      .select(col("o_orderstatus").as("scope"), col("o_custkey"))
+      .distinct()
+      .localCheckpoint() // per-status + ALL consumers
+    val exactPer = pairs.groupBy(col("scope"))
+      .agg(count(lit(1)).as("exact_custkeys"))
+    val exactAll = pairs
       .agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
-    val exactAll = o.agg(countDistinct(col("o_custkey"))
-        .as("exact_custkeys"))
       .select(lit("ALL").as("scope"), col("exact_custkeys"))
     hllUnion(s, d)
       .join(exactPer.unionByName(exactAll), Seq("scope"))

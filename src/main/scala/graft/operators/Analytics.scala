@@ -105,8 +105,13 @@ object Analytics {
     * division; scale-safe because the ordered pass touches only
     * distinct balances. */
   def quantileNormalize(s: SparkSession, d: String): DataFrame = {
+    // NULL balances are excluded EXPLICITLY: a quantile for "no value"
+    // is undefined. (The pre-GlobalOrder percent_rank form silently
+    // ranked nulls first; the grid equi-join silently dropped them —
+    // either way nulls must not reach the CDF, so state it.)
     val c = customer(s, d)
       .select(col("c_nationkey"), col("c_acctbal"))
+      .filter(col("c_acctbal").isNotNull)
     val grid = c.groupBy(col("c_acctbal")).agg(count(lit(1)).as("cnt"))
     val total = grid.agg(sum(col("cnt")).as("__n"))
     val q = GlobalOrder

@@ -450,17 +450,26 @@ object TextQueries {
 
   /** Driver-checkable form of [[compressionSignal]] (q184): per-source
     * doc counts (oracle-reproducible) plus the DEFLATE invariants as a
-    * boolean — every ratio positive (a compressor cannot emit zero
-    * bytes for non-empty text) and bounded by 1.2 (DEFLATE's stored-
-    * block overhead caps expansion at ~11 bytes per 64 KB + 6, far
-    * under 20% for these documents). DuckDB has no DEFLATE, so the
-    * ratios themselves stay Spark-side; the bounds make a broken codec
-    * expression fail the driver gate instead of passing unseen. */
+    * boolean — every output positive (a compressor cannot emit zero
+    * bytes) and expansion bounded ABSOLUTELY: output ≤ input + 64
+    * bytes (stored-block overhead is ~5 bytes per 64 KB block plus the
+    * zlib header/trailer). The bound is deliberately absolute, not a
+    * ratio: DEFLATE's fixed per-stream overhead dominates SHORT inputs
+    * (a 20-char doc legitimately "expands" ~1.4×), so any ratio bound
+    * either fails honest short docs or is too loose to catch a broken
+    * codec on long ones. DuckDB has no DEFLATE, so the sizes stay
+    * Spark-side; the bounds make a broken codec expression fail the
+    * driver gate instead of passing unseen. */
   def compressionSignalCheck(s: SparkSession, d: String): DataFrame =
-    compressionSignal(s, d)
-      .select(col("source"), col("n_docs"),
-        (col("min_ratio") > 0.0 && col("max_ratio") <= 1.2 &&
-          col("n_repetitive") <= col("n_docs")).as("ratios_ok"))
+    Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.CompressionExpressions.deflateSize(col("text"))
+          .cast("long").as("z"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (min(col("z")) > 0L && max(col("z") - col("len")) <= 64L)
+          .as("ratios_ok"))
 
   /** Sparse TF-IDF cosine similarity with AllPairs-style prefix
     * pruning (Bayardo et al., WWW'07 shape): the dot product decomposes

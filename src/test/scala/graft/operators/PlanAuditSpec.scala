@@ -146,9 +146,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
+  // Unpartitioned windows of a query, AQE-proof: under adaptive
+  // execution `executedPlan` is an AdaptiveSparkPlanExec LEAF, so a
+  // naive `.collect { case w: WindowExec ... }` returns Nil for EVERY
+  // query and asserts nothing (found vacuous in review; the probe
+  // showed root=AdaptiveSparkPlanExec, collected=0, while the plan
+  // demonstrably contained unpartitioned windows). Audit the pre-AQE
+  // physical plan instead — window shape is decided at planning and
+  // AQE never introduces or re-partitions a window.
+  private def globalWindows(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+  }
+
   test("ranking/CDF family: the only global windows run over the P-row " +
       "offset tables, never the data") {
-    import org.apache.spark.sql.execution.window.WindowExec
     val dfs = Seq(
       "q64_shard_pack" -> Advanced.shardPack(spark, sf0001),
       "q122_equidepth_hist" -> Advanced.equidepthHistogram(spark, sf0001),
@@ -156,51 +174,41 @@ class PlanAuditSpec extends SparkTestBase {
       "q187_rfm_segments" -> Analytics.rfmSegments(spark, sf0001),
       "q188_quantile_normalize" -> Analytics.quantileNormalize(spark, sf0001),
       "q197_auc" -> Analytics.aucRank(spark, sf0001),
-      "q198_ks_test" -> Analytics.ksTest(spark, sf0001))
-    for ((name, df) <- dfs) {
-      val globalWins = df.queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
+      "q198_ks_test" -> Analytics.ksTest(spark, sf0001),
+      // q251/q134 route their corpus/vocabulary ranks through the same
+      // GlobalOrder helper — identical contract
+      "q251_heaps_law" -> TextQueries.heapsLaw(spark, sf0001),
+      "q134_prefix_filter_join" ->
+        Dedup.prefixFilterJaccardPairs(spark, sf0001))
+    val found = dfs.map { case (name, df) => name -> globalWindows(df) }
+    // non-vacuousness guard: every one of these uses GlobalOrder, whose
+    // ≤P-row offset table is ranked by a global window — the collector
+    // must SEE those nodes, or the audit is asserting nothing
+    assert(found.count(_._2.nonEmpty) >= dfs.size / 2,
+      s"window collector went blind: ${found.map(f => f._1 -> f._2.size)}")
+    for ((name, globalWins) <- found; w <- globalWins) {
       // every unpartitioned window must rank the ≤P-row per-__pid offset
       // aggregate, not the data stream
-      globalWins.foreach { w =>
-        assert(w.child.toString.contains("__pid"),
-          s"$name has a global window over non-offset data:\n" +
-            w.toString.take(2000))
-      }
+      assert(w.child.toString.contains("__pid"),
+        s"$name has a global window over non-offset data:\n" +
+          w.toString.take(2000))
     }
   }
 
   test("zipf fit: vocabulary top-100 is TakeOrderedAndProject; global " +
       "windows rank only the 100-row result") {
-    import org.apache.spark.sql.execution.window.WindowExec
     val df = TextQueries.zipfFit(spark, sf0001)
     val p = plan(df)
     // per-partition partial top-k + driver merge, never a global sort
     // or a vocabulary-sized rank window
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
-    df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }.foreach { w =>
+    val wins = globalWindows(df)
+    // the 100-row rank window must exist AND sit on the top-k result
+    assert(wins.nonEmpty, "window collector went blind on zipfFit")
+    wins.foreach { w =>
       assert(w.child.toString.contains("TakeOrderedAndProject"),
         "global window not over the top-k result:\n" +
           w.toString.take(2000))
-    }
-  }
-
-  test("heaps law and prefix-filter join: zero single-partition windows " +
-      "in the final plan (vocab/corpus ranks run through GlobalOrder)") {
-    import org.apache.spark.sql.execution.window.WindowExec
-    for ((name, df) <- Seq(
-        "q251_heaps_law" -> TextQueries.heapsLaw(spark, sf0001),
-        "q134_prefix_filter_join" ->
-          Dedup.prefixFilterJaccardPairs(spark, sf0001))) {
-      val globalWins = df.queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
-      assert(globalWins.isEmpty,
-        s"$name retains a global window:\n" +
-          globalWins.map(_.toString.take(1000)).mkString("\n"))
     }
   }
 
