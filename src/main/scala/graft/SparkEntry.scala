@@ -287,6 +287,7 @@ object SparkEntry {
     "q251_heaps_law" -> (TextQueries.heapsLaw(_, _)),
     "q252_chunk_overlap" -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "q253_mixture_rebalance" -> (Advanced.mixtureRebalance(_, _)),
+    "q254_leakage_safe_split" -> (Advanced.leakageSafeSplit(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2920,5 +2921,19 @@ object SparkEntry {
         "WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), " +
         "1, 8) < printf('%08x', " +
         "CAST(least(floor(rate * 4294967296), 4294967295) AS BIGINT))"),
+    "q254_leakage_safe_split" ->
+      ("WITH e AS (SELECT CASE " +
+        "WHEN substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 8) " +
+        "< 'cccccccc' THEN 'train' " +
+        "WHEN substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 8) " +
+        "< 'e6666666' THEN 'val' ELSE 'test' END AS split, " +
+        "user_id, value FROM events), " +
+        "p AS (SELECT split, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM e GROUP BY split), " +
+        "t AS (SELECT count(DISTINCT user_id) AS n_all FROM events) " +
+        "SELECT split, n_users, n_events, total_value, " +
+        "CAST(sum(n_users) OVER () AS BIGINT) = n_all AS no_leakage " +
+        "FROM p, t"),
   )
 }

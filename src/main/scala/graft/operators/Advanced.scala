@@ -951,6 +951,40 @@ object Advanced {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Leakage-safe train/val/test split — the eval-hygiene primitive of
+    * a training pipeline: the split is a PURE FUNCTION of the GROUP key
+    * (user), so every event of a user lands in the same split by
+    * construction and train/eval can never share a user. The 80/10/10
+    * assignment reuses the RNG-free md5 draw ([[weightedSample]]'s
+    * 8-hex scale): reproducible across runs, engines, partitionings,
+    * and INCREMENTAL — tomorrow's events of a known user join the same
+    * split without consulting any state. Because the split needs no
+    * per-user table, there is NO JOIN: it evaluates inline in the event
+    * scan, and the whole query is one map + one partial-aggregated
+    * rollup. Emits per-split user/event/value rolls plus the
+    * no-leakage invariant (splits partition the user universe) as a
+    * driver-hashable boolean. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    // fixed-width lowercase hex compares numerically as a string:
+    // cccccccc = 0.8·2³², e6666666 ≈ 0.9·2³²
+    val h = substring(md5(concat(lit("split:"), col("user_id"))), 1, 8)
+    val split = when(h < lit("cccccccc"), "train")
+      .when(h < lit("e6666666"), "val")
+      .otherwise("test")
+    val perSplit = events(s, d)
+      .select(split.as("split"), col("user_id"), col("value"))
+      .groupBy(col("split"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    val total = events(s, d)
+      .agg(count_distinct(col("user_id")).as("n_all"))
+    perSplit.crossJoin(broadcast(total))
+      .select(col("split"), col("n_users"), col("n_events"),
+        col("total_value"),
+        (sum(col("n_users")).over() === col("n_all")).as("no_leakage"))
+  }
+
   // --------------------------------------------------- ordered string agg
 
   /** LISTAGG / string_agg with a DETERMINISTIC element order: collect_list

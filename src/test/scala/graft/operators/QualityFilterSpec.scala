@@ -184,6 +184,35 @@ class QualityFilterSpec extends SparkTestBase {
     }
   }
 
+  test("leakage-safe split: group-pure, proportioned, reconciles exactly") {
+    val rows = Advanced.leakageSafeSplit(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+    assert(rows.values.forall(_._3), "no_leakage must hold")
+    // driver recompute: the split is a pure function of user_id, so
+    // every user appears in exactly one split and counts reconcile
+    // EXACTLY (the tiny sf0.001 user set can leave a 10% band empty —
+    // the recompute, not a fixed key set, is the truth)
+    val users = Tables.events(spark, sf0001)
+      .select($"user_id").distinct().as[Long].collect()
+    def splitOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$u".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (h < "cccccccc") "train" else if (h < "e6666666") "val"
+      else "test"
+    }
+    val expect = users.groupBy(splitOf).map { case (k, v) => k -> v.length }
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (k, n) => assert(rows(k)._1 === n.toLong) }
+    assert(rows.values.map(_._2).sum ===
+      Tables.events(spark, sf0001).count())
+    // the 80% band dominates within a loose Bernoulli band
+    val nAll = users.length.toDouble
+    assert(math.abs(rows("train")._1 - 0.8 * nAll) < math.max(6.0, nAll * 0.2))
+  }
+
   test("heaps law: driver-side decile recompute, growth exponent sane") {
     val rows = TextQueries.heapsLaw(spark, sf0001)
       .orderBy($"decile").collect()
