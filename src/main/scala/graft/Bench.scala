@@ -89,14 +89,27 @@ object Bench {
     // reported in the JSON ("over_2x") and on stderr so a regression
     // fails loudly in the bench artifact itself instead of waiting for a
     // judge to diff tables. Only meaningful at the protocol's sf0.1.
+    // Re-baselines: when a query's CONTRACT changes (e.g. q116 went
+    // from a bare sketch estimate to an exact-ground-truth-gated check
+    // in round 6), its first-recorded number measured a DIFFERENT
+    // computation and the 2× compare is meaningless. BASELINE.md may
+    // re-baseline such queries EXPLICITLY with a "| qNN | secs | re-
+    // baselined ... |" row (the third cell documents why); only those
+    // marked rows override the first match, so ordinary regressions
+    // can never silently re-baseline themselves.
     val baseline: Map[String, Double] =
       try {
         val md = java.nio.file.Files.readString(
           java.nio.file.Paths.get("BASELINE.md"))
         val row = """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|""".r
-        row.findAllMatchIn(md).toSeq
+        val first = row.findAllMatchIn(md).toSeq
           .groupBy(_.group(1)).map { case (k, ms) =>
             k -> ms.head.group(2).toDouble } // first table = round-1 entry
+        val rebase =
+          """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|\s*re-baselined""".r
+        first ++ rebase.findAllMatchIn(md).toSeq
+          .groupBy(_.group(1)).map { case (k, ms) =>
+            k -> ms.head.group(2).toDouble }
       } catch { case _: Throwable => Map.empty }
     val over2x =
       if (sfDir.endsWith("sf0.1")) results.collect {
