@@ -161,6 +161,34 @@ class QualityFilterSpec extends SparkTestBase {
     assert(all.map(_.getInt(2)).toSeq === Seq(6, 6))
   }
 
+  test("chunk overlap: coverage law across doc lengths and configs") {
+    // doc i has i tokens (1..130) — exercises short docs, the exact
+    // window boundary, stride remainders, and multi-chunk tails
+    val d = writeDocs((1L to 130L).map(i =>
+      (i, (1L to i).map(t => s"t$t").mkString(" "))))
+    for ((size, stride) <- Seq((64, 48), (10, 10), (7, 3))) {
+      val got = TextQueries.chunkOverlap(spark, d, size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1)
+      (1L to 130L).foreach { n =>
+        val chunks = got(n).sortBy(_._2)
+        val expectN =
+          if (n <= size) 1L else ((n - size + stride - 1) / stride) + 1
+        assert(chunks.length.toLong === expectN,
+          s"n=$n size=$size stride=$stride")
+        // chunk c covers [c·stride, min(c·stride+size, n)) — together
+        // they tile the doc with no gap and the final token covered
+        chunks.foreach { case (_, c, len) =>
+          assert(len === math.min(size.toLong, n - c * stride),
+            s"n=$n c=$c size=$size stride=$stride")
+        }
+        val lastStart = (expectN - 1) * stride
+        assert(lastStart < n && lastStart + chunks.last._3 === n)
+      }
+    }
+  }
+
   test("mixture rebalance: deterministic, rebalances langs toward the smallest") {
     val a = Advanced.mixtureRebalance(spark, sf0001)
     val sampled = a.collect().map(r => (r.getLong(0), r.getString(1)))
