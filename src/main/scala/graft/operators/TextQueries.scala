@@ -892,10 +892,19 @@ object TextQueries {
     * Each chunk emits its token count and an md5 fingerprint of the
     * re-joined text (the downstream cross-shard dedup key). */
   def chunkOverlap(s: SparkSession, d: String, size: Int = 64,
+      stride: Int = 48): DataFrame =
+    chunkOverlapDf(Tables.documents(s, d), size, stride)
+
+  /** [[chunkOverlap]] over any (doc_id, text) frame. STATELESS (pure
+    * per-row projection + explode), so the same call chunks a
+    * STREAMING frame — arriving documents chunk incrementally with no
+    * watermark or state store; StreamingSpec pins stream-vs-batch
+    * parity. */
+  def chunkOverlapDf(docs: DataFrame, size: Int = 64,
       stride: Int = 48): DataFrame = {
     require(stride > 0 && size >= stride,
       "chunks must advance and overlap non-negatively")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .withColumn("n", size_(col("ws")))

@@ -589,4 +589,31 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("streaming chunker: stateless transform, stream equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDS().toDF("doc_id", "text")
+    // 23 tokens at size 10 / stride 6 → chunks at 0/6/12/18, the usual
+    // ragged tail; a short doc (3 tokens) → one chunk
+    val batch = Seq(
+      (1L, (1 to 23).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"))
+    val chunked = graft.operators.TextQueries
+      .chunkOverlapDf(docs, size = 10, stride = 6)
+    val q = chunked.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .as[(Long, Long, Int, String)].collect().sorted.toVector
+      val expected = graft.operators.TextQueries
+        .chunkOverlapDf(batch.toDF("doc_id", "text"), 10, 6)
+        .as[(Long, Long, Int, String)].collect().sorted.toVector
+      assert(streamed.nonEmpty && streamed === expected)
+      assert(streamed.count(_._1 == 1L) === 4)
+      assert(streamed.count(_._1 == 2L) === 1)
+    } finally q.stop()
+  }
 }
