@@ -1754,15 +1754,22 @@ object SparkEntry {
         "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word), " +
         "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), " +
         "nd AS (SELECT count(*) AS nd FROM d), " +
-        "w AS (SELECT tf.doc_id, tf.word, " +
-        "round(tf.tf * (ln((nd.nd + 1.0) / (df.df + 1.0)) + 1.0), 4) AS w " +
+        "w AS (SELECT tf.doc_id, tf.word, CAST(round(" +
+        "round(tf.tf * (ln((nd.nd + 1.0) / (df.df + 1.0)) + 1.0), 4) " +
+        "* 10000) AS BIGINT) AS wi " +
         "FROM tf JOIN df USING (word), nd), " +
-        "nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id), " +
-        "dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot " +
+        // integer norm² / dot — the 1e-4 scale cancels in the cosine,
+        // and integer sums are order-independent on both engines
+        "nrm AS (SELECT doc_id, CAST(sum(wi*wi) AS BIGINT) AS n2 " +
+        "FROM w GROUP BY doc_id), " +
+        "dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(sum(a.wi * b.wi) AS BIGINT) AS dotl " +
         "FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id) " +
         "SELECT doc_a, doc_b, cos FROM (" +
-        "SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 5) AS cos " +
+        "SELECT doc_a, doc_b, round(CAST(dotl AS DOUBLE) / " +
+        "(sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 5) " +
+        "AS cos " +
         "FROM dt JOIN nrm na ON dt.doc_a = na.doc_id " +
         "JOIN nrm nb ON dt.doc_b = nb.doc_id) WHERE cos >= 0.8"),
     "q186_basket_lift" ->

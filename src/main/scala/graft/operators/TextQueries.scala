@@ -496,14 +496,22 @@ object TextQueries {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
+    // wi: the 4dp weight as a SCALED LONG — every truth-affecting sum
+    // below (norms, dots) accumulates exact integers, so accumulation
+    // ORDER cannot move the 5dp-rounded cosine across the 0.8 output
+    // threshold on either engine (the q242/q212 determinism idiom; a
+    // double Σw² / Σwa·wb would carry engine-specific summation order
+    // into a threshold compare)
     val w = tf.join(df, Seq("word")).crossJoin(broadcast(nd))
       .select(col("doc_id"), col("word"),
         round(col("tf") *
           (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
           4).as("w"))
+      .withColumn("wi", round(col("w") * 10000, 0).cast("long"))
       .localCheckpoint() // reused: norm pass, index build, both rescore sides
     val nrm = w.groupBy(col("doc_id"))
-      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"),
+        sum(col("wi") * col("wi")).as("n2")) // exact integer norm²
       .localCheckpoint() // reused: index build + both cosine denominators
     // prefix index: per doc, ascending-weight cumulative squared mass;
     // rows past 0.159 carry enough norm that every ≥0.8 pair collides
@@ -520,21 +528,25 @@ object TextQueries {
         Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact rescore: full-posting dot for the surviving pairs only
+    // exact rescore: full-posting dot for the surviving pairs only —
+    // integer accumulation (Σ wiₐ·wi_b), the scale factors cancel in
+    // the cosine: Σ(wiₐ·wi_b)/√(Σwiₐ²)√(Σwi_b²) = Σ(wₐ·w_b)/(‖a‖‖b‖)
     val dot = cand
       .join(w.select(col("doc_id").as("doc_a"), col("word"),
-        col("w").as("wa")), Seq("doc_a"))
+        col("wi").as("wa")), Seq("doc_a"))
       .join(w.select(col("doc_id").as("doc_b"), col("word"),
-        col("w").as("wb")), Seq("doc_b", "word"))
+        col("wi").as("wb")), Seq("doc_b", "word"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .agg(sum(col("wa") * col("wb")).as("dotl"))
     dot
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
         Seq("doc_a"))
-      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 5).as("cos"))
+        round(col("dotl").cast("double") /
+          (sqrt(col("n2a").cast("double")) *
+            sqrt(col("n2b").cast("double"))), 5).as("cos"))
       .filter(col("cos") >= 0.8)
   }
 
