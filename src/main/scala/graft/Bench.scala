@@ -109,7 +109,9 @@ object Bench {
           """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|\s*re-baselined""".r
         first ++ rebase.findAllMatchIn(md).toSeq
           .groupBy(_.group(1)).map { case (k, ms) =>
-            k -> ms.head.group(2).toDouble }
+            // LAST marked row wins: a later contract change must be able
+            // to re-baseline again (head would pin the first forever)
+            k -> ms.last.group(2).toDouble }
       } catch { case _: Throwable => Map.empty }
     val over2x =
       if (sfDir.endsWith("sf0.1")) results.collect {

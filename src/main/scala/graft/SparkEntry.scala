@@ -1759,11 +1759,13 @@ object SparkEntry {
         "* 10000) AS BIGINT) AS wi " +
         "FROM tf JOIN df USING (word), nd), " +
         // integer norm² / dot — the 1e-4 scale cancels in the cosine,
-        // and integer sums are order-independent on both engines
-        "nrm AS (SELECT doc_id, CAST(sum(wi*wi) AS BIGINT) AS n2 " +
+        // and integer sums are order-independent on both engines;
+        // HUGEINT kept (no BIGINT cast) to mirror Spark's DECIMAL(38)
+        // accumulation — both stay exact past 2^63
+        "nrm AS (SELECT doc_id, sum(CAST(wi AS HUGEINT) * wi) AS n2 " +
         "FROM w GROUP BY doc_id), " +
         "dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(sum(a.wi * b.wi) AS BIGINT) AS dotl " +
+        "sum(CAST(a.wi AS HUGEINT) * b.wi) AS dotl " +
         "FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id) " +
         "SELECT doc_a, doc_b, cos FROM (" +
@@ -2936,7 +2938,8 @@ object SparkEntry {
         "< 'e6666666' THEN 'val' ELSE 'test' END AS split, " +
         "user_id, value FROM events), " +
         "p AS (SELECT split, count(DISTINCT user_id) AS n_users, " +
-        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "count(*) AS n_events, round(CAST(sum(CAST(round(value, 2) " +
+        "AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value " +
         "FROM e GROUP BY split), " +
         "t AS (SELECT count(DISTINCT user_id) AS n_all FROM events) " +
         "SELECT split, n_users, n_events, total_value, " +

@@ -190,15 +190,6 @@ object Multimodal {
       }
   }
 
-  /** All four codec arms driven end-to-end as ONE driver-contract query:
-    * every document renders to a deterministic 16×12 image (pixel bytes
-    * from an md5-seeded tile over the text), encodes through the arm
-    * picked by doc_id % 4 (BMP / PNG / baseline JPEG / GIF), and the
-    * batch decodes back through the magic-byte dispatch into per-format
-    * decode stats. Rows-only at the oracle (no SQL engine decodes JPEG);
-    * the per-codec correctness lives in the ImageIO-pinned specs — this
-    * query is the DISTRIBUTED plumbing proof: encode and decode are
-    * per-partition map work over asset rows, no driver involvement. */
   /** The deterministic image fixture behind q158's battery AND
     * roundtrip: a 16×12 BGR tile md5-seeded from the asset bytes,
     * encoded through the arm picked by asset_id % 4. ONE definition on
@@ -238,6 +229,14 @@ object Multimodal {
     WavCodec.Wav(rate, ch, samples)
   }
 
+  /** All four codec arms driven end-to-end as ONE driver-contract query:
+    * every document renders through [[imageFixture]] (deterministic
+    * 16×12 tile, arm picked by doc_id % 4: BMP / PNG / baseline JPEG /
+    * GIF) and the batch decodes back through the magic-byte dispatch
+    * into per-format decode stats. Per-codec correctness lives in the
+    * ImageIO-pinned specs — this query is the DISTRIBUTED plumbing
+    * proof: encode and decode are per-partition map work over asset
+    * rows, no driver involvement. */
   def codecBattery(assetsDf: DataFrame, s: SparkSession): DataFrame = {
     import s.implicits._
     val decoded = assetsDf.select(col("asset_id"), col("media"))

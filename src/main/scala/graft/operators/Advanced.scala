@@ -972,11 +972,15 @@ object Advanced {
       .when(h < lit("e6666666"), "val")
       .otherwise("test")
     val perSplit = events(s, d)
-      .select(split.as("split"), col("user_id"), col("value"))
+      .select(split.as("split"), col("user_id"),
+        // 2dp-quantize BEFORE the sum and accumulate in DECIMAL:
+        // a raw double sum is accumulation-order-dependent across
+        // engines, the exact hazard the hash gate exists to catch
+        round(col("value"), 2).cast("decimal(18,2)").as("v"))
       .groupBy(col("split"))
       .agg(count_distinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("v")).cast("double"), 2).as("total_value"))
     val total = events(s, d)
       .agg(count_distinct(col("user_id")).as("n_all"))
     perSplit.crossJoin(broadcast(total))

@@ -439,37 +439,41 @@ object TextQueries {
   def compressionSignal(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"),
-        (graft.functions.CompressionExpressions.deflateSize(col("text"))
-          .cast("double") / length(col("text"))).as("ratio"))
+        graft.functions.CompressionExpressions.deflateSize(col("text"))
+          .cast("long").as("z"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("ratio", col("z").cast("double") / col("len"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("ratio")), 4).as("avg_ratio"),
         round(min(col("ratio")), 4).as("min_ratio"),
         round(max(col("ratio")), 4).as("max_ratio"),
-        count_if(col("ratio") < 0.35).as("n_repetitive"))
+        count_if(col("ratio") < 0.35).as("n_repetitive"),
+        // codec sanity rails, consumed by the q184 driver gate: output
+        // is never empty and expansion is ABSOLUTELY bounded (ratio
+        // bounds break on short docs — DEFLATE's fixed per-stream
+        // overhead dominates a 20-char input)
+        min(col("z")).as("min_z"),
+        max(col("z") - col("len")).as("max_overhead"))
 
-  /** Driver-checkable form of [[compressionSignal]] (q184): per-source
-    * doc counts (oracle-reproducible) plus the DEFLATE invariants as a
-    * boolean — every output positive (a compressor cannot emit zero
-    * bytes) and expansion bounded ABSOLUTELY: output ≤ input + 64
-    * bytes (stored-block overhead is ~5 bytes per 64 KB block plus the
-    * zlib header/trailer). The bound is deliberately absolute, not a
-    * ratio: DEFLATE's fixed per-stream overhead dominates SHORT inputs
-    * (a 20-char doc legitimately "expands" ~1.4×), so any ratio bound
-    * either fails honest short docs or is too loose to catch a broken
-    * codec on long ones. DuckDB has no DEFLATE, so the sizes stay
-    * Spark-side; the bounds make a broken codec expression fail the
-    * driver gate instead of passing unseen. */
+  /** Driver-checkable form of [[compressionSignal]] (q184): consumes
+    * the PRODUCTION operator's output (so a regression in its ratio or
+    * aggregation logic flips the gate — a from-scratch recompute here
+    * would let the operator break unseen) and collapses the DEFLATE
+    * invariants to a boolean — every output positive (a compressor
+    * cannot emit zero bytes), expansion bounded ABSOLUTELY (output ≤
+    * input + 64 bytes: ~5 bytes stored-block overhead per 64 KB plus
+    * the zlib header/trailer; a RATIO bound breaks on short docs where
+    * the fixed per-stream overhead dominates), and the ratio rollup
+    * internally consistent. DuckDB has no DEFLATE, so the sizes stay
+    * Spark-side; the oracle states the boolean as literal true. */
   def compressionSignalCheck(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("source"),
-        graft.functions.CompressionExpressions.deflateSize(col("text"))
-          .cast("long").as("z"),
-        length(col("text")).cast("long").as("len"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        (min(col("z")) > 0L && max(col("z") - col("len")) <= 64L)
-          .as("ratios_ok"))
+    compressionSignal(s, d)
+      .select(col("source"), col("n_docs"),
+        (col("min_z") > 0L && col("max_overhead") <= 64L &&
+          col("min_ratio") <= col("avg_ratio") &&
+          col("avg_ratio") <= col("max_ratio") &&
+          col("n_repetitive") <= col("n_docs")).as("ratios_ok"))
 
   /** Sparse TF-IDF cosine similarity with AllPairs-style prefix
     * pruning (Bayardo et al., WWW'07 shape): the dot product decomposes
@@ -509,9 +513,14 @@ object TextQueries {
           4).as("w"))
       .withColumn("wi", round(col("w") * 10000, 0).cast("long"))
       .localCheckpoint() // reused: norm pass, index build, both rescore sides
+    // n2/dot accumulate in DECIMAL(38,0): a long product wi² can reach
+    // ~1e18, so a LongType sum would silently WRAP on huge high-tf
+    // docs while DuckDB's HUGEINT stays exact — decimal keeps both
+    // engines exact (≤1e38) and still order-independent
+    val dec = (c: Column) => c.cast("decimal(19,0)")
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"),
-        sum(col("wi") * col("wi")).as("n2")) // exact integer norm²
+        sum(dec(col("wi")) * dec(col("wi"))).as("n2"))
       .localCheckpoint() // reused: index build + both cosine denominators
     // prefix index: per doc, ascending-weight cumulative squared mass;
     // rows past 0.159 carry enough norm that every ≥0.8 pair collides
@@ -537,7 +546,8 @@ object TextQueries {
       .join(w.select(col("doc_id").as("doc_b"), col("word"),
         col("wi").as("wb")), Seq("doc_b", "word"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("dotl"))
+      .agg(sum(col("wa").cast("decimal(19,0)") *
+        col("wb").cast("decimal(19,0)")).as("dotl"))
     dot
       .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
         Seq("doc_a"))
