@@ -513,14 +513,18 @@ object TextQueries {
           4).as("w"))
       .withColumn("wi", round(col("w") * 10000, 0).cast("long"))
       .localCheckpoint() // reused: norm pass, index build, both rescore sides
-    // n2/dot accumulate in DECIMAL(38,0): a long product wi² can reach
-    // ~1e18, so a LongType sum would silently WRAP on huge high-tf
-    // docs while DuckDB's HUGEINT stays exact — decimal keeps both
-    // engines exact (≤1e38) and still order-independent
-    val dec = (c: Column) => c.cast("decimal(19,0)")
+    // n2/dot accumulate as LONG: order-independent integers on the
+    // whole-stage-codegen path (a DECIMAL(38) variant measured +65% on
+    // the query). Overflow headroom: wi ≤ ~4e7 here, ≤400 distinct
+    // terms/doc → Σwi² ≤ ~6e17, 15× under 2^63 — and this session
+    // runs ANSI mode (Spark 4 default), so a pathological corpus
+    // FAILS LOUDLY with ARITHMETIC_OVERFLOW (mirroring DuckDB's
+    // HUGEINT→BIGINT cast error), never a silent wrap. For corpora
+    // where docs×tf² genuinely approach 2^63, swap the two sums to
+    // decimal(19,0) operands.
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"),
-        sum(dec(col("wi")) * dec(col("wi"))).as("n2"))
+        sum(col("wi") * col("wi")).as("n2"))
       .localCheckpoint() // reused: index build + both cosine denominators
     // prefix index: per doc, ascending-weight cumulative squared mass;
     // rows past 0.159 carry enough norm that every ≥0.8 pair collides
@@ -546,8 +550,7 @@ object TextQueries {
       .join(w.select(col("doc_id").as("doc_b"), col("word"),
         col("wi").as("wb")), Seq("doc_b", "word"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa").cast("decimal(19,0)") *
-        col("wb").cast("decimal(19,0)")).as("dotl"))
+      .agg(sum(col("wa") * col("wb")).as("dotl"))
     dot
       .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
         Seq("doc_a"))
