@@ -83,43 +83,27 @@ object Bench {
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val total = results.map(_._2).sum
 
-    // Machine-enforced baseline protocol: every query must run within 2×
-    // its FIRST recorded BASELINE.md number (the round-1 table is the
-    // first "| qNN_name | secs |" match per query). Violations are
-    // reported in the JSON ("over_2x") and on stderr so a regression
-    // fails loudly in the bench artifact itself instead of waiting for a
-    // judge to diff tables. Only meaningful at the protocol's sf0.1.
-    // Re-baselines: when a query's CONTRACT changes (e.g. q116 went
-    // from a bare sketch estimate to an exact-ground-truth-gated check
-    // in round 6), its first-recorded number measured a DIFFERENT
-    // computation and the 2× compare is meaningless. BASELINE.md may
-    // re-baseline such queries EXPLICITLY with a "| qNN | secs | re-
-    // baselined ... |" row (the third cell documents why); only those
-    // marked rows override the first match, so ordinary regressions
-    // can never silently re-baseline themselves.
+    // Machine-enforced baseline protocol (round 7: ratcheted to
+    // BEST-KNOWN): every query must run within max(2×, +1 s) of the
+    // MINIMUM across all its recorded BASELINE.md rows — see
+    // [[BenchGuard]] for the full protocol, including the explicit
+    // "re-baselined" marked-row override for contract changes (a plain
+    // row can never loosen the ratchet). Violations are reported in
+    // the JSON ("over_2x") and on stderr so a regression fails loudly
+    // in the bench artifact itself instead of waiting for a judge to
+    // diff tables. Only armed at the protocol's sf0.1.
+    val scaleTag = if (sfDir.endsWith("_x16")) "x16" else ""
     val baseline: Map[String, Double] =
-      try {
-        val md = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("BASELINE.md"))
-        val row = """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|""".r
-        val first = row.findAllMatchIn(md).toSeq
-          .groupBy(_.group(1)).map { case (k, ms) =>
-            k -> ms.head.group(2).toDouble } // first table = round-1 entry
-        val rebase =
-          """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|\s*re-baselined""".r
-        first ++ rebase.findAllMatchIn(md).toSeq
-          .groupBy(_.group(1)).map { case (k, ms) =>
-            // LAST marked row wins: a later contract change must be able
-            // to re-baseline again (head would pin the first forever)
-            k -> ms.last.group(2).toDouble }
-      } catch { case _: Throwable => Map.empty }
+      try BenchGuard.baselines(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BASELINE.md")), scaleTag)
+      catch { case _: Throwable => Map.empty }
     val over2x =
-      if (sfDir.endsWith("sf0.1")) results.collect {
-        case (n, t) if t > 0 && baseline.get(n).exists(b => t > 2 * b) => n
-      } else Seq.empty
+      if (sfDir.endsWith("sf0.1") || scaleTag.nonEmpty)
+        BenchGuard.violations(results, baseline)
+      else Seq.empty
     over2x.foreach(n => System.err.println(
-      f"[bench] OVER 2x BASELINE: $n ${results.toMap.apply(n)}%.2fs vs " +
-        f"baseline ${baseline(n)}%.2fs"))
+      f"[bench] OVER BEST-KNOWN BOUND: $n ${results.toMap.apply(n)}%.2fs " +
+        f"vs best ${baseline(n)}%.2fs"))
 
     def entry(k: String, v: Double) = "\"" + k + f"""":$v%.3f"""
     // full map → bench_full.json (judge-readable, no size limit)

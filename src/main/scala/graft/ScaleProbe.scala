@@ -289,22 +289,47 @@ object ScaleProbe {
       }
       results += (("global_order_rank", n, tGo, rGo))
 
-      // bipartite item-cosine pair join (round 5): blowup is
-      // Σᵤ deg(u)² by construction; with per-user item degree fixed by
-      // replication, cost must track the user count linearly
+      // weighted-Jaccard prefix-filtered pair join (round 7, q231
+      // shape): a corpus-wide planted token drives the naive postings
+      // join to df² = (n_docs)² candidate pairs; the AllPairs tail
+      // exclusion keeps it out of the inverted index (its tf mass is
+      // far under β·T for every doc), so cost must track corpus size
+      // linearly while df grows linearly and df² quadratically
+      val (tWj, rWj) = time {
+        val planted = replicateDocsDisjoint(
+          Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("text")), n)
+          .select(col("doc_id"),
+            concat(lit("hotboilerplate hotboilerplate "), col("text"))
+              .as("text"))
+        graft.operators.TextQueries.weightedJaccardPairsDf(planted)
+          .count()
+      }
+      results += (("weighted_jaccard_hot", n, tWj, rWj))
+
+      // capped item-cosine build (round 7, q232 production path): a
+      // planted power user touching 1000·n items would contribute
+      // (1000·n)² pairs through one join key uncapped; the enforced
+      // top-M per-user cap bounds EVERY user at M² pairs, so cost must
+      // track the organic interaction volume while the power user's
+      // uncapped pair count grows quadratically
       val (tIc, rIc) = time {
-        val uk = replicateKeyed(
+        val organic = replicateKeyed(
           Tables.events(spark, sfDir)
             .select(col("user_id").as("u"),
-              get_json_object(col("props"), "$.k").cast("int").as("item"))
+              get_json_object(col("props"), "$.k").cast("int")
+                .as("item"), col("ts"))
             .filter(col("item").isNotNull), "u", n)
-          .distinct()
-        uk.select(col("u"), col("item").as("i"))
-          .join(uk.select(col("u"), col("item").as("j")), Seq("u"))
-          .filter(col("i") =!= col("j"))
-          .groupBy(col("i"), col("j")).count().count()
+        val power = spark.range(0L, 1000L * n)
+          .select(lit(-1L).as("u"), (col("id") + 1000000).cast("int")
+            .as("item"),
+            timestamp_micros(lit(1700000000000000L) + col("id"))
+              .as("ts"))
+        graft.operators.Graph.itemCosineDf(organic.unionAll(power))
+          .count()
       }
-      results += (("item_cosine_pairs", n, tIc, rIc))
+      results += (("item_cosine_power_user", n, tIc, rIc))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

@@ -1759,13 +1759,15 @@ object SparkEntry {
         "* 10000) AS BIGINT) AS wi " +
         "FROM tf JOIN df USING (word), nd), " +
         // integer norm² / dot — the 1e-4 scale cancels in the cosine,
-        // and integer sums are order-independent on both engines;
-        // HUGEINT kept (no BIGINT cast) to mirror Spark's DECIMAL(38)
-        // accumulation — both stay exact past 2^63
-        "nrm AS (SELECT doc_id, sum(CAST(wi AS HUGEINT) * wi) AS n2 " +
-        "FROM w GROUP BY doc_id), " +
+        // and integer sums are order-independent on both engines.
+        // Spark accumulates these as LONG (ANSI ARITHMETIC_OVERFLOW
+        // past 2^63); the outer BIGINT cast here makes DuckDB's
+        // HUGEINT sum fail at the same point (Conversion Error) instead
+        // of silently continuing where Spark would have errored.
+        "nrm AS (SELECT doc_id, CAST(sum(CAST(wi AS HUGEINT) * wi) " +
+        "AS BIGINT) AS n2 FROM w GROUP BY doc_id), " +
         "dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "sum(CAST(a.wi AS HUGEINT) * b.wi) AS dotl " +
+        "CAST(sum(CAST(a.wi AS HUGEINT) * b.wi) AS BIGINT) AS dotl " +
         "FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id) " +
         "SELECT doc_a, doc_b, cos FROM (" +
@@ -2630,10 +2632,18 @@ object SparkEntry {
         "WHERE round(smin / CAST(ta.t + tb.t - smin AS DOUBLE), 6) " +
         ">= 0.3"),
     "q232_item_cosine" ->
-      ("WITH uk AS (SELECT DISTINCT user_id AS u, " +
-        "CAST(json_extract_string(props, '$.k') AS INT) AS item " +
-        "FROM events WHERE json_extract_string(props, '$.k') " +
-        "IS NOT NULL), " +
+      // per-user incidence capped to the 64 most recent items (max ts
+      // desc, item asc) BEFORE the pair join — mirrors the Spark
+      // side's enforced degree cap; degrees come from the same capped
+      // incidence
+      ("WITH g AS (SELECT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS item, " +
+        "max(ts) AS last_ts FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "uk AS (SELECT u, item FROM (SELECT u, item, " +
+        "row_number() OVER (PARTITION BY u " +
+        "ORDER BY last_ts DESC, item) AS rn FROM g) WHERE rn <= 64), " +
         "deg AS (SELECT item, count(*) AS deg FROM uk GROUP BY item), " +
         "p AS (SELECT a.item AS i, b.item AS j, count(*) AS c " +
         "FROM uk a JOIN uk b ON a.u = b.u AND a.item <> b.item " +
@@ -2927,7 +2937,11 @@ object SparkEntry {
         "FROM c, m) " +
         "SELECT d.doc_id, d.lang FROM documents d " +
         "JOIN r ON d.lang = r.lang " +
-        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), " +
+        // rate >= 1 bypasses the hash draw (keep-all), mirroring the
+        // Spark side — the capped strict compare would drop an
+        // md5-prefix-ffffffff doc in the smallest language
+        "WHERE rate >= 1.0 OR " +
+        "substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), " +
         "1, 8) < printf('%08x', " +
         "CAST(least(floor(rate * 4294967296), 4294967295) AS BIGINT))"),
     "q254_leakage_safe_split" ->

@@ -947,7 +947,10 @@ object Advanced {
       .withColumn("thresh", lower(lpad(hex(
         least(floor(col("rate") * lit(4294967296.0)),
           lit(4294967295.0)).cast("bigint")), 8, "0")))
-      .filter(col("h") < col("thresh"))
+      // rate ≥ 1 means "keep everything" — without the bypass, a doc
+      // in the smallest language whose md5 prefix is exactly ffffffff
+      // would be dropped by the strict compare (a 2⁻³² flake)
+      .filter(col("rate") >= 1.0 || col("h") < col("thresh"))
       .select(col("doc_id"), col("lang"))
   }
 

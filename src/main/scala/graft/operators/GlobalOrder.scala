@@ -95,10 +95,15 @@ object GlobalOrder {
     * and k tiles, the first n % k tiles take ⌈n/k⌉ rows, the rest
     * ⌊n/k⌋. Pure integer arithmetic (`div`), exact at any n. */
   def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {
-    val base = n.divide(k).cast("long") // n ≥ k in every caller; see when() guard
+    val base = n.divide(k).cast("long")
     val rem = n % k
     val cut = rem * (base + 1)
-    when(rn <= cut, (rn - 1).divide(base + 1).cast("long") + 1)
+    // n < k ⇒ base = 0: SQL ntile gives each row its own tile (tile = rn).
+    // Guarding explicitly keeps the otherwise-branch divide-by-zero
+    // (Infinity → ANSI cast error) unreachable regardless of how the
+    // planner folds or reorders the CaseWhen branches.
+    when(base === 0L, rn)
+      .when(rn <= cut, (rn - 1).divide(base + 1).cast("long") + 1)
       .otherwise(rem + (rn - cut - 1).divide(base).cast("long") + 1)
   }
 }

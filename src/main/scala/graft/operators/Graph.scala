@@ -660,16 +660,40 @@ object Graph {
     * co-engagement count over the geometric mean of their user counts,
     * sim(i,j) = c_ij / √(dᵢ·dⱼ), top-5 per item. The pair join is the
     * per-user self-join of the (user, item) incidence list, so its
-    * blowup is Σᵤ deg(u)² — bounded by per-user activity, never global
-    * (q186's basket-lift discipline on the interaction graph). Degrees
-    * broadcast; counts are exact longs; sim is two IEEE ops; ranking
-    * orders on the ROUNDED sim with item tie-break (the q30 idiom). */
-  def itemCosine(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val uk = Tables.events(s, d)
+    * blowup is Σᵤ deg(u)² — and "bounded by per-user activity" is
+    * ENFORCED, not assumed: each user's interaction list is capped to
+    * its `maxPerUser` most recent items (deterministic: max engagement
+    * ts desc, item asc tie-break) BEFORE the pair join, the standard
+    * production item-sim discipline. One power user with 10k items is
+    * otherwise 10⁸ pairs in a single join key; capped, every user
+    * contributes ≤ M² pairs, so the join is ≤ M²·|users| at ANY scale
+    * (ScaleProbe `item_cosine_power_user` plants such a user and holds
+    * the cost flat). Estimator effect: co-engagement counts (and item
+    * degrees, computed from the SAME capped incidence so the cosine
+    * stays internally consistent) undercount hyper-active users —
+    * exactly the users whose co-engagements are least informative.
+    * Degrees broadcast; counts are exact longs; sim is two IEEE ops;
+    * ranking orders on the ROUNDED sim with item tie-break (q30
+    * idiom). */
+  def itemCosine(s: SparkSession, d: String, k: Int = 5,
+      maxPerUser: Int = 64): DataFrame =
+    itemCosineDf(Tables.events(s, d)
       .select(col("user_id").as("u"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        col("ts"))
+      .filter(col("item").isNotNull), k, maxPerUser)
+
+  /** [[itemCosine]] over an arbitrary (u, item, ts) interaction frame —
+    * the production path ScaleProbe drives with a planted power user. */
+  def itemCosineDf(interactions: DataFrame, k: Int = 5,
+      maxPerUser: Int = 64): DataFrame = {
+    val wCap = Window.partitionBy(col("u"))
+      .orderBy(col("last_ts").desc, col("item"))
+    val uk = interactions
+      .groupBy(col("u"), col("item")).agg(max(col("ts")).as("last_ts"))
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= maxPerUser)
+      .select(col("u"), col("item"))
       .localCheckpoint() // both pair-join sides + the degree pass
     val deg = uk.groupBy(col("item")).agg(count(lit(1)).as("deg"))
     val pairs = uk.select(col("u"), col("item").as("i"))

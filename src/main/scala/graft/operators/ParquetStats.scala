@@ -28,16 +28,18 @@ object ParquetStats {
 
   /** Exact max of a DOUBLE column across every row group under `path`
     * (file or directory). None if the column is missing anywhere, any
-    * row group lacks valid statistics, or no row has a value. */
+    * row group lacks valid statistics, no row has a value, or the
+    * column's physical type is not floating point (e.g. the table was
+    * rewritten with the column as DECIMAL) — every non-answerable case
+    * forces the caller back to the scan-based aggregate. */
   def doubleMax(s: SparkSession, path: String, column: String)
       : Option[Double] =
     reduceStats(s, path, column)(
       (st: org.apache.parquet.column.statistics.Statistics[_]) =>
         st.genericGetMax match {
-          case d: java.lang.Double => d.doubleValue()
-          case f: java.lang.Float => f.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"$column: not a floating-point column (${other.getClass})")
+          case d: java.lang.Double => Some(d.doubleValue())
+          case f: java.lang.Float => Some(f.doubleValue())
+          case _ => None // not a floating-point column → scan fallback
         })(math.max)
 
   /** Exact min, same contract as [[doubleMax]]. */
@@ -46,10 +48,9 @@ object ParquetStats {
     reduceStats(s, path, column)(
       (st: org.apache.parquet.column.statistics.Statistics[_]) =>
         st.genericGetMin match {
-          case d: java.lang.Double => d.doubleValue()
-          case f: java.lang.Float => f.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"$column: not a floating-point column (${other.getClass})")
+          case d: java.lang.Double => Some(d.doubleValue())
+          case f: java.lang.Float => Some(f.doubleValue())
+          case _ => None // not a floating-point column → scan fallback
         })(math.min)
 
   /** Exact row count from footer metadata (no statistics needed). */
@@ -64,7 +65,7 @@ object ParquetStats {
   }
 
   private def reduceStats(s: SparkSession, path: String, column: String)(
-      extract: org.apache.parquet.column.statistics.Statistics[_] => Double)(
+      extract: org.apache.parquet.column.statistics.Statistics[_] => Option[Double])(
       combine: (Double, Double) => Double): Option[Double] = {
     val conf = s.sparkContext.hadoopConfiguration
     var acc: Option[Double] = None
@@ -83,7 +84,7 @@ object ParquetStats {
             if (st == null || st.isEmpty || st.getNumNulls != block.getRowCount)
               return None
           } else {
-            val v = extract(st)
+            val v = extract(st).getOrElse(return None)
             acc = Some(acc.fold(v)(combine(_, v)))
           }
         }

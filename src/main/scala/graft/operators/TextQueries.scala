@@ -450,27 +450,35 @@ object TextQueries {
         round(max(col("ratio")), 4).as("max_ratio"),
         count_if(col("ratio") < 0.35).as("n_repetitive"),
         // codec sanity rails, consumed by the q184 driver gate: output
-        // is never empty and expansion is ABSOLUTELY bounded (ratio
-        // bounds break on short docs — DEFLATE's fixed per-stream
-        // overhead dominates a 20-char input)
+        // is never empty and expansion is bounded by DEFLATE's
+        // worst case AS A FUNCTION OF LENGTH — stored blocks cost ~5
+        // bytes per 64 KB plus 6 bytes zlib framing, so a fixed
+        // absolute bound breaks on incompressible docs past ~745 KB
+        // while a RATIO bound breaks on short docs where per-stream
+        // overhead dominates
         min(col("z")).as("min_z"),
-        max(col("z") - col("len")).as("max_overhead"))
+        max(col("z") - col("len")).as("max_overhead"),
+        max(col("z") - col("len") -
+          (lit(6L) + lit(5L) * ((col("len") / 65535).cast("long") + 1L)))
+          .as("max_over_bound"))
 
   /** Driver-checkable form of [[compressionSignal]] (q184): consumes
     * the PRODUCTION operator's output (so a regression in its ratio or
     * aggregation logic flips the gate — a from-scratch recompute here
     * would let the operator break unseen) and collapses the DEFLATE
     * invariants to a boolean — every output positive (a compressor
-    * cannot emit zero bytes), expansion bounded ABSOLUTELY (output ≤
-    * input + 64 bytes: ~5 bytes stored-block overhead per 64 KB plus
-    * the zlib header/trailer; a RATIO bound breaks on short docs where
-    * the fixed per-stream overhead dominates), and the ratio rollup
-    * internally consistent. DuckDB has no DEFLATE, so the sizes stay
-    * Spark-side; the oracle states the boolean as literal true. */
+    * cannot emit zero bytes), expansion bounded by the LENGTH-AWARE
+    * worst case (output ≤ input + 6 + 5·⌈len/64 KB⌉ bytes: stored-block
+    * overhead per 64 KB plus the zlib header/trailer; a fixed absolute
+    * bound breaks on large incompressible docs, a RATIO bound on short
+    * docs where the fixed per-stream overhead dominates), and the
+    * ratio rollup internally consistent. DuckDB has no DEFLATE, so the
+    * sizes stay Spark-side; the oracle states the boolean as literal
+    * true. */
   def compressionSignalCheck(s: SparkSession, d: String): DataFrame =
     compressionSignal(s, d)
       .select(col("source"), col("n_docs"),
-        (col("min_z") > 0L && col("max_overhead") <= 64L &&
+        (col("min_z") > 0L && col("max_over_bound") <= 0L &&
           col("min_ratio") <= col("avg_ratio") &&
           col("avg_ratio") <= col("max_ratio") &&
           col("n_repetitive") <= col("n_docs")).as("ratios_ok"))
@@ -518,10 +526,12 @@ object TextQueries {
     // the query). Overflow headroom: wi ≤ ~4e7 here, ≤400 distinct
     // terms/doc → Σwi² ≤ ~6e17, 15× under 2^63 — and this session
     // runs ANSI mode (Spark 4 default), so a pathological corpus
-    // FAILS LOUDLY with ARITHMETIC_OVERFLOW (mirroring DuckDB's
-    // HUGEINT→BIGINT cast error), never a silent wrap. For corpora
-    // where docs×tf² genuinely approach 2^63, swap the two sums to
-    // decimal(19,0) operands.
+    // FAILS LOUDLY with ARITHMETIC_OVERFLOW, never a silent wrap. The
+    // oracle accumulates in HUGEINT (128-bit, would not overflow) but
+    // casts each sum to BIGINT, so DuckDB errors at the same 2^63
+    // point rather than silently diverging. For corpora where
+    // docs×tf² genuinely approach 2^63, swap the two sums to
+    // decimal(19,0) operands on both engines.
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"),
         sum(col("wi") * col("wi")).as("n2"))
@@ -773,24 +783,90 @@ object TextQueries {
     * tokens (plain Jaccard on token SETS scores a doc and its
     * double-concatenation identical; weighted Jaccard doesn't). The
     * denominator never materializes the token UNION: Σmax = Tₐ + T_b −
-    * Σmin, so the only pair work is the intersection join — absent
-    * tokens contribute nothing, which is what makes the sparse
-    * formulation scale. Everything is exact integers up to the single
-    * output division. */
+    * Σmin, so the only pair work is the intersection join. */
   def weightedJaccard(s: SparkSession, d: String,
-      threshold: Double = 0.3): DataFrame = {
-    val tf = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), ' '), x -> x != '')"))
-          .as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // both join sides + the totals pass
+      threshold: Double = 0.3): DataFrame =
+    weightedJaccardPairsDf(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")), threshold)
+
+  /** [[weightedJaccard]] over an arbitrary (doc_id, text) frame, with
+    * LOSSLESS AllPairs-style prefix filtering (the weighted analogue of
+    * q185's cosine index and q134's set-Jaccard index): a raw postings
+    * self-join is df² in a hot token's document frequency — one
+    * boilerplate stopword in every document makes the candidate join
+    * quadratic in the corpus. Instead, tokens order globally by
+    * (df asc, word) — rare first — and each document leaves its
+    * HIGH-DF TAIL out of the inverted index as long as the tail's tf
+    * mass stays strictly under β·T with β = t/(1+t).
+    *
+    * Why lossless: J_w ≥ t ⟺ Σmin ≥ t/(1+t)·(Tₐ+T_b). If a qualifying
+    * pair shared no token indexed by BOTH docs, every shared token is
+    * in a's excluded tail or b's excluded tail, so Σmin ≤ tailMass(a)
+    * + tailMass(b) < β·Tₐ + β·T_b = t/(1+t)·(Tₐ+T_b) — contradiction.
+    * Candidates rescore EXACTLY from the full tf postings, so output
+    * is identical to the naive join. The threshold enters the prune as
+    * the rational ⌊t·10⁴⌋/10⁴ ≤ t (floor, so the index only ever grows
+    * — never loses a pair) and every prune compare is exact integer
+    * arithmetic; the true double threshold applies at the output edge.
+    *
+    * At 100 TB: a stopword with df = N sorts hottest, so it indexes
+    * only for documents that are MOSTLY that token (tail mass ≥ β·T) —
+    * documents that genuinely match each other. Pair work scales with
+    * corpus size × discriminative-term collisions, never df²
+    * (ScaleProbe `weighted_jaccard_hot` plants a corpus-wide token and
+    * holds the cost linear). */
+  /** (doc_id, word, tf) term frequencies for [[weightedJaccardPairsDf]]
+    * — exposed for the losslessness spec. */
+  private[graft] def wjTf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(expr("filter(split(lower(text), ' '), x -> x != '')"))
+        .as("word"))
+    .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+
+  /** The prefix-filter inverted index over a [[wjTf]] frame: per doc,
+    * tokens whose high-df tail (itself + all hotter tokens in the
+    * global df-desc order) carries tf mass ≥ β·T with β = t/(1+t) —
+    * the maximal tail strictly under β·T is safely excluded (see
+    * [[weightedJaccardPairsDf]]'s proof). Exposed for the spec that
+    * pins hot-token exclusion. */
+  private[graft] def wjIndex(tf: DataFrame, threshold: Double)
+      : DataFrame = {
+    val tNum = math.floor(threshold * 10000).toLong max 1L
+    val tDen = 10000L
     val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("t"))
-    val inter = tf.select(col("doc_id").as("doc_a"), col("word"),
-        col("tf").as("ta"))
-      .join(tf.select(col("doc_id").as("doc_b"), col("word"),
-        col("tf").as("tb")), Seq("word"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // cumulative tf mass from the HOT end of the canonical order: cum
+    // at token w = mass of w plus every hotter token. Excluding w is
+    // safe iff cum·(tDen+tNum) < tNum·T (strict) — i.e. the whole
+    // tail from w down stays under β·T. cum is monotone along the
+    // window, so the excluded set is a maximal high-df tail.
+    val wCum = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").desc, col("word").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tf.join(dfreq, Seq("word")).join(tot, Seq("doc_id"))
+      .withColumn("cum", sum(col("tf")).over(wCum))
+      .filter(col("cum") * lit(tDen + tNum) >= col("t") * lit(tNum))
+      .select(col("doc_id"), col("word"))
+  }
+
+  def weightedJaccardPairsDf(docs: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val tf = wjTf(docs)
+      .localCheckpoint() // index build + both rescore sides + totals
+    val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("t"))
+    val idx = wjIndex(tf, threshold)
+    val cand = idx.select(col("doc_id").as("doc_a"), col("word"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("word")),
+        Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact rescore over the full postings of the surviving pairs only
+    val inter = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("word"),
+        col("tf").as("ta")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("word"),
+        col("tf").as("tb")), Seq("doc_b", "word"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(least(col("ta"), col("tb"))).as("smin"))
     inter

@@ -75,6 +75,27 @@ object Sink {
       .partitionBy(Split.BranchCol, IngestDateCol)
       .parquet(basePath)
 
+  /** Micro-batch-idempotent form of [[writeTaggedSinglePass]] — the
+    * streaming sink's exactly-once half. foreachBatch offers at-least-
+    * once: a crash BETWEEN the sink write and the checkpoint commit
+    * re-runs the batch on restart, and a plain append would then
+    * duplicate every row of that batch. Keying a dynamic-partition
+    * overwrite by batch_id makes the re-run rewrite EXACTLY its own
+    * partitions: the file source re-reads the same WAL-pinned offset
+    * range (same file, deterministic rows), so the second attempt
+    * converges on the first instead of stacking on it. Downstream
+    * readers see the same branch=…/ingest_date=… layout with one extra
+    * partition column. */
+  def writeTaggedIdempotent(tagged: DataFrame, basePath: String,
+      batchId: Long): Unit =
+    withIngestDate(tagged)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Split.BranchCol, IngestDateCol, "batch_id")
+      .parquet(basePath)
+
   /** Idempotent day-partitioned write: dynamic partition overwrite replaces
     * ONLY the partitions present in `df`, so re-running a day's job (after
     * a failure, a backfill, a bad deploy) converges to one copy instead of

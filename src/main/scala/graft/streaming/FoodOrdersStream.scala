@@ -17,12 +17,23 @@ import graft.pipeline.{Clean, Ingest, Sink, Split}
   */
 object FoodOrdersStream {
 
-  /** Start the stream: watch `inputDir` for CSVs, clean, split, append both
+  /** Start the stream: watch `inputDir` for CSVs, clean, split, write both
     * branches day-partitioned under `outDir` via foreachBatch (reusing the
-    * batch sink, one write action per micro-batch). */
+    * batch sink, one write action per micro-batch).
+    *
+    * Exactly-once, both halves: the checkpointed file-source WAL gives
+    * no-loss/no-skip across restarts, and [[Sink.writeTaggedIdempotent]]
+    * (dynamic partition overwrite keyed by batch_id) gives no-duplication
+    * when a crash lands AFTER the sink write but BEFORE the checkpoint
+    * commit — the at-least-once window plain foreachBatch appends leave
+    * open. `failAfterSinkWrite` is the fault-injection hook the
+    * kill-restart spec uses to land a crash deterministically inside
+    * that window (the sink write has completed; throwing here kills the
+    * query before the batch commits); production callers leave it. */
   def start(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String, archiveDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 minutes"))
+      trigger: Trigger = Trigger.ProcessingTime("10 minutes"),
+      failAfterSinkWrite: Long => Boolean = _ => false)
       : StreamingQuery = {
     // same line-split scan as the batch path (Ingest.parseLines), so batch
     // and streaming have identical malformed-row and empty-field semantics
@@ -37,8 +48,11 @@ object FoodOrdersStream {
     Clean(Ingest.parseLines(lines)).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sink.writeTaggedSinglePass(Split.tagged(batch), outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sink.writeTaggedIdempotent(Split.tagged(batch), outDir, batchId)
+        if (failAfterSinkWrite(batchId))
+          throw new RuntimeException(
+            s"injected crash: batch $batchId written, not committed")
       }
       .start()
   }

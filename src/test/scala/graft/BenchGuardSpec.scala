@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench guard must fire on a regression from BEST-KNOWN, not just
+  * from the (often slow) first recording — and the re-baseline marker
+  * must reset exactly one query's history, exactly once per marker. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val md =
+    """|## v1 numbers
+       || query | sec |
+       ||---|---|
+       || q1_fast | 1.90 |
+       || q2_steady | 4.00 |
+       || q3_rebased | 0.26 |
+       |
+       |## v2 numbers
+       || q1_fast | 0.29 |
+       || q2_steady | 4.20 |
+       || q3_rebased | 0.24 |
+       |
+       |## Re-baselined queries (contract changes)
+       || q3_rebased | 0.70 | re-baselined round 6: check form added |
+       |
+       |## v3 numbers
+       || q1_fast | 0.35 |
+       || q3_rebased | 0.68 |
+       |""".stripMargin
+
+  test("baseline is the minimum across all recorded rounds") {
+    val b = BenchGuard.baselines(md)
+    assert(b("q1_fast") === 0.29)
+    assert(b("q2_steady") === 4.00)
+  }
+
+  test("a re-baseline marker resets history: earlier (faster) rows are " +
+      "ignored, later plain rows can still tighten") {
+    val b = BenchGuard.baselines(md)
+    // 0.26/0.24 predate the contract change; 0.68 was recorded after
+    // the marker and ratchets below the marked 0.70
+    assert(b("q3_rebased") === 0.68)
+  }
+
+  test("guard fires on a 2.5x-of-best slowdown of a heavy query") {
+    val b = BenchGuard.baselines(md)
+    // q2's best is 4.00 s; 10.0 s = 2.5x of best must fire even though
+    // it is under 2.5x of ANY single recorded row + noise floor
+    val v = BenchGuard.violations(Seq("q2_steady" -> 10.0), b)
+    assert(v === Seq("q2_steady"))
+  }
+
+  test("the old first-recorded anchor's blind spot is closed: a query " +
+      "whose first recording was slow cannot silently regress to it") {
+    val b = BenchGuard.baselines(md)
+    // 1.80 s is UNDER 2x the 1.90 first recording (old guard: silent)
+    // but 6x best-known 0.29 + over the noise floor → must fire
+    val v = BenchGuard.violations(Seq("q1_fast" -> 1.80), b)
+    assert(v === Seq("q1_fast"))
+  }
+
+  test("the noise floor absorbs jitter on sub-second queries") {
+    val b = BenchGuard.baselines(md)
+    // 2x of a 0.29 best is 0.58 — inside local job jitter; the +1 s
+    // floor keeps 0.9 s quiet while the previous test's 1.80 s fires
+    assert(BenchGuard.violations(Seq("q1_fast" -> 0.9), b).isEmpty)
+  }
+
+  test("failed queries (-1) and unknown queries never fire") {
+    val b = BenchGuard.baselines(md)
+    assert(BenchGuard.violations(
+      Seq("q1_fast" -> -1.0, "q99_new" -> 50.0), b).isEmpty)
+  }
+
+  test("scale-tagged rows form an independent history: an sf0.1 best " +
+      "never bounds a x16 run, and vice versa") {
+    val md2 = md +
+      """|
+         |## x16 numbers
+         || q1_fast | 4.50 | x16 |
+         || q2_steady | 40.0 | x16 |
+         |""".stripMargin
+    val b16 = BenchGuard.baselines(md2, "x16")
+    assert(b16 === Map("q1_fast" -> 4.5, "q2_steady" -> 40.0))
+    // default-scale history unchanged by the tagged rows
+    assert(BenchGuard.baselines(md2)("q1_fast") === 0.29)
+    // 6 s at x16 is fine against 4.5 best; it would have fired against
+    // the 0.29 sf0.1 best — the histories must not cross
+    assert(BenchGuard.violations(Seq("q1_fast" -> 6.0), b16).isEmpty)
+    assert(BenchGuard.violations(Seq("q1_fast" -> 10.0), b16)
+      === Seq("q1_fast"))
+  }
+}

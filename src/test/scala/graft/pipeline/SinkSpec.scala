@@ -137,4 +137,34 @@ class SinkSpec extends SparkTestBase {
     Sink.bigQueryWriter(Seq((1L, "x")).toDF("id", "v"),
       "proj.dataset.t", "staging-bucket")
   }
+
+  test("BigQuery writer EXECUTES end-to-end against the test-classpath " +
+      "DSv2 stub: exact option map, append-only builder, real 2-phase " +
+      "commit, no pre-existing table (CREATE_IF_NEEDED parity)") {
+    BigQueryTestSource.reset()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // the EXACT production call — format "bigquery" resolves to the
+    // test-only stub because the stub's service registration lives on
+    // the TEST classpath (a deployment resolves the public connector)
+    Sink.bigQueryWriter(df, "proj.dataset.delivered_orders",
+      "staging-bucket", partitionField = Some("order_date")).save()
+    val cap = BigQueryTestSource.lastCommitted
+      .getOrElse(fail("write never committed"))
+    assert(cap.rows === 3L)
+    assert(cap.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(cap.options.get("table")
+      === Some("proj.dataset.delivered_orders"))
+    assert(cap.options.get("temporarygcsbucket") === Some("staging-bucket"))
+    assert(cap.options.get("partitiontype") === Some("DAY"))
+    assert(cap.options.get("partitionfield") === Some("order_date"))
+    // WRITE_APPEND is structural, not asserted-by-string: the stub's
+    // WriteBuilder supports ONLY append, so an overwrite-mode save must
+    // fail before reaching BatchWrite while the append above succeeded
+    BigQueryTestSource.reset()
+    val ex = intercept[Exception] {
+      df.write.format("bigquery").mode("overwrite")
+        .option("table", "t").save()
+    }
+    assert(BigQueryTestSource.lastCommitted.isEmpty, s"overwrite committed: $ex")
+  }
 }

@@ -45,6 +45,56 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/branch=delivered").count() === 2 * 869)
   }
 
+  test("kill-restart exactly-once: a crash AFTER the sink write but " +
+      "BEFORE the checkpoint commit neither duplicates nor loses a row " +
+      "across the two output tables") {
+    val in = tmp("eo-in"); val out = tmp("eo-out")
+    val ckpt = tmp("eo-ckpt"); val arch = tmp("eo-arch")
+    // three files → three micro-batches (maxFilesPerTrigger=1)
+    (1 to 3).foreach { i =>
+      Files.copy(java.nio.file.Paths.get(resource("food_daily.csv")),
+        in.resolve(s"food_daily_$i.csv"))
+    }
+    // kill mid-protocol on batch 1: the injected failure fires after
+    // writeTaggedIdempotent returned (batch-1 rows ARE on disk) and
+    // before Spark records the batch commit — the exact at-least-once
+    // window a process kill can land in
+    val q1 = FoodOrdersStream.start(spark, in.toString, out.toString,
+      ckpt.toString, arch.toString, Trigger.AvailableNow(),
+      failAfterSinkWrite = _ == 1L)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000); q1.processAllAvailable()
+    }
+    // the crashed batch's output is on disk right now — restart must
+    // CONVERGE on it, not stack a second copy
+    val midDelivered = spark.read.parquet(s"$out/branch=delivered").count()
+    assert(midDelivered === 2 * 869L,
+      s"batches 0 and 1 both written pre-crash, got $midDelivered")
+
+    // restart with the SAME checkpoint: batch 1 re-runs (it never
+    // committed) and its dynamic-overwrite rewrites its own batch_id
+    // partitions; batch 2 runs fresh
+    val q2 = FoodOrdersStream.start(spark, in.toString, out.toString,
+      ckpt.toString, arch.toString, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val del = spark.read.parquet(s"$out/branch=delivered")
+    val oth = spark.read.parquet(s"$out/branch=other")
+    // exactly once: 3 files × (869 delivered + 22 other), no dup, no loss
+    assert(del.count() === 3 * 869L)
+    assert(oth.count() === 3 * 22L)
+    // the re-run converged INTO the crashed batch's partitions: exactly
+    // one batch_id per input file across both branches
+    val batchIds = spark.read.parquet(out.toString)
+      .select("batch_id").distinct().as[Long].collect().sorted
+    assert(batchIds.toSeq === Seq(0L, 1L, 2L))
+    // and per-batch uniqueness — the re-run batch holds exactly one
+    // file's worth of rows, not two attempts' worth
+    val perBatch = del.groupBy(col("batch_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(perBatch === Map(0L -> 869L, 1L -> 869L, 2L -> 869L))
+  }
+
   test("watermarked windowed aggregation over a streamed events table") {
     val src = tmp("ev-src")
     // stage sf0.001 events (ts already micros) as the streaming source
