@@ -45,7 +45,19 @@ object ReplicateTestdata {
     write(scaleKeys(read("orders"), "o_orderkey", "o_custkey"), "orders")
     write(scaleKeys(read("lineitem"),
       "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
-    write(scaleKeys(read("events"), "event_id", "user_id"), "events")
+    // items live inside the props JSON ({"k": N}, ~100 distinct at
+    // sf0.1): they must scale with the same disjoint-replica map as
+    // user_id, or every item hub's degree grows ×n and wedge-shaped
+    // graph queries densify quadratically instead of scaling linearly
+    // (event_id % n recovers the replica tag post-scale)
+    write(scaleKeys(read("events"), "event_id", "user_id")
+      .withColumn("props", when(
+        get_json_object(col("props"), "$.k").isNotNull,
+        concat(lit("{\"k\": "),
+          (get_json_object(col("props"), "$.k").cast("long") * n +
+            col("event_id") % n).cast("string"), lit("}")))
+        .otherwise(col("props"))),
+      "events")
     write(scaleKeys(read("documents"), "doc_id")
       .withColumn("text", expr(
         // doc_id % n recovers the replica tag (doc_id = old·n + rep)

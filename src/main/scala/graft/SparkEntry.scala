@@ -288,6 +288,7 @@ object SparkEntry {
     "q252_chunk_overlap" -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "q253_mixture_rebalance" -> (Advanced.mixtureRebalance(_, _)),
     "q254_leakage_safe_split" -> (Advanced.leakageSafeSplit(_, _)),
+    "q255_repetition_signals" -> (TextQueries.repetitionSignals(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2959,5 +2960,27 @@ object SparkEntry {
         "SELECT split, n_users, n_events, total_value, " +
         "CAST(sum(n_users) OVER () AS BIGINT) = n_all AS no_leakage " +
         "FROM p, t"),
+    "q255_repetition_signals" ->
+      // integer-arithmetic flag (max_bg·100 > total_bg·18) and single
+      // output-edge divisions — no float accumulation on either engine
+      ("WITH base AS (SELECT doc_id, " +
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS w " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "ws AS (SELECT doc_id, w FROM base WHERE len(w) >= 2), " +
+        "tc AS (SELECT doc_id, unnest(w) AS tok FROM ws), " +
+        "tg AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2), " +
+        "ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, " +
+        "count(*) AS n_distinct FROM tg GROUP BY 1), " +
+        "bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg " +
+        "FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ws)), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bg, " +
+        "max(c) AS max_bg FROM bc GROUP BY 1) " +
+        "SELECT ts.doc_id, n_tok, n_distinct, total_bg, max_bg, " +
+        "round(max_bg / CAST(total_bg AS DOUBLE), 6) AS top2_frac, " +
+        "round((n_tok - n_distinct) / CAST(n_tok AS DOUBLE), 6) " +
+        "AS dup_tok_frac, " +
+        "max_bg * 100 > total_bg * 18 AS flagged " +
+        "FROM ts JOIN bs ON ts.doc_id = bs.doc_id"),
   )
 }

@@ -943,6 +943,54 @@ object TextQueries {
         round(log(col("vocab").cast("double")) /
           log(col("n_tokens").cast("double")), 6).as("herdan_c"))
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021's
+    * "repetitious text" rules, token-count form): the fraction of the
+    * document occupied by its single most frequent 2-gram and the
+    * duplicate-token fraction — the quality filters that catch
+    * keyword-stuffed / boilerplate-looped pages which per-document
+    * length or stopword checks (q75 Gopher rules) miss. Bigrams build
+    * inside the scan projection (array HOF, no join, no token-stream
+    * self-join); the shuffles are per-doc count aggregates, so cost
+    * tracks token count at any corpus size. All counts are exact longs;
+    * the two fractions divide once at the output edge, and the flag
+    * compares in INTEGER arithmetic (max_bg·100 > total_bg·18 — the
+    * Gopher 0.18 top-2-gram threshold with no float compare to drift
+    * across engines). Deterministic doc_id % 10 sample. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame =
+    repetitionSignalsDf(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")))
+
+  /** [[repetitionSignals]] over an arbitrary (doc_id, text) frame. */
+  def repetitionSignalsDf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .localCheckpoint() // token pass + bigram pass share the scan
+    val toks = base
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
+    val bgs = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_bg"), max(col("c")).as("max_bg"))
+    toks.join(bgs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        col("total_bg"), col("max_bg"),
+        round(col("max_bg") / col("total_bg").cast("double"), 6)
+          .as("top2_frac"),
+        round((col("n_tok") - col("n_distinct")) /
+          col("n_tok").cast("double"), 6).as("dup_tok_frac"),
+        (col("max_bg") * 100 > col("total_bg") * 18).as("flagged"))
+  }
+
   /** Pointwise-mutual-information collocation mining over document
     * co-occurrence: which frequent token pairs appear in the same
     * document more often than independence predicts? pmi =

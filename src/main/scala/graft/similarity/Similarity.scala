@@ -28,6 +28,12 @@ object Similarity {
   /** Deterministic query subset: every 100th vector. */
   val QueryStep = 100
   val CentroidStep = 97
+
+  /** Coarse-list cap for [[kmeansCentroids]]: nlist = min(n/97, 1024).
+    * Production IVF sizes nlist ~ √n; the cap is the guard that keeps
+    * the Lloyd assignment linear and the centroid broadcast small when
+    * the corpus outgrows the `% CentroidStep` seed. */
+  val IvfMaxLists = 1024L
   val NProbe = 6
 
   private def vectors(s: SparkSession, d: String): DataFrame =
@@ -103,7 +109,16 @@ object Similarity {
     * (highest similarity, then lowest centroid id). */
   def kmeansCentroids(s: SparkSession, v: DataFrame, iters: Int = KMeansIters)
       : DataFrame = {
-    var cents = v.filter(col("vec_id") % CentroidStep === 0)
+    // seed step grows once n/CentroidStep would exceed IvfMaxLists:
+    // an UN-capped `% CentroidStep` seed makes nlist linear in the
+    // corpus and the assignment join n·nlist = n²/step — quadratic at
+    // scale. Capped, assignment stays ≤ n·IvfMaxLists (linear) and the
+    // centroid table stays broadcastable. No-op below ~100k vectors
+    // (every committed test scale), so existing results are unchanged.
+    val n = v.count()
+    val step = math.max(CentroidStep.toLong,
+      (n + IvfMaxLists - 1) / IvfMaxLists)
+    var cents = v.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"))
     for (_ <- 0 until iters) {
       val assigned = nearestCentroid(s, v, cents)
@@ -198,12 +213,21 @@ object Similarity {
 
   // ------------------------------------------------------------------- PQ
 
-  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, ~17 centroids per
-    * subspace (deterministic vec_id % 29 seed), 2 Lloyd rounds, 40 ADC
-    * candidates re-ranked exactly. */
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, deterministic
+    * vec_id % 29 seed CAPPED at 256 codes per subspace (PqMaxCodes), 2
+    * Lloyd rounds, 40 ADC candidates re-ranked exactly. The cap is
+    * PQ's definition, not a tuning choice: a code must fit one byte
+    * (the "8 bytes per vector" compression story), and an un-capped
+    * `% 29` seed makes the codebook linear in the corpus — training
+    * cost n·K = n²/29 (quadratic) and the ADC LUT broadcast
+    * corpus-proportional. Capped, training is ≤ n·256 per round and
+    * the LUT stays |queries|·256·8 rows at any corpus size. The cap
+    * only engages past ~7.4k vectors, so every committed test-scale
+    * result is unchanged. */
   val PqM = 8
   val PqSubDim = 8
   val PqCentStep = 29
+  val PqMaxCodes = 256L
   val PqIters = 2
   val PqCand = 40
 
@@ -312,7 +336,12 @@ object Similarity {
         .as(Seq("m", "sv"))).localCheckpoint()
 
     val cents = WarehouseCache.cachedParquet(s, s"${prefix}_codebook", fp) {
-      var c = sub.filter(col("vec_id") % PqCentStep === 0)
+      // cap the seed at PqMaxCodes per subspace (see the PQ geometry
+      // doc): count runs only on a build, never on a cache hit
+      val n = v.count()
+      val step = math.max(PqCentStep.toLong,
+        (n + PqMaxCodes - 1) / PqMaxCodes)
+      var c = sub.filter(col("vec_id") % step === 0)
         .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
       for (_ <- 0 until PqIters) {
         c = pqAssign(sub, c)
@@ -389,7 +418,11 @@ object Similarity {
           s"m -> slice(remb, m * $PqSubDim + 1, $PqSubDim))"))
           .as(Seq("m", "sv"))).localCheckpoint()
     val cb = WarehouseCache.cachedParquet(s, s"graft_ivfpq_codebook$sfx", fp) {
-      var c = sub.filter(col("vec_id") % PqCentStep === 0)
+      // same PqMaxCodes cap as pqAnn's codebook (PQ geometry doc)
+      val n = v.count()
+      val step = math.max(PqCentStep.toLong,
+        (n + PqMaxCodes - 1) / PqMaxCodes)
+      var c = sub.filter(col("vec_id") % step === 0)
         .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
       for (_ <- 0 until PqIters) {
         c = pqAssign(sub, c)

@@ -497,4 +497,30 @@ class Batteries4Spec extends SparkTestBase {
       .filter($"final" =!= $"exact").count() === 0)
     assert(rd.filter($"running_distinct" < 1).count() === 0)
   }
+
+  test("repetition signals: crafted stuffed/looped docs flag, prose " +
+      "doesn't; corpus invariants hold") {
+    // doc 0: one bigram looped — top2_frac near 1, must flag (Gopher
+    // 0.18 rule); doc 10: varied prose — must not flag
+    val crafted = Seq(
+      (0L, Array.fill(30)("buy now").mkString(" ")),
+      (10L, "the quick brown fox jumps over a lazy dog near riverbank " +
+        "while evening light fades slowly into calm night air"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.repetitionSignalsDf(crafted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(5), r.getDouble(6), r.getBoolean(7))).toMap
+    val (top0, dup0, flag0) = got(0L)
+    assert(flag0 && top0 > 0.4 && dup0 > 0.9, s"stuffed doc: ${got(0L)}")
+    val (top10, _, flag10) = got(10L)
+    assert(!flag10 && top10 < 0.18, s"prose doc: ${got(10L)}")
+    // corpus invariants at sf0.001: fractions in (0,1], distinct ≤ total
+    val q = TextQueries.repetitionSignals(spark, sf0001).cache()
+    assert(q.count() > 0)
+    assert(q.filter($"top2_frac" <= 0 || $"top2_frac" > 1 ||
+      $"dup_tok_frac" < 0 || $"dup_tok_frac" >= 1).count() === 0)
+    assert(q.filter($"n_distinct" > $"n_tok" ||
+      $"max_bg" > $"total_bg").count() === 0)
+    q.unpersist()
+  }
 }
