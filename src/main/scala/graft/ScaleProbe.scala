@@ -330,6 +330,22 @@ object ScaleProbe {
           .count()
       }
       results += (("item_cosine_power_user", n, tIc, rIc))
+
+      // semdedup anchor cap (round 7, q256 production path): identical
+      // vectors tie on the rounded cosine everywhere, so the lowest-id
+      // seed wins EVERY assignment — one mega cluster of 2000·n
+      // members through a single join key. Uncapped that is (2000·n)²
+      // pair work; the 256-anchor bounded-heap cap must hold it at
+      // |c|·256 (linear in n)
+      val (tSd, rSd) = time {
+        val v = spark.range(0L, 2000L * n)
+          .select(col("id").as("vec_id"),
+            expr("transform(sequence(0, 63), " +
+              "i -> CAST(CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END " +
+              "AS DOUBLE))").as("emb"))
+        graft.similarity.Similarity.semDedupDf(spark, v).count()
+      }
+      results += (("semdedup_mega_cluster", n, tSd, rSd))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

@@ -289,6 +289,9 @@ object SparkEntry {
     "q253_mixture_rebalance" -> (Advanced.mixtureRebalance(_, _)),
     "q254_leakage_safe_split" -> (Advanced.leakageSafeSplit(_, _)),
     "q255_repetition_signals" -> (TextQueries.repetitionSignals(_, _)),
+    "q256_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "q257_dsir_weights" -> (TextQueries.dsirWeights(_, _)),
+    "q258_pack_contexts" -> (Advanced.packContexts(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -2982,5 +2985,65 @@ object SparkEntry {
         "AS dup_tok_frac, " +
         "max_bg * 100 > total_bg * 18 AS flagged " +
         "FROM ts JOIN bs ON ts.doc_id = bs.doc_id"),
+    "q256_semdedup" ->
+      // assignment + dup decision both rank/compare the 6-dp-ROUNDED
+      // cosine (the q30 discipline), so every boolean reproduces
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "seeds AS (SELECT vec_id AS cid, emb AS cemb FROM v " +
+        "WHERE vec_id % 97 = 0), " +
+        "asg AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT v.vec_id, v.emb, s.cid, row_number() OVER (" +
+        "PARTITION BY v.vec_id ORDER BY " +
+        "round(list_cosine_similarity(v.emb, s.cemb), 6) DESC, s.cid) " +
+        "AS rk FROM v CROSS JOIN seeds s) WHERE rk = 1), " +
+        "anchors AS (SELECT cid, vec_id AS lo_id, emb AS lo_emb FROM (" +
+        "SELECT cid, vec_id, emb, row_number() OVER (" +
+        "PARTITION BY cid ORDER BY vec_id) AS arn FROM asg) " +
+        "WHERE arn <= 256), " +
+        "ms AS (SELECT b.vec_id, " +
+        "max(round(list_cosine_similarity(b.emb, a.lo_emb), 6)) " +
+        "AS max_sim_lower FROM asg b JOIN anchors a " +
+        "ON a.cid = b.cid AND a.lo_id < b.vec_id GROUP BY 1) " +
+        "SELECT asg.vec_id, asg.cid AS cluster_id, ms.max_sim_lower, " +
+        "coalesce(ms.max_sim_lower >= 0.3, false) AS is_dup " +
+        "FROM asg LEFT JOIN ms ON asg.vec_id = ms.vec_id"),
+    "q257_dsir_weights" ->
+      // ln (not DuckDB's log = log10); 4-dp round BEFORE the output
+      // AND the target_like compare so sum-order noise can't flip either
+      ("WITH dtf AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS f, " +
+        "count(*) AS c FROM (" +
+        "SELECT doc_id, lang, unnest(list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '')) AS tok " +
+        "FROM documents) GROUP BY 1, 2, 3), " +
+        "raw AS (SELECT f, CAST(sum(c) AS BIGINT) AS r_f FROM dtf " +
+        "GROUP BY 1), " +
+        "tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS t_f FROM dtf " +
+        "WHERE lang = 'en' GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_r, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) " +
+        "AS big_t FROM dtf), " +
+        "lam AS (SELECT raw.f, " +
+        "ln((coalesce(t_f, 0) + 1) / CAST(big_t + 256 AS DOUBLE)) - " +
+        "ln((r_f + 1) / CAST(big_r + 256 AS DOUBLE)) AS lam " +
+        "FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot) " +
+        "SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok, " +
+        "round(sum(c * lam), 4) AS log_weight, " +
+        "round(sum(c * lam), 4) > 0 AS target_like " +
+        "FROM dtf JOIN lam ON dtf.f = lam.f GROUP BY 1, 2"),
+    "q258_pack_contexts" ->
+      // concat-and-split packing manifest: pure integer arithmetic off
+      // one global running sum (doc tokens + 1 EOS per doc, cut at 512)
+      ("SELECT doc_id, ntok, cum_before // 512 AS first_example, " +
+        "cum_before % 512 AS offset_in_example, " +
+        "(cum_before + ntok - 1) // 512 - cum_before // 512 + 1 " +
+        "AS n_examples, " +
+        "(cum_before + ntok - 1) // 512 - cum_before // 512 + 1 > 1 " +
+        "AS crosses FROM (" +
+        "SELECT doc_id, ntok, CAST(sum(ntok + 1) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "- ntok - 1 AS BIGINT) AS cum_before FROM (" +
+        "SELECT doc_id, len(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS ntok FROM documents) WHERE ntok >= 1)"),
   )
 }

@@ -500,6 +500,47 @@ object Advanced {
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
   }
 
+  /** Fixed context length for [[packContexts]] — the training-example
+    * window the packed token stream is cut into. */
+  val ContextLen = 512L
+
+  /** GPT-style concat-and-split sequence packing: documents concatenate
+    * (in deterministic doc_id order, one EOS token after each) into a
+    * single token stream that is cut every [[ContextLen]] tokens into
+    * training examples — documents STRADDLE example boundaries, the
+    * complement of q64's whole-doc shard binning and q252's within-doc
+    * chunking. Output is the dataloader manifest: where each document's
+    * tokens land (first example, offset within it, how many examples it
+    * spans).
+    *
+    * Everything is exact integer arithmetic off ONE distributed prefix
+    * sum ([[GlobalOrder.runningSums]] — range-partitioned two-level, no
+    * global window), so the manifest is deterministic and the whole
+    * query is one scan + the P-row offset broadcast: the shape that
+    * holds at 100 TB because a running total is the ONLY cross-row
+    * dependency packing has. Empty documents are excluded up front
+    * (they contribute no tokens; an EOS for a tokenless doc is a
+    * formatting choice this contract does not spend). */
+  def packContexts(s: SparkSession, d: String): DataFrame =
+    packContextsDf(documents(s, d).select(col("doc_id"), col("text")))
+
+  def packContextsDf(docs: DataFrame, len: Long = ContextLen)
+      : DataFrame = {
+    val t = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      .filter(col("ntok") >= 1)
+    GlobalOrder.runningSums(t, Seq(col("doc_id")),
+        Seq("cum" -> (col("ntok") + lit(1L))))
+      .withColumn("cum_before", col("cum") - col("ntok") - lit(1L))
+      // long, matching the oracle's BIGINT len() (size() is int)
+      .select(col("doc_id"), col("ntok").cast("long").as("ntok"),
+        expr(s"cum_before div $len").as("first_example"),
+        (col("cum_before") % lit(len)).as("offset_in_example"),
+        (expr(s"(cum_before + ntok - 1) div $len") -
+          expr(s"cum_before div $len") + lit(1L)).as("n_examples"))
+      .withColumn("crosses", col("n_examples") > 1L)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any 8-token
     * window with a (small, deterministic) benchmark set — the screening
     * stage that keeps eval data out of training corpora. 8-grams are built

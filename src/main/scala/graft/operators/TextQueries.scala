@@ -1070,6 +1070,72 @@ object TextQueries {
         md5(array_join(col("ch"), " ")).as("chunk_md5"))
   }
 
+  /** Feature-space width for [[dsirWeights]]: tokens hash into 256
+    * buckets (two hex chars of md5), the hashed-n-gram trick that keeps
+    * the feature dimension fixed regardless of vocabulary size. */
+  val DsirBuckets = 256
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    * arXiv:2302.03169) in its hashed-unigram form: estimate a target
+    * and a raw bag-of-hashed-features distribution, score every
+    * document by its log importance weight
+    * Σ_f c_f · (ln p̂_target(f) − ln p̂_raw(f)) with add-one smoothing,
+    * and flag the target-like documents (positive log weight). The
+    * target here is the corpus' English slice — the stand-in for "a
+    * high-quality reference corpus" that makes the query self-contained
+    * over the testdata.
+    *
+    * Determinism across engines: the feature id is substr(md5(token),
+    * 1, 2) — a STRING bucket both engines compute identically, no
+    * numeric hex conversion needed; λ_f comes from exact integer counts
+    * through correctly-rounded IEEE division and ln (the q127 bigram-LM
+    * discipline, gate-proven); the per-doc sum rounds to 4 dp before
+    * both the output AND the target_like compare, so summation-order
+    * tail noise cannot flip either.
+    *
+    * 100 TB shape: the λ table is DsirBuckets rows — a broadcast
+    * dimension built from one partial-aggregated pass over per-doc
+    * feature counts; scoring is a broadcast join + one shuffle keyed by
+    * doc_id. No corpus-sized join anywhere, no global window; the
+    * target estimate needs no second scan (it filters the same counts
+    * relation). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsDf(Tables.documents(s, d))
+
+  def dsirWeightsDf(docs: DataFrame): DataFrame = {
+    val dtf = docs
+      .select(col("doc_id"), col("lang"), explode(
+        expr("filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("f"))
+      .groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      // λ (raw + target marginals, totals) and the scoring join all
+      // derive from the counts; pin them so the tokenize+explode scan
+      // runs once
+      .localCheckpoint()
+    val raw = dtf.groupBy(col("f")).agg(sum(col("c")).as("r_f"))
+    val tgt = dtf.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(sum(col("c")).as("t_f"))
+    val tot = dtf.agg(
+      sum(col("c")).as("big_r"),
+      sum(when(col("lang") === "en", col("c")).otherwise(lit(0L)))
+        .as("big_t"))
+    val lam = raw.join(tgt, Seq("f"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        (log((coalesce(col("t_f"), lit(0L)) + lit(1L)).cast("double") /
+          (col("big_t") + lit(DsirBuckets.toLong)).cast("double")) -
+          log((col("r_f") + lit(1L)).cast("double") /
+            (col("big_r") + lit(DsirBuckets.toLong)).cast("double")))
+          .as("lam"))
+    dtf.join(broadcast(lam), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tok"),
+        round(sum(col("c") * col("lam")), 4).as("log_weight"))
+      .withColumn("target_like", col("log_weight") > 0.0)
+  }
+
   // org.apache.spark.sql.functions.size, un-shadowed by method params
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

@@ -710,4 +710,94 @@ object Similarity {
       .select(col("n_true_pairs"),
         (col("n_hits") >= col("n_true_pairs") * 0.9).as("recall_ok"))
   }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** Anchor cap for [[semDedupDf]]: a vector is compared against at most
+    * this many lowest-id members of its cluster. The cap is the enforced
+    * form of "cluster sizes are bounded" — without it a degenerate
+    * embedding space (everything in one cluster) makes the in-cluster
+    * pair join Σ|c|² = n² through a single join key, the exact hot-key
+    * cliff q231/q232 closed this round. With it, per-cluster work is
+    * ≤ |c|·cap (linear). No-op at every committed test scale
+    * (expected |c| ≈ CentroidStep = 97 < 256). */
+  val SemDedupAnchorCap = 256
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop any
+    * vector whose cosine to a LOWER-id member of its own cluster
+    * reaches the threshold — keep-lowest-id, the deterministic form of
+    * the paper's keep-one-per-duplicate-group rule. Clustering here is
+    * the assignment step against the deterministic `% CentroidStep`
+    * seed sample (the same stand-in-for-k-means [[ivfTopK]] documents);
+    * production would feed [[kmeansCentroids]] with nlist ∝ √n so
+    * expected cluster size stays corpus-independent.
+    *
+    * Determinism across engines: assignment ranks the 6-dp-ROUNDED
+    * cosine with a lowest-centroid-id tie-break (the q30 discipline —
+    * both engines rank the identical rounded double), and the dup
+    * decision compares the 6-dp-rounded pair cosine against the
+    * threshold, so the oracle reproduces every boolean exactly.
+    *
+    * 100 TB shape: assignment is a broadcast cross join + map-side
+    * argmax (one shuffled row per vector); the pair join shuffles on
+    * cluster_id with the anchor side capped at [[SemDedupAnchorCap]]
+    * lowest ids per cluster (a bounded-heap aggregate — ≤ cap entries
+    * per mapper per cluster, never a per-cluster sort), so per-cluster
+    * work is linear in |c| even for a mega cluster. Vectors beyond the
+    * cap's id range can still BE dropped (they are
+    * compared against the capped prefix) — the estimator effect of the
+    * cap is only that dups detectable solely via a >cap-rank anchor
+    * are kept, the same documented one-sided semantics as the q232
+    * degree cap. */
+  def semDedupDf(s: SparkSession, v: DataFrame,
+      threshold: Double = 0.3,
+      anchorCap: Int = SemDedupAnchorCap): DataFrame = {
+    val seeds = v.filter(col("vec_id") % CentroidStep === 0)
+      .select(col("vec_id").as("cluster_id"), col("emb").as("cent_emb"))
+    val asg = v
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("csim", round(cosine(col("emb"), col("cent_emb")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cluster_id"),
+          struct(col("csim"), -col("cluster_id"))).as("cluster_id"),
+        first(col("emb")).as("emb"))
+      // every branch below (anchor ranking, both pair-join sides, the
+      // final left join) re-derives from the assignment; pin it so the
+      // broadcast-argmax scan runs once
+      .localCheckpoint()
+    // lowest anchorCap ids per cluster via the bounded-heap aggregate,
+    // NOT a per-cluster ranking window: a window must sort the whole
+    // cluster in one task (a mega cluster would bottleneck there even
+    // with the pair join capped), while the heap partial-aggregates to
+    // ≤ cap entries per mapper per cluster before the shuffle
+    val anchors = asg
+      .groupBy(col("cluster_id"))
+      .agg(graft.functions.AggregateKernels.topKByScore(
+        (-col("vec_id")).cast("double"), col("vec_id"), anchorCap)
+        .as("tk"))
+      .select(col("cluster_id"), explode(col("tk")).as("a"))
+      .select(col("cluster_id"), col("a.id").as("lo_id"))
+      .join(asg.select(col("cluster_id"),
+        col("vec_id").as("lo_id"), col("emb").as("lo_emb")),
+        Seq("cluster_id", "lo_id"))
+    val maxLower = asg.select(col("cluster_id"), col("vec_id"),
+        col("emb"))
+      .join(anchors, Seq("cluster_id"))
+      .filter(col("lo_id") < col("vec_id"))
+      .select(col("vec_id"),
+        round(cosine(col("emb"), col("lo_emb")), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim_lower"))
+    asg.join(maxLower, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"), col("max_sim_lower"),
+        coalesce(col("max_sim_lower") >= threshold, lit(false))
+          .as("is_dup"))
+  }
+
+  def semDedup(s: SparkSession, d: String,
+      threshold: Double = 0.3): DataFrame =
+    semDedupDf(s, vectors(s, d), threshold)
 }

@@ -288,4 +288,32 @@ class AdvancedSpec extends SparkTestBase {
     // union-of-sketches must estimate at least as many as any single group
     assert(est("ALL") >= exactPer.values.max * 0.98)
   }
+
+  test("packContexts: manifest reconstructs the exact concat-and-split " +
+      "token stream (offsets chain, boundary docs flagged, empty docs " +
+      "excluded)") {
+    // L=8: doc 1 (3 tok) [0..2], EOS 3; doc 2 (6 tok) [4..9] CROSSES
+    // the 8-boundary; doc 3 empty — excluded; doc 4 (1 tok) [11]
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g h i"), (3L, "   "), (4L, "j"))
+      .toDF("doc_id", "text")
+    val m = Advanced.packContextsDf(docs, len = 8L)
+      .orderBy("doc_id").collect()
+    assert(m.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val byId = m.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    assert(byId(1L) === ((3L, 0L, 0L, 1L, false)))
+    // doc 2 starts at global token 4 (3 + EOS), spans [4..9] → examples
+    // 0 and 1
+    assert(byId(2L) === ((6L, 0L, 4L, 2L, true)))
+    // doc 4 starts at 11 (4 + 6 + EOS) → example 1, offset 3
+    assert(byId(4L) === ((1L, 1L, 3L, 1L, false)))
+    // chain law: next doc's offset position = prev cum_before + ntok + 1
+    val stream = m.map(r => (r.getLong(2) * 8 + r.getLong(3),
+      r.getLong(1)))
+    stream.sliding(2).foreach { case Array((s0, n0), (s1, _)) =>
+      assert(s1 === s0 + n0 + 1)
+    }
+  }
 }

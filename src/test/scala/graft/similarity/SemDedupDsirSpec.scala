@@ -1,0 +1,118 @@
+package graft.similarity
+
+import graft.SparkTestBase
+import graft.operators.TextQueries
+
+/** q256 SemDeDup + q257 DSIR — the two round-7 additions to the
+  * training-data-curation family. Pins the semantics the oracle can't
+  * see from the testdata alone: assignment tie-breaks, the keep-lowest-id
+  * dup rule, the anchor cap's documented one-sided estimator effect
+  * (SemDeDup), and content-not-label scoring monotonicity (DSIR). */
+class SemDedupDsirSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "emb")
+
+  test("semdedup: assignment, keep-lowest-id dup rule, tie-break") {
+    // seeds (vec_id % 97 == 0): 0 → e1, 97 → e2
+    val v = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      97L -> Seq(0.0, 1.0, 0.0, 0.0),
+      10L -> Seq(0.9, 0.1, 0.0, 0.0), // cluster 0, cos vs 0 ≈ 0.994
+      11L -> Seq(0.2, 0.05, 1.0, 0.0), // cluster 0, all sims < 0.3
+      50L -> Seq(0.5, 0.5, 0.0, 0.0), // equidistant → lower cid wins
+      100L -> Seq(0.0, 0.95, 0.0, 0.3), // cluster 97, cos vs 97 ≈ 0.954
+      101L -> Seq(0.1, 0.25, 0.0, -0.95)) // cluster 97, sims < 0.3
+    val out = Similarity.semDedupDf(spark, v)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toDouble),
+          r.getBoolean(3)))).toMap
+
+    assert(out.size === 7)
+    // assignment
+    assert(out(10L)._1 === 0L && out(11L)._1 === 0L)
+    assert(out(100L)._1 === 97L && out(101L)._1 === 97L)
+    // exact tie on rounded cosine → lowest centroid id
+    assert(out(50L)._1 === 0L)
+    // cluster heads (lowest id per cluster) have no lower anchor
+    assert(out(0L)._2.isEmpty && !out(0L)._3)
+    // dups vs keeps
+    assert(out(10L)._3, "near-dup of seed 0 must drop")
+    assert(out(100L)._3, "near-dup of seed 97 must drop")
+    assert(!out(11L)._3 && !out(101L)._3, "dissimilar members keep")
+    // max_sim_lower is the max over LOWER ids only
+    assert(out(10L)._2.exists(_ >= 0.99))
+  }
+
+  test("semdedup: anchor cap is one-sided — a dup detectable only " +
+      "via a beyond-cap anchor is kept, never the reverse") {
+    // single seed (id 0) → one cluster; ids 1,2 are noise anchors,
+    // id 3/4 a planted near-dup pair ranked beyond cap 3
+    val v = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.1, 0.0, 0.0, 1.0),
+      2L -> Seq(0.1, 0.0, -1.0, 0.1),
+      3L -> Seq(0.1, 0.0, 1.0, 0.0),
+      4L -> Seq(0.1, 0.0, 0.99, 0.05))
+    val full = Similarity.semDedupDf(spark, v)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(full(4L), "uncapped: 4 is a near-dup of anchor 3")
+    val capped = Similarity.semDedupDf(spark, v, anchorCap = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!capped(4L), "cap 3 excludes anchor 3 → 4 must be kept")
+    // the cap never CREATES a dup
+    assert(capped.count(_._2) <= full.count(_._2))
+  }
+
+  test("semdedup on testdata: total rows preserved, heads never dup") {
+    val out = Similarity.semDedup(spark, sf0001).cache()
+    val n = graft.operators.Tables.embeddings(spark, sf0001).count()
+    assert(out.count() === n)
+    // null max_sim_lower ⟺ is_dup false (a head cannot drop)
+    assert(out.filter(col("max_sim_lower").isNull &&
+      col("is_dup")).count() === 0)
+    out.unpersist()
+  }
+
+  test("dsir: scoring is content-based (a target-like doc in a " +
+      "non-target language scores identically) and separates target " +
+      "from raw") {
+    // 50-token docs: with add-one smoothing over 256 buckets a
+    // hapax-scale corpus can't push any λ positive — the signal must
+    // dominate the smoothing mass for the target_like assertions to
+    // probe the real regime
+    val alpha = Seq.fill(50)("alpha").mkString(" ")
+    val beta = Seq.fill(50)("beta").mkString(" ")
+    val docs = (
+      (0L until 6L).map(i => (i, alpha, "en")) ++
+      (10L until 16L).map(i => (i, beta, "fr")) :+
+      ((100L, alpha, "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextQueries.dsirWeightsDf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size === 13)
+    assert(out.values.forall(_._1 === 50L))
+    // same content ⇒ same weight, regardless of the lang label
+    assert(out(100L)._2 === out(0L)._2)
+    assert(out(100L)._3, "alpha content is target-like even in fr")
+    // target tokens score above raw-only tokens
+    assert(out(0L)._2 > out(10L)._2)
+    assert(out(0L)._3 && !out(10L)._3)
+  }
+
+  test("dsir on testdata: en mean log-weight exceeds non-en mean") {
+    val out = TextQueries.dsirWeights(spark, sf0001).cache()
+    val Array(enAvg, otherAvg) = out
+      .withColumn("is_en", col("lang") === "en")
+      .groupBy(col("is_en"))
+      .agg(avg(col("log_weight")).as("m"))
+      .orderBy(col("is_en").desc)
+      .collect().map(_.getDouble(1))
+    assert(enAvg > otherAvg,
+      s"DSIR must separate target from raw: en $enAvg vs $otherAvg")
+    out.unpersist()
+  }
+}
