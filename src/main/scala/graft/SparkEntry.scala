@@ -292,6 +292,7 @@ object SparkEntry {
     "q256_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "q257_dsir_weights" -> (TextQueries.dsirWeights(_, _)),
     "q258_pack_contexts" -> (Advanced.packContexts(_, _)),
+    "q259_curation_pipeline" -> (Advanced.curationPipeline(_, _)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3045,5 +3046,52 @@ object SparkEntry {
         "- ntok - 1 AS BIGINT) AS cum_before FROM (" +
         "SELECT doc_id, len(list_filter(string_split(text, ' '), " +
         "x -> x <> '')) AS ntok FROM documents) WHERE ntok >= 1)"),
+    "q259_curation_pipeline" ->
+      // composed q255 signals → q25 canonical dedup → q253 draw; every
+      // stage filter is integer/string arithmetic, so the funnel counts
+      // reproduce exactly
+      ("WITH d0 AS (SELECT doc_id, lang, text FROM documents), " +
+        "w0 AS (SELECT doc_id, lang, list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '') AS w FROM d0), " +
+        "ws AS (SELECT doc_id, lang, w FROM w0 WHERE len(w) >= 2), " +
+        "tg AS (SELECT doc_id, tok, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(w) AS tok FROM ws) GROUP BY 1, 2), " +
+        "ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, " +
+        "count(*) AS n_distinct FROM tg GROUP BY 1), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM (" +
+        "SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM (" +
+        "SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ws)) " +
+        "GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bg, " +
+        "max(c) AS max_bg FROM bc GROUP BY 1), " +
+        "qual AS (SELECT ws.doc_id, ws.lang, n_tok, " +
+        "array_to_string(list_sort(list_distinct(w)), ' ') AS canon " +
+        "FROM ws JOIN ts ON ws.doc_id = ts.doc_id " +
+        "JOIN bs ON ws.doc_id = bs.doc_id " +
+        "WHERE n_tok >= 10 AND NOT (max_bg * 100 > total_bg * 18) " +
+        "AND NOT ((n_tok - n_distinct) * 10 > n_tok * 7)), " +
+        "ded AS (SELECT min(doc_id) AS doc_id FROM qual " +
+        "GROUP BY canon), " +
+        "uniq AS (SELECT q.doc_id, q.lang, q.n_tok FROM qual q " +
+        "JOIN ded ON q.doc_id = ded.doc_id), " +
+        "c AS (SELECT lang, count(*) AS n_l FROM uniq GROUP BY 1), " +
+        "m AS (SELECT min(n_l) AS minc FROM c), " +
+        "r AS (SELECT lang, CAST(minc AS DOUBLE) / n_l AS rate " +
+        "FROM c, m), " +
+        "kept AS (SELECT u.doc_id, u.lang, u.n_tok FROM uniq u " +
+        "JOIN r ON u.lang = r.lang WHERE rate >= 1.0 OR " +
+        "substr(md5(CAST(u.doc_id AS VARCHAR) || ':' || u.lang), " +
+        "1, 8) < printf('%08x', CAST(least(floor(rate * 4294967296), " +
+        "4294967295) AS BIGINT))) " +
+        "SELECT raw.lang, n_raw, n_quality, n_unique, n_kept, " +
+        "tok_kept FROM " +
+        "(SELECT lang, count(*) AS n_raw FROM d0 GROUP BY 1) raw " +
+        "JOIN (SELECT lang, count(*) AS n_quality FROM qual " +
+        "GROUP BY 1) qq USING (lang) " +
+        "JOIN (SELECT lang, count(*) AS n_unique FROM uniq " +
+        "GROUP BY 1) uu USING (lang) " +
+        "JOIN (SELECT lang, count(*) AS n_kept, " +
+        "CAST(sum(n_tok) AS BIGINT) AS tok_kept FROM kept " +
+        "GROUP BY 1) kk USING (lang)"),
   )
 }

@@ -995,6 +995,72 @@ object Advanced {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** End-to-end corpus curation — the composed form of the curation
+    * family, run as ONE query: quality gate (Gopher top-2-gram flag ∥
+    * duplicate-token fraction > 0.7 ∥ length < 10, all integer
+    * arithmetic — q255's signals) → canonical exact dedup (sorted
+    * distinct lower-token set, keep-lowest-id — q25's key) → language
+    * mixture rebalance to the smallest surviving language (q253's
+    * RNG-free md5 draw). Output is the per-language funnel:
+    * raw → quality → unique → kept doc counts plus kept token mass —
+    * what a pipeline owner actually monitors.
+    *
+    * Each stage reuses a gate-proven discipline; the composition adds
+    * no new cross-engine hazard (every filter and key is integer/string
+    * arithmetic; the single double — the rebalance rate — flows through
+    * the q253 idiom unchanged). Scale shape: the signals pass is q255's
+    * scan; dedup is one content-keyed shuffle; the rate table is a
+    * languages-sized broadcast; the funnel is four partial-aggregated
+    * rollups over progressively smaller frames. No pair joins anywhere
+    * — the near-dup arm of a production pipeline (LSH, q47) is kept a
+    * separate stage precisely because its cost profile differs. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame =
+    curationPipelineDf(documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  def curationPipelineDf(docs: DataFrame): DataFrame = {
+    val sig = graft.operators.TextQueries.repetitionSignalsDf(
+      docs.select(col("doc_id"), col("text")))
+    // quality survivors keep (doc_id, lang, canon, n_tok): canon is
+    // computed HERE so the dedup stage never rescans text
+    val qual = sig
+      .filter(col("n_tok") >= 10 && !col("flagged") &&
+        !((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7))
+      .select(col("doc_id"), col("n_tok"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        concat_ws(" ", array_sort(array_distinct(
+          expr("filter(split(lower(text), ' '), x -> x != '')"))))
+          .as("canon"))
+      .localCheckpoint() // consumed by dedup, rebalance, and two rollups
+    val keepIds = qual.groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val uniq = qual.join(keepIds, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .localCheckpoint() // rate table + draw + rollup
+    val cnts = uniq.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val minc = cnts.agg(min(col("n_l")).as("minc"))
+    val rates = cnts.crossJoin(broadcast(minc))
+      .select(col("lang"),
+        (col("minc").cast("double") / col("n_l")).as("rate"))
+    val kept = uniq.join(broadcast(rates), Seq("lang"))
+      .withColumn("h", substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("lang"))), 1, 8))
+      .withColumn("thresh", lower(lpad(hex(
+        least(floor(col("rate") * lit(4294967296.0)),
+          lit(4294967295.0)).cast("bigint")), 8, "0")))
+      .filter(col("rate") >= 1.0 || col("h") < col("thresh"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      .join(qual.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
+        Seq("lang"))
+      .join(uniq.groupBy(col("lang")).agg(count(lit(1)).as("n_unique")),
+        Seq("lang"))
+      .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("tok_kept")), Seq("lang"))
+  }
+
   /** Leakage-safe train/val/test split — the eval-hygiene primitive of
     * a training pipeline: the split is a PURE FUNCTION of the GROUP key
     * (user), so every event of a user lands in the same split by

@@ -316,4 +316,38 @@ class AdvancedSpec extends SparkTestBase {
       assert(s1 === s0 + n0 + 1)
     }
   }
+
+  test("curationPipeline: each funnel stage drops exactly its targets " +
+      "(stuffed doc at quality, token-set dups at dedup) and the " +
+      "smallest surviving language keeps everything") {
+    val clean = (0 until 12).map(j => s"tok$j").mkString(" ")
+    val docs = Seq(
+      // en: 3 clean + 1 bigram-stuffed (dropped at quality) + 1
+      // canonical dup of doc 10 (same token SET, reordered — dropped
+      // at dedup)
+      (10L, "en", clean),
+      (11L, "en", (0 until 12).map(j => s"u11$j").mkString(" ")),
+      (12L, "en", (0 until 12).map(j => s"u12$j").mkString(" ")),
+      (13L, "en", Seq.fill(12)("spam spam").mkString(" ")),
+      (14L, "en", (0 until 12).map(j => s"tok$j").reverse.mkString(" ")),
+      // fr: 2 clean docs — the smallest surviving language
+      (20L, "fr", (0 until 12).map(j => s"f20$j").mkString(" ")),
+      (21L, "fr", (0 until 12).map(j => s"f21$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = Advanced.curationPipelineDf(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // en: 5 raw → 4 quality (13 stuffed out) → 3 unique (14 collapses
+    // into 10)
+    assert(out("en")._1 === 5L && out("en")._2 === 4L &&
+      out("en")._3 === 3L)
+    // fr: untouched through quality+dedup, and as the smallest
+    // language its rebalance rate is 1 → keeps both docs
+    assert(out("fr") === ((2L, 2L, 2L, 2L, 24L)))
+    // funnel is monotone everywhere
+    out.values.foreach { case (r, q, u, k, _) =>
+      assert(r >= q && q >= u && u >= k && k >= 0)
+    }
+  }
 }
