@@ -526,6 +526,7 @@ object Advanced {
 
   def packContextsDf(docs: DataFrame, len: Long = ContextLen)
       : DataFrame = {
+    require(len >= 1, "context length must be positive (len div/% below)")
     val t = docs.select(col("doc_id"),
       graft.functions.TextAnalysis.tokenCount(col("text")).as("ntok"))
       .filter(col("ntok") >= 1)

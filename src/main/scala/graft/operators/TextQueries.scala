@@ -1102,18 +1102,19 @@ object TextQueries {
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirWeightsDf(Tables.documents(s, d))
 
-  def dsirWeightsDf(docs: DataFrame): DataFrame = {
-    val dtf = docs
-      .select(col("doc_id"), col("lang"), explode(
-        expr("filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("tok")), 1, 2).as("f"))
-      .groupBy(col("doc_id"), col("lang"), col("f"))
-      .agg(count(lit(1)).as("c"))
-      // λ (raw + target marginals, totals) and the scoring join all
-      // derive from the counts; pin them so the tokenize+explode scan
-      // runs once
-      .localCheckpoint()
+  /** Per-(doc, lang, hashed-feature) counts — the one corpus pass both
+    * the λ estimate and the scoring join derive from; pinned so the
+    * tokenize+explode scan runs once. */
+  private def dsirCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), explode(
+      expr("filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
+    .select(col("doc_id"), col("lang"),
+      substring(md5(col("tok")), 1, 2).as("f"))
+    .groupBy(col("doc_id"), col("lang"), col("f"))
+    .agg(count(lit(1)).as("c"))
+    .localCheckpoint()
+
+  private def dsirLambdaFrom(dtf: DataFrame): DataFrame = {
     val raw = dtf.groupBy(col("f")).agg(sum(col("c")).as("r_f"))
     val tgt = dtf.filter(col("lang") === "en")
       .groupBy(col("f")).agg(sum(col("c")).as("t_f"))
@@ -1121,7 +1122,7 @@ object TextQueries {
       sum(col("c")).as("big_r"),
       sum(when(col("lang") === "en", col("c")).otherwise(lit(0L)))
         .as("big_t"))
-    val lam = raw.join(tgt, Seq("f"), "left_outer")
+    raw.join(tgt, Seq("f"), "left_outer")
       .crossJoin(broadcast(tot))
       .select(col("f"),
         (log((coalesce(col("t_f"), lit(0L)) + lit(1L)).cast("double") /
@@ -1129,10 +1130,50 @@ object TextQueries {
           log((col("r_f") + lit(1L)).cast("double") /
             (col("big_r") + lit(DsirBuckets.toLong)).cast("double")))
           .as("lam"))
-    dtf.join(broadcast(lam), Seq("f"))
+  }
+
+  /** The frozen λ table alone — the TRAIN half of train-then-apply:
+    * estimate once on a reference corpus, [[dsirApplyDf]] the (tiny,
+    * ≤ DsirBuckets-row) result to score any later corpus or stream. */
+  def dsirLambda(docs: DataFrame): DataFrame =
+    dsirLambdaFrom(dsirCounts(docs))
+
+  def dsirWeightsDf(docs: DataFrame): DataFrame = {
+    val dtf = dsirCounts(docs)
+    dtf.join(broadcast(dsirLambdaFrom(dtf)), Seq("f"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n_tok"),
         round(sum(col("c") * col("lam")), 4).as("log_weight"))
+      .withColumn("target_like", col("log_weight") > 0.0)
+  }
+
+  /** Frozen-λ scoring — the APPLY half of train-then-apply: score
+    * documents against a λ table trained earlier ([[dsirLambda]]),
+    * without re-estimating anything. The whole computation is one
+    * STATELESS scan projection (array HOFs folding over a
+    * 256-entry map literal), so the SAME call scores a STREAMING
+    * frame — arriving documents score incrementally with no state
+    * store, watermark, or shuffle, the model-apply analogue of the
+    * q252 streaming chunker. Buckets absent from the frozen table
+    * contribute 0 (neutral — nothing was learned about them).
+    * Token-order float accumulation differs from the batch trainer's
+    * per-feature grouping by IEEE reordering noise only; the parity
+    * spec bounds it at 1e-3 after the shared 4-dp rounding. */
+  def dsirApplyDf(docs: DataFrame, lam: Map[String, Double]): DataFrame = {
+    val keys = lam.keys.toSeq.sorted
+    val m = map_from_arrays(
+      array(keys.map(lit): _*),
+      array(keys.map(k => lit(lam(k))): _*))
+    docs
+      .withColumn("w",
+        expr("filter(split(lower(text), ' '), x -> x != '')"))
+      .select(col("doc_id"),
+        size_(col("w")).cast("long").as("n_tok"),
+        round(aggregate(
+          transform(col("w"), t =>
+            coalesce(element_at(m, substring(md5(t), 1, 2)), lit(0.0))),
+          lit(0.0), (acc, x) => acc + x), 4).as("log_weight"))
+      .filter(col("n_tok") >= 1)
       .withColumn("target_like", col("log_weight") > 0.0)
   }
 

@@ -729,7 +729,10 @@ object Similarity {
     * reaches the threshold — keep-lowest-id, the deterministic form of
     * the paper's keep-one-per-duplicate-group rule. Clustering here is
     * the assignment step against the deterministic `% CentroidStep`
-    * seed sample (the same stand-in-for-k-means [[ivfTopK]] documents);
+    * seed sample (the same stand-in-for-k-means [[ivfTopK]] documents,
+    * with the same precondition: ids dense enough that the modulo
+    * sample is non-empty — an id space that dodges every multiple of
+    * CentroidStep would yield no seeds and an empty result);
     * production would feed [[kmeansCentroids]] with nlist ∝ √n so
     * expected cluster size stays corpus-independent.
     *

@@ -103,6 +103,53 @@ class SemDedupDsirSpec extends SparkTestBase {
     assert(out(0L)._3 && !out(10L)._3)
   }
 
+  test("dsir train-then-apply: frozen-λ scoring matches the batch " +
+      "trainer within rounding, batch and streaming") {
+    val train = graft.operators.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val lam = TextQueries.dsirLambda(train)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(lam.size <= 256 && lam.nonEmpty)
+    val batchScores = TextQueries.dsirWeightsDf(train)
+      .select(col("doc_id"), col("n_tok"), col("log_weight"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val applied = TextQueries.dsirApplyDf(train, lam)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(applied.keySet === batchScores.keySet)
+    applied.foreach { case (id, (n, w)) =>
+      assert(n === batchScores(id)._1)
+      // token-order vs per-feature-grouped accumulation: IEEE
+      // reordering noise only
+      assert(math.abs(w - batchScores(id)._2) <= 1e-3,
+        s"doc $id: apply $w vs batch ${batchScores(id)._2}")
+    }
+
+    // the same call scores a stream, no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDS().toDF("doc_id", "text")
+    val q = TextQueries.dsirApplyDf(docs, lam)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      val batch = Seq((1L, "alpha beta gamma"), (2L, "   "),
+        (3L, "alpha alpha"))
+      input.addData(batch)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .as[(Long, Long, Double, Boolean)].collect().sorted.toVector
+      val expected = TextQueries.dsirApplyDf(
+        batch.toDF("doc_id", "text"), lam)
+        .as[(Long, Long, Double, Boolean)].collect().sorted.toVector
+      assert(streamed.nonEmpty && streamed === expected)
+      // tokenless doc 2 is excluded on both paths
+      assert(!streamed.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("dsir on testdata: en mean log-weight exceeds non-en mean") {
     val out = TextQueries.dsirWeights(spark, sf0001).cache()
     val Array(enAvg, otherAvg) = out
