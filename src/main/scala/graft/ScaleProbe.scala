@@ -346,6 +346,34 @@ object ScaleProbe {
         graft.similarity.Similarity.semDedupDf(spark, v).count()
       }
       results += (("semdedup_mega_cluster", n, tSd, rSd))
+
+      // substring-dedup window census (round 7, q260 production path):
+      // disjoint replica namespaces keep each replica's duplicate
+      // structure identical to the base corpus, so window rows, dup
+      // rows, and cost must all track corpus tokens LINEARLY — the
+      // content-keyed count shape (a window duplicated d times costs d
+      // rows, never d²)
+      val (tSu, rSu) = time(
+        Dedup.substringDedupDf(replicateDocsDisjoint(
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"), col("text")), n)).count())
+      results += (("substring_dedup", n, tSu, rSu))
+
+      // CCNet scoring (round 7, q263 production path): the en model
+      // grows with the en token volume and the scoring join is
+      // content-keyed + partial-aggregated, so cost must track corpus
+      // tokens — a per-language ranking window or a model broadcast
+      // would both break at real vocabulary sizes
+      val (tCb, rCb) = time {
+        val d = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            explode(sequence(lit(0L), lit(n - 1L))).as("rep"))
+          .select((col("doc_id") * n + col("rep")).as("doc_id"),
+            col("lang"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        graft.operators.TextQueries.ccnetBucketsDf(d).count()
+      }
+      results += (("ccnet_buckets", n, tCb, rCb))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

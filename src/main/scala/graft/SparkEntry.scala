@@ -293,6 +293,12 @@ object SparkEntry {
     "q257_dsir_weights" -> (TextQueries.dsirWeights(_, _)),
     "q258_pack_contexts" -> (Advanced.packContexts(_, _)),
     "q259_curation_pipeline" -> (Advanced.curationPipeline(_, _)),
+    "q260_substring_dedup" -> ((s, d) => Dedup.substringDedup(s, d)),
+    "q261_winnowing" -> ((s, d) => TextQueries.winnowing(s, d)),
+    "q262_filtered_ann" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "q263_ccnet_buckets" -> ((s, d) => TextQueries.ccnetBuckets(s, d)),
+    "q264_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    "q265_source_kl" -> ((s, d) => TextQueries.sourceKl(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3093,5 +3099,140 @@ object SparkEntry {
         "JOIN (SELECT lang, count(*) AS n_kept, " +
         "CAST(sum(n_tok) AS BIGINT) AS tok_kept FROM kept " +
         "GROUP BY 1) kk USING (lang)"),
+    "q260_substring_dedup" ->
+      // duplicated K-token windows (corpus-wide count ≥ 2 on the md5 of
+      // the window content), per-doc interval-union coverage via lead();
+      // the flag is integer arithmetic (dup_tokens·5 > n_tok)
+      ("WITH bs AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok " +
+        "FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS w FROM documents) WHERE len(w) >= 8), " +
+        "wins AS (SELECT doc_id, n_tok, i, " +
+        "md5(array_to_string(w[i+1:i+8], ' ')) AS h FROM (" +
+        "SELECT doc_id, n_tok, w, unnest(range(0, n_tok - 7)) AS i " +
+        "FROM bs)), " +
+        "dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2), " +
+        "occ AS (SELECT doc_id, i FROM wins JOIN dup USING (h)), " +
+        "cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) " +
+        "AS n_dup_windows, CAST(sum(CASE WHEN nxt IS NULL THEN 8 " +
+        "ELSE least(8, nxt - i) END) AS BIGINT) AS dup_tokens FROM (" +
+        "SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id " +
+        "ORDER BY i) AS nxt FROM occ) GROUP BY 1) " +
+        "SELECT bs.doc_id, n_tok, " +
+        "coalesce(n_dup_windows, 0) AS n_dup_windows, " +
+        "coalesce(dup_tokens, 0) AS dup_tokens, " +
+        "round(coalesce(dup_tokens, 0) / CAST(n_tok AS DOUBLE), 6) " +
+        "AS dup_frac, " +
+        "coalesce(dup_tokens, 0) * 5 > n_tok AS flagged " +
+        "FROM bs LEFT JOIN cov USING (doc_id)"),
+    "q261_winnowing" ->
+      // 8-hex-char md5-prefix gram hashes compared as ASCII strings —
+      // binary collation on both engines, so window minima reproduce
+      ("WITH g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, " +
+        "list_transform(range(0, len(t) - 3), i -> " +
+        "substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 8)) AS g " +
+        "FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS t FROM documents) WHERE len(t) >= 8), " +
+        "f AS (SELECT doc_id, n_tok, CAST(len(g) AS BIGINT) AS n_kgrams, " +
+        "list_distinct(list_transform(range(0, len(g) - 4), j -> " +
+        "list_aggregate(g[j+1:j+5], 'min'))) AS fps FROM g) " +
+        "SELECT doc_id, n_tok, n_kgrams, n_kgrams - 4 AS n_windows, " +
+        "CAST(len(fps) AS BIGINT) AS n_fingerprints, " +
+        "list_aggregate(fps, 'min') AS min_fp, " +
+        "list_aggregate(fps, 'max') AS max_fp, " +
+        "round(len(fps) / CAST(n_kgrams - 4 AS DOUBLE), 6) AS density " +
+        "FROM f"),
+    "q262_filtered_ann" ->
+      // exact arm reproduces in SQL (same-label brute force, rounded
+      // cosine + vec_id order); the filtered-IVF recall boolean is
+      // computed in-query against that exact arm → literal true here
+      ("SELECT query_id, neighbor_id, sim, rk, true AS ivf_recall_ok " +
+        "FROM (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) " +
+        "AS rk FROM embeddings q JOIN embeddings v " +
+        "ON q.label = v.label AND q.vec_id <> v.vec_id " +
+        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+    "q263_ccnet_buckets" ->
+      // q127's Laplace LM trained on the en slice only; unseen mass via
+      // left joins (coalesce 0); terciles are rank-free cumulative
+      // counts over DISTINCT rounded scores, bucket by integer compare
+      ("WITH ws AS (SELECT doc_id, lang, list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '') AS w " +
+        "FROM documents), " +
+        "bigf AS (SELECT doc_id, lang, bg[1] AS w1, bg[2] AS w2 FROM (" +
+        "SELECT doc_id, lang, unnest(list_zip(w[1:len(w)-1], " +
+        "w[2:len(w)])) AS bg FROM ws WHERE len(w) >= 2)), " +
+        "dbg AS (SELECT doc_id, lang, w1, w2, count(*) AS k FROM bigf " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "cnt AS (SELECT w1, w2, sum(k) AS c12 FROM dbg " +
+        "WHERE lang = 'en' GROUP BY 1, 2), " +
+        "uni AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1), " +
+        "voc AS (SELECT count(DISTINCT w2) AS v FROM cnt), " +
+        "sc AS (SELECT d.doc_id, d.lang, " +
+        "round(sum(d.k * (-log2((coalesce(c.c12, 0) + 1.0) / " +
+        "(coalesce(u.c1, 0) + voc.v)))) / sum(d.k), 4) " +
+        "AS bits_per_bigram, CAST(sum(d.k) AS BIGINT) AS n_bigrams " +
+        "FROM dbg d LEFT JOIN cnt c ON d.w1 = c.w1 AND d.w2 = c.w2 " +
+        "LEFT JOIN uni u ON d.w1 = u.w1, voc GROUP BY 1, 2), " +
+        "vc AS (SELECT lang, bits_per_bigram, count(*) AS c FROM sc " +
+        "GROUP BY 1, 2), " +
+        "cum AS (SELECT lang, bits_per_bigram, CASE " +
+        "WHEN cum * 3 <= n THEN 'head' " +
+        "WHEN cum * 3 <= n * 2 THEN 'middle' ELSE 'tail' END " +
+        "AS ppl_bucket FROM (" +
+        "SELECT lang, bits_per_bigram, sum(c) OVER (PARTITION BY lang " +
+        "ORDER BY bits_per_bigram ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum, sum(c) OVER (PARTITION BY lang) AS n " +
+        "FROM vc)) " +
+        "SELECT sc.doc_id, sc.lang, sc.bits_per_bigram, sc.n_bigrams, " +
+        "cum.ppl_bucket FROM sc JOIN cum ON sc.lang = cum.lang " +
+        "AND sc.bits_per_bigram = cum.bits_per_bigram"),
+    "q264_embedding_outliers" ->
+      // centroid means accumulate in DECIMAL (order-independent, q165
+      // discipline) and round to 7; cosines round to 6; the low/mid/high
+      // cut is rank-free cumulative counts over DISTINCT rounded sims
+      ("WITH v AS (SELECT vec_id, label, " +
+        "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "m AS (SELECT label, pos, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)/count(*), 7) " +
+        "AS m FROM (SELECT label, unnest(range(1, len(emb)+1)) AS pos, " +
+        "unnest(emb) AS x FROM v) GROUP BY 1, 2), " +
+        "c AS (SELECT label, list(m ORDER BY pos) AS cent FROM m " +
+        "GROUP BY 1), " +
+        "s AS (SELECT vec_id, v.label, " +
+        "round(list_cosine_similarity(emb, cent), 6) AS centroid_sim " +
+        "FROM v JOIN c ON v.label = c.label), " +
+        "vc AS (SELECT label, centroid_sim, count(*) AS c FROM s " +
+        "GROUP BY 1, 2), " +
+        "cum AS (SELECT label, centroid_sim, CASE " +
+        "WHEN cum * 3 <= n THEN 'low' " +
+        "WHEN cum * 3 <= n * 2 THEN 'mid' ELSE 'high' END AS sim_bucket " +
+        "FROM (SELECT label, centroid_sim, sum(c) OVER (" +
+        "PARTITION BY label ORDER BY centroid_sim " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(c) OVER (PARTITION BY label) AS n FROM vc)) " +
+        "SELECT s.vec_id, s.label, s.centroid_sim, cum.sim_bucket, " +
+        "cum.sim_bucket = 'low' AS outlier FROM s JOIN cum " +
+        "ON s.label = cum.label AND s.centroid_sim = cum.centroid_sim"),
+    "q265_source_kl" ->
+      // exact integer counts; log2 on exact integers term-by-term (no
+      // integer products — overflow-free at any corpus size); 4-dp round
+      // after the per-source sum; sums CAST AS BIGINT (HUGEINT rule)
+      ("WITH tok AS (SELECT source, unnest(list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '')) AS w " +
+        "FROM documents), " +
+        "csw AS (SELECT source, w, count(*) AS k FROM tok GROUP BY 1, 2), " +
+        "cw AS (SELECT w, sum(k) AS cw FROM csw GROUP BY 1), " +
+        "ns AS (SELECT source, sum(k) AS ns FROM csw GROUP BY 1), " +
+        "nt AS (SELECT sum(k) AS nn FROM csw) " +
+        "SELECT c.source, CAST(n.ns AS BIGINT) AS n_tokens, " +
+        "count(*) AS vocab, " +
+        "round(sum((c.k / CAST(n.ns AS DOUBLE)) * " +
+        "(log2(c.k) + log2(t.nn) - log2(n.ns) - log2(w.cw))), 4) " +
+        "AS kl_bits FROM csw c JOIN cw w USING (w) " +
+        "JOIN ns n USING (source), nt t GROUP BY 1, 2"),
   )
 }

@@ -613,4 +613,66 @@ object Dedup {
       .select(col("n_true_pairs"),
         (col("n_hits") >= col("n_true_pairs") * 0.9).as("recall_ok"))
   }
+
+  /** Substring-level exact dedup coverage — the ExactSubstr statistic of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") in fixed-window form: a K-token window is DUPLICATED if its
+    * exact content occurs at ≥ 2 positions anywhere in the corpus
+    * (including within one document), and each document reports how much
+    * of it is covered by duplicated windows — the signal that drives
+    * span-level dedup rather than whole-doc dropping, and catches the
+    * shared-boilerplate case (identical header/footer inside otherwise
+    * distinct pages) that document-level dedup (q24-q28) cannot.
+    *
+    * Scale shape: window generation is an array HOF inside the scan
+    * projection (one row per window position — linear in corpus tokens,
+    * no joins); windows carry their md5 instead of the K-token string so
+    * the global duplicate detection shuffles 32-byte keys, not text.
+    * That detection is ONE content-keyed partial-aggregated count — the
+    * exact-dedup shuffle shape. The join back to positions is keyed on
+    * the same hash (no pair explosion: a window duplicated d times
+    * contributes d rows, never d²). Coverage resolves per document: the
+    * union length of sorted fixed-length intervals is Σ min(K, nextᵢ−iᵢ)
+    * via one lead() over a per-doc window — per-document grain, bounded
+    * by document length at any corpus size. The flag compares in integer
+    * arithmetic (dup_tokens·5 > n_tok ⟺ coverage > 0.2). */
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupDf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame. */
+  def substringDedupDf(docs: DataFrame, k: Int = 8): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        col("w"))
+    val wins = base
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(expr(s"transform(sequence(0, size(w) - $k), i -> " +
+          s"md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+          .as(Seq("i", "h")))
+      .localCheckpoint() // global dup counts + per-doc coverage share it
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val cov = wins.join(dup, Seq("h"))
+      .withColumn("nxt", lead(col("i"), 1).over(wd))
+      .select(col("doc_id"),
+        when(col("nxt").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), (col("nxt") - col("i"))
+            .cast("long"))).as("covd"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("covd")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          col("n_tok").cast("double"), 6).as("dup_frac"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 5 > col("n_tok"))
+          .as("flagged"))
+  }
 }

@@ -1177,6 +1177,168 @@ object TextQueries {
       .withColumn("target_like", col("log_weight") > 0.0)
   }
 
+  /** Winnowing document fingerprints — Schleimer/Wilkerson/Aiken 2003
+    * (the MOSS algorithm): hash every K-token gram, slide a window of W
+    * consecutive gram hashes, record the MINIMUM hash of each window,
+    * dedupe. Winnowing guarantees any shared run of K+W−1 tokens yields
+    * at least one shared fingerprint, at an expected density of 2/(W+1)
+    * — the position-robust sampling that plain every-Nth-gram selection
+    * lacks (an insertion shifts every later gram). Output per document:
+    * gram/window/fingerprint counts, the selected min/max fingerprints
+    * (exact checksums of the selected SET), and the observed density.
+    *
+    * Scale shape: the ENTIRE computation is one scan projection — gram
+    * hashing, window minima, and the distinct-set collapse are array
+    * HOFs per row; no join, no shuffle, no state, so rows never
+    * interact and the cost is linear in corpus tokens (the same
+    * join-free shape as q252 chunking). Hashes are 8-hex-char md5
+    * prefixes compared as ASCII strings — binary collation on both
+    * engines, so min-selection reproduces exactly. */
+  def winnowing(s: SparkSession, d: String): DataFrame =
+    winnowingDf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[winnowing]] over an arbitrary (doc_id, text) frame. */
+  def winnowingDf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("t"))
+      .filter(size_(col("t")) >= k + w - 1)
+      .select(col("doc_id"), size_(col("t")).cast("long").as("n_tok"),
+        expr(s"transform(sequence(0, size(t) - $k), i -> " +
+          s"substring(md5(concat_ws(' ', slice(t, i + 1, $k))), 1, 8))")
+          .as("g"))
+      .select(col("doc_id"), col("n_tok"),
+        size_(col("g")).cast("long").as("n_kgrams"),
+        expr(s"array_distinct(transform(sequence(0, size(g) - $w), " +
+          s"j -> array_min(slice(g, j + 1, $w))))").as("fps"))
+      .select(col("doc_id"), col("n_tok"), col("n_kgrams"),
+        (col("n_kgrams") - (w - 1)).as("n_windows"),
+        size_(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"),
+        round(size_(col("fps")) /
+          (col("n_kgrams") - (w - 1)).cast("double"), 6).as("density"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): train the
+    * q127 Laplace bigram LM on the TARGET slice only (the corpus' en
+    * documents — CCNet trains on target-language Wikipedia), score EVERY
+    * document's bigrams against that frozen model, and cut each
+    * language's score distribution into head/middle/tail terciles — the
+    * buckets CCNet ships as quality tiers (head ≈ cleanest third).
+    *
+    * Out-of-model mass follows Laplace exactly: an unseen pair scores
+    * −log₂(1/(c₁+V)) and an unseen first word −log₂(1/V) — both the
+    * smoothing formula's own zero-count values via left joins, no
+    * special cases. Tercile assignment is RANK-FREE: per-language
+    * cumulative counts over the DISTINCT 4-dp-rounded scores (a
+    * value-count compression whose grain is bounded by the rounding, not
+    * the corpus — the q228 discipline), bucket chosen by integer
+    * arithmetic (cum·3 ≤ n → head; ≤ 2n → middle), ties sharing a value
+    * share a bucket on both engines. Scale shape: the model is one
+    * content-keyed count shuffle on the en slice; scoring joins doc
+    * bigram counts against the model tables (content-keyed, partial-
+    * aggregated); no per-language ranking window ever materializes. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsDf(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** [[ccnetBuckets]] over an arbitrary (doc_id, lang, text) frame. */
+  def ccnetBucketsDf(docs: DataFrame): DataFrame = {
+    val dbg = docs
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size_(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1"), col("bg.w2"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // model counts + the scoring join share it
+    val cnt = dbg.filter(col("lang") === "en")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val voc = cnt.agg(count_distinct(col("w2")).as("v"))
+    val scored = dbg
+      .join(cnt, Seq("w1", "w2"), "left_outer")
+      .join(uni, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("lang"), col("k"),
+        (-log2((coalesce(col("c12"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + col("v")))).as("nll"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("k") * col("nll")) / sum(col("k")), 4)
+        .as("bits_per_bigram"),
+        sum(col("k")).as("n_bigrams"))
+      .localCheckpoint() // value-count cutoffs + the output share it
+    // rank-free terciles: cumulative doc counts over DISTINCT rounded
+    // scores per language (grain bounded by the 4-dp rounding)
+    val vc = scored.groupBy(col("lang"), col("bits_per_bigram"))
+      .agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("lang")).orderBy(col("bits_per_bigram"))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(
+        cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(scored.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+        Seq("lang"))
+      .select(col("lang"), col("bits_per_bigram"),
+        when(col("cum") * 3 <= col("n"), lit("head"))
+          .when(col("cum") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    scored.join(cum, Seq("lang", "bits_per_bigram"))
+      .select(col("doc_id"), col("lang"), col("bits_per_bigram"),
+        col("n_bigrams"), col("ppl_bucket"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution — the
+    * mixture-drift monitor a multi-source pretraining pipeline runs per
+    * ingestion batch: KL(P_source ‖ P_corpus) in bits, with token and
+    * vocabulary mass per source. A source whose language model suddenly
+    * diverges (scraper broke, boilerplate flood, wrong-language feed)
+    * moves this number before any downstream metric does. No smoothing
+    * is needed: every term in the sum has c_sw ≥ 1 and the corpus count
+    * dominates the source count (c_w ≥ c_sw), so KL is finite and ≥ 0 by
+    * construction.
+    *
+    * Determinism discipline: all four counts are exact integers; each
+    * term evaluates log2 on exact longs (the q127/q263 gate-proven
+    * ln-of-integer-counts rule), written as log2(k)+log2(N)−log2(ns)−
+    * log2(cw) rather than one log of a product so no integer product can
+    * overflow at any corpus size; the per-source sum rounds to 4 dp.
+    *
+    * Scale shape: per-(source, word) counts are one content-keyed
+    * partial-aggregated shuffle; corpus word counts aggregate FROM those
+    * counts (never re-scanning text); the join back is word-keyed 1:1
+    * per source (no explosion — a hot word contributes |sources| rows,
+    * never df²); source totals and the corpus total broadcast. Output
+    * grain is |sources|. */
+  def sourceKl(s: SparkSession, d: String): DataFrame =
+    sourceKlDf(Tables.documents(s, d).select(col("source"), col("text")))
+
+  /** [[sourceKl]] over an arbitrary (source, text) frame. */
+  def sourceKlDf(docs: DataFrame): DataFrame = {
+    val csw = docs
+      .select(col("source"), explode(
+        expr("filter(split(lower(text), ' '), x -> x != '')")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // corpus counts + the term join share it
+    val cw = csw.groupBy(col("w")).agg(sum(col("k")).as("cw"))
+    val ns = csw.groupBy(col("source")).agg(sum(col("k")).as("ns"))
+    val nt = csw.agg(sum(col("k")).as("nn"))
+    csw.join(cw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("ns"),
+        ((col("k").cast("double") / col("ns")) *
+          (log2(col("k")) + log2(col("nn")) -
+            log2(col("ns")) - log2(col("cw")))).as("term"))
+      .groupBy(col("source"), col("ns"))
+      .agg(count(lit(1)).as("vocab"), round(sum(col("term")), 4).as("kl_bits"))
+      .select(col("source"), col("ns").as("n_tokens"), col("vocab"),
+        col("kl_bits"))
+  }
+
   // org.apache.spark.sql.functions.size, un-shadowed by method params
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

@@ -803,4 +803,157 @@ object Similarity {
   def semDedup(s: SparkSession, d: String,
       threshold: Double = 0.3): DataFrame =
     semDedupDf(s, vectors(s, d), threshold)
+
+  /** Filtered ANN — top-k under a metadata predicate (here: candidates
+    * must share the query's `label`, the same-class / same-tenant /
+    * same-language restriction every production vector store supports).
+    * The output is the EXACT filtered top-k (strong oracle: brute force
+    * within the label class, rounded-cosine + vec_id ordering), plus an
+    * in-query recall check of the FILTERED-IVF arm — the scale path —
+    * against that exact arm (the q31 discipline: the approximate arm is
+    * judged by ground truth computed in the same query).
+    *
+    * PRE-filtering is the design choice that matters: the label
+    * predicate applies at the inverted-list scan, before any scoring, so
+    * selectivity cuts work proportionally — post-filtering k results
+    * from an unfiltered search returns < k (or wrong) rows whenever the
+    * filter is selective. The filtered arm probes 2·NProbe buckets
+    * (double the unfiltered q31 budget) because a ~10%-selective
+    * predicate thins each probed bucket ~10× — probe widening against
+    * filter selectivity is the standard compensation, and the exact-arm
+    * comparison measures whether it suffices.
+    *
+    * Scale shape: both arms reuse the cached corpus index (same
+    * WarehouseCache artifacts as q31 — the index is built once per
+    * corpus snapshot, filters are per-query); queries broadcast; top-k
+    * is the bounded-heap aggregate; the corpus never shuffles. */
+  def filteredTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val vl = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("emb"))
+    val v = vl.select(col("vec_id"), col("emb"))
+    val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
+    val sfx = WarehouseCache.dirSuffix(d)
+    val cents = WarehouseCache.cachedParquet(
+      s, s"graft_ivf_centroids$sfx", fp)(kmeansCentroids(s, v))
+    val assigned = WarehouseCache.cachedParquet(
+      s, s"graft_ivf_lists$sfx", fp)(nearestCentroid(s, v, cents))
+    filteredTopKDf(s, vl, cents, assigned, k)
+  }
+
+  /** [[filteredTopK]] over an arbitrary (vec_id, label, emb) frame with
+    * the IVF index (cents, assigned lists) supplied by the caller. */
+  def filteredTopKDf(s: SparkSession, vl: DataFrame, cents: DataFrame,
+      assigned: DataFrame, k: Int): DataFrame = {
+    val q = vl.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    val exact = vl
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+      .localCheckpoint() // the output AND the recall compare read it
+
+    // filtered-IVF arm over the supplied (cached in the (s, d) form) index
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        cosine(col("q_emb"), col("cent_emb")).as("cdist"))
+      .withColumn("crk", row_number().over(pw))
+      .filter(col("crk") <= 2 * NProbe)
+      .select(col("query_id"), col("cent_id"))
+      .join(broadcast(q), Seq("query_id"))
+    val ivf = assigned
+      .join(vl.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(probes, Seq("cent_id"))
+      .filter(col("label") === col("q_label") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+
+    val recall = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val nEx = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_ex"))
+    exact
+      .join(broadcast(nEx.join(recall, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) * 2 >= col("n_ex"))
+            .as("ivf_recall_ok"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"),
+        col("ivf_recall_ok"))
+  }
+
+  /** Embedding-space outlier detection — the semantic quality filter a
+    * curation pipeline runs over encoder outputs (the batch analogue of
+    * CLIP-score filtering): score every vector by cosine to its class
+    * centroid and flag the class's most atypical third. Mislabeled,
+    * off-topic, or encoder-degenerate items sit far from their class
+    * center; SemDeDup (q256) removes the over-REPRESENTED end of the
+    * embedding space, this removes the UNDER-cohesive end — the two
+    * complementary embedding-side curation signals.
+    *
+    * Determinism discipline: centroid component sums accumulate in
+    * DECIMAL(30,12) (order-independent ring — the q165 k-means rule) and
+    * round to 7 dp, so both engines score against bit-identical
+    * centroids; cosines round to 6 dp (q30); the low/mid/high cut is
+    * RANK-FREE — per-label cumulative counts over DISTINCT rounded
+    * similarities (the q263 value-count compression), bucket by integer
+    * compare, ties share a bucket.
+    *
+    * Scale shape: the centroid aggregate is a partial-aggregated
+    * (label, dim) shuffle — state per mapper is |labels|·dim cells
+    * regardless of corpus size — and the centroid table (|labels| rows)
+    * broadcasts back; scoring is map-side; the bucket cut runs over the
+    * value-count frame whose grain the 6-dp rounding bounds. No pair
+    * joins, no per-label ranking window over data rows. */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame =
+    embeddingOutliersDf(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("emb")))
+
+  /** [[embeddingOutliers]] over an arbitrary (vec_id, label, emb) frame. */
+  def embeddingOutliersDf(v: DataFrame): DataFrame = {
+    val cent = v
+      .select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x").cast("decimal(30,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        round(col("sx").cast("double") / col("n"), 7).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        e => e("m")).as("cent"))
+    val sims = v.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("emb"), col("cent")), 6).as("centroid_sim"))
+      .localCheckpoint() // value-count cutoffs + the output share it
+    val vc = sims.groupBy(col("label"), col("centroid_sim"))
+      .agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("label")).orderBy(col("centroid_sim"))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(
+        cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(sims.groupBy(col("label")).agg(count(lit(1)).as("n")),
+        Seq("label"))
+      .select(col("label"), col("centroid_sim"),
+        when(col("cum") * 3 <= col("n"), lit("low"))
+          .when(col("cum") * 3 <= col("n") * 2, lit("mid"))
+          .otherwise(lit("high")).as("sim_bucket"))
+    sims.join(cum, Seq("label", "centroid_sim"))
+      .select(col("vec_id"), col("label"), col("centroid_sim"),
+        col("sim_bucket"), (col("sim_bucket") === "low").as("outlier"))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.similarity.Similarity
+
+/** q264 embedding outliers, q265 per-source unigram KL — pins the
+  * semantics the testdata oracle can't isolate: centroid geometry and
+  * the rank-free low/mid/high rule (q264), hand-computed KL values, the
+  * KL ≥ 0 law, and exact count reconciliation (q265). */
+class OutlierSourceKlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // -------------------------------------------------------- q264
+
+  test("embedding outliers: the off-axis vector flags low, the cohesive " +
+      "mass doesn't; tercile counts follow the integer rule") {
+    // 6 vectors on label 0: five near e1 with tiny distinct nudges
+    // (distinct sims), one orthogonal (e2) — the semantic outlier
+    val e = (0 until 5).map { i =>
+      (i.toLong, 0, Seq(1.0, 0.001 * i, 0.0, 0.0))
+    } :+ (9L, 0, Seq(0.0, 1.0, 0.0, 0.0))
+    val out = Similarity.embeddingOutliersDf(
+        e.toDF("vec_id", "label", "emb"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(out.size === 6)
+    // the orthogonal vector has the lowest sim and lands in 'low'
+    assert(out(9L)._2 === "low" && out(9L)._3)
+    assert(out(9L)._1 < out.filterKeys(_ != 9L).values.map(_._1).min)
+    // 6 distinct sims → exactly 2 low / 2 mid / 2 high (cum*3<=n rule)
+    val buckets = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(buckets === Map("low" -> 2, "mid" -> 2, "high" -> 2))
+    // outlier ⟺ bucket == low, everywhere
+    out.values.foreach { case (_, b, o) => assert(o === (b == "low")) }
+  }
+
+  test("embedding outliers: labels are scored independently — a vector " +
+      "atypical for its OWN class flags even if common globally") {
+    // label 0 clusters on e1; label 1 clusters on e2 plus one e1-aligned
+    // defector: globally e1 is the majority direction, but within label
+    // 1 the defector is the outlier
+    val l0 = (0 until 6).map(i =>
+      (i.toLong, 0, Seq(1.0, 0.001 * i, 0.0, 0.0)))
+    val l1 = (10 until 16).map(i =>
+      (i.toLong, 1, Seq(0.001 * (i - 10), 1.0, 0.0, 0.0))) :+
+      (99L, 1, Seq(1.0, 0.0, 0.0, 0.0))
+    val out = Similarity.embeddingOutliersDf(
+        (l0 ++ l1).toDF("vec_id", "label", "emb"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(99L), "the cross-class defector must flag in its own class")
+    // the cohesive core of label 0 is not poisoned by label 1's mass
+    assert(!out(2L) || !out(3L))
+  }
+
+  test("embedding outliers on testdata: every vector bucketed, " +
+      "per-label terciles near-balanced, outlier ⟺ low") {
+    val out = Similarity.embeddingOutliers(spark, sf0001).cache()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(out.count() === n)
+    val rows = out.collect().map(r =>
+      (r.getInt(1), r.getString(3), r.getBoolean(4)))
+    rows.foreach { case (_, b, o) => assert(o === (b == "low")) }
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      val c = rs.groupBy(_._2).view.mapValues(_.size).toMap
+      val m = rs.size / 3
+      Seq("low", "mid", "high").foreach { b =>
+        assert(math.abs(c.getOrElse(b, 0) - m) <= 2, s"label $l: $c")
+      }
+    }
+    out.unpersist()
+  }
+
+  // -------------------------------------------------------- q265
+
+  test("source KL: uniform sources score 0; a skewed source scores the " +
+      "hand-computed divergence") {
+    val d = Seq(
+      ("a", "x x x y"), // p_a = (3/4, 1/4)
+      ("b", "y"))       // p_b = (0, 1) over {x, y}; corpus x:3 y:2
+      .toDF("source", "text")
+    val out = TextQueries.sourceKlDf(d)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 === 4L && out("a")._2 === 2L)
+    assert(out("b")._1 === 1L && out("b")._2 === 1L)
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // KL(a) = 3/4·log2((3/4)/(3/5)) + 1/4·log2((1/4)/(2/5))
+    val klA = 0.75 * lg2(0.75 / 0.6) + 0.25 * lg2(0.25 / 0.4)
+    // KL(b) = 1·log2(1/(2/5))
+    val klB = lg2(1.0 / 0.4)
+    assert(math.abs(out("a")._3 - klA) < 1e-3, s"${out("a")._3} vs $klA")
+    assert(math.abs(out("b")._3 - klB) < 1e-3, s"${out("b")._3} vs $klB")
+    // and a source that IS the corpus distribution scores exactly 0
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    TextQueries.sourceKlDf(same).collect()
+      .foreach(r => assert(r.getDouble(3) === 0.0))
+  }
+
+  test("source KL on testdata: every source present, KL ≥ 0, token " +
+      "mass reconciles with the corpus") {
+    val out = TextQueries.sourceKl(spark, sf0001).cache()
+    val srcs = Tables.documents(spark, sf0001)
+      .select(col("source")).distinct().count()
+    assert(out.count() === srcs)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(3)))
+    // Gibbs' inequality, up to the 4-dp rounding
+    rows.foreach { case (s, _, kl) => assert(kl >= -0.0001, s"$s: $kl") }
+    val totTok = Tables.documents(spark, sf0001)
+      .select(expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum === totTok)
+    out.unpersist()
+  }
+}

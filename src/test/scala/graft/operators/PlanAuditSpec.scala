@@ -227,6 +227,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("winnowing is a join-free scan projection: zero joins, zero " +
+      "exchanges — rows never interact") {
+    val p = plan(TextQueries.winnowing(spark, sf0001))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("substring dedup: hash-keyed joins only (no pair explosion), " +
+      "partial+final dup count, per-doc coverage window stays partitioned") {
+    val df = Dedup.substringDedup(spark, sf0001)
+    val p = plan(df)
+    // candidate structure is occurrence-keyed — a cartesian/nested-loop
+    // join here would be the df² pair explosion the design avoids
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the global duplicate detection combines map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    // coverage lead() runs per doc_id, never as a global window
+    assert(globalWindows(df).isEmpty, p.take(3000))
+  }
+
   test("bloom-pruned join probes on the scan side of the exchange and " +
     "stays transparent") {
     val df = Relational.bloomPrunedJoin(spark, sf0001)
