@@ -299,6 +299,7 @@ object SparkEntry {
     "q263_ccnet_buckets" -> ((s, d) => TextQueries.ccnetBuckets(s, d)),
     "q264_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q265_source_kl" -> ((s, d) => TextQueries.sourceKl(s, d)),
+    "q266_mixture_planner" -> ((s, d) => Advanced.mixturePlanner(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3234,5 +3235,21 @@ object SparkEntry {
         "(log2(c.k) + log2(t.nn) - log2(n.ns) - log2(w.cw))), 4) " +
         "AS kl_bits FROM csw c JOIN cw w USING (w) " +
         "JOIN ns n USING (source), nt t GROUP BY 1, 2"),
+    "q266_mixture_planner" ->
+      // exact integer token counts; shares re-quantize to 4 dp before
+      // every downstream use; the >4 flag compares the ROUNDED epochs
+      ("WITH tl AS (SELECT lang, CAST(sum(len(list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) " +
+        "AS n_tokens FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nn, " +
+        "sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS sp FROM tl), " +
+        "sh AS (SELECT lang, n_tokens, nn * 4 AS budget, " +
+        "round(pow(CAST(n_tokens AS DOUBLE), 0.3) / sp, 4) AS share " +
+        "FROM tl, tot) " +
+        "SELECT lang, n_tokens, share, " +
+        "round(share * budget, 2) AS target_tokens, " +
+        "round(share * budget / n_tokens, 4) AS epochs, " +
+        "round(share * budget / n_tokens, 4) > 4.0 AS over_four_epochs " +
+        "FROM sh"),
   )
 }

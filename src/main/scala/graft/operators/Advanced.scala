@@ -996,6 +996,53 @@ object Advanced {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Temperature-smoothed mixture planning with epoch accounting — the
+    * run-planning step before any multilingual/multi-source training
+    * job: exponent-smoothed sampling shares p_l ∝ n_l^α with α = 0.3
+    * (the XLM-R / mBERT smoothing that up-weights low-resource slices
+    * without letting them dominate), a token budget T = 4× the corpus
+    * (a multi-epoch run), and per-language epoch counts
+    * epochs_l = p_l·T / n_l — flagging languages pushed past 4 epochs,
+    * the repetition-harm threshold of Muennighoff et al. 2023 ("Scaling
+    * Data-Constrained Language Models": value decays rapidly after ~4
+    * repeats). This is the planner whose output q253's rebalance and
+    * q258's packing consume.
+    *
+    * Determinism discipline: token counts are exact integers; the
+    * budget is an exact integer ×4; pow/division evaluate on exact
+    * longs and shares RE-QUANTIZE to 4 dp before every downstream use
+    * (the q165 per-round rule), so target/epoch arithmetic sees
+    * bit-identical inputs on both engines; the >4 flag compares the
+    * ROUNDED epochs value.
+    *
+    * Scale shape: one per-(lang) token-count aggregate (partial-
+    * aggregated, |langs| rows out), a |langs|-row cross join against
+    * the one-row total — the whole plan after the scan is metadata-
+    * sized. Output grain is |langs|. */
+  def mixturePlanner(s: SparkSession, d: String): DataFrame =
+    mixturePlannerDf(Tables.documents(s, d)
+      .select(col("lang"), col("text")))
+
+  /** [[mixturePlanner]] over an arbitrary (lang, text) frame. */
+  def mixturePlannerDf(docs: DataFrame): DataFrame = {
+    val tl = docs
+      .select(col("lang"),
+        size(expr("filter(split(lower(text), ' '), x -> x != '')"))
+          .cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+    val tot = tl.agg(sum(col("n_tokens")).as("nn"),
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("sp"))
+    tl.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"), (col("nn") * 4).as("budget"),
+        round(pow(col("n_tokens").cast("double"), lit(0.3)) / col("sp"), 4)
+          .as("share"))
+      .select(col("lang"), col("n_tokens"), col("share"),
+        round(col("share") * col("budget"), 2).as("target_tokens"),
+        round(col("share") * col("budget") / col("n_tokens"), 4)
+          .as("epochs"))
+      .withColumn("over_four_epochs", col("epochs") > 4.0)
+  }
+
   /** End-to-end corpus curation — the composed form of the curation
     * family, run as ONE query: quality gate (Gopher top-2-gram flag ∥
     * duplicate-token fraction > 0.7 ∥ length < 10, all integer

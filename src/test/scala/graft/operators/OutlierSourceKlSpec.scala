@@ -98,6 +98,46 @@ class OutlierSourceKlSpec extends SparkTestBase {
       .foreach(r => assert(r.getDouble(3) === 0.0))
   }
 
+  // -------------------------------------------------------- q266
+
+  test("mixture planner: hand-computed α=0.3 shares and epochs; the " +
+      "low-resource slice flags past 4 epochs") {
+    // lang a: 16 tokens, lang b: 1 token; budget = 4·17 = 68
+    val d = Seq(
+      ("a", (1 to 16).map(i => s"t$i").mkString(" ")),
+      ("b", "solo")).toDF("lang", "text")
+    val out = Advanced.mixturePlannerDf(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val sp = math.pow(16, 0.3) + 1.0
+    val shA = math.round(math.pow(16, 0.3) / sp * 1e4) / 1e4
+    val shB = math.round(1.0 / sp * 1e4) / 1e4
+    assert(out("a")._1 === 16L && out("b")._1 === 1L)
+    assert(out("a")._2 === shA && out("b")._2 === shB)
+    assert(math.abs(out("a")._3 - shA * 68 / 16) < 1e-3)
+    assert(math.abs(out("b")._3 - shB * 68) < 1e-3)
+    // b is pushed to ~20 epochs by the smoothing — flagged; a is not
+    assert(out("b")._4 && !out("a")._4)
+  }
+
+  test("mixture planner on testdata: shares sum to 1, targets sum to " +
+      "the budget, epochs decrease with slice size (α < 1 up-weights)") {
+    val rows = Advanced.mixturePlanner(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length >= 2)
+    val totTok = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._4).sum - 4.0 * totTok) < 4.0 * totTok * 1e-3)
+    // epochs_l ∝ n_l^(α−1) is strictly decreasing in n_l
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(small, large) =>
+        assert(small._5 >= large._5, s"$small vs $large")
+      case _ =>
+    }
+  }
+
   test("source KL on testdata: every source present, KL ≥ 0, token " +
       "mass reconciles with the corpus") {
     val out = TextQueries.sourceKl(spark, sf0001).cache()
