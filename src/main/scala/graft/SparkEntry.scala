@@ -300,6 +300,8 @@ object SparkEntry {
     "q264_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q265_source_kl" -> ((s, d) => TextQueries.sourceKl(s, d)),
     "q266_mixture_planner" -> ((s, d) => Advanced.mixturePlanner(s, d)),
+    "q267_substring_dedup_apply" ->
+      ((s, d) => Dedup.substringDedupApply(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3251,5 +3253,31 @@ object SparkEntry {
         "round(share * budget / n_tokens, 4) AS epochs, " +
         "round(share * budget / n_tokens, 4) > 4.0 AS over_four_epochs " +
         "FROM sh"),
+    "q267_substring_dedup_apply" ->
+      // covered positions explode K rows per duplicated occurrence;
+      // the rebuild is string_agg ORDER BY pos; short docs pass through
+      // verbatim (they can never contain a K-window)
+      ("WITH base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w " +
+        "FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS w FROM documents)), " +
+        "wins AS (SELECT doc_id, i, " +
+        "md5(array_to_string(w[i+1:i+8], ' ')) AS h FROM (" +
+        "SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i " +
+        "FROM base WHERE len(w) >= 8)), " +
+        "dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, i + x AS pos FROM (" +
+        "SELECT doc_id, i, unnest(range(0, 8)) AS x " +
+        "FROM wins JOIN dup USING (h))), " +
+        "toks AS (SELECT doc_id, i AS pos, w[i+1] AS tok FROM (" +
+        "SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM base)), " +
+        "keptt AS (SELECT t.doc_id, count(*) AS n_kept, " +
+        "string_agg(t.tok, ' ' ORDER BY t.pos) AS kept_text " +
+        "FROM toks t LEFT JOIN cov c " +
+        "ON t.doc_id = c.doc_id AND t.pos = c.pos " +
+        "WHERE c.doc_id IS NULL GROUP BY 1) " +
+        "SELECT b.doc_id, b.n_tok, coalesce(n_kept, 0) AS n_kept, " +
+        "b.n_tok - coalesce(n_kept, 0) AS removed_tokens, " +
+        "md5(coalesce(kept_text, '')) AS kept_fp " +
+        "FROM base b LEFT JOIN keptt USING (doc_id)"),
   )
 }

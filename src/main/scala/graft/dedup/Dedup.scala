@@ -675,4 +675,69 @@ object Dedup {
         (coalesce(col("dup_tokens"), lit(0L)) * 5 > col("n_tok"))
           .as("flagged"))
   }
+
+  /** Substring-level dedup APPLY — the rewrite half of Lee et al. 2021's
+    * ExactSubstr: every token covered by ANY corpus-duplicated K-window
+    * is cut out and the document is reassembled from the surviving
+    * tokens (the paper's span removal, not whole-doc dropping).
+    * [[substringDedup]] measures; this rewrites. Documents shorter than
+    * K tokens can never contain a window and pass through VERBATIM —
+    * the apply preserves the corpus, unlike the census which skips them.
+    *
+    * Output per doc: original/kept token counts, the removed-token
+    * count (which equals the census's interval-union `dup_tokens` by
+    * construction — the spec pins the reconciliation), and an md5
+    * fingerprint of the reassembled text (exact, and keeps the output
+    * row narrow at any document size).
+    *
+    * Scale shape: everything [[substringDedupDf]] argues, plus: covered
+    * positions explode K rows per duplicated OCCURRENCE (linear — never
+    * d² for a window duplicated d times), distinct per (doc, pos), and
+    * the rebuild is a per-document sorted reassembly
+    * (sort_array(collect_list)) whose grain is one document's tokens —
+    * bounded by document length at any corpus size, the same per-doc
+    * contract as the census's lead() window. */
+  def substringDedupApply(s: SparkSession, d: String): DataFrame =
+    substringDedupApplyDf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[substringDedupApply]] over an arbitrary (doc_id, text) frame. */
+  def substringDedupApplyDf(docs: DataFrame, k: Int = 8): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        col("w"))
+      .localCheckpoint() // window census + the rebuild both read it
+    val wins = base
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(w) - $k), i -> " +
+          s"md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+          .as(Seq("i", "h")))
+      .localCheckpoint() // dup counts + occurrence join share it
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    // covered token positions: K rows per duplicated occurrence, then
+    // distinct — linear in occurrences, never quadratic in dup count
+    val covered = wins.join(dup, Seq("h"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          e => e("tok"))).as("kept_text"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L)))
+          .as("removed_tokens"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_fp"))
+  }
 }

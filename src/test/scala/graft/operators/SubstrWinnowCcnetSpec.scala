@@ -67,6 +67,44 @@ class SubstrWinnowCcnetSpec extends SparkTestBase {
     assert(out(1L) === 10L && out(2L) === 10L) // union of 3 windows = 10
   }
 
+  // -------------------------------------------------------- q267
+
+  test("substring dedup apply: duplicated spans are cut, survivors " +
+      "reassemble in order, short docs pass through verbatim") {
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> (shared + " xa xb xc"),
+      2L -> ("ya yb " + shared + " yc"),
+      3L -> "a b c") // < 8 tokens: untouched
+    val out = Dedup.substringDedupApplyDf(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.size === 3)
+    // doc 1: 9 shared tokens cut, "xa xb xc" survives
+    assert(out(1L)._1 === 12L && out(1L)._2 === 3L && out(1L)._3 === 9L)
+    assert(out(1L)._4 === md5hex("xa xb xc"))
+    assert(out(2L)._4 === md5hex("ya yb yc"))
+    // the short doc is verbatim — removed 0, fingerprint of itself
+    assert(out(3L)._3 === 0L && out(3L)._4 === md5hex("a b c"))
+  }
+
+  test("substring dedup apply reconciles with the census: " +
+      "removed_tokens equals the census dup_tokens on testdata") {
+    val census = Dedup.substringDedup(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val applied = Dedup.substringDedupApply(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(applied.nonEmpty)
+    applied.foreach { case (id, nTok, removed) =>
+      census.get(id) match {
+        case Some(dup) => assert(removed === dup, s"doc $id")
+        case None => assert(removed === 0L, s"short doc $id must be intact")
+      }
+      assert(removed >= 0L && removed <= nTok)
+    }
+  }
+
   // -------------------------------------------------------- q261
 
   private def md5hex(s: String): String =
