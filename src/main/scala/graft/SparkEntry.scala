@@ -302,6 +302,7 @@ object SparkEntry {
     "q266_mixture_planner" -> ((s, d) => Advanced.mixturePlanner(s, d)),
     "q267_substring_dedup_apply" ->
       ((s, d) => Dedup.substringDedupApply(s, d)),
+    "q268_hashed_drift" -> ((s, d) => TextQueries.hashedDrift(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3279,5 +3280,22 @@ object SparkEntry {
         "b.n_tok - coalesce(n_kept, 0) AS removed_tokens, " +
         "md5(coalesce(kept_text, '')) AS kept_fp " +
         "FROM base b LEFT JOIN keptt USING (doc_id)"),
+    "q268_hashed_drift" ->
+      // 256 md5-prefix buckets; Laplace-smoothed reference; log2 on
+      // exact integers term-by-term; 4-dp round after the sum
+      ("WITH tok AS (SELECT source, substr(md5(w), 1, 2) AS b FROM (" +
+        "SELECT source, unnest(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '')) AS w FROM documents)), " +
+        "csb AS (SELECT source, b, count(*) AS k FROM tok GROUP BY 1, 2), " +
+        "ref AS (SELECT b, CAST(sum(k) AS BIGINT) AS cr FROM csb " +
+        "GROUP BY 1), " +
+        "nt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM ref), " +
+        "ns AS (SELECT source, CAST(sum(k) AS BIGINT) AS ns FROM csb " +
+        "GROUP BY 1) " +
+        "SELECT c.source, n.ns AS n_tokens, " +
+        "round(sum((c.k / CAST(n.ns AS DOUBLE)) * " +
+        "(log2(c.k) + log2(t.nr + 256) - log2(n.ns) - log2(r.cr + 1))), 4) " +
+        "AS kl_bits FROM csb c JOIN ref r USING (b) " +
+        "JOIN ns n USING (source), nt t GROUP BY 1, 2"),
   )
 }

@@ -1339,6 +1339,95 @@ object TextQueries {
         col("kl_bits"))
   }
 
+  /** Hashed-bucket distribution drift — q265's KL monitor in FROZEN-MODEL
+    * form: tokens collapse to 256 md5-prefix buckets (the q257 DSIR
+    * feature space), the reference distribution is the corpus' own
+    * bucket counts, and each source scores KL(source ‖ reference) in
+    * bits. The full-vocab q265 is the precise offline monitor; this is
+    * the apply-side shape — the reference model is ≤ 256 rows (a
+    * broadcast literal in the frozen form), so scoring needs NO
+    * corpus-sized model join at all: per-(source, bucket) counts whose
+    * post-partial-agg grain is |sources|·256, then a map-side lookup.
+    * [[driftReference]]/[[driftApplyDf]] split the same computation into
+    * train-once / score-anything (including an unbounded stream — see
+    * graft.streaming.StreamingDrift), the q257 dsirLambda/dsirApply
+    * architecture.
+    *
+    * The reference smooths Laplace-style ((c_ref+1)/(N_ref+256), the
+    * q263 discipline) so a bucket the reference never saw stays finite;
+    * KL(p ‖ q) ≥ 0 survives smoothing (Σq ≤ 1 only adds log(1/Σq) ≥ 0).
+    * Terms evaluate log2 on exact longs, separately (overflow-free at
+    * any corpus size); the per-source sum rounds to 4 dp. */
+  def hashedDrift(s: SparkSession, d: String): DataFrame =
+    hashedDriftDf(Tables.documents(s, d).select(col("source"), col("text")))
+
+  /** [[hashedDrift]] over an arbitrary (source, text) frame. */
+  def hashedDriftDf(docs: DataFrame): DataFrame = {
+    val csb = docs
+      .select(col("source"), explode(expr(
+        "transform(filter(split(lower(text), ' '), x -> x != ''), " +
+          "t -> substring(md5(t), 1, 2))")).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("k"))
+      .localCheckpoint() // reference counts + the scoring share it
+    val ref = csb.groupBy(col("b")).agg(sum(col("k")).as("cr"))
+    val nt = ref.agg(sum(col("cr")).as("nr"))
+    val ns = csb.groupBy(col("source")).agg(sum(col("k")).as("ns"))
+    csb.join(broadcast(ref), Seq("b"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("ns"),
+        ((col("k").cast("double") / col("ns")) *
+          (log2(col("k")) + log2(col("nr") + 256) -
+            log2(col("ns")) - log2(col("cr") + 1))).as("term"))
+      .groupBy(col("source"), col("ns"))
+      .agg(round(sum(col("term")), 4).as("kl_bits"))
+      .select(col("source"), col("ns").as("n_tokens"), col("kl_bits"))
+  }
+
+  /** Train-once half: the frozen ≤256-entry reference bucket counts of a
+    * corpus, as a driver map — the model [[driftApplyDf]] and
+    * StreamingDrift score against. Bounded collect by construction. */
+  def driftReference(docs: DataFrame): Map[String, Long] =
+    docs
+      .select(explode(expr(
+        "transform(filter(split(lower(text), ' '), x -> x != ''), " +
+          "t -> substring(md5(t), 1, 2))")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Score-anything half: per-source KL against a FROZEN reference.
+    * The model enters as a ≤256-entry map literal (no join with any
+    * corpus-sized table); the only shuffle is the per-(source, bucket)
+    * count whose post-partial-agg grain is |sources|·256. Works
+    * unchanged on a streaming frame in complete/update-mode aggregation;
+    * StreamingDrift holds the same counts as keyed state instead. */
+  def driftApplyDf(docs: DataFrame, ref: Map[String, Long]): DataFrame = {
+    val nr = ref.values.sum
+    val keys = ref.keys.toSeq.sorted
+    val m = map_from_arrays(
+      array(keys.map(lit): _*),
+      array(keys.map(k => lit(ref(k))): _*))
+    docs
+      .select(col("source"), explode(expr(
+        "transform(filter(split(lower(text), ' '), x -> x != ''), " +
+          "t -> substring(md5(t), 1, 2))")).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("k"))
+      .select(col("source"), col("k"),
+        coalesce(element_at(m, col("b")), lit(0L)).as("cr"))
+      .groupBy(col("source"))
+      // Σ (k/ns)·(log2 k − log2 ns + C_b) = [Σ k·(log2 k + C_b)]/ns −
+      // log2 ns with C_b = log2(nr+256) − log2(cr+1): ns folds out of
+      // the per-term sum, so ONE aggregation pass suffices (no
+      // source-totals rejoin) — stream-safe in update mode
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("double") *
+          (log2(col("k")) + log2(lit(nr + 256.0)) - log2(col("cr") + 1)))
+          .as("part"))
+      .select(col("source"), col("n_tokens"),
+        round(col("part") / col("n_tokens") - log2(col("n_tokens")), 4)
+          .as("kl_bits"))
+  }
+
   // org.apache.spark.sql.functions.size, un-shadowed by method params
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

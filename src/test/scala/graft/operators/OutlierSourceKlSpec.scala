@@ -138,6 +138,75 @@ class OutlierSourceKlSpec extends SparkTestBase {
     }
   }
 
+  // -------------------------------------------------------- q268
+
+  private def bucket(tok: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(2)
+
+  test("hashed drift: frozen-model apply matches the in-query batch " +
+      "form on testdata; KL ≥ 0 under the smoothed reference") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text"))
+    val batch = TextQueries.hashedDriftDf(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.nonEmpty)
+    batch.values.foreach { case (_, kl) => assert(kl >= -0.0001) }
+    val ref = TextQueries.driftReference(docs)
+    assert(ref.size <= 256 && ref.keys.forall(_.length == 2))
+    val applied = TextQueries.driftApplyDf(docs, ref)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(applied.keySet === batch.keySet)
+    applied.foreach { case (s, (n, kl)) =>
+      assert(n === batch(s)._1, s"source $s token count")
+      assert(math.abs(kl - batch(s)._2) <= 1e-3,
+        s"source $s: apply $kl vs batch ${batch(s)._2}")
+    }
+  }
+
+  test("streaming drift: cumulative keyed state scores like the batch " +
+      "of everything seen; a skewed source reads higher than a " +
+      "reference-like one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDrift
+    // reference corpus: a/b/c-heavy mix
+    val refDocs = Seq.fill(8)(("r", "aa bb cc dd")).toDF("source", "text")
+    val ref = TextQueries.driftReference(refDocs)
+    val input = MemoryStream[(String, String)](spark)
+    val rows = input.toDS()
+    val q = StreamingDrift.drift(rows, ref)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("update").start()
+    try {
+      def toks(s: String, t: String) =
+        t.split(" ").filter(_.nonEmpty).map(w => (s, bucket(w))).toSeq
+      // trigger 1: src1 looks like the reference; src2 is skewed
+      input.addData(toks("src1", "aa bb cc dd") ++
+        toks("src2", "zz zz zz zz"))
+      q.processAllAvailable()
+      // trigger 2: more of the same — state must ACCUMULATE
+      input.addData(toks("src1", "aa bb cc dd") ++
+        toks("src2", "zz zz yy yy"))
+      q.processAllAvailable()
+      val fin = spark.table("drift_stream")
+        .as[(String, Long, Double)].collect()
+        .groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._2) }
+      assert(fin("src1")._2 === 8L && fin("src2")._2 === 8L)
+      // stream state after both triggers == driver-side batch recompute
+      val c1 = toks("src1", "aa bb cc dd aa bb cc dd")
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c2 = toks("src2", "zz zz zz zz zz zz yy yy")
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(fin("src1")._3 === StreamingDrift.klBits(c1, ref))
+      assert(fin("src2")._3 === StreamingDrift.klBits(c2, ref))
+      // and the skewed source is the drifted one
+      assert(fin("src2")._3 > fin("src1")._3 + 1.0)
+    } finally q.stop()
+  }
+
   test("source KL on testdata: every source present, KL ≥ 0, token " +
       "mass reconciles with the corpus") {
     val out = TextQueries.sourceKl(spark, sf0001).cache()
