@@ -303,6 +303,8 @@ object SparkEntry {
     "q267_substring_dedup_apply" ->
       ((s, d) => Dedup.substringDedupApply(s, d)),
     "q268_hashed_drift" -> ((s, d) => TextQueries.hashedDrift(s, d)),
+    "q269_ivf_delta_ingest" ->
+      ((s, d) => Similarity.ivfDeltaRecallCheck(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3297,5 +3299,21 @@ object SparkEntry {
         "(log2(c.k) + log2(t.nr + 256) - log2(n.ns) - log2(r.cr + 1))), 4) " +
         "AS kl_bits FROM csb c JOIN ref r USING (b) " +
         "JOIN ns n USING (source), nt t GROUP BY 1, 2"),
+    "q269_ivf_delta_ingest" ->
+      // exact truth counts reproduce in SQL (full-corpus brute force,
+      // rounded cosine + vec_id order); both recall booleans are
+      // computed in-query against that exact arm → literal true here
+      ("WITH bf AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS rk " +
+        "FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id " +
+        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5) " +
+        "SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries, " +
+        "count(*) AS n_truth, " +
+        "CAST(count(*) FILTER (WHERE neighbor_id % 7 = 3) AS BIGINT) " +
+        "AS delta_truth, true AS recall_ok, true AS delta_recall_ok " +
+        "FROM bf"),
   )
 }

@@ -896,6 +896,92 @@ object Similarity {
         col("ivf_recall_ok"))
   }
 
+  /** IVF index DELTA INGEST — the index-maintenance path every
+    * production vector store needs: a batch of NEW vectors joins an
+    * EXISTING index by assigning against the FROZEN centroids (one
+    * map-side broadcast-argmax pass over just the batch — the same
+    * per-batch cost shape as streaming ingestion), with NO re-clustering
+    * and NO touch of the existing inverted lists. Search runs over the
+    * union. The alternative — retraining k-means per batch — re-scans
+    * the whole corpus for every arriving batch and invalidates every
+    * cached list; frozen-centroid assignment is what FAISS's `add()`
+    * does after `train()`.
+    *
+    * The corpus splits deterministically (vec_id % 7 == 3 ≈ 14% plays
+    * the arriving batch); centroids train on the base only and cache
+    * under their own WarehouseCache key (the frozen offline artifact);
+    * the base lists cache too (delta ingest must not rebuild them); the
+    * delta assignment recomputes per run — by design, it IS the ingest
+    * cost being measured. Output is exact + invariant: query/truth
+    * counts (oracle = full-corpus brute force), the truth mass supplied
+    * by delta vectors (non-vacuous: the batch contains true neighbors),
+    * and recall booleans overall AND restricted to delta-supplied truth
+    * — proving newly ingested vectors are immediately findable through
+    * the frozen index at the same ≥ 0.5 bound as q31. */
+  def ivfDeltaRecallCheck(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val base = v.filter(col("vec_id") % 7 =!= 3)
+    val delta = v.filter(col("vec_id") % 7 === 3)
+    val fp = WarehouseCache.sourceFingerprint(s, d, "embeddings.parquet")
+    val sfx = WarehouseCache.dirSuffix(d)
+    val cents = WarehouseCache.cachedParquet(
+      s, s"graft_ivf_base_cents$sfx", fp)(kmeansCentroids(s, base))
+    val asgBase = WarehouseCache.cachedParquet(
+      s, s"graft_ivf_base_lists$sfx", fp)(nearestCentroid(s, base, cents))
+    val found = ivfDeltaTopKFrom(s, v, cents,
+      asgBase.unionByName(nearestCentroid(s, delta, cents)), 5)
+    val truth = bruteForceTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // totals + the hit join share it
+    val hits = truth
+      .join(found, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        count_if(col("neighbor_id") % 7 === 3).as("delta_hits"))
+    truth.agg(count_distinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_truth"),
+      count_if(col("neighbor_id") % 7 === 3).as("delta_truth"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_queries"), col("n_truth"), col("delta_truth"),
+        (col("n_hits") * 2 >= col("n_truth")).as("recall_ok"),
+        (col("delta_hits") * 2 >= col("delta_truth"))
+          .as("delta_recall_ok"))
+  }
+
+  /** Spec-facing form: centroids train on `base` alone, `delta` ingests
+    * by frozen-centroid assignment, search covers the union. Returns
+    * (query_id, neighbor_id) for queries = vec_id % QueryStep. */
+  def ivfDeltaTopKDf(s: SparkSession, base: DataFrame, delta: DataFrame,
+      k: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(s, base)
+    val assigned = nearestCentroid(s, base, cents)
+      .unionByName(nearestCentroid(s, delta, cents))
+    ivfDeltaTopKFrom(s, base.unionByName(delta), cents, assigned, k)
+  }
+
+  private def ivfDeltaTopKFrom(s: SparkSession, v: DataFrame,
+      cents: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    val q = v.filter(col("vec_id") % QueryStep === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        cosine(col("q_emb"), col("cent_emb")).as("cdist"))
+      .withColumn("crk", row_number().over(pw))
+      .filter(col("crk") <= NProbe)
+      .select(col("query_id"), col("cent_id"))
+      .join(broadcast(q), Seq("query_id"))
+    assigned
+      .join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+  }
+
   /** Embedding-space outlier detection — the semantic quality filter a
     * curation pipeline runs over encoder outputs (the batch analogue of
     * CLIP-score filtering): score every vector by cosine to its class

@@ -1,0 +1,51 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Tables
+
+/** q269 IVF delta ingest — new vectors join a frozen-centroid index with
+  * no re-clustering and are immediately findable. */
+class IvfDeltaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("delta ingest: a newly ingested vector is immediately findable " +
+      "through the frozen centroids") {
+    def vec(axis: Int, bump: Double): Seq[Double] = {
+      val a = Array.fill(4)(0.0); a(axis) = 1.0; a(0) += bump; a.toSeq
+    }
+    // base: two seed-eligible ids (0, 97) anchoring two directions plus
+    // cluster mass; query 300 (% 100 == 0) points along e1
+    val base = Seq(
+      (0L, vec(0, 0.0)), (1L, vec(0, 0.01)), (2L, vec(0, 0.02)),
+      (97L, vec(1, 0.0)), (98L, vec(1, 0.01)), (99L, vec(1, 0.02)),
+      (300L, vec(0, 0.05))).toDF("vec_id", "emb")
+    // the arriving batch: id 10 is (nearly) the query itself — the
+    // strongest possible true neighbor, visible ONLY via delta ingest
+    val delta = Seq((10L, vec(0, 0.05))).toDF("vec_id", "emb")
+    val found = Similarity.ivfDeltaTopKDf(spark, base, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q300 = found.filter(_._1 == 300L).map(_._2).toSet
+    assert(q300.contains(10L), s"delta vector not found: $q300")
+    // and no query returns itself
+    assert(found.forall { case (q, n) => q != n })
+  }
+
+  test("delta ingest on testdata: recall holds overall AND restricted " +
+      "to delta-supplied truth; the delta arm is non-vacuous") {
+    val r = Similarity.ivfDeltaRecallCheck(spark, sf0001).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val (nq, nt, dt) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nq > 0 && nt === nq * 5)
+    assert(dt > 0L, "the delta batch must supply some true neighbors")
+    assert(row.getBoolean(3), "overall recall")
+    assert(row.getBoolean(4), "delta-restricted recall")
+    // the deterministic split really is a split
+    val n = Tables.embeddings(spark, sf0001).count()
+    val nd = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 7 === 3).count()
+    assert(nd > 0 && nd < n)
+  }
+}
