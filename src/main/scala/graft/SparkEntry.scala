@@ -305,6 +305,7 @@ object SparkEntry {
     "q268_hashed_drift" -> ((s, d) => TextQueries.hashedDrift(s, d)),
     "q269_ivf_delta_ingest" ->
       ((s, d) => Similarity.ivfDeltaRecallCheck(s, d)),
+    "q270_dup_provenance" -> ((s, d) => Dedup.dupProvenance(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3315,5 +3316,18 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE neighbor_id % 7 = 3) AS BIGINT) " +
         "AS delta_truth, true AS recall_ok, true AS delta_recall_ok " +
         "FROM bf"),
+    "q270_dup_provenance" ->
+      // per-(cluster, source) counts, never materialized pairs; exact
+      // integer pair arithmetic; sums CAST AS BIGINT (HUGEINT rule)
+      ("WITH d AS (SELECT source, md5(array_to_string(list_sort(" +
+        "list_distinct(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> ''))), ' ')) AS h FROM documents), " +
+        "cs AS (SELECT h, source, count(*) AS n FROM d GROUP BY 1, 2) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(sum(CASE WHEN a.source = b.source " +
+        "THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END) AS BIGINT) " +
+        "AS n_pairs FROM cs a JOIN cs b ON a.h = b.h " +
+        "AND a.source <= b.source GROUP BY 1, 2 " +
+        "HAVING n_pairs > 0"),
   )
 }

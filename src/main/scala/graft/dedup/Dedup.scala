@@ -701,6 +701,47 @@ object Dedup {
     substringDedupApplyDf(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
 
+  /** Duplicate-provenance matrix — WHICH sources duplicate WHICH: for
+    * every canonical-dup cluster (q25's sorted-distinct-token-set key),
+    * count duplicate PAIRS per source pair — Σ over clusters of n_a·n_b
+    * (a<b) and C(n_a,2) on the diagonal. A pipeline owner reads this as
+    * the mirror-site / scraper-overlap report: a hot off-diagonal cell
+    * means two feeds ingest the same underlying corpus, and the fix is
+    * upstream (drop a feed), not per-document dedup.
+    *
+    * Scale shape: the pair counts come from per-(cluster, source)
+    * COUNTS, never materialized pairs — the per-cluster self-join fans
+    * out at most |sources|² rows per cluster REGARDLESS of cluster
+    * size (a million-doc mega-cluster is one row per source on each
+    * side), so there is no hot-cluster blow-up by construction; the
+    * cluster key is a 32-byte md5, one content-keyed shuffle. All
+    * arithmetic is exact integers. */
+  def dupProvenance(s: SparkSession, d: String): DataFrame =
+    dupProvenanceDf(
+      Tables.documents(s, d).select(col("source"), col("text")))
+
+  /** [[dupProvenance]] over an arbitrary (source, text) frame. */
+  def dupProvenanceDf(docs: DataFrame): DataFrame = {
+    val cs = docs
+      .select(col("source"),
+        md5(concat_ws(" ", array_sort(array_distinct(
+          expr("filter(split(lower(text), ' '), x -> x != '')")))))
+          .as("h"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both sides of the per-cluster source join
+    cs.select(col("h"), col("source").as("source_a"), col("n").as("na"))
+      .join(cs.select(col("h"), col("source").as("source_b"),
+        col("n").as("nb")), Seq("h"))
+      .filter(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("(na * (na - 1)) div 2"))
+          .otherwise(col("na") * col("nb")).as("p"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("p")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** [[substringDedupApply]] over an arbitrary (doc_id, text) frame. */
   def substringDedupApplyDf(docs: DataFrame, k: Int = 8): DataFrame = {
     val base = docs

@@ -105,6 +105,39 @@ class SubstrWinnowCcnetSpec extends SparkTestBase {
     }
   }
 
+  // -------------------------------------------------------- q270
+
+  test("dup provenance: crafted cross-source cluster yields the exact " +
+      "pair matrix; canonical key catches reordered/repeated tokens") {
+    val t = "alpha beta gamma delta"
+    val d = Seq(
+      ("A", t), ("A", "beta alpha delta gamma"),     // reorder → same key
+      ("B", "alpha beta beta gamma delta"),          // repeat → same key
+      ("A", "totally unrelated content here"),
+      ("C", "another unique document text")).toDF("source", "text")
+    val out = Dedup.dupProvenanceDf(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // cluster {A:2, B:1}: AA = C(2,2)=1, AB = 2·1 = 2; nothing else
+    assert(out === Map(("A", "A") -> 1L, ("A", "B") -> 2L))
+  }
+
+  test("dup provenance on testdata: matrix pair mass reconciles with " +
+      "per-cluster C(n,2) accounting") {
+    val matrix = Dedup.dupProvenance(spark, sf0001)
+      .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    val clusters = Tables.documents(spark, sf0001)
+      .select(md5(concat_ws(" ", array_sort(array_distinct(
+        expr("filter(split(lower(text), ' '), x -> x != '')")))))
+        .as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("tn"))
+      .filter(col("tn") >= 2)
+      .select(expr("sum((tn * (tn - 1)) div 2)").as("p"))
+      .collect()(0).getLong(0)
+    assert(matrix === clusters && matrix > 0L,
+      s"matrix $matrix vs clusters $clusters")
+  }
+
   // -------------------------------------------------------- q261
 
   private def md5hex(s: String): String =
