@@ -306,6 +306,8 @@ object SparkEntry {
     "q269_ivf_delta_ingest" ->
       ((s, d) => Similarity.ivfDeltaRecallCheck(s, d)),
     "q270_dup_provenance" -> ((s, d) => Dedup.dupProvenance(s, d)),
+    "q271_minhash_calibration" ->
+      ((s, d) => Dedup.minhashCalibration(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3329,5 +3331,19 @@ object SparkEntry {
         "AS n_pairs FROM cs a JOIN cs b ON a.h = b.h " +
         "AND a.source <= b.source GROUP BY 1, 2 " +
         "HAVING n_pairs > 0"),
+    "q271_minhash_calibration" ->
+      // exact 3-gram Jaccard over the fixed 100-doc panel; the
+      // signature-agreement estimate is judged in-query against this
+      // exact arm (binomial 6-sigma bound) → literal true here
+      ("WITH p AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))) " +
+        "AS g FROM (SELECT doc_id, list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '') AS t " +
+        "FROM documents WHERE doc_id < 100) WHERE len(t) >= 3) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / " +
+        "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) " +
+        "AS j_exact, true AS est_within_bound " +
+        "FROM p a JOIN p b ON a.doc_id < b.doc_id"),
   )
 }

@@ -213,9 +213,15 @@ object Dedup {
   val MinhashPrime = 2305843009213693951L // 2^61 - 1
   val HashDomain = 1000000007L
 
+  // Each family is a true permutation of Z_{1e9+7} (a·s wraps the
+  // modulus — see MinHashKernel for the q271-found degeneracy the
+  // previous coefficients had); products stay < 2^63 under ANSI.
   private val hashFamilies: Seq[(Long, Long)] =
     (0 until NumHashes).map { i =>
-      (2L * i + 1234567891L, 9876543210987L * (i + 1) + 11L)
+      (java.lang.Math.floorMod(2654435761L * (i + 1) + 1013904223L,
+        HashDomain - 1) + 1,
+        java.lang.Math.floorMod(40503L * 2654435761L * (i + 1) + 97531L,
+          HashDomain))
     }
 
   /** Spec accessor: the affine family coefficients (also mirrored by the
@@ -298,10 +304,14 @@ object Dedup {
     // verified candidate table caches once per documents snapshot
     // (WarehouseCache, same contract as the Jaccard pair table above) and
     // every threshold filters the unrounded jac identically to a rebuild.
+    // The fingerprint carries a kernel-version salt: this artifact is a
+    // function of the DATA *and* the hash family — without the salt, a
+    // kernel change (the q271-driven family fix) would silently serve
+    // candidates computed by the old family from cache.
     graft.operators.WarehouseCache.cachedParquet(s,
       s"graft_mhpairs_${graft.operators.WarehouseCache.dirSuffix(d)}",
       graft.operators.WarehouseCache
-        .sourceFingerprint(s, d, "documents.parquet")) {
+        .sourceFingerprint(s, d, "documents.parquet") + ":mhk2") {
       minhashCandidatesDf(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
     }
@@ -700,6 +710,59 @@ object Dedup {
   def substringDedupApply(s: SparkSession, d: String): DataFrame =
     substringDedupApplyDf(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** MinHash estimator calibration — certifies the statistical engine
+    * the whole LSH dedup stack (q27, q47, q83) rests on: over a FIXED
+    * 100-document calibration panel (fixed panel ⇒ the pair count is
+    * 4950 at ANY corpus size — calibration needs a sample, not the
+    * corpus), compare the NumHashes(=32)-permutation signature-agreement
+    * estimate of Jaccard against the EXACT 3-gram Jaccard, and assert
+    * the binomial error bound |est − J| ≤ 6·√(J(1−J)/32) + 3/32 per
+    * pair (6σ puts the per-regeneration violation probability near
+    * 1e-9 across the panel; the +3/32 absorbs shingle-hash modulus
+    * collisions — the estimator hashes shingles mod 1e9+7 while the
+    * exact arm compares literal trigram strings). The exact arm is the
+    * oracle-checked output; the estimate never leaves the query (DuckDB
+    * cannot reproduce the signature), entering only through the bound
+    * boolean — the q31 in-query-ground-truth discipline.
+    *
+    * Scale shape: the panel is 100 rows (broadcast both sides of the
+    * 4950-pair join); signatures come from the native per-row kernel;
+    * the corpus is scanned once with a doc_id < 100 pushed filter. */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame =
+    minhashCalibrationDf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[minhashCalibration]] over an arbitrary (doc_id, text) frame. */
+  def minhashCalibrationDf(docs: DataFrame): DataFrame = {
+    val panel = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 3))))").as("g"),
+        minhashSignature(col("t")).as("sig"))
+      .localCheckpoint() // both sides of the pair join read it
+    val a = panel.select(col("doc_id").as("doc_a"), col("g").as("ga"),
+      col("sig").as("sa"))
+    val b = panel.select(col("doc_id").as("doc_b"), col("g").as("gb"),
+      col("sig").as("sb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          (size(col("ga")) + size(col("gb")) -
+            size(array_intersect(col("ga"), col("gb"))))).as("j"),
+        (size(expr("filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)"))
+          .cast("double") /
+          graft.functions.MinHashKernel.NumHashes.toDouble).as("est"))
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("j_exact"),
+        (abs(col("est") - col("j")) <=
+          sqrt(col("j") * (lit(1.0) - col("j")) /
+            graft.functions.MinHashKernel.NumHashes.toDouble) * 6.0 +
+          3.0 / graft.functions.MinHashKernel.NumHashes.toDouble)
+          .as("est_within_bound"))
+  }
 
   /** Duplicate-provenance matrix — WHICH sources duplicate WHICH: for
     * every canonical-dup cluster (q25's sorted-distinct-token-set key),

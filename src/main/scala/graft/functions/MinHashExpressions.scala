@@ -28,15 +28,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 object MinHashKernel {
   val HashDomain = 1000000007L
-  val MinhashPrime = 2305843009213693951L // 2^61 - 1
+  val MinhashPrime = 2305843009213693951L // 2^61 - 1 (shingle-mix prime)
   val NumHashes = 32
   val XxSeed = 42L // Spark's xxhash64() seed
 
-  // affine family coefficients — mirrored by Dedup.hashFamilies
+  // Affine family coefficients — mirrored by Dedup.hashFamilies. Each
+  // family is a TRUE permutation of Z_{1e9+7}: v = (a·s + b) mod p with
+  // a drawn pseudo-randomly across [1, p−1] (Knuth multiplicative
+  // constants), so a·s wraps the modulus ~a times across the shingle
+  // range and the 32 argmins decorrelate. The original family
+  // (a_i = 2i + 1.23e9 mod 2^61−1) NEVER wrapped its modulus — products
+  // stayed below 2^61 — so every family shared one argmin and the
+  // signature was one permutation repeated 32×; q271's calibration
+  // caught it. Products stay < 2^63 (a, s < 2^30), so Spark-side ANSI
+  // mirrors can never overflow either.
   private val As: Array[Long] =
-    Array.tabulate(NumHashes)(i => 2L * i + 1234567891L)
+    Array.tabulate(NumHashes)(i =>
+      java.lang.Math.floorMod(2654435761L * (i + 1) + 1013904223L,
+        HashDomain - 1) + 1)
   private val Bs: Array[Long] =
-    Array.tabulate(NumHashes)(i => 9876543210987L * (i + 1) + 11L)
+    Array.tabulate(NumHashes)(i =>
+      java.lang.Math.floorMod(40503L * 2654435761L * (i + 1) + 97531L,
+        HashDomain))
 
   /** 3-gram shingle-hash multiset of a token array (order-preserving). */
   def shingleHashes(tokens: ArrayData): Array[Long] = {
@@ -81,7 +94,7 @@ object MinHashKernel {
       val s = sh(i)
       var j = 0
       while (j < NumHashes) {
-        val v = (s * As(j) + Bs(j)) % MinhashPrime
+        val v = (s * As(j) + Bs(j)) % HashDomain
         if (v < mins(j)) mins(j) = v
         j += 1
       }

@@ -996,6 +996,49 @@ object Advanced {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Train-once half of the frozen-rate rebalance: per-language keep
+    * rates (smallest-language parity, the q253 rule) as a driver map —
+    * |langs|-bounded collect by construction. */
+  def mixtureRates(docs: DataFrame): Map[String, Double] = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) Map.empty
+    else {
+      val minc = counts.values.min.toDouble
+      counts.map { case (l, n) => l -> minc / n }
+    }
+  }
+
+  /** Score-anything half of [[mixtureRebalance]]: the SAME RNG-free
+    * md5 draw against a FROZEN rate table entering as a map literal —
+    * a stateless scan projection with no corpus aggregate, so the SAME
+    * call rebalances a STREAMING frame with no state store (the q257
+    * dsirApply / q268 driftApply architecture: estimate rates once on a
+    * reference corpus, sample a live stream against them forever). A
+    * language absent from the frozen table keeps nothing (rate 0) —
+    * fail-closed, matching how a frozen sampling plan treats a slice it
+    * never budgeted. Selection is bit-identical to [[mixtureRebalance]]
+    * under the same rates (spec-pinned), so re-running any shard —
+    * batch or stream — keeps exactly the same rows. */
+  def rebalanceApplyDf(docs: DataFrame, rates: Map[String, Double])
+      : DataFrame = {
+    val keys = rates.keys.toSeq.sorted
+    val m = map_from_arrays(
+      array(keys.map(lit): _*),
+      array(keys.map(k => lit(rates(k))): _*))
+    docs
+      .withColumn("rate", coalesce(element_at(m, col("lang")), lit(0.0)))
+      .withColumn("h", substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("lang"))), 1, 8))
+      .withColumn("thresh", lower(lpad(hex(
+        least(floor(col("rate") * lit(4294967296.0)),
+          lit(4294967295.0)).cast("bigint")), 8, "0")))
+      .filter(col("rate") >= 1.0 || col("h") < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Temperature-smoothed mixture planning with epoch accounting — the
     * run-planning step before any multilingual/multi-source training
     * job: exponent-smoothed sampling shares p_l ∝ n_l^α with α = 0.3

@@ -27,7 +27,7 @@ class NativeKernelSpec extends SparkTestBase {
       .as[(Long, Seq[Long])].collect()
       .map { case (id, hs) =>
         id -> Dedup.hashFamiliesForSpec.map { case (a, b) =>
-          hs.map(h => ((h * a) + b) % Dedup.MinhashPrime).min
+          hs.map(h => ((h * a) + b) % Dedup.HashDomain).min
         }
       }.toMap
     val native = docToks

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.dedup.Dedup
 import graft.similarity.Similarity
 
 /** q264 embedding outliers, q265 per-source unigram KL — pins the
@@ -135,6 +136,79 @@ class OutlierSourceKlSpec extends SparkTestBase {
       case Array(small, large) =>
         assert(small._5 >= large._5, s"$small vs $large")
       case _ =>
+    }
+  }
+
+  // ------------------------------------------- rebalance train/apply
+
+  test("frozen-rate rebalance: apply equals the in-query batch form, " +
+      "streams without state, fails closed on unbudgeted languages") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"))
+    val rates = Advanced.mixtureRates(docs)
+    assert(rates.nonEmpty && rates.values.min > 0.0)
+    val batch = Advanced.mixtureRebalance(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val applied = Advanced.rebalanceApplyDf(docs, rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(applied === batch, "frozen-rate apply must select the same rows")
+    // unbudgeted language keeps nothing
+    val stray = Seq((999999L, "xx")).toDF("doc_id", "lang")
+    assert(Advanced.rebalanceApplyDf(stray, rates).count() === 0L)
+
+    // the same call rebalances a stream, no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Advanced.rebalanceApplyDf(
+        input.toDS().toDF("doc_id", "lang"), rates)
+      .writeStream.format("memory").queryName("rebalance_stream")
+      .outputMode("append").start()
+    try {
+      val feed = docs.limit(200)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      input.addData(feed)
+      q.processAllAvailable()
+      val streamed = spark.table("rebalance_stream")
+        .as[(Long, String)].collect().toSet
+      val expected = Advanced.rebalanceApplyDf(
+          feed.toDF("doc_id", "lang"), rates)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === expected && streamed.subsetOf(batch))
+    } finally q.stop()
+  }
+
+  // -------------------------------------------------------- q271
+
+  test("minhash calibration: every panel pair inside the binomial " +
+      "bound; identical docs estimate exactly 1") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words in this entire document body"),
+      (4L, "the quick brown fox jumps over a sleepy dog again"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashCalibrationDf(d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size === 6)
+    // identical docs: J = 1 and the signature agrees on all 64 perms
+    assert(out((1L, 2L))._1 === 1.0 && out((1L, 2L))._2)
+    // disjoint docs: J = 0
+    assert(out((1L, 3L))._1 === 0.0)
+    out.values.foreach { case (_, ok) => assert(ok) }
+  }
+
+  test("minhash calibration on testdata: fixed panel, all pairs " +
+      "within bound, exact arm symmetric in the panel size") {
+    val rows = Dedup.minhashCalibration(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100)
+      .filter(expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 3)
+      .count()
+    assert(rows.length === (nDocs * (nDocs - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"pair ${r.getLong(0)}-${r.getLong(1)} " +
+        s"outside the 6-sigma bound at J=${r.getDouble(2)}")
     }
   }
 
