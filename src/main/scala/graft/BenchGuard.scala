@@ -24,8 +24,14 @@ package graft
   * query cannot reach it. */
 object BenchGuard {
 
+  // Horizontal whitespace ONLY between cells: `\s*` would cross the
+  // newline after a two-cell row and read the NEXT LINE as the third
+  // cell — a prose section header beginning "x16 (…)" after an sf0.1
+  // table silently tagged that table's last row into the ×16 history
+  // (found when the round-7 x16 close flagged q263/q265 against their
+  // own sf0.1 numbers). A row's cells must sit on one line.
   private val row =
-    """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|\s*([^|\n]*)""".r
+    """\|[ \t]*(q\d+\w*)[ \t]*\|[ \t]*([0-9.]+)[ \t]*\|[ \t]*([^|\n]*)""".r
 
   /** Per-query guard baselines parsed from BASELINE.md text.
     *

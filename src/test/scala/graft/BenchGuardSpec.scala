@@ -90,4 +90,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.violations(Seq("q1_fast" -> 10.0), b16)
       === Seq("q1_fast"))
   }
+
+  test("a prose line after a table cannot become a row's third cell: " +
+      "an 'x16 (...)' section header must not tag the preceding " +
+      "sf0.1 row into the x16 history") {
+    // exactly the BASELINE.md shape that mis-tagged q263/q265 in the
+    // round-7 x16 close: a two-cell sf0.1 row, a blank line, then a
+    // prose header beginning with "x16"
+    val md3 =
+      """|| q7_mixed | 2.37 |
+         |
+         |x16 (16 g heap, /tmp/x16):
+         |
+         || q7_mixed | 14.36 | x16 |
+         |""".stripMargin
+    assert(BenchGuard.baselines(md3) === Map("q7_mixed" -> 2.37))
+    assert(BenchGuard.baselines(md3, "x16") === Map("q7_mixed" -> 14.36))
+    // 13.6 s at x16 is BELOW the x16 best — must not fire (it did,
+    // against the bled-through 2.37, before the same-line fix)
+    assert(BenchGuard.violations(Seq("q7_mixed" -> 13.6),
+      BenchGuard.baselines(md3, "x16")).isEmpty)
+  }
 }
