@@ -308,6 +308,8 @@ object SparkEntry {
     "q270_dup_provenance" -> ((s, d) => Dedup.dupProvenance(s, d)),
     "q271_minhash_calibration" ->
       ((s, d) => Dedup.minhashCalibration(s, d)),
+    "q272_neardup_provenance" ->
+      ((s, d) => Dedup.neardupProvenance(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3345,5 +3347,22 @@ object SparkEntry {
         "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) " +
         "AS j_exact, true AS est_within_bound " +
         "FROM p a JOIN p b ON a.doc_id < b.doc_id"),
+    "q272_neardup_provenance" ->
+      // the q26 exact >= 0.6 pair table joined to sources, grouped by
+      // the normalized (least, greatest) source pair
+      ("WITH t AS (SELECT doc_id, source, list_distinct(list_filter(" +
+        "string_split(text, ' '), x -> x <> '')) AS toks " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "pr AS (SELECT a.source AS sa, b.source AS sb, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - " +
+        "len(list_intersect(a.toks, b.toks))), 4) AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - " +
+        "len(list_intersect(a.toks, b.toks))) >= 0.6) " +
+        "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
+        "count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard " +
+        "FROM pr GROUP BY 1, 2"),
   )
 }

@@ -711,6 +711,34 @@ object Dedup {
     substringDedupApplyDf(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
 
+  /** NEAR-dup provenance — [[dupProvenance]]'s question asked of
+    * near-duplicates: which source pairs share Jaccard ≥ 0.6 content
+    * that isn't byte- or token-set-identical (paraphrased mirrors,
+    * templated rewrites — the overlap exact dedup can't see). Pairs
+    * come from the cached exact ≥ 0.6 pair table over the
+    * deterministic doc_id % 4 sample (the q26 contract — the ground
+    * truth the LSH path approximates), so the matrix is EXACT and
+    * oracle-checkable, not an LSH estimate.
+    *
+    * Scale shape: the pair table is a cached corpus artifact
+    * (WarehouseCache); attaching sources is two doc-keyed equi-joins
+    * of that pair list against the (doc_id, source) projection — the
+    * corpus never self-joins here. Output grain ≤ |sources|². */
+  def neardupProvenance(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
   /** MinHash estimator calibration — certifies the statistical engine
     * the whole LSH dedup stack (q27, q47, q83) rests on: over a FIXED
     * 100-document calibration panel (fixed panel ⇒ the pair count is

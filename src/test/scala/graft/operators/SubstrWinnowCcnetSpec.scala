@@ -138,6 +138,17 @@ class SubstrWinnowCcnetSpec extends SparkTestBase {
       s"matrix $matrix vs clusters $clusters")
   }
 
+  // -------------------------------------------------------- q272
+
+  test("neardup provenance: matrix mass equals the exact pair count; " +
+      "source pairs are normalized") {
+    val matrix = Dedup.neardupProvenance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totalPairs = Dedup.ngramJaccardPairs(spark, sf0001).count()
+    assert(matrix.map(_._3).sum === totalPairs && totalPairs > 0)
+    matrix.foreach { case (a, b, _) => assert(a <= b) }
+  }
+
   // -------------------------------------------------------- q261
 
   private def md5hex(s: String): String =
