@@ -1303,8 +1303,10 @@ object SparkEntry {
       // the oracle runs the shuffle-distinct the bitmap path avoids
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q139_knn_triangles" ->
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
-        "FROM embeddings WHERE vec_id % 2 = 0), " +
+      ("WITH mm AS (SELECT greatest(2, (count(*) + 999) // 1000) AS m " +
+        "FROM embeddings), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings, mm WHERE vec_id % mm.m = 0), " +
         "knn AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, " +
         "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
         "round(list_cosine_similarity(a.e, b.e), 6) DESC, b.vec_id) AS rk " +

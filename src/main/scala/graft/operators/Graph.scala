@@ -225,15 +225,25 @@ object Graph {
   /** Triangle census of the 3-NN GRAPH over the embedding corpus — the
     * local-coherence diagnostic of an embedding space (a healthy metric
     * space closes many of its neighbor wedges; random vectors close
-    * ~none). The kNN graph is sparse BY CONSTRUCTION (≤ 3n directed
-    * edges) at any corpus size, so the census stays linear where raw
-    * similarity graphs go quadratic. Similarities round to 6 decimals
-    * BEFORE ranking (q30's convention) so the neighbor sets — and hence
-    * the census — are deterministic cross-engine. */
+    * ~none). The census over the kNN graph is linear (≤ 3n directed
+    * edges), but the brute-force kNN BUILD is quadratic in the sample —
+    * so the sample is SCALE-CAPPED: modulus = max(2, ⌈n/1000⌉) keeps the
+    * panel at ~1000-2000 vectors at every corpus size (a clustering
+    * coefficient is a statistical diagnostic; a fixed-size panel
+    * estimates it as well at 100 TB as at 1 GB — the q271 fixed-panel
+    * argument). At the committed test scales n ≤ 2000 the modulus is 2,
+    * so every recorded result is unchanged; the ×16 corpus (32 k
+    * vectors) drops from 256 M pair evaluations to ~1 M. Similarities
+    * round to 6 decimals BEFORE ranking (q30's convention) so the
+    * neighbor sets — and hence the census — are deterministic
+    * cross-engine; the modulus derives from the exact corpus count, so
+    * both engines pick the same panel. */
   def knnTriangles(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions._
+    val n = Tables.embeddings(s, d).count()
+    val m = math.max(2L, (n + 999L) / 1000L)
     val v = Tables.embeddings(s, d)
-      .filter(col("vec_id") % 2 === 0)
+      .filter(col("vec_id") % m === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
