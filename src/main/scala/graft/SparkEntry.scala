@@ -1761,11 +1761,13 @@ object SparkEntry {
     "q183_jaro_winkler" ->
       // DuckDB's jaro_winkler_similarity is an independent implementation
       // of the same standard algorithm — the hash match pins semantics
-      ("SELECT ka, kb, sim FROM (SELECT a.p_partkey AS ka, " +
+      ("WITH mm AS (SELECT greatest(37, (count(*) + 599) // 600) AS ma, " +
+        "greatest(53, (count(*) + 399) // 400) AS mb FROM part) " +
+        "SELECT ka, kb, sim FROM (SELECT a.p_partkey AS ka, " +
         "b.p_partkey AS kb, " +
         "round(jaro_winkler_similarity(a.p_name, b.p_name), 5) AS sim " +
-        "FROM part a, part b WHERE a.p_partkey % 37 = 0 " +
-        "AND b.p_partkey % 53 = 0 AND a.p_partkey < b.p_partkey) " +
+        "FROM part a, part b, mm WHERE a.p_partkey % mm.ma = 0 " +
+        "AND b.p_partkey % mm.mb = 0 AND a.p_partkey < b.p_partkey) " +
         "WHERE sim >= 0.85"),
     "q184_compression_signal" ->
       ("SELECT source, count(*) AS n_docs, true AS ratios_ok " +

@@ -2418,9 +2418,19 @@ object Advanced {
     * behind a blocking key (q134's prefix filter / q59's length band),
     * not a bare cross join. */
   def jaroWinklerJoin(s: SparkSession, d: String): DataFrame = {
-    val a = part(s, d).filter(col("p_partkey") % 37 === 0)
+    // Scale-capped samples (the q139/q271 fixed-panel rule): fixed
+    // moduli make BOTH sides grow linearly and the pair join quadratic
+    // — 52 M string comparisons at ×16, unbounded beyond. The moduli
+    // now scale with the exact table count so each side caps at ~600 /
+    // ~400 rows; at every committed test scale (n ≤ 20 000) they
+    // evaluate to the original 37 / 53, so recorded results are
+    // unchanged. Both engines derive the same moduli from count(*).
+    val n = part(s, d).count()
+    val ma = math.max(37L, (n + 599L) / 600L)
+    val mb = math.max(53L, (n + 399L) / 400L)
+    val a = part(s, d).filter(col("p_partkey") % ma === 0)
       .select(col("p_partkey").as("ka"), col("p_name").as("na"))
-    val b = part(s, d).filter(col("p_partkey") % 53 === 0)
+    val b = part(s, d).filter(col("p_partkey") % mb === 0)
       .select(col("p_partkey").as("kb"), col("p_name").as("nb"))
     a.join(broadcast(b), col("ka") < col("kb"))
       .select(col("ka"), col("kb"),
