@@ -1036,7 +1036,7 @@ object Advanced {
         least(floor(col("rate") * lit(4294967296.0)),
           lit(4294967295.0)).cast("bigint")), 8, "0")))
       .filter(col("rate") >= 1.0 || col("h") < col("thresh"))
-      .select(col("doc_id"), col("lang"))
+      .select(docs.columns.map(col): _*) // drawn rows, caller's schema
   }
 
   /** Temperature-smoothed mixture planning with epoch accounting — the
