@@ -310,6 +310,10 @@ object SparkEntry {
       ((s, d) => Dedup.minhashCalibration(s, d)),
     "q272_neardup_provenance" ->
       ((s, d) => Dedup.neardupProvenance(s, d)),
+    "q273_snapshot_dedup" -> ((s, d) => Dedup.snapshotDedup(s, d)),
+    "q274_filter_ablation" -> ((s, d) => Advanced.filterAblation(s, d)),
+    "q275_embedding_health" ->
+      ((s, d) => Similarity.embeddingHealth(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3368,5 +3372,66 @@ object SparkEntry {
         "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
         "count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard " +
         "FROM pr GROUP BY 1, 2"),
+    "q273_snapshot_dedup" ->
+      // arriving batch (doc_id % 5 == 4) classified against the frozen
+      // registry of the rest on q25's canonical token-set key
+      ("WITH c AS (SELECT doc_id, lang, md5(array_to_string(list_sort(" +
+        "list_distinct(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> ''))), ' ')) AS canon FROM documents), " +
+        "b AS (SELECT * FROM c WHERE doc_id % 5 = 4), " +
+        "r AS (SELECT canon, min(doc_id) AS reg_id FROM c " +
+        "WHERE doc_id % 5 <> 4 GROUP BY 1), " +
+        "m AS (SELECT canon, min(doc_id) AS batch_min FROM b GROUP BY 1) " +
+        "SELECT b.doc_id, b.lang, CASE " +
+        "WHEN reg_id IS NOT NULL THEN 'dup_of_existing' " +
+        "WHEN batch_min < b.doc_id THEN 'dup_in_batch' " +
+        "ELSE 'new' END AS status, " +
+        "coalesce(reg_id, batch_min) AS keep_id " +
+        "FROM b LEFT JOIN r USING (canon) JOIN m USING (canon)"),
+    "q274_filter_ablation" ->
+      // every doc scored against all three q259 gate rules; mask census
+      // partitions the raw corpus (sub-2-token docs: no-bigram rule
+      // false); counts exact, sums CAST AS BIGINT (HUGEINT rule)
+      ("WITH w0 AS (SELECT doc_id, lang, list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '') AS w " +
+        "FROM documents), " +
+        "tg AS (SELECT doc_id, tok, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(w) AS tok FROM w0) GROUP BY 1, 2), " +
+        "ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, " +
+        "count(*) AS n_distinct FROM tg GROUP BY 1), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM (" +
+        "SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM (" +
+        "SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w0 " +
+        "WHERE len(w) >= 2)) GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bg, " +
+        "max(c) AS max_bg FROM bc GROUP BY 1) " +
+        "SELECT lang, coalesce(max_bg * 100 > total_bg * 18, false) " +
+        "AS fail_repetition, " +
+        "coalesce((n_tok - n_distinct) * 10 > n_tok * 7, false) " +
+        "AS fail_dupfrac, coalesce(n_tok, 0) < 10 AS fail_short, " +
+        "count(*) AS n_docs, " +
+        "CAST(sum(coalesce(n_tok, 0)) AS BIGINT) AS n_tokens " +
+        "FROM w0 LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id) " +
+        "GROUP BY 1, 2, 3, 4"),
+    "q275_embedding_health" ->
+      // per-dim mean/variance: DECIMAL(30,12) sums (x² quantized to
+      // 12 dp first — one IEEE multiply, engine-identical), mean rounds
+      // to 7, variance uses the ROUNDED mean, total variance sums the
+      // 7-dp variances exactly in DECIMAL, shares round to 6
+      ("WITH x AS (SELECT unnest(range(0, len(emb))) AS dim, " +
+        "unnest(emb) AS x FROM (SELECT CAST(embedding AS DOUBLE[]) " +
+        "AS emb FROM embeddings)), " +
+        "st AS (SELECT dim, round(CAST(sum(CAST(x AS DECIMAL(30,12))) " +
+        "AS DOUBLE) / count(*), 7) AS mean_v, " +
+        "CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "/ count(*) AS m2 FROM x GROUP BY 1), " +
+        "v AS (SELECT dim, mean_v, CAST(round(m2 - mean_v * mean_v, 7) " +
+        "AS DECIMAL(20,7)) AS var_v FROM st), " +
+        "t AS (SELECT sum(var_v) AS tot_var, max(var_v) AS max_var " +
+        "FROM v) " +
+        "SELECT dim, mean_v, CAST(var_v AS DOUBLE) AS var_v, " +
+        "round(CAST(var_v AS DOUBLE) / CAST(tot_var AS DOUBLE), 6) " +
+        "AS var_share, CAST(var_v AS DOUBLE) < 1e-6 AS dead_dim, " +
+        "var_v = max_var AS dominant_dim FROM v, t"),
   )
 }

@@ -833,6 +833,57 @@ object Dedup {
       .filter(col("n_pairs") > 0)
   }
 
+  /** Incremental snapshot dedup — the "new crawl dump arrives" path:
+    * classify every document of an ARRIVING batch against a FROZEN
+    * registry of already-ingested content without re-processing the
+    * existing corpus (the way successive CommonCrawl snapshots are
+    * deduplicated against each other rather than re-deduplicating the
+    * union from scratch). Key = q25's canonical sorted-distinct-token
+    * set, so reordered/repeated-token copies classify as dups. Each
+    * arriving doc lands in exactly one class:
+    *   - `dup_of_existing`: its canon is already registered → keep_id
+    *     is the registry keeper (min existing doc_id);
+    *   - `dup_in_batch`: first seen in THIS batch but a lower-id batch
+    *     doc shares the canon → keep_id is that batch keeper;
+    *   - `new`: first occurrence anywhere → keep_id is itself.
+    * The deterministic batch is doc_id % 5 == 4 (~20%); production
+    * swaps in the actual arriving snapshot and persists the registry
+    * (canon → keeper) as the incremental state, exactly the frozen
+    * train-once / score-anything split of dsirLambda/rebalanceApply.
+    *
+    * Scale shape: the registry aggregate and both classification joins
+    * are content-keyed shuffles (partial-aggregated, one row per key);
+    * no pair join anywhere, so a million-copy canon costs one registry
+    * row, not a blow-up. The batch-internal keeper reuses the same
+    * aggregate — no ranking window. */
+  def snapshotDedup(s: SparkSession, d: String): DataFrame =
+    snapshotDedupDf(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("text")))
+
+  /** [[snapshotDedup]] over an arbitrary (doc_id, lang, text) frame. */
+  def snapshotDedupDf(docs: DataFrame): DataFrame = {
+    val canon = docs
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ", array_sort(array_distinct(
+          expr("filter(split(lower(text), ' '), x -> x != '')")))))
+          .as("canon"))
+    val batch = canon.filter(col("doc_id") % 5 === 4)
+      .localCheckpoint() // classification join + batch-keeper agg share it
+    val reg = canon.filter(col("doc_id") % 5 =!= 4)
+      .groupBy(col("canon")).agg(min(col("doc_id")).as("reg_id"))
+    val batchMin = batch.groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    batch
+      .join(reg, Seq("canon"), "left_outer")
+      .join(batchMin, Seq("canon"))
+      .select(col("doc_id"), col("lang"),
+        when(col("reg_id").isNotNull, lit("dup_of_existing"))
+          .when(col("batch_min") < col("doc_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("reg_id"), col("batch_min")).as("keep_id"))
+  }
+
   /** [[substringDedupApply]] over an arbitrary (doc_id, text) frame. */
   def substringDedupApplyDf(docs: DataFrame, k: Int = 8): DataFrame = {
     val base = docs

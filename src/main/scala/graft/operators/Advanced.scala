@@ -1152,6 +1152,63 @@ object Advanced {
         sum(col("n_tok")).as("tok_kept")), Seq("lang"))
   }
 
+  /** Quality-filter ablation census — the filter-tuning report behind
+    * q259's gate: every document is scored against ALL THREE quality
+    * rules independently (Gopher top-2-gram repetition, duplicate-token
+    * fraction > 0.7, length < 10 tokens) and the corpus rolls up by
+    * (lang, failure mask). A pipeline owner reads the mask census to
+    * answer the questions a composed pass-fail funnel cannot: which
+    * rule dominates drops in each language, how much drop mass is
+    * attributable to exactly one rule (cheap to relax), and how much is
+    * multi-rule (robustly bad). Unlike the funnel, NO doc is excluded
+    * up front — sub-2-token docs (no bigrams) carry
+    * fail_repetition = false and classify by the other rules, so the
+    * mask counts partition the raw corpus exactly.
+    *
+    * All rule compares are the funnel's own integer arithmetic — the
+    * census provably describes the same gate it ablates. Scale shape:
+    * two per-doc count aggregates (token grain bounded by doc length,
+    * partial-aggregated) and one |langs|·2³-grain rollup; no joins
+    * besides the doc-keyed signal merge, no windows. */
+  def filterAblation(s: SparkSession, d: String): DataFrame =
+    filterAblationDf(documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** [[filterAblation]] over an arbitrary (doc_id, lang, text) frame. */
+  def filterAblationDf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .localCheckpoint() // token pass + bigram pass share the scan
+    val toks = base
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
+    val bgs = base
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_bg"), max(col("c")).as("max_bg"))
+    base.select(col("doc_id"), col("lang"))
+      .join(toks, Seq("doc_id"), "left_outer")
+      .join(bgs, Seq("doc_id"), "left_outer")
+      .select(col("lang"),
+        coalesce(col("n_tok"), lit(0L)).as("nt"),
+        coalesce(col("max_bg") * 100 > col("total_bg") * 18, lit(false))
+          .as("fail_repetition"),
+        coalesce((col("n_tok") - col("n_distinct")) * 10 >
+          col("n_tok") * 7, lit(false)).as("fail_dupfrac"),
+        (coalesce(col("n_tok"), lit(0L)) < 10).as("fail_short"))
+      .groupBy(col("lang"), col("fail_repetition"), col("fail_dupfrac"),
+        col("fail_short"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+  }
+
   /** Leakage-safe train/val/test split — the eval-hygiene primitive of
     * a training pipeline: the split is a PURE FUNCTION of the GROUP key
     * (user), so every event of a user lands in the same split by

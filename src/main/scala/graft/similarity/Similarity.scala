@@ -1042,4 +1042,58 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("centroid_sim"),
         col("sim_bucket"), (col("sim_bucket") === "low").as("outlier"))
   }
+
+  /** Per-dimension embedding-health monitor — the encoder sanity check a
+    * pipeline runs before trusting embedding-side curation (SemDeDup,
+    * outlier filtering, ANN recall all silently degrade when the encoder
+    * collapses): per-dimension mean and variance, each dimension's share
+    * of total variance, a near-zero-variance flag (dead dimension), and
+    * the dominant-dimension marker (anisotropy — one dimension carrying
+    * an outsized variance share is the classic symptom of a degenerate
+    * embedding space, Ethayarajh 2019). Output grain is the embedding
+    * width (64 rows), constant in the corpus.
+    *
+    * Determinism discipline: component sums AND squared-component sums
+    * accumulate in DECIMAL(30,12) (order-independent — the q165 rule;
+    * x² is one IEEE multiply, identical on both engines, quantized to
+    * 12 dp before the sum); mean rounds to 7 dp and the variance uses
+    * the ROUNDED mean (re-quantize before reuse); total variance sums
+    * the 7-dp per-dim variances in DECIMAL so the share denominator is
+    * exact; shares round to 6 dp.
+    *
+    * Scale shape: one partial-aggregated (dim) shuffle whose mapper
+    * state is `width` cells regardless of corpus size; everything after
+    * is a 64-row frame (the max/total "windows" run over that metadata
+    * grain, not over data rows). */
+  def embeddingHealth(s: SparkSession, d: String): DataFrame =
+    embeddingHealthDf(Tables.embeddings(s, d)
+      .select(asDouble(col("embedding")).as("emb")))
+
+  /** [[embeddingHealth]] over an arbitrary (emb: array<double>) frame. */
+  def embeddingHealthDf(v: DataFrame): DataFrame = {
+    val st = v
+      .select(posexplode(col("emb")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("decimal(30,12)").as("xd"),
+        round(col("x") * col("x"), 12).cast("decimal(30,12)").as("x2"))
+      .groupBy(col("dim"))
+      .agg(sum(col("xd")).as("sx"), sum(col("x2")).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        round(col("sx").cast("double") / col("n"), 7).as("mean_v"),
+        col("sxx"), col("n"))
+    val withVar = st
+      .select(col("dim"), col("mean_v"),
+        round(col("sxx").cast("double") / col("n") -
+          col("mean_v") * col("mean_v"), 7).cast("decimal(20,7)")
+          .as("var_v"))
+    val tot = withVar.agg(sum(col("var_v")).as("tot_var"),
+      max(col("var_v")).as("max_var"))
+    withVar.crossJoin(broadcast(tot))
+      .select(col("dim"), col("mean_v"),
+        col("var_v").cast("double").as("var_v"),
+        round(col("var_v").cast("double") /
+          col("tot_var").cast("double"), 6).as("var_share"),
+        (col("var_v").cast("double") < 1e-6).as("dead_dim"),
+        (col("var_v") === col("max_var")).as("dominant_dim"))
+  }
 }

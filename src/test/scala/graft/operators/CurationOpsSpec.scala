@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** q273 snapshot dedup, q274 filter ablation, q275 embedding health —
+  * pins the semantics testdata can't isolate: the three-way arrival
+  * classification (including the dup_in_batch class, vacuous on
+  * testdata), exact mask attribution per rule, mask-census/funnel
+  * consistency, and hand-computed per-dimension statistics. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // -------------------------------------------------------- q273
+
+  test("snapshot dedup: arriving docs classify three ways and reordered/" +
+      "repeated-token copies count as dups") {
+    // batch = doc_id % 5 == 4; registry = the rest
+    val docs = Seq(
+      (1L, "en", "c b a a"),          // registry keeper of canon {a b c}
+      (2L, "en", "m n o"),            // registry, never matched
+      (4L, "en", "a b c"),            // batch: canon dup of registry doc 1
+      (9L, "en", "x y z"),            // batch: first occurrence anywhere
+      (14L, "en", "z y x x"),         // batch: canon dup of batch doc 9
+      (19L, "de", "unique tokens here entirely") // batch: new
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.snapshotDedupDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(4L, 9L, 14L, 19L),
+      "exactly the arriving batch is classified")
+    assert(out(4L) === (("dup_of_existing", 1L)))
+    assert(out(9L) === (("new", 9L)))
+    assert(out(14L) === (("dup_in_batch", 9L)))
+    assert(out(19L) === (("new", 19L)))
+  }
+
+  test("snapshot dedup: registry match wins over a batch keeper, and the " +
+      "registry keeper is the MIN existing id") {
+    val docs = Seq(
+      (3L, "en", "p q"), (8L, "en", "q p"),   // two registry copies: min 3
+      (4L, "en", "p p q"), (9L, "en", "q q p") // both batch docs defer to 3
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.snapshotDedupDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(4L) === (("dup_of_existing", 3L)))
+    assert(out(9L) === (("dup_of_existing", 3L)))
+  }
+
+  test("snapshot dedup on testdata: statuses partition the batch and " +
+      "every keep_id is a real keeper") {
+    val out = Dedup.snapshotDedup(spark, sf0001).cache()
+    val batchN = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(out.count() === batchN)
+    // a 'new' doc keeps itself; a registry dup's keeper lives in the
+    // registry (any id — the min EXISTING copy may postdate the batch
+    // doc); a batch dup's keeper is an earlier batch doc
+    assert(out.filter(col("status") === "new")
+      .filter(col("keep_id") =!= col("doc_id")).count() === 0)
+    assert(out.filter(col("status") === "dup_of_existing")
+      .filter(col("keep_id") % 5 === 4).count() === 0)
+    assert(out.filter(col("status") === "dup_in_batch")
+      .filter(col("keep_id") % 5 =!= 4 ||
+        col("keep_id") >= col("doc_id")).count() === 0)
+  }
+
+  // -------------------------------------------------------- q274
+
+  test("filter ablation: each rule attributes independently — " +
+      "repetition-only, dupfrac-only, short-only, clean, and empty") {
+    // de Bruijn-style 17-token sequence over {a,b,c,d}: 16 DISTINCT
+    // bigrams (max_bg = 1 → repetition false) but 13/17 duplicate
+    // tokens (dupfrac-only)
+    val deBruijn = "a a b a c a d b b c b d c c d d a"
+    // 22 distinct tokens + "x y" repeated 10× : max_bg 10 of 41 bigrams
+    // (1000 > 738 → repetition) while dup frac 18/42 stays under 0.7
+    val stuffed = (1 to 22).map(i => s"t$i").mkString(" ") +
+      " " + Seq.fill(10)("x y").mkString(" ")
+    val docs = Seq(
+      (1L, "en", stuffed),
+      (2L, "en", deBruijn),
+      // 8 distinct tokens: short, but 7 distinct bigrams keep the
+      // repetition rule quiet (max_bg·100 = 100 ≤ total_bg·18 = 126)
+      (3L, "en", (1 to 8).map(i => s"s$i").mkString(" ")),
+      (4L, "en", ""), // zero tokens: short only (no-bigram rule false)
+      (5L, "en", (1 to 12).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val out = Advanced.filterAblationDf(docs).collect()
+      .map(r => ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)),
+        (r.getLong(4), r.getLong(5)))).toMap
+    assert(out((true, false, false))._1 === 1L)   // stuffed
+    assert(out((false, true, false))._1 === 1L)   // deBruijn
+    assert(out((false, false, true)) === ((2L, 8L)),
+      "short-only mask carries the 8-token doc and the empty doc")
+    assert(out((false, false, false)) === ((1L, 12L))) // clean
+    assert(out.values.map(_._1).sum === 5L,
+      "the mask census partitions the raw corpus")
+  }
+
+  test("filter ablation agrees with the q259 funnel: all-false mask " +
+      "counts == the funnel's quality survivors, per language") {
+    val survivors = Advanced.filterAblation(spark, sf0001)
+      .filter(!col("fail_repetition") && !col("fail_dupfrac") &&
+        !col("fail_short"))
+      .select(col("lang"), col("n_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val funnel = Advanced.curationPipeline(spark, sf0001)
+      .select(col("lang"), col("n_quality")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(survivors === funnel,
+      "the census must describe the exact gate it ablates")
+  }
+
+  // -------------------------------------------------------- q275
+
+  test("embedding health: hand-computed mean/variance, dead and " +
+      "dominant dimensions") {
+    val v = Seq(
+      Seq(1.0, 0.5, 3.0), Seq(-1.0, 0.5, 3.0),
+      Seq(1.0, 0.5, 3.0), Seq(-1.0, 0.5, 3.0)
+    ).toDF("emb")
+    val out = Similarity.embeddingHealthDf(v).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(0) === ((0.0, 1.0, 1.0, false, true)),
+      "dim 0: mean 0, var 1, all the variance, dominant")
+    assert(out(1)._1 === 0.5 && out(1)._2 === 0.0 && out(1)._4,
+      "constant dim 1 is dead")
+    assert(out(2)._1 === 3.0 && out(2)._2 === 0.0 && out(2)._4,
+      "constant dim 2 is dead (nonzero mean doesn't hide it)")
+    assert(!out(1)._5 && !out(2)._5)
+  }
+
+  test("embedding health on testdata: full width, shares sum to ~1, " +
+      "dominant ⟺ max variance, no dead dims") {
+    val rows = Similarity.embeddingHealth(spark, sf0001).collect()
+    assert(rows.length === 64)
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 64 * 1e-6,
+      s"variance shares must sum to ~1, got ${shares.sum}")
+    val vars = rows.map(_.getDouble(2))
+    val mx = vars.max
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getDouble(2) == mx))
+      assert(!r.getBoolean(4), "testdata embeddings carry no dead dims")
+    }
+  }
+}
