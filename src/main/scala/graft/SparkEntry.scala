@@ -314,6 +314,8 @@ object SparkEntry {
     "q274_filter_ablation" -> ((s, d) => Advanced.filterAblation(s, d)),
     "q275_embedding_health" ->
       ((s, d) => Similarity.embeddingHealth(s, d)),
+    "q276_vocab_coverage" -> ((s, d) => TextQueries.vocabCoverage(s, d)),
+    "q277_dsir_ess" -> ((s, d) => TextQueries.dsirEss(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3433,5 +3435,54 @@ object SparkEntry {
         "round(CAST(var_v AS DOUBLE) / CAST(tot_var AS DOUBLE), 6) " +
         "AS var_share, CAST(var_v AS DOUBLE) < 1e-6 AS dead_dim, " +
         "var_v = max_var AS dominant_dim FROM v, t"),
+    "q276_vocab_coverage" ->
+      // types rank by (freq desc, tok asc) — a total order, so the
+      // curve is tie-deterministic; sums CAST AS BIGINT (HUGEINT rule)
+      ("WITH tf AS (SELECT tok, count(*) AS freq FROM (" +
+        "SELECT unnest(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '')) AS tok FROM documents) GROUP BY 1), " +
+        "r AS (SELECT tok, freq, " +
+        "row_number() OVER (ORDER BY freq DESC, tok) AS rnk, " +
+        "CAST(sum(freq) OVER (ORDER BY freq DESC, tok " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum FROM tf), " +
+        "t AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens FROM tf) " +
+        "SELECT v, max(rnk) AS n_types, max(cum) AS covered, " +
+        "round(CAST(max(cum) AS DOUBLE) / max(n_tokens), 6) AS coverage " +
+        "FROM r, (VALUES (4), (8), (16), (32), (64)) s(v), t " +
+        "WHERE rnk <= v GROUP BY v"),
+    "q277_dsir_ess" ->
+      // q257's 4-dp log-weights → per-lang max-stabilized exp → 8-dp w,
+      // 12-dp w² → DECIMAL sums → ESS = (Σw)²/Σw²; ratios divide
+      // ROUNDED values (re-quantize rule)
+      ("WITH dtf AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS f, " +
+        "count(*) AS c FROM (" +
+        "SELECT doc_id, lang, unnest(list_filter(" +
+        "string_split(lower(text), ' '), x -> x <> '')) AS tok " +
+        "FROM documents) GROUP BY 1, 2, 3), " +
+        "raw AS (SELECT f, CAST(sum(c) AS BIGINT) AS r_f FROM dtf " +
+        "GROUP BY 1), " +
+        "tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS t_f FROM dtf " +
+        "WHERE lang = 'en' GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_r, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) " +
+        "AS big_t FROM dtf), " +
+        "lam AS (SELECT raw.f, " +
+        "ln((coalesce(t_f, 0) + 1) / CAST(big_t + 256 AS DOUBLE)) - " +
+        "ln((r_f + 1) / CAST(big_r + 256 AS DOUBLE)) AS lam " +
+        "FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot), " +
+        "lw AS (SELECT doc_id, lang, round(sum(c * lam), 4) AS lw " +
+        "FROM dtf JOIN lam ON dtf.f = lam.f GROUP BY 1, 2), " +
+        "mx AS (SELECT lang, max(lw) AS mx FROM lw GROUP BY 1), " +
+        "w AS (SELECT lw.lang, round(exp(lw - mx), 8) AS w " +
+        "FROM lw JOIN mx USING (lang)), " +
+        "agg AS (SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CAST(w AS DECIMAL(30,12))) AS DOUBLE) AS sw, " +
+        "CAST(sum(CAST(round(w * w, 12) AS DECIMAL(30,12))) AS DOUBLE) " +
+        "AS sww FROM w GROUP BY 1) " +
+        "SELECT lang, n_docs, round(pow(sw, 2) / sww, 4) AS ess, " +
+        "round(round(pow(sw, 2) / sww, 4) / n_docs, 6) AS ess_ratio, " +
+        "round(round(pow(sw, 2) / sww, 4) / n_docs, 6) < 0.5 " +
+        "AS degenerate FROM agg"),
   )
 }

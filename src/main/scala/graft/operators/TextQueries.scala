@@ -1428,6 +1428,93 @@ object TextQueries {
           .as("kl_bits"))
   }
 
+  /** Vocabulary-coverage curve — the tokenizer-design diagnostic: what
+    * fraction of corpus TOKEN MASS does a top-V type vocabulary cover,
+    * for a sweep of budgets V? The complement (1 − coverage) is the
+    * OOV/byte-fallback rate a V-entry tokenizer would pay, which is
+    * what actually decides vocab size against Zipf's tail (q215 fits
+    * the exponent; this reads off the operative consequence). Types
+    * rank by (freq desc, token asc) — a TOTAL order, so the curve is
+    * deterministic under frequency ties.
+    *
+    * Scale shape: one token-count aggregate (partial-aggregated), then
+    * [[GlobalOrder.runningSums]] ranks the VOCABULARY frame — the
+    * range-partitioned two-level prefix sum, never a single-partition
+    * window, so a billion-type web vocabulary ranks at cluster
+    * parallelism; each budget reads one filtered aggregate off the
+    * pinned ranked frame (|sizes| linear scans, no window). */
+  def vocabCoverage(s: SparkSession, d: String,
+      sizes: Seq[Int] = Seq(4, 8, 16, 32, 64)): DataFrame =
+    vocabCoverageDf(
+      Tables.documents(s, d).select(col("text")), sizes)
+
+  /** [[vocabCoverage]] over an arbitrary (text) frame. */
+  def vocabCoverageDf(docs: DataFrame,
+      sizes: Seq[Int] = Seq(4, 8, 16, 32, 64)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "budgets must be positive")
+    val tf = docs
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = GlobalOrder.runningSums(tf,
+      Seq(col("freq").desc, col("tok").asc),
+      Seq("cum" -> col("freq"), "rank" -> lit(1L)))
+      .localCheckpoint() // one ranked vocab frame feeds every budget
+    val tot = ranked.agg(sum(col("freq")).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    sizes.map { v =>
+      ranked.filter(col("rank") <= v)
+        .agg(max(col("rank")).as("n_types"), max(col("cum")).as("covered"))
+        .select(lit(v.toLong).as("v"), col("n_types"), col("covered"))
+    }.reduce(_.union(_))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n_types"), col("covered"),
+        round(col("covered").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+  }
+
+  /** Effective sample size of the DSIR importance weights, per language
+    * — the degeneracy diagnostic importance sampling requires (Owen,
+    * "Monte Carlo theory" ch. 9): ESS = (Σw)²/Σw² on the normalized
+    * weights w = exp(logw − max logw). ESS ≈ n means the reweighted
+    * corpus behaves like n independent docs; ESS ≪ n means a few
+    * huge-weight docs dominate the resample and the target estimate is
+    * noise — the failure mode of aggressive distribution matching that
+    * a mean log-weight (q257's output) cannot see.
+    *
+    * Determinism: log-weights enter at q257's committed 4-dp rounding;
+    * the per-language max is an exact double compare; w rounds to 8 dp
+    * after the one exp (input identical on both engines, and the 8-dp
+    * quantization absorbs libm last-ulp drift); w² is one IEEE multiply
+    * of identical doubles, quantized to 12 dp; BOTH sums accumulate in
+    * DECIMAL(30,12) (order-independent); the two output ratios divide
+    * rounded values (re-quantize rule). Scale shape: q257's scoring
+    * pass, a |langs|-row broadcast max, one partial-aggregated rollup
+    * — no windows, no pair joins. */
+  def dsirEss(s: SparkSession, d: String): DataFrame =
+    dsirEssDf(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** [[dsirEss]] over an arbitrary (doc_id, lang, text) frame. */
+  def dsirEssDf(docs: DataFrame): DataFrame = {
+    val lw = dsirWeightsDf(docs).select(col("lang"), col("log_weight"))
+    val mx = lw.groupBy(col("lang")).agg(max(col("log_weight")).as("mx"))
+    lw.join(broadcast(mx), Seq("lang"))
+      .select(col("lang"),
+        round(exp(col("log_weight") - col("mx")), 8).as("w"))
+      .select(col("lang"), col("w").cast("decimal(30,12)").as("wd"),
+        round(col("w") * col("w"), 12).cast("decimal(30,12)").as("w2"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wd")).as("sw"),
+        sum(col("w2")).as("sww"))
+      .select(col("lang"), col("n_docs"),
+        round(pow(col("sw").cast("double"), 2) /
+          col("sww").cast("double"), 4).as("ess"))
+      .withColumn("ess_ratio",
+        round(col("ess") / col("n_docs"), 6))
+      .withColumn("degenerate", col("ess_ratio") < 0.5)
+  }
+
   // org.apache.spark.sql.functions.size, un-shadowed by method params
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

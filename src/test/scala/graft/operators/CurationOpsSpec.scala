@@ -135,6 +135,68 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!out(1)._5 && !out(2)._5)
   }
 
+  // -------------------------------------------------------- q276
+
+  test("vocab coverage: hand-computed curve, budgets past the vocabulary " +
+      "saturate at full coverage") {
+    val docs = Seq("a a a a b b c d").toDF("text")
+    val out = TextQueries.vocabCoverageDf(docs, Seq(1, 2, 3, 4, 10))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1L, 4L, 0.5)))    // 'a' alone covers 4/8
+    assert(out(2L) === ((2L, 6L, 0.75)))
+    assert(out(3L) === ((3L, 7L, 0.875)))  // tie c<d: c enters at rank 3
+    assert(out(4L) === ((4L, 8L, 1.0)))
+    assert(out(10L) === ((4L, 8L, 1.0)), "budget caps at the vocabulary")
+  }
+
+  test("vocab coverage on testdata: monotone in the budget, ends exact") {
+    val rows = TextQueries.vocabCoverage(spark, sf0001)
+      .orderBy(col("v")).collect()
+    val cov = rows.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      s"coverage must be monotone: ${cov.mkString(",")}")
+    assert(rows.map(_.getLong(1)).max === rows.last.getLong(1))
+  }
+
+  // -------------------------------------------------------- q277
+
+  test("dsir ess: identical docs carry uniform weights — ESS == n") {
+    val docs = (0L until 6L).map(i => (i, "en", "alpha beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextQueries.dsirEssDf(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 6L && r.getDouble(2) === 6.0 &&
+      r.getDouble(3) === 1.0 && !r.getBoolean(4))
+  }
+
+  test("dsir ess: one dominant-weight doc degenerates the language — " +
+      "ESS collapses toward 1 and the flag fires") {
+    // en defines the target; lang xx has ONE en-like doc (huge weight)
+    // among junk-token docs (tiny weights after max-stabilization)
+    val enText = Seq.fill(30)("alpha beta gamma delta").mkString(" ")
+    val en = (0L until 4L).map(i => (i, "en", enText))
+    val xx = Seq((10L, "xx", enText)) ++ (11L until 17L).map(i =>
+      (i, "xx", (1 to 120).map(j => s"junk${i}x$j").mkString(" ")))
+    val out = TextQueries.dsirEssDf((en ++ xx).toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    val (nXx, essXx, degXx) = out("xx")
+    assert(nXx === 7L)
+    assert(essXx < 2.0, s"dominated language must collapse, got $essXx")
+    assert(degXx, "the degeneracy flag must fire")
+    assert(!out("en")._3, "the uniform target language must not flag")
+  }
+
+  test("dsir ess on testdata: 1 <= ESS <= n for every language") {
+    TextQueries.dsirEss(spark, sf0001).collect().foreach { r =>
+      val (n, ess, ratio) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-6, s"ESS $ess out of [1,$n]")
+      assert(ratio <= 1.0 + 1e-9)
+    }
+  }
+
   test("embedding health on testdata: full width, shares sum to ~1, " +
       "dominant ⟺ max variance, no dead dims") {
     val rows = Similarity.embeddingHealth(spark, sf0001).collect()

@@ -175,9 +175,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q188_quantile_normalize" -> Analytics.quantileNormalize(spark, sf0001),
       "q197_auc" -> Analytics.aucRank(spark, sf0001),
       "q198_ks_test" -> Analytics.ksTest(spark, sf0001),
-      // q251/q134 route their corpus/vocabulary ranks through the same
-      // GlobalOrder helper — identical contract
+      // q251/q134/q276 route their corpus/vocabulary ranks through the
+      // same GlobalOrder helper — identical contract
       "q251_heaps_law" -> TextQueries.heapsLaw(spark, sf0001),
+      "q276_vocab_coverage" -> TextQueries.vocabCoverage(spark, sf0001),
       "q134_prefix_filter_join" ->
         Dedup.prefixFilterJaccardPairs(spark, sf0001))
     val found = dfs.map { case (name, df) => name -> globalWindows(df) }
