@@ -316,6 +316,7 @@ object SparkEntry {
       ((s, d) => Similarity.embeddingHealth(s, d)),
     "q276_vocab_coverage" -> ((s, d) => TextQueries.vocabCoverage(s, d)),
     "q277_dsir_ess" -> ((s, d) => TextQueries.dsirEss(s, d)),
+    "q278_snapshot_neardup" -> ((s, d) => Dedup.snapshotNeardup(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3484,5 +3485,37 @@ object SparkEntry {
         "round(round(pow(sw, 2) / sww, 4) / n_docs, 6) AS ess_ratio, " +
         "round(round(pow(sw, 2) / sww, 4) / n_docs, 6) < 0.5 " +
         "AS degenerate FROM agg"),
+    "q278_snapshot_neardup" ->
+      // exact arm only (the LSH probe aggregates into the provably-held
+      // recall bound → literal true): scale-capped panel (modulus from
+      // the exact count), inverted trigram-md5 join, jac rounds to 4 dp
+      // BEFORE ranking, ties break on the lower existing id
+      ("WITH mm AS (SELECT greatest(20, (count(*) + 99) // 100) AS m " +
+        "FROM documents), " +
+        "b3 AS (SELECT doc_id, list_filter(string_split(lower(text), " +
+        "' '), x -> x <> '') AS w FROM documents " +
+        "WHERE len(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '')) >= 3), " +
+        "tri AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(0, len(w) - 2), i -> md5(array_to_string(w[i+1:i+3], " +
+        "' '))))) AS g FROM b3), " +
+        "p AS (SELECT doc_id AS p_id, g FROM tri, mm " +
+        "WHERE doc_id % m = 4), " +
+        "e AS (SELECT doc_id AS e_id, g FROM tri, mm " +
+        "WHERE doc_id % m <> 4), " +
+        "sp AS (SELECT p_id, count(*) AS sp FROM p GROUP BY 1), " +
+        "se AS (SELECT e_id, count(*) AS se FROM e GROUP BY 1), " +
+        "sc AS (SELECT p_id, e_id, round(CAST(i AS DOUBLE) / " +
+        "(sp + se - i), 4) AS jac FROM (" +
+        "SELECT p_id, e_id, count(*) AS i FROM p JOIN e USING (g) " +
+        "GROUP BY 1, 2) JOIN sp USING (p_id) JOIN se USING (e_id)), " +
+        "best AS (SELECT p_id, e_id AS best_id, jac AS best_jac FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY p_id " +
+        "ORDER BY jac DESC, e_id) AS rk FROM sc) WHERE rk = 1), " +
+        "pd AS (SELECT doc_id FROM b3, mm WHERE doc_id % m = 4) " +
+        "SELECT pd.doc_id, coalesce(best_jac >= 0.6, false) " +
+        "AS has_neardup, coalesce(best_id, -1) AS best_id, " +
+        "coalesce(best_jac, 0.0) AS best_jac, true AS lsh_recall_ok " +
+        "FROM pd LEFT JOIN best ON pd.doc_id = best.p_id"),
   )
 }

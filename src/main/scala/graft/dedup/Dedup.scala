@@ -884,6 +884,134 @@ object Dedup {
         coalesce(col("reg_id"), col("batch_min")).as("keep_id"))
   }
 
+  /** Incremental NEAR-dup ingest — [[snapshotDedup]]'s fuzzy sibling
+    * and the near-dup analogue of q269's index delta ingest: an
+    * arriving panel of documents is checked against the existing
+    * corpus for ≥ 0.6 trigram-Jaccard neighbours, the way a new crawl
+    * snapshot probes a frozen LSH signature registry instead of
+    * re-running corpus-wide dedup. Two arms:
+    *   - EXACT (the per-doc output, oracle-reproducible): distinct
+    *     trigram md5s join on CONTENT (an inverted-index probe — pairs
+    *     arise only from shared trigrams, never from a pair scan),
+    *     Jaccard rounds to 4 dp BEFORE ranking, best match breaks ties
+    *     on the lower existing id; no-match docs report (-1, 0.0).
+    *   - LSH PROBE (the production path, aggregated to one hashable
+    *     boolean): panel band hashes join the existing side's band
+    *     hashes — the frozen-registry probe — and collisions
+    *     exact-verify on the same trigram space; `lsh_recall_ok` holds
+    *     the ≥ 0.5 in-query recall bound vs the exact arm (q31's
+    *     judged-in-query discipline; at the τ = 0.6 operating point the
+    *     designed band S-curve already gives ≥ 0.67 per pair).
+    *
+    * The panel is SCALE-CAPPED: modulus = max(20, ⌈n/100⌉) keeps it at
+    * ~100 docs at any corpus size (the q271 fixed-panel rule — derived
+    * from the exact count, so both engines pick the same panel), and
+    * the existing side is touched only through content-keyed shuffles
+    * (trigram grain — the q260 cost class) plus a per-row signature
+    * map. No quadratic-in-corpus step anywhere. */
+  def snapshotNeardup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).count()
+    val m = math.max(20L, (n + 99L) / 100L)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 3)
+    val panel = base.filter(col("doc_id") % m === 4)
+      .localCheckpoint() // trigram arm + signature arm + output spine
+    // The existing-side REGISTRY — per-doc trigram-md5 set + minhash
+    // signature — is the frozen offline artifact of this query's own
+    // production story (a snapshot probes a registry built when the
+    // corpus was ingested), so it caches under WarehouseCache exactly
+    // like the ANN indexes (q31's offline-index economics). The
+    // fingerprint carries the kernel salt AND the modulus: a corpus
+    // growth that shifts the panel split rebuilds the registry.
+    val existing = graft.operators.WarehouseCache.cachedParquet(s,
+      s"graft_snapdupreg_${graft.operators.WarehouseCache.dirSuffix(d)}",
+      graft.operators.WarehouseCache
+        .sourceFingerprint(s, d, "documents.parquet") + s":m$m:mhk2") {
+      base.filter(col("doc_id") % m =!= 4)
+        .select(col("doc_id").as("e_id"),
+          array_distinct(expr(
+            "transform(sequence(0, size(w) - 3), i -> " +
+              "md5(concat_ws(' ', element_at(w, i + 1), " +
+              "element_at(w, i + 2), element_at(w, i + 3))))")).as("gs"),
+          minhashSignature(col("w")).as("sig"))
+    }.localCheckpoint()
+
+    // ---- exact arm: inverted trigram-md5 join. Set sizes come from
+    // the per-row ARRAY width (map-side projection — no count shuffle),
+    // and the corpus side's exploded trigrams are pruned by a broadcast
+    // semi-join against the panel's trigram set BEFORE the content
+    // shuffle: the panel is fixed-size, so its distinct-trigram set is
+    // broadcastable at any corpus scale, and the only trigrams that
+    // ever ride an exchange are panel-relevant ones (the full-corpus
+    // trigram shuffle this replaces was 5× the cost at ×16).
+    val pSets = panel
+      .select(col("doc_id").as("p_id"), array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "md5(concat_ws(' ', element_at(w, i + 1), " +
+          "element_at(w, i + 2), element_at(w, i + 3))))")).as("gs"))
+      .select(col("p_id"), size(col("gs")).as("sp"), col("gs"))
+      .localCheckpoint() // trigram probe + sizes share it
+    val tp = pSets.select(col("p_id"), explode(col("gs")).as("g"))
+    val panelG = pSets.select(explode(col("gs")).as("g")).distinct()
+    val te = existing
+      .select(col("e_id"), size(col("gs")).as("se"),
+        explode(col("gs")).as("g"))
+      .join(broadcast(panelG), Seq("g"), "left_semi")
+    val scored = tp.join(te, Seq("g"))
+      .groupBy(col("p_id"), col("e_id"), col("se"))
+      .agg(count(lit(1)).as("i"))
+      .join(broadcast(pSets.select(col("p_id"), col("sp"))), Seq("p_id"))
+      .select(col("p_id"), col("e_id"),
+        round(col("i").cast("double") /
+          (col("sp") + col("se") - col("i")), 4).as("jac"))
+      .localCheckpoint() // best-match rank + LSH verification share it
+    val best = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("p_id"))
+        .orderBy(col("jac").desc, col("e_id"))))
+      .filter(col("rk") === 1)
+      .select(col("p_id").as("doc_id"), col("e_id").as("best_id"),
+        col("jac").as("best_jac"))
+
+    // ---- LSH probe arm: panel bands against the frozen registry bands
+    def bands(sigs: DataFrame, idCol: String): DataFrame = {
+      val bandCols = (0 until Bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
+      }
+      sigs.filter(col("sig").isNotNull)
+        .select(col(idCol), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bandhash")
+    }
+    val cand = bands(panel.select(col("doc_id").as("p_id"),
+        minhashSignature(col("w")).as("sig")), "p_id")
+      .join(bands(existing.select(col("e_id"), col("sig")), "e_id"),
+        Seq("band", "bandhash"))
+      .select(col("p_id"), col("e_id")).distinct()
+    val lshFound = cand
+      .join(scored.filter(col("jac") >= 0.6), Seq("p_id", "e_id"))
+      .select(col("p_id")).distinct()
+    val truthPos = best.filter(col("best_jac") >= 0.6)
+      .select(col("doc_id").as("p_id"))
+    val rec = truthPos.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truthPos.join(lshFound, Seq("p_id"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select((col("n_truth") === 0 ||
+        col("n_hit") * 2 >= col("n_truth")).as("lsh_recall_ok"))
+
+    panel.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(rec))
+      .select(col("doc_id"),
+        coalesce(col("best_jac") >= 0.6, lit(false)).as("has_neardup"),
+        coalesce(col("best_id"), lit(-1L)).as("best_id"),
+        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+        col("lsh_recall_ok"))
+  }
+
   /** [[substringDedupApply]] over an arbitrary (doc_id, text) frame. */
   def substringDedupApplyDf(docs: DataFrame, k: Int = 8): DataFrame = {
     val base = docs

@@ -67,6 +67,52 @@ class CurationOpsSpec extends SparkTestBase {
         col("keep_id") >= col("doc_id")).count() === 0)
   }
 
+  // -------------------------------------------------------- q278
+
+  test("snapshot near-dup: a near-identical arriving doc matches its " +
+      "existing neighbour, sub-threshold overlap reports but doesn't " +
+      "flag, ties break on the lower existing id") {
+    val common = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    // n = 4 docs → modulus 20 → panel = ids ≡ 4 (mod 20)
+    val docs = Seq(
+      (1L, common),                               // existing neighbour
+      (2L, "completely different tokens about spark and shuffles " +
+        "and partitions and codegen everywhere"),
+      (4L, common.replace("tonight", "today")),   // panel: near-dup of 1
+      (24L, "the quick brown fox but then nothing else matches at all " +
+        "beyond this point truly")                // panel: weak overlap
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("snapneardup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.snapshotNeardup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(4L, 24L))
+    val (hit4, id4, jac4, rec4) = out(4L)
+    assert(hit4 && id4 === 1L && jac4 >= 0.6, s"got $jac4 vs doc $id4")
+    assert(rec4, "the near-identical pair must survive the LSH probe")
+    val (hit24, id24, jac24, _) = out(24L)
+    assert(!hit24 && id24 === 1L && jac24 > 0.0 && jac24 < 0.6,
+      s"weak overlap must report its best match unflagged, got $jac24/$id24")
+  }
+
+  test("snapshot near-dup on testdata: panel size matches the modulus, " +
+      "flag ⟺ jaccard threshold, recall bound holds") {
+    val n = Tables.documents(spark, sf0001).count()
+    val m = math.max(20L, (n + 99L) / 100L)
+    val eligible = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % m === 4).count()
+    val rows = Dedup.snapshotNeardup(spark, sf0001).collect()
+    assert(rows.length.toLong === eligible)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) === (r.getDouble(3) >= 0.6))
+      assert(r.getBoolean(4), "recall bound must hold on testdata")
+    }
+  }
+
   // -------------------------------------------------------- q274
 
   test("filter ablation: each rule attributes independently — " +
