@@ -374,6 +374,25 @@ object ScaleProbe {
         graft.operators.TextQueries.ccnetBucketsDf(d).count()
       }
       results += (("ccnet_buckets", n, tCb, rCb))
+
+      // snapshot near-dup probe (round 7 continuation, q278 production
+      // shape, registry built inline): disjoint replica namespaces PLUS
+      // a planted boilerplate header shared by EVERY doc — the header's
+      // trigrams are corpus-wide hot keys that survive the panel
+      // broadcast semi-join, so the probe measures the worst case of
+      // the inverted join. The panel is count-capped (~100 docs at any
+      // n), so hot-trigram fan-out is panel×corpus = LINEAR, and total
+      // cost must track the registry build, never df².
+      val (tSn, rSn) = time {
+        val d = replicateDocsDisjoint(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          n)
+          .select(col("doc_id"),
+            concat(lit("shared header boilerplate block every doc "),
+              col("text")).as("text"))
+        Dedup.snapshotNeardupDf(d).count()
+      }
+      results += (("snapshot_neardup_hot", n, tSn, rSn))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

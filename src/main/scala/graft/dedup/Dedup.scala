@@ -912,10 +912,7 @@ object Dedup {
   def snapshotNeardup(s: SparkSession, d: String): DataFrame = {
     val n = Tables.documents(s, d).count()
     val m = math.max(20L, (n + 99L) / 100L)
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
-      .filter(size(col("w")) >= 3)
+    val base = snapBase(Tables.documents(s, d))
     val panel = base.filter(col("doc_id") % m === 4)
       .localCheckpoint() // trigram arm + signature arm + output spine
     // The existing-side REGISTRY — per-doc trigram-md5 set + minhash
@@ -929,14 +926,40 @@ object Dedup {
       s"graft_snapdupreg_${graft.operators.WarehouseCache.dirSuffix(d)}",
       graft.operators.WarehouseCache
         .sourceFingerprint(s, d, "documents.parquet") + s":m$m:mhk2") {
-      base.filter(col("doc_id") % m =!= 4)
-        .select(col("doc_id").as("e_id"),
-          array_distinct(expr(
-            "transform(sequence(0, size(w) - 3), i -> " +
-              "md5(concat_ws(' ', element_at(w, i + 1), " +
-              "element_at(w, i + 2), element_at(w, i + 3))))")).as("gs"),
-          minhashSignature(col("w")).as("sig"))
+      snapRegistry(base.filter(col("doc_id") % m =!= 4))
     }.localCheckpoint()
+    snapProbe(panel, existing)
+  }
+
+  /** [[snapshotNeardup]] over an arbitrary (doc_id, text) frame —
+    * registry built inline, uncached (probes and specs; the table form
+    * above is the production-economics path). */
+  def snapshotNeardupDf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val m = math.max(20L, (n + 99L) / 100L)
+    val base = snapBase(docs)
+    val panel = base.filter(col("doc_id") % m === 4).localCheckpoint()
+    val existing =
+      snapRegistry(base.filter(col("doc_id") % m =!= 4)).localCheckpoint()
+    snapProbe(panel, existing)
+  }
+
+  private def snapBase(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
+    .filter(size(col("w")) >= 3)
+
+  /** Per-doc trigram-md5 set + minhash signature — the registry row. */
+  private def snapRegistry(existing: DataFrame): DataFrame = existing
+    .select(col("doc_id").as("e_id"),
+      array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "md5(concat_ws(' ', element_at(w, i + 1), " +
+          "element_at(w, i + 2), element_at(w, i + 3))))")).as("gs"),
+      minhashSignature(col("w")).as("sig"))
+
+  private def snapProbe(panel: DataFrame, existing: DataFrame)
+      : DataFrame = {
 
     // ---- exact arm: inverted trigram-md5 join. Set sizes come from
     // the per-row ARRAY width (map-side projection — no count shuffle),
