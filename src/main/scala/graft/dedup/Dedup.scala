@@ -958,6 +958,31 @@ object Dedup {
           "element_at(w, i + 2), element_at(w, i + 3))))")).as("gs"),
       minhashSignature(col("w")).as("sig"))
 
+  /** The near-dup REGISTRY row set of a (doc_id, text) corpus —
+    * (e_id, trigram-md5 set, minhash signature). Public for the
+    * streaming probe ([[graft.streaming.StreamingNeardup]]), which
+    * checks arriving documents against exactly this artifact. The
+    * projection is per-row (kernel expressions, no shuffle), so the
+    * SAME call also fingerprints a streaming frame. */
+  def neardupRegistryDf(docs: DataFrame): DataFrame =
+    snapRegistry(snapBase(docs))
+
+  /** Banded LSH keys of a (idCol, sig) frame: one (idCol, band,
+    * bandhash) row per band — a stateless per-row explode, applied
+    * identically to batch and streaming frames. */
+  private[graft] def bandTable(sigs: DataFrame, idCol: String)
+      : DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
+    }
+    sigs.filter(col("sig").isNotNull)
+      .select(col(idCol), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+  }
+
   private def snapProbe(panel: DataFrame, existing: DataFrame)
       : DataFrame = {
 
@@ -998,20 +1023,9 @@ object Dedup {
         col("jac").as("best_jac"))
 
     // ---- LSH probe arm: panel bands against the frozen registry bands
-    def bands(sigs: DataFrame, idCol: String): DataFrame = {
-      val bandCols = (0 until Bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
-      }
-      sigs.filter(col("sig").isNotNull)
-        .select(col(idCol), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bandhash")
-    }
-    val cand = bands(panel.select(col("doc_id").as("p_id"),
+    val cand = bandTable(panel.select(col("doc_id").as("p_id"),
         minhashSignature(col("w")).as("sig")), "p_id")
-      .join(bands(existing.select(col("e_id"), col("sig")), "e_id"),
+      .join(bandTable(existing.select(col("e_id"), col("sig")), "e_id"),
         Seq("band", "bandhash"))
       .select(col("p_id"), col("e_id")).distinct()
     val lshFound = cand

@@ -172,6 +172,49 @@ class StreamingSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("streaming near-dup probe: arriving docs flag against the frozen " +
+      "registry, stream equals batch on the distinct pair set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val common = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val registry = graft.dedup.Dedup.neardupRegistryDf(Seq(
+      (1L, common),
+      (2L, "registry corpus spark shuffle partition codegen exchange " +
+        "broadcast whole stage wholestage pipeline")
+    ).toDF("doc_id", "text")).localCheckpoint()
+    val arriving = Seq(
+      (100L, common.replace("tonight", "today")),   // near-dup of 1
+      (101L, "wholly unrelated arriving document body with fresh tokens"),
+      (102L, common)                                // exact dup of 1
+    )
+    // batch parity arm
+    val batchPairs = StreamingNeardup.matches(
+        arriving.toDF("doc_id", "text"), registry)
+      .select($"doc_id", $"match_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((100L, 1L), (102L, 1L)), s"got $batchPairs")
+    // streaming arm: two triggers, same distinct pair set
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingNeardup.matches(
+        input.toDS().toDF("doc_id", "text"), registry)
+      .writeStream.format("memory").queryName("snearly")
+      .outputMode("append").start()
+    input.addData(arriving.take(1))
+    q.processAllAvailable()
+    input.addData(arriving.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("snearly")
+      .select($"doc_id", $"match_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batchPairs,
+      "stream must equal batch on the distinct matched-pair set")
+    val jacs = spark.table("snearly").select($"doc_id", $"jac")
+      .as[(Long, Double)].collect().toMap
+    assert(jacs(102L) === 1.0, "the exact dup scores jaccard 1")
+    assert(jacs(100L) >= 0.6 && jacs(100L) < 1.0)
+  }
+
   test("streaming near-dedup drops simhash-equal docs within the watermark") {
     val src = tmp("neardup-src")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
