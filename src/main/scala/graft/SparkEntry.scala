@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.{Advanced, Analytics, Geo, Graph, MLPrep, Relational, TextQueries}
+import graft.operators.{Advanced, Analytics, Diagnostics, Geo, Graph, MLPrep, Relational, TextQueries}
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -317,6 +317,7 @@ object SparkEntry {
     "q276_vocab_coverage" -> ((s, d) => TextQueries.vocabCoverage(s, d)),
     "q277_dsir_ess" -> ((s, d) => TextQueries.dsirEss(s, d)),
     "q278_snapshot_neardup" -> ((s, d) => Dedup.snapshotNeardup(s, d)),
+    "q279_key_skew" -> ((s, d) => Diagnostics.keySkewAudit(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3517,5 +3518,28 @@ object SparkEntry {
         "AS has_neardup, coalesce(best_id, -1) AS best_id, " +
         "coalesce(best_jac, 0.0) AS best_jac, true AS lsh_recall_ok " +
         "FROM pd LEFT JOIN best ON pd.doc_id = best.p_id"),
+    "q279_key_skew" ->
+      // percentiles round to 2 dp (q39 convention), the skew ratio
+      // divides the ROUNDED median, top-8 orders by (freq desc, key asc)
+      {
+        def block(table: String, key: String): String =
+          s"(WITH c AS (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n " +
+            s"FROM $table GROUP BY 1), " +
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS top8 FROM (" +
+            "SELECT n FROM c ORDER BY n DESC, k LIMIT 8)) " +
+            s"SELECT '$table.$key' AS key_name, " +
+            "CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys, " +
+            "max(n) AS max_freq, " +
+            "round(quantile_cont(n, 0.99), 2) AS p99_freq, " +
+            "round(quantile_cont(n, 0.5), 2) AS median_freq, " +
+            "round(max(n) / round(quantile_cont(n, 0.5), 2), 4) " +
+            "AS skew_ratio, " +
+            "round(top8 / CAST(sum(n) AS DOUBLE), 6) AS top8_share, " +
+            "max(n) * 32 > CAST(sum(n) AS BIGINT) AS needs_salting " +
+            "FROM c, t GROUP BY top8)"
+        block("events", "user_id") + " UNION ALL " +
+          block("lineitem", "l_orderkey") + " UNION ALL " +
+          block("orders", "o_custkey")
+      },
   )
 }

@@ -16,6 +16,38 @@ class DiagnosticsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_keys") === 50)
   }
 
+  test("key skew audit: a hot key past 1/32 of rows fires the salting " +
+      "flag; balanced keys don't; top-8 share and ratio reconcile") {
+    val dir = java.nio.file.Files.createTempDirectory("skewaudit").toString
+    // events: user 7 owns 200 of 1000+200 rows (> 1/32) → flag fires
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (Seq.fill(200)(7L) ++ (1000L until 2000L))
+      .map(u => (u, ts, "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // lineitem/orders: perfectly balanced → no flag
+    (0L until 960L).map(k => (k % 96, k))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (0L until 960L).map(k => (k % 96, k))
+      .toDF("o_custkey", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Diagnostics.keySkewAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ev = out("events.user_id")
+    assert(ev.getAs[Boolean]("needs_salting"),
+      "200 of 1200 rows on one key must flag at 32-way fair share")
+    assert(ev.getAs[Long]("max_freq") === 200L &&
+      ev.getAs[Long]("n_keys") === 1001L)
+    // top-8 = the hot key (200) + seven singletons
+    assert(ev.getAs[Double]("top8_share") ===
+      math.rint(207.0 / 1200.0 * 1e6) / 1e6)
+    assert(ev.getAs[Double]("skew_ratio") === 200.0) // median freq 1
+    val li = out("lineitem.l_orderkey")
+    assert(!li.getAs[Boolean]("needs_salting"))
+    assert(li.getAs[Double]("skew_ratio") === 1.0)
+  }
+
   test("broadcast advice: small dim yes, threshold respected") {
     val small = Tables.nation(spark, sf0001)
     val r = Diagnostics.broadcastAdvice(spark, small).head()
