@@ -318,6 +318,7 @@ object SparkEntry {
     "q277_dsir_ess" -> ((s, d) => TextQueries.dsirEss(s, d)),
     "q278_snapshot_neardup" -> ((s, d) => Dedup.snapshotNeardup(s, d)),
     "q279_key_skew" -> ((s, d) => Diagnostics.keySkewAudit(s, d)),
+    "q280_sentiment" -> ((s, d) => TextQueries.sentimentBySource(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3541,5 +3542,22 @@ object SparkEntry {
           block("lineitem", "l_orderkey") + " UNION ALL " +
           block("orders", "o_custkey")
       },
+    "q280_sentiment" ->
+      // integer lexicon fold per doc, |sources|-grain rollup; sums CAST
+      // AS BIGINT (HUGEINT rule); the one mean rounds to 4 dp
+      ("WITH sc AS (SELECT source, CAST(coalesce(list_sum(" +
+        "list_transform(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> ''), t -> CASE WHEN t = 'fast' OR t = 'big' THEN 1 " +
+        "WHEN t = 'slow' OR t = 'small' THEN -1 ELSE 0 END)), 0) " +
+        "AS BIGINT) AS score FROM documents) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_pos, " +
+        "CAST(sum(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_neg, " +
+        "CAST(sum(CASE WHEN score = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_neutral, CAST(sum(score) AS BIGINT) AS total_score, " +
+        "round(CAST(sum(score) AS DOUBLE) / count(*), 4) AS mean_score " +
+        "FROM sc GROUP BY 1"),
   )
 }

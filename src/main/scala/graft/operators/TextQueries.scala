@@ -1515,6 +1515,54 @@ object TextQueries {
       .withColumn("degenerate", col("ess_ratio") < 0.5)
   }
 
+  /** Lexicon words and integer valences for [[sentimentBynSource]] —
+    * SURVEY §2.3's "broadcast lexicon join + agg" sentiment pattern
+    * (the Twitter-Spark paper shape from PAPERS.md). Deliberately tiny
+    * and integer-valued: the engineering point is the JOIN-FREE scoring
+    * shape, not lexical coverage. */
+  val SentimentLexicon: Map[String, Int] =
+    Map("fast" -> 1, "big" -> 1, "slow" -> -1, "small" -> -1)
+
+  /** Lexicon-based sentiment scoring, rolled up per source — the §2.3
+    * text-analysis mapping's last unimplemented line. Each document's
+    * score is the integer sum of its tokens' lexicon valences; the
+    * rollup reports document polarity counts and the mean score.
+    *
+    * The lexicon enters as a LITERAL MAP folded inside the scan
+    * projection (array HOF), so scoring is join-free AND shuffle-free —
+    * strictly cheaper than the paper's broadcast join, which becomes
+    * the right shape only when the lexicon outgrows an expression
+    * literal (≳10⁵ entries); the rollup is one partial-aggregated
+    * |sources|-grain shuffle. All counts and scores are exact integers;
+    * the one mean divides at the output edge and rounds to 4 dp. */
+  def sentimentBySource(s: SparkSession, d: String): DataFrame =
+    sentimentBySourceDf(
+      Tables.documents(s, d).select(col("source"), col("text")))
+
+  /** [[sentimentBySource]] over an arbitrary (source, text) frame.
+    * Stateless scan + rollup: the scoring projection applies unchanged
+    * to a streaming frame. */
+  def sentimentBySourceDf(docs: DataFrame): DataFrame = {
+    val keys = SentimentLexicon.keys.toSeq.sorted
+    val m = map_from_arrays(
+      array(keys.map(lit): _*),
+      array(keys.map(k => lit(SentimentLexicon(k).toLong)): _*))
+    docs
+      .select(col("source"),
+        aggregate(
+          transform(expr("filter(split(lower(text), ' '), x -> x != '')"),
+            t => coalesce(element_at(m, t), lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("score") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("score") === 0, 1L).otherwise(0L)).as("n_neutral"),
+        sum(col("score")).as("total_score"),
+        round(sum(col("score")) / count(lit(1)).cast("double"), 4)
+          .as("mean_score"))
+  }
+
   // org.apache.spark.sql.functions.size, un-shadowed by method params
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

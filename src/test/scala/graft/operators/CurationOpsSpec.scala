@@ -181,6 +181,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!out(1)._5 && !out(2)._5)
   }
 
+  // -------------------------------------------------------- q280
+
+  test("sentiment lexicon: hand-computed polarity counts and mean; " +
+      "non-lexicon tokens are neutral") {
+    val docs = Seq(
+      ("s1", "fast fast big table"),   // +3
+      ("s1", "slow small query"),      // -2
+      ("s1", "join hash merge"),       // 0
+      ("s2", "slow slow slow")         // -3
+    ).toDF("source", "text")
+    val out = TextQueries.sentimentBySourceDf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(out("s1") === ((3L, 1L, 1L, 1L, 1L, 0.3333)))
+    assert(out("s2") === ((1L, 0L, 1L, 0L, -3L, -3.0)))
+  }
+
   // -------------------------------------------------------- q276
 
   test("vocab coverage: hand-computed curve, budgets past the vocabulary " +
