@@ -146,6 +146,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
+  test("sentiment scoring is join-free: literal-map fold in the scan, " +
+      "one rollup exchange") {
+    val p = plan(TextQueries.sentimentBySource(spark, sf0001))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(2000))
+  }
+
+  test("key-skew audit's top-8 plans as partial top-k, never a global sort") {
+    val p = plan(Diagnostics.keySkewAudit(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   // Unpartitioned windows of a query, AQE-proof: under adaptive
   // execution `executedPlan` is an AdaptiveSparkPlanExec LEAF, so a
   // naive `.collect { case w: WindowExec ... }` returns Nil for EVERY
