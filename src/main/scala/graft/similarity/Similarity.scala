@@ -489,7 +489,14 @@ object Similarity {
         col("col.score").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
 
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    ivfTopKProbed(s, d, k, NProbe)
+
+  /** [[ivfTopK]] with an explicit probe budget — the tuning axis the
+    * probe-curve query (q281) sweeps; `ivfTopK` is the nprobe = NProbe
+    * point, byte-identical plan. */
+  def ivfTopKProbed(s: SparkSession, d: String, k: Int, nprobe: Int)
+      : DataFrame = {
     val v = vectors(s, d)
     // Centroids + inverted lists are the IVF INDEX — deterministic
     // corpus functions, built once per corpus snapshot and persisted
@@ -516,7 +523,7 @@ object Similarity {
       .select(col("query_id"), col("cent_id"),
         cosine(col("q_emb"), col("cent_emb")).as("cdist"))
       .withColumn("crk", row_number().over(pw))
-      .filter(col("crk") <= NProbe)
+      .filter(col("crk") <= nprobe)
       .select(col("query_id"), col("cent_id"))
       .join(broadcast(q), Seq("query_id"))
 
@@ -666,6 +673,56 @@ object Similarity {
     tot.crossJoin(broadcast(hits))
       .select(col("n_queries"),
         (col("n_hits") >= col("n_truth") * bound).as("recall_ok"))
+  }
+
+  /** IVF probe-budget recall curve — the recall-vs-nprobe tuning table
+    * every production vector store publishes before fixing an operating
+    * point (q31 pins ONE point; this sweeps the axis). Per budget
+    * (1, 2, 4, NProbe): recall@k of [[ivfTopKProbed]] against the exact
+    * brute-force truth, reported as two in-query booleans —
+    * `recall_nondecreasing` (probe sets are nested by construction:
+    * budget b's buckets are a PREFIX of budget b′ > b's ranking, so a
+    * truth member found at b is still a candidate at b′, and a true
+    * top-k vector is displaced from the heap only by globally-closer
+    * vectors, of which fewer than k exist — recall can only grow) and
+    * `recall_ok` (the committed ≥ 0.5 bound at the production NProbe
+    * operating point). The exact columns (panel size, truth pair count,
+    * mean true top-1 similarity in DECIMAL) are oracle-reproducible.
+    *
+    * Scale shape: the truth arm is q30's committed brute-force class
+    * (fixed-rate panel); each budget's arm reuses the WarehouseCache
+    * index and probes nprobe/|centroids| of the corpus; the curve
+    * assembly windows over |probes| = 4 metadata rows. */
+  def ivfProbeCurve(s: SparkSession, d: String, k: Int = 5,
+      probes: Seq[Int] = Seq(1, 2, 4, NProbe)): DataFrame = {
+    val truth = bruteForceTopK(s, d, k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+      .localCheckpoint() // stats + one hits-join per probe budget
+    val stats = truth.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("truth_pairs"),
+      round(avg(when(col("rk") === 1,
+        col("sim").cast("decimal(18,6)"))).cast("double"), 6)
+        .as("mean_true_top1"))
+    val rows = probes.map { np =>
+      ivfTopKProbed(s, d, k, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"))
+    }.reduce(_.union(_))
+    // |probes|-row metadata frame: the bare window is bounded by the
+    // sweep length, never by data
+    val w = Window.orderBy(col("nprobe"))
+    rows.crossJoin(broadcast(stats))
+      .withColumn("prev_hits", lag(col("hits"), 1).over(w))
+      .select(col("nprobe"), col("n_queries"), col("truth_pairs"),
+        col("mean_true_top1"),
+        coalesce(col("hits") >= col("prev_hits"), lit(true))
+          .as("recall_nondecreasing"),
+        (col("nprobe") < lit(NProbe) ||
+          col("hits") * 2 >= col("truth_pairs")).as("recall_ok"))
   }
 
   def ivfRecallCheck(s: SparkSession, d: String): DataFrame =

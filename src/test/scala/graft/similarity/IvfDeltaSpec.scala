@@ -48,4 +48,29 @@ class IvfDeltaSpec extends SparkTestBase {
       .filter(col("vec_id") % 7 === 3).count()
     assert(nd > 0 && nd < n)
   }
+
+  test("probe curve: recall climbs with the budget, and probing every " +
+      "bucket IS brute force (exact result-set equality)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val truth = asSet(Similarity.bruteForceTopK(spark, sf0001))
+    // nprobe >= every bucket count: the probe filter passes all
+    // centroids, so IVF degenerates to exhaustive search exactly
+    val all = asSet(Similarity.ivfTopKProbed(spark, sf0001, 5, 1000))
+    assert(all === truth,
+      "all-bucket IVF must equal brute force row-for-row")
+    def hits(np: Int): Long = {
+      val found = Similarity.ivfTopKProbed(spark, sf0001, 5, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(t => found.contains((t._1, t._2))).toLong
+    }
+    val curve = Seq(1, 2, 4, Similarity.NProbe).map(hits)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"recall must be nondecreasing in nprobe: $curve")
+    assert(curve.last * 2 >= truth.size,
+      "the committed >= 0.5 bound holds at the operating point")
+  }
 }
