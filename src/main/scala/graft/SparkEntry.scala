@@ -321,6 +321,8 @@ object SparkEntry {
     "q280_sentiment" -> ((s, d) => TextQueries.sentimentBySource(s, d)),
     "q281_ivf_probe_curve" ->
       ((s, d) => Similarity.ivfProbeCurve(s, d)),
+    "q282_sq8_distortion" ->
+      ((s, d) => Similarity.sq8Distortion(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3583,5 +3585,22 @@ object SparkEntry {
         "SELECT v AS nprobe, n_queries, truth_pairs, mean_true_top1, " +
         "true AS recall_nondecreasing, true AS recall_ok " +
         "FROM st, (VALUES (1), (2), (4), (6)) s(v)"),
+    "q282_sq8_distortion" ->
+      // closed-form quantizer mirrored op-for-op (q216 discipline);
+      // errors quantize to 12 dp before the DECIMAL sum; mse rounds to 9
+      ("WITH xs AS (SELECT unnest(range(0, len(emb))) AS dim, " +
+        "unnest(emb) AS x FROM (SELECT CAST(embedding AS DOUBLE[]) " +
+        "AS emb FROM embeddings)), " +
+        "mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM xs " +
+        "GROUP BY 1), " +
+        "e AS (SELECT xs.dim, mn, mx, round(abs(x - (CASE " +
+        "WHEN mx > mn THEN mn + (least(floor((x - mn) / (mx - mn) " +
+        "* 256), 255) + 0.5) * (mx - mn) / 256 ELSE mn END)), 12) " +
+        "AS e FROM xs JOIN mm ON xs.dim = mm.dim) " +
+        "SELECT dim, mn, mx, max(e) AS max_abs_err, " +
+        "round(CAST(sum(CAST(round(e * e, 12) AS DECIMAL(30,12))) " +
+        "AS DOUBLE) / count(*), 9) AS mse, " +
+        "max(e) <= (mx - mn) / 256 / 2 + 1e-12 AS within_bound " +
+        "FROM e GROUP BY 1, 2, 3"),
   )
 }

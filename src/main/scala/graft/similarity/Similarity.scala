@@ -1126,6 +1126,45 @@ object Similarity {
     embeddingHealthDf(Tables.embeddings(s, d)
       .select(asDouble(col("embedding")).as("emb")))
 
+  /** SQ8 quantization-distortion audit — the index-quality monitor run
+    * BEFORE trusting one-byte codes in production (q216 uses the codec;
+    * this measures what it costs): per dimension, the max absolute
+    * reconstruction error, the mean squared error, and the PROVABLE
+    * half-step bound |x − deq(x)| ≤ (mx−mn)/512 as a boolean (deq
+    * reconstructs at the cell midpoint, and the clamp at code 255 still
+    * lands within half a step of mx). A dimension whose mse approaches
+    * the uniform-quantization floor step²/12 is healthy; one far above
+    * it signals outlier-stretched [mn, mx] ranges that want clipping.
+    *
+    * Fully oracle-exact: the quantizer is closed-form (the q216
+    * argument — floor and every scalar op are single mirrored IEEE
+    * instructions), errors quantize to 12 dp before the DECIMAL sum
+    * (order-independent), mse rounds to 9. Scale shape: one (dim)-grain
+    * partial aggregate for ranges, one for the error rollup — mapper
+    * state is `width` cells; no joins beyond the |dims|-row broadcast. */
+  def sq8Distortion(s: SparkSession, d: String): DataFrame = {
+    val xs = vectors(s, d)
+      .select(posexplode(col("emb")).as(Seq("dim", "x")))
+    val mm = xs.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val step = (col("mx") - col("mn")) / lit(256.0)
+    val deq = when(col("mx") > col("mn"),
+      col("mn") + (least(floor((col("x") - col("mn")) /
+        (col("mx") - col("mn")) * lit(256.0)), lit(255.0)) + lit(0.5)) *
+        (col("mx") - col("mn")) / lit(256.0))
+      .otherwise(col("mn"))
+    xs.join(broadcast(mm), Seq("dim"))
+      .select(col("dim"), col("mn"), col("mx"),
+        round(abs(col("x") - deq), 12).as("e"))
+      .select(col("dim"), col("mn"), col("mx"), col("e"),
+        round(col("e") * col("e"), 12).cast("decimal(30,12)").as("e2"))
+      .groupBy(col("dim"), col("mn"), col("mx"))
+      .agg(max(col("e")).as("max_abs_err"),
+        round(sum(col("e2")).cast("double") / count(lit(1)), 9).as("mse"))
+      .withColumn("within_bound",
+        col("max_abs_err") <= step / lit(2.0) + lit(1e-12))
+  }
+
   /** [[embeddingHealth]] over an arbitrary (emb: array<double>) frame. */
   def embeddingHealthDf(v: DataFrame): DataFrame = {
     val st = v

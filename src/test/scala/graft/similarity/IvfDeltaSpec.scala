@@ -73,4 +73,34 @@ class IvfDeltaSpec extends SparkTestBase {
     assert(curve.last * 2 >= truth.size,
       "the committed >= 0.5 bound holds at the operating point")
   }
+
+  test("sq8 distortion: hand-computed cell-midpoint errors, the clamp " +
+      "edge sits exactly at half a step, constant dims cost nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8dist").toString
+    // dim 0: {0, 1} → step 1/256, both points err exactly 1/512;
+    // dim 1: constant → mx == mn branch, zero error
+    Seq((0L, Seq(0.0, 5.0)), (100L, Seq(1.0, 5.0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.sq8Distortion(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val (e0, mse0, ok0) = out(0)
+    assert(e0 === 1.0 / 512.0, "clamp edge reconstructs half a step off")
+    assert(mse0 === 3.815e-6, s"mse must be (1/512)^2 rounded to 9, got $mse0")
+    assert(ok0, "the half-step bound holds at its own edge")
+    assert(out(1) === ((0.0, 0.0, true)), "constant dim is error-free")
+  }
+
+  test("sq8 distortion on testdata: every dim within the provable bound, " +
+      "mse near the uniform-quantization floor step^2/12") {
+    Similarity.sq8Distortion(spark, sf0001).collect().foreach { r =>
+      val (mn, mx, mse, ok) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(4), r.getBoolean(5))
+      assert(ok)
+      val floorMse = math.pow((mx - mn) / 256.0, 2) / 12.0
+      assert(mse > 0.3 * floorMse && mse < 3.0 * floorMse,
+        s"mse $mse vs uniform floor $floorMse")
+    }
+  }
 }
