@@ -323,6 +323,7 @@ object SparkEntry {
       ((s, d) => Similarity.ivfProbeCurve(s, d)),
     "q282_sq8_distortion" ->
       ((s, d) => Similarity.sq8Distortion(s, d)),
+    "q283_pack_efficiency" -> ((s, d) => Advanced.packEfficiency(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3602,5 +3603,22 @@ object SparkEntry {
         "AS DOUBLE) / count(*), 9) AS mse, " +
         "max(e) <= (mx - mn) / 256 / 2 + 1e-12 AS within_bound " +
         "FROM e GROUP BY 1, 2, 3"),
+    "q283_pack_efficiency" ->
+      // exact integer example/waste accounting; the one ratio rounds
+      // to 6; sums CAST AS BIGINT (HUGEINT rule)
+      ("WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS BIGINT) AS ntok FROM documents), " +
+        "a AS (SELECT count(*) AS n_docs, " +
+        "CAST(sum(ntok + 1) AS BIGINT) AS stream_tokens, " +
+        "CAST(sum((ntok + 512) // 512) AS BIGINT) AS padded_examples " +
+        "FROM t WHERE ntok >= 1) " +
+        "SELECT CAST(512 AS BIGINT) AS context_len, n_docs, " +
+        "stream_tokens, (stream_tokens + 511) // 512 " +
+        "AS packed_examples, padded_examples, " +
+        "(stream_tokens + 511) // 512 * 512 - stream_tokens " +
+        "AS packed_waste, " +
+        "padded_examples * 512 - stream_tokens AS padded_waste, " +
+        "round(1.0 - ((stream_tokens + 511) // 512) / " +
+        "CAST(padded_examples AS DOUBLE), 6) AS example_savings FROM a"),
   )
 }

@@ -542,6 +542,46 @@ object Advanced {
       .withColumn("crosses", col("n_examples") > 1L)
   }
 
+  /** Context-packing efficiency audit — the utilization report behind
+    * choosing q258's concat-and-split over per-document padding: for a
+    * fixed context length, how many training examples does each
+    * strategy emit, and how many context slots does each waste?
+    * Concat-and-split wastes at most one partial final example
+    * (len−1 slots corpus-WIDE); pad-to-context wastes the tail of
+    * every document (≈ len/2 slots PER DOC) — the ratio is the
+    * GPU-hours argument for packing, and pipeline owners re-check it
+    * whenever the length distribution shifts (mixture change, chunking
+    * upstream). All columns are exact integers off ONE partial-
+    * aggregated token-count pass (no GlobalOrder needed — only totals
+    * matter, not per-doc offsets); the two ratios divide at the edge
+    * and round to 6. */
+  def packEfficiency(s: SparkSession, d: String,
+      len: Long = ContextLen): DataFrame = {
+    require(len >= 1, "context length must be positive")
+    documents(s, d)
+      .select(graft.functions.TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("ntok"))
+      .filter(col("ntok") >= 1)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok") + lit(1L)).as("stream_tokens"),
+        // pad-to-context: ⌈(ntok+1)/len⌉ examples per doc, exactly
+        sum(expr(s"(ntok + $len) div $len")).as("padded_examples"))
+      .select(lit(len).as("context_len"), col("n_docs"),
+        col("stream_tokens"),
+        expr(s"(stream_tokens + ${len - 1}) div $len")
+          .as("packed_examples"),
+        col("padded_examples"))
+      .select(col("context_len"), col("n_docs"), col("stream_tokens"),
+        col("packed_examples"), col("padded_examples"),
+        (col("packed_examples") * lit(len) - col("stream_tokens"))
+          .as("packed_waste"),
+        (col("padded_examples") * lit(len) - col("stream_tokens"))
+          .as("padded_waste"),
+        round(lit(1.0) - col("packed_examples") /
+          col("padded_examples").cast("double"), 6)
+          .as("example_savings"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any 8-token
     * window with a (small, deterministic) benchmark set — the screening
     * stage that keeps eval data out of training corpora. 8-grams are built

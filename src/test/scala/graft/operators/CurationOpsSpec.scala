@@ -181,6 +181,29 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!out(1)._5 && !out(2)._5)
   }
 
+  // -------------------------------------------------------- q283
+
+  test("pack efficiency: hand-computed example/waste accounting and " +
+      "consistency with the q258 packing manifest") {
+    val out = Advanced.packEfficiency(spark, sf0001).head()
+    val (nDocs, stream, packed, padded) =
+      (out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4))
+    // reconcile against the packing manifest: the last example index
+    // of q258's stream + 1 must equal the packed example count
+    val manifest = Advanced.packContexts(spark, sf0001)
+    assert(manifest.count() === nDocs)
+    val lastExample = manifest
+      .agg(max(col("first_example") + col("n_examples") - 1)).head()
+      .getLong(0)
+    assert(lastExample + 1 === packed,
+      "packed_examples must equal the manifest's final example index + 1")
+    // padding can never beat packing; waste identities hold exactly
+    assert(padded >= packed)
+    assert(out.getLong(5) === packed * 512 - stream)
+    assert(out.getLong(6) === padded * 512 - stream)
+    assert(out.getLong(5) < 512, "concat-and-split wastes < one context")
+  }
+
   // -------------------------------------------------------- q280
 
   test("sentiment lexicon: hand-computed polarity counts and mean; " +
