@@ -153,6 +153,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).length <= 2, p.take(2000))
   }
 
+  test("filter-ablation census is a single scan: no join, no explode, " +
+      "one rollup exchange") {
+    val p = plan(Advanced.filterAblation(spark, sf0001))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(2000))
+  }
+
   test("key-skew audit's top-8 plans as partial top-k, never a global sort") {
     val p = plan(Diagnostics.keySkewAudit(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
