@@ -3027,7 +3027,7 @@ object SparkEntry {
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
         "FROM embeddings), " +
         "seeds AS (SELECT vec_id AS cid, emb AS cemb FROM v " +
-        "WHERE vec_id % 97 = 0), " +
+        "WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 1024), " +
         "asg AS (SELECT vec_id, emb, cid FROM (" +
         "SELECT v.vec_id, v.emb, s.cid, row_number() OVER (" +
         "PARTITION BY v.vec_id ORDER BY " +

@@ -780,6 +780,12 @@ object Similarity {
     * (expected |c| ≈ CentroidStep = 97 < 256). */
   val SemDedupAnchorCap = 256
 
+  /** Hard cap on [[semDedupDf]]'s cluster-seed count — the assignment
+    * pass scores every vector against every seed, so an uncapped
+    * corpus-proportional seed sample is quadratic (see the in-function
+    * comment). 1024 clusters is the IvfMaxLists discipline. */
+  val SemMaxClusters = 1024
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then drop any
     * vector whose cosine to a LOWER-id member of its own cluster
@@ -813,7 +819,17 @@ object Similarity {
   def semDedupDf(s: SparkSession, v: DataFrame,
       threshold: Double = 0.3,
       anchorCap: Int = SemDedupAnchorCap): DataFrame = {
+    // The seed set is HARD-CAPPED at the SemMaxClusters lowest seed
+    // ids (TakeOrdered partial top-k, never a global sort): an
+    // uncapped % CentroidStep sample grows WITH the corpus, making the
+    // broadcast-argmax assignment n·seeds ∝ n²/97 — the same
+    // corpus-proportional-codebook defect the round's ×16 close caught
+    // in the PQ/IVF builds (PqMaxCodes/IvfMaxLists), surfaced here by
+    // the ×64 semdedup_mega_cluster probe (5.2× for 4× data). The cap
+    // engages only past ~100 k vectors (sf0.1 has 52 seeds, the ×16
+    // replica 825), so every committed test-scale result is unchanged.
     val seeds = v.filter(col("vec_id") % CentroidStep === 0)
+      .orderBy(col("vec_id")).limit(SemMaxClusters)
       .select(col("vec_id").as("cluster_id"), col("emb").as("cent_emb"))
     val asg = v
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))

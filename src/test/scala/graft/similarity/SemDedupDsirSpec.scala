@@ -162,4 +162,27 @@ class SemDedupDsirSpec extends SparkTestBase {
       s"DSIR must separate target from raw: en $enAvg vs $otherAvg")
     out.unpersist()
   }
+
+  test("semdedup: the seed cap keeps the LOWEST-id seeds and every " +
+      "vector still assigns — corpus-proportional seed growth is bounded") {
+    // 1100 seed-eligible vectors (ids 0, 97, 194, …): uncapped there
+    // would be 1100 clusters; the cap keeps exactly the 1024 lowest ids
+    val n = 1100
+    val v = (0 until n).map { i =>
+      val a = i * 2.0 * math.Pi / n
+      (97L * i, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "emb")
+    val out = Similarity.semDedupDf(spark, v).cache()
+    assert(out.count() === n.toLong, "every vector assigns")
+    val maxCid = out.agg(max(col("cluster_id"))).head().getLong(0)
+    assert(maxCid <= 97L * 1023,
+      s"cluster ids must come from the 1024 lowest seeds, got $maxCid")
+    // a retained seed self-assigns (csim 1.0, lowest-cid tie-break
+    // can only prefer an identical-direction LOWER seed — none here)
+    val selfAssigned = out
+      .filter(col("vec_id") < 97L * 1024 &&
+        col("cluster_id") === col("vec_id")).count()
+    assert(selfAssigned === 1024L)
+    out.unpersist()
+  }
 }
