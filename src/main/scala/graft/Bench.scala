@@ -68,17 +68,20 @@ object Bench {
       if (i % 16 == 15) System.gc()
     }
 
-    val results = names.zipWithIndex.map { case (n, i) =>
+    val withRows = names.zipWithIndex.map { case (n, i) =>
       dropCheckpoints() // outside the timer
       if (i % 8 == 7) System.gc() // release dead localCheckpoint blocks
       val t0 = System.nanoTime()
-      // a failing query must not masquerade as a fast success: mark it -1
-      val ok =
-        try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+      // a failing query must not masquerade as a fast success: mark it
+      // -1; output row counts ride along for the output-normalized
+      // ratchet (rows=-annotated BASELINE.md history → sec/row bound)
+      val rows =
+        try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $n failed: ${e.getMessage}"); false }
-      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] $n failed: ${e.getMessage}"); -1L }
+      (n, if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0, rows)
     }
+    val results = withRows.map { case (n, t, _) => n -> t }
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     val total = results.map(_._2).sum
@@ -92,25 +95,37 @@ object Bench {
     // the JSON ("over_2x") and on stderr so a regression fails loudly
     // in the bench artifact itself instead of waiting for a judge to
     // diff tables. Only armed at the protocol's sf0.1.
-    val scaleTag = if (sfDir.endsWith("_x16")) "x16" else ""
-    val baseline: Map[String, Double] =
-      try BenchGuard.baselines(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("BASELINE.md")), scaleTag)
-      catch { case _: Throwable => Map.empty }
+    val scaleTag =
+      if (sfDir.endsWith("_x16")) "x16"
+      else if (sfDir.endsWith("_x64")) "x64"
+      else ""
+    val md =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BASELINE.md"))
+      catch { case _: Throwable => "" }
+    val baseline: Map[String, Double] = BenchGuard.baselines(md, scaleTag)
+    val rateBase: Map[String, Double] =
+      BenchGuard.rateBaselines(md, scaleTag)
     val over2x =
       if (sfDir.endsWith("sf0.1") || scaleTag.nonEmpty)
-        BenchGuard.violations(results, baseline)
+        BenchGuard.violationsWithRows(withRows, baseline, rateBase)
       else Seq.empty
     over2x.foreach(n => System.err.println(
       f"[bench] OVER BEST-KNOWN BOUND: $n ${results.toMap.apply(n)}%.2fs " +
-        f"vs best ${baseline(n)}%.2fs"))
+        f"vs best ${baseline.getOrElse(n, -1.0)}%.2fs" +
+        rateBase.get(n).map(r => f" (rate bound $r%.2e s/row)")
+          .getOrElse("")))
 
     def entry(k: String, v: Double) = "\"" + k + f"""":$v%.3f"""
-    // full map → bench_full.json (judge-readable, no size limit)
+    // full map → bench_full.json (judge-readable, no size limit);
+    // per-query OUTPUT rows ride along so output-bound ratchets are
+    // reconstructible from the artifact alone
     val fullQs = results.map((entry _).tupled).mkString("{", ",", "}")
+    val rowsJs = withRows.map { case (n, _, r) => "\"" + n + s"""":$r""" }
+      .mkString("{", ",", "}")
     val overJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"over_2x":$overJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case e: Throwable =>

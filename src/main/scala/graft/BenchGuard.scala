@@ -21,7 +21,18 @@ package graft
   * a documented ±20%), while for the heavy queries the +floorSec term
   * vanishes relative to 2×. floorSec = 1.0 by default: a genuinely
   * regressed heavy query blows straight past it, a jittered 0.2 s
-  * query cannot reach it. */
+  * query cannot reach it.
+  *
+  * OUTPUT-NORMALIZED ratchet (round 8): an output-bound query (exact
+  * pair joins like q134/q26, span rewrites like q267) legitimately
+  * slows when its OUTPUT grows — on a dup-heavier corpus the same plan
+  * emits quadratically more pairs, and a wall-time bound cannot tell
+  * output growth from plan regression. A BASELINE.md row may therefore
+  * carry `rows=N` in its note cell; for queries with at least one
+  * rows-carrying row, the guard ratchets on SECONDS PER ROW instead:
+  * fire when t > max(2 × bestRate × rows, bestRate × rows + floorSec)
+  * for the CURRENT run's row count. Wall-time history still ratchets
+  * for such queries' rows-free rows, but the rate bound governs. */
 object BenchGuard {
 
   // Horizontal whitespace ONLY between cells: `\s*` would cross the
@@ -32,39 +43,77 @@ object BenchGuard {
   // own sf0.1 numbers). A row's cells must sit on one line.
   private val row =
     """\|[ \t]*(q\d+\w*)[ \t]*\|[ \t]*([0-9.]+)[ \t]*\|[ \t]*([^|\n]*)""".r
+  private val rowsTok = """rows=(\d+)""".r
 
-  /** Per-query guard baselines parsed from BASELINE.md text.
-    *
-    * `scaleTag` selects which scale's history a row belongs to: a row
-    * whose third cell starts with a scale tag (e.g. "x16") records that
-    * scale; untagged rows record the default sf0.1 protocol. The two
-    * histories ratchet independently — a fast sf0.1 number must never
-    * bound a ×16 run. */
-  def baselines(md: String, scaleTag: String = ""): Map[String, Double] =
+  /** (sec, rows-if-annotated, isReset) per recorded row, document order,
+    * after scale-tag filtering and the last re-baseline reset. */
+  private def history(md: String, scaleTag: String)
+      : Map[String, Seq[(Double, Option[Long])]] =
     row.findAllMatchIn(md).toSeq
       .map { m =>
         val cell3 = m.group(3).trim
-        val tag = if (cell3.startsWith("x16")) "x16" else ""
+        // scale tags match as WHOLE tokens: a prose note that merely
+        // begins with "x16…" (or a future "x160" tag) must not be
+        // misclassified into the x16 history and stripped as a tag
+        val tag = cell3.split("\\s+", 2)(0) match {
+          case t @ ("x16" | "x64") => t
+          case _ => ""
+        }
         val note = cell3.stripPrefix(tag).trim
-        (m.group(1), m.group(2).toDouble, tag,
+        val rows = rowsTok.findFirstMatchIn(note).map(_.group(1).toLong)
+        (m.group(1), m.group(2).toDouble, tag, rows,
           note.startsWith("re-baselined"))
       }
       .filter(_._3 == scaleTag)
       .groupBy(_._1)
-      .map { case (q, rows) =>
+      .map { case (q, rs) =>
         // rows arrive in document order = recording order; the LAST
         // re-baseline marker resets history for this query
-        val lastReset = rows.lastIndexWhere(_._4)
-        val considered = if (lastReset >= 0) rows.drop(lastReset) else rows
-        q -> considered.map(_._2).min
+        val lastReset = rs.lastIndexWhere(_._5)
+        val considered = if (lastReset >= 0) rs.drop(lastReset) else rs
+        q -> considered.map(r => (r._2, r._4))
       }
+
+  /** Per-query wall-time guard baselines parsed from BASELINE.md text.
+    *
+    * `scaleTag` selects which scale's history a row belongs to: a row
+    * whose third cell starts with a scale tag (e.g. "x16") records that
+    * scale; untagged rows record the default sf0.1 protocol. The
+    * histories ratchet independently — a fast sf0.1 number must never
+    * bound a ×16 run. */
+  def baselines(md: String, scaleTag: String = ""): Map[String, Double] =
+    history(md, scaleTag).map { case (q, rs) => q -> rs.map(_._1).min }
+
+  /** Per-query best-known seconds-per-row, from rows-annotated history
+    * rows only; queries with no `rows=` annotation are absent. */
+  def rateBaselines(md: String, scaleTag: String = "")
+      : Map[String, Double] =
+    history(md, scaleTag).flatMap { case (q, rs) =>
+      val rates = rs.collect { case (sec, Some(n)) if n > 0 => sec / n }
+      if (rates.isEmpty) None else Some(q -> rates.min)
+    }
 
   /** Queries whose measured time breaches the guard bound. Skips
     * failed queries (t < 0) and queries with no recorded history. */
   def violations(results: Seq[(String, Double)],
       base: Map[String, Double], floorSec: Double = 1.0): Seq[String] =
+    violationsWithRows(results.map { case (n, t) => (n, t, 0L) },
+      base, Map.empty, floorSec)
+
+  /** [[violations]] with the current run's output row counts: a query
+    * present in `rateBase` (its history carries `rows=` annotations)
+    * is bounded by bestRate × its CURRENT row count instead of raw
+    * wall time, so output growth doesn't fire but a plan regression at
+    * the same output does. */
+  def violationsWithRows(results: Seq[(String, Double, Long)],
+      base: Map[String, Double], rateBase: Map[String, Double],
+      floorSec: Double = 1.0): Seq[String] =
     results.collect {
-      case (n, t) if t > 0 &&
-        base.get(n).exists(b => t > math.max(2 * b, b + floorSec)) => n
+      case (n, t, rows) if t > 0 && (rateBase.get(n) match {
+        case Some(rate) if rows > 0 =>
+          t > math.max(2 * rate * rows, rate * rows + floorSec)
+        case _ =>
+          base.get(n).exists(b => t > math.max(2 * b, b + floorSec))
+      }) => n
     }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Pinned-environment mini-bench for the ANN/dedup/sketch query cluster
+  * whose round-6→7 drift triggered a verdict investigation (NOTES_r7 §3:
+  * the cause was a contract change, not contamination — established by
+  * exactly this isolated re-measurement, now committed as a tool).
+  *
+  * Protocol: the FIXED 17-query panel below runs in isolation order —
+  * checkpoint blocks dropped and a full GC between queries, `trials`
+  * repetitions per query with the MINIMUM kept (the min of k trials
+  * estimates the contention-free cost; means smear box noise back in).
+  * Run it at round start and round end: a start-vs-end diff isolates
+  * code-change effects from machine noise (both runs share the
+  * environment) — attribution the full bench's single pass can't give.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.MiniBench [trials]
+  * Prints one JSON line {"metric":"mini_bench","queries":{...}}. */
+object MiniBench {
+
+  /** The drift-investigation panel: ANN family (index + probe paths),
+    * MinHash/SimHash dedup, sketches, and the graph/sim heavies that
+    * co-moved in the round-6→7 delta. Fixed — comparability across
+    * rounds is the point; grow it only by appending. */
+  val Panel: Seq[String] = Seq(
+    "q27_dedup_minhash", "q28_dedup_simhash", "q31_ann_ivf",
+    "q47_dedup_apply", "q84_pq_ann", "q96_ivfpq_ann", "q112_opq_ann",
+    "q173_cm_frequent", "q216_sq8_ann", "q225_rerank_ann",
+    "q232_item_cosine", "q250_hyperanf", "q256_semdedup",
+    "q262_filtered_ann", "q269_ivf_delta_ingest", "q281_ivf_probe_curve",
+    "q282_sq8_distortion")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val trials = if (args.nonEmpty) args(0).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+
+    // one untimed warmup pass (JIT, codegen cache, parquet footers,
+    // WarehouseCache index artifacts — offline work in production)
+    Panel.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      dropCheckpoints()
+    }
+    System.gc()
+
+    val results = Panel.map { n =>
+      val trialTimes = (0 until trials).map { _ =>
+        dropCheckpoints()
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[mini] $n failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // a failed trial poisons the query: report -1, never a fake min
+      n -> (if (trialTimes.exists(_ < 0)) -1.0 else trialTimes.min)
+    }
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"mini_bench","value":$total%.3f,"unit":"sec","trials":$trials,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

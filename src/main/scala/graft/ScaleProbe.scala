@@ -393,6 +393,60 @@ object ScaleProbe {
         Dedup.snapshotNeardupDf(d).count()
       }
       results += (("snapshot_neardup_hot", n, tSn, rSn))
+
+      // fuzzy-levenshtein segment join (round 8, q59 production path):
+      // the old broadcast nested-loop was n² levenshtein calls (×16
+      // bench: 29× time for 16× data). Replicas get a 3-token numeric
+      // prefix that forces ≥ 3 edits BETWEEN replicas, so true pairs —
+      // and therefore output — grow linearly while the old all-pairs
+      // work would grow n²
+      val (tFz, rFz) = time {
+        val names = replicateKeyed(
+          Tables.part(spark, sfDir).filter(col("p_partkey") % 20 === 0)
+            .select(col("p_partkey").as("key"), col("p_name").as("name")),
+          "key", n)
+          .select(col("key"), concat(
+            lit("r"), (col("key") % n), lit("x"), (col("key") % n),
+            lit("x"), (col("key") % n), lit(" "), col("name")).as("name"))
+        graft.operators.Advanced.fuzzyLevenshteinPairsDf(names, 2).count()
+      }
+      results += (("fuzzy_levenshtein_seg", n, tFz, rFz))
+
+      // geo nearest cascade (round 8, q125 production path): supplier
+      // DENSITY grows ×n (fixed lat/lon area) — the fixed-grid join's
+      // candidate pairs grow n² (×16 bench: 44×); the adaptive cascade
+      // shrinks cells as √(1/n) so per-customer candidates stay O(1)
+      // and cost tracks the row count
+      val (tGe, rGe) = time {
+        val supp = spark.range(0L, 1000L * n)
+          .select(col("id").as("s_suppkey"),
+            (((col("id") * 41) % 1200) / 10.0 - 60.0).as("slat"),
+            (((col("id") * 89) % 3600) / 10.0 - 180.0).as("slon"))
+        val cust = spark.range(0L, 1500L * n)
+          .select(col("id").as("c_custkey"),
+            (((col("id") * 37) % 1200) / 10.0 - 60.0).as("clat"),
+            (((col("id") * 73) % 3600) / 10.0 - 180.0).as("clon"))
+        graft.operators.Geo.nearestSupplierDf(cust, supp).count()
+      }
+      results += (("geo_nearest_cascade", n, tGe, rGe))
+
+      // shingle-containment prefix filter (round 8, q240 production
+      // path): disjoint replica namespaces keep true containment pairs
+      // linear, and a planted boilerplate header puts corpus-wide HOT
+      // 3-grams in every doc — the raw self-join's df² worst case. The
+      // prefix filter must exclude the hot shingles from every doc
+      // large enough to skip, holding candidate fan-out linear
+      val (tSc, rSc) = time {
+        val d = replicateDocsDisjoint(
+          Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("text")), n)
+          .select(col("doc_id"),
+            concat(lit("the of and boiler plate header "), col("text"))
+              .as("text"))
+        graft.operators.TextQueries.shingleContainmentPairsDf(d).count()
+      }
+      results += (("shingle_containment_hot", n, tSc, rSc))
     }
 
     val body = results.map { case (p, n, sec, rows) =>

@@ -3023,16 +3023,29 @@ object SparkEntry {
         "FROM ts JOIN bs ON ts.doc_id = bs.doc_id"),
     "q256_semdedup" ->
       // assignment + dup decision both rank/compare the 6-dp-ROUNDED
-      // cosine (the q30 discipline), so every boolean reproduces
+      // cosine (the q30 discipline); one Lloyd refinement round rebuilds
+      // centroids as DECIMAL per-dim means re-quantized to 7 dp (the
+      // q165 rule), so both engines assign against identical arrays
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
         "FROM embeddings), " +
         "seeds AS (SELECT vec_id AS cid, emb AS cemb FROM v " +
         "WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 1024), " +
-        "asg AS (SELECT vec_id, emb, cid FROM (" +
+        "a0 AS (SELECT vec_id, emb, cid FROM (" +
         "SELECT v.vec_id, v.emb, s.cid, row_number() OVER (" +
         "PARTITION BY v.vec_id ORDER BY " +
         "round(list_cosine_similarity(v.emb, s.cemb), 6) DESC, s.cid) " +
         "AS rk FROM v CROSS JOIN seeds s) WHERE rk = 1), " +
+        "m1 AS (SELECT cid, pos, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)/count(*), 7) " +
+        "AS m FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS pos, " +
+        "unnest(emb) AS x FROM a0) GROUP BY cid, pos), " +
+        "c1 AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM m1 " +
+        "GROUP BY cid), " +
+        "asg AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT v.vec_id, v.emb, c.cid, row_number() OVER (" +
+        "PARTITION BY v.vec_id ORDER BY " +
+        "round(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid) " +
+        "AS rk FROM v CROSS JOIN c1 c) WHERE rk = 1), " +
         "anchors AS (SELECT cid, vec_id AS lo_id, emb AS lo_emb FROM (" +
         "SELECT cid, vec_id, emb, row_number() OVER (" +
         "PARTITION BY cid ORDER BY vec_id) AS arn FROM asg) " +
@@ -3118,14 +3131,18 @@ object SparkEntry {
         "substr(md5(CAST(u.doc_id AS VARCHAR) || ':' || u.lang), " +
         "1, 8) < printf('%08x', CAST(least(floor(rate * 4294967296), " +
         "4294967295) AS BIGINT))) " +
-        "SELECT raw.lang, n_raw, n_quality, n_unique, n_kept, " +
-        "tok_kept FROM " +
+        // LEFT joins from raw: a language with zero survivors at any
+        // stage reports 0, not a missing row (mirrors the Spark side)
+        "SELECT raw.lang, n_raw, coalesce(n_quality, 0) AS n_quality, " +
+        "coalesce(n_unique, 0) AS n_unique, " +
+        "coalesce(n_kept, 0) AS n_kept, " +
+        "coalesce(tok_kept, 0) AS tok_kept FROM " +
         "(SELECT lang, count(*) AS n_raw FROM d0 GROUP BY 1) raw " +
-        "JOIN (SELECT lang, count(*) AS n_quality FROM qual " +
+        "LEFT JOIN (SELECT lang, count(*) AS n_quality FROM qual " +
         "GROUP BY 1) qq USING (lang) " +
-        "JOIN (SELECT lang, count(*) AS n_unique FROM uniq " +
+        "LEFT JOIN (SELECT lang, count(*) AS n_unique FROM uniq " +
         "GROUP BY 1) uu USING (lang) " +
-        "JOIN (SELECT lang, count(*) AS n_kept, " +
+        "LEFT JOIN (SELECT lang, count(*) AS n_kept, " +
         "CAST(sum(n_tok) AS BIGINT) AS tok_kept FROM kept " +
         "GROUP BY 1) kk USING (lang)"),
     "q260_substring_dedup" ->
@@ -3199,7 +3216,8 @@ object SparkEntry {
         "cnt AS (SELECT w1, w2, sum(k) AS c12 FROM dbg " +
         "WHERE lang = 'en' GROUP BY 1, 2), " +
         "uni AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1), " +
-        "voc AS (SELECT count(DISTINCT w2) AS v FROM cnt), " +
+        // v floors at 1 (empty-en guard, mirrors the Spark side)
+        "voc AS (SELECT greatest(count(DISTINCT w2), 1) AS v FROM cnt), " +
         "sc AS (SELECT d.doc_id, d.lang, " +
         "round(sum(d.k * (-log2((coalesce(c.c12, 0) + 1.0) / " +
         "(coalesce(u.c1, 0) + voc.v)))) / sum(d.k), 4) " +

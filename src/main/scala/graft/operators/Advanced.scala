@@ -831,18 +831,110 @@ object Advanced {
   }
 
   /** Edit-distance fuzzy matching over a deterministic sample: name pairs
-    * within 2 edits. The quadratic pair loop runs on the sampled slice only
-    * (the scale path for full-corpus fuzzy matching is LSH, Dedup.*) — and
-    * the streamed side is repartitioned so the broadcast-NL loop
-    * parallelizes instead of running in one task per input split. */
+    * within 2 edits — via a LOSSLESS pigeonhole segment-signature
+    * equi-join (PassJoin, Li et al. 2011), not an all-pairs loop.
+    *
+    * Why the old shape was wrong at scale: `a.join(broadcast(b),
+    * key_a < key_b)` is a broadcast nested-loop — O(n²) levenshtein
+    * calls AND a corpus-proportional broadcast side (the ×16 bench
+    * convicted it: 29× time for 16× data).
+    *
+    * Pigeonhole (lossless): split every name of length n into
+    * k = maxDist+1 contiguous segments (segment i spans
+    * [⌊i·n/k⌋+1, ⌊(i+1)·n/k⌋]). An alignment with ≤ maxDist edits
+    * leaves at least one segment UNTOUCHED, and an untouched segment
+    * appears VERBATIM in the partner at a start position shifted by at
+    * most the number of indels before it (≤ maxDist). So every
+    * qualifying pair is found by equi-joining one side's segments
+    * against the other side's same-length substrings, filtered by
+    * |len_a − len_b| ≤ maxDist (edit distance bounds length drift) and
+    * |pos − start| ≤ maxDist (the shift bound). Candidates dedup, then
+    * rescore with EXACT levenshtein — output identical to the naive
+    * join (the oracle stays the brute-force cross join).
+    *
+    * Scale shape: the index side emits k rows per name; the probe side
+    * emits O(|name| · k) substrings (each partner length l ∈
+    * [n−maxDist, n+maxDist] contributes ≤ k distinct segment lengths).
+    * Both sides are linear in the corpus and the join is a shuffle
+    * hash join on segment content — pair work scales with true
+    * near-match density, never n². Names shorter than k segments
+    * (where an empty segment would void the pigeonhole) pair inside a
+    * tiny length-bounded arm: their partners are ≤ k−1+maxDist chars,
+    * a character-alphabet-bounded set at any corpus size. */
   def fuzzyLevenshtein(s: SparkSession, d: String, maxDist: Int = 2)
-      : DataFrame = {
-    val p = part(s, d).filter(col("p_partkey") % 20 === 0)
-      .select(col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-      .repartition(s.sparkContext.defaultParallelism, col("key_a"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(broadcast(b), col("key_a") < col("key_b"))
+      : DataFrame =
+    fuzzyLevenshteinPairsDf(
+      part(s, d).filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("key"), col("p_name").as("name")),
+      maxDist)
+
+  /** [[fuzzyLevenshtein]] over an arbitrary (key, name) frame — exposed
+    * for the losslessness spec (equality vs brute force, including
+    * sub-k-length names and shifted-segment indel pairs). */
+  private[graft] def fuzzyLevenshteinPairsDf(names: DataFrame,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist + 1 // pigeonhole segment count
+    val p = names.select(col("key"), col("name"),
+      length(col("name")).as("n"))
+      .localCheckpoint() // segment side + substring side + tiny arm
+    // index side: the k segments of each name (all nonempty iff n >= k)
+    val segs = p.filter(col("n") >= k)
+      .select(col("key").as("key_a"), col("name").as("name_a"),
+        col("n").as("n_a"),
+        explode(expr(
+          s"""transform(sequence(0, $k - 1), i -> named_struct(
+             |  'start', (i * n) DIV $k + 1,
+             |  'sig', substr(name, (i * n) DIV $k + 1,
+             |    ((i + 1) * n) DIV $k - (i * n) DIV $k)))""".stripMargin))
+          .as("g"))
+      .select(col("key_a"), col("name_a"), col("n_a"),
+        col("g.start").as("start_a"), col("g.sig").as("sig"))
+    // probe side: every substring whose length equals a segment length
+    // of SOME partner length l in [n-maxDist, n+maxDist] with l >= k
+    // (shorter partners never index). ~k distinct lengths, so O(n·k)
+    // substrings per name — linear in the corpus.
+    val subs = p
+      .select(col("key").as("key_b"), col("name").as("name_b"),
+        col("n").as("n_b"),
+        explode(expr(
+          s"""flatten(transform(
+             |  filter(array_distinct(flatten(transform(
+             |    sequence(greatest(n - $maxDist, $k), n + $maxDist),
+             |    l -> transform(sequence(0, $k - 1),
+             |      i -> ((i + 1) * l) DIV $k - (i * l) DIV $k)))),
+             |    m -> m >= 1 AND m <= n),
+             |  m -> transform(sequence(1, n - m + 1),
+             |    q -> named_struct('pos', q,
+             |      'sig', substr(name, q, m)))))""".stripMargin)).as("g"))
+      .select(col("key_b"), col("name_b"), col("n_b"),
+        col("g.pos").as("pos_b"), col("g.sig").as("sig"))
+    val candSig = segs.join(subs, Seq("sig"))
+      .filter(col("key_a") =!= col("key_b") &&
+        abs(col("n_a") - col("n_b")) <= maxDist &&
+        abs(col("pos_b") - col("start_a")) <= maxDist)
+      .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"))
+    // tiny arm: pairs where BOTH names are shorter than k — the
+    // pigeonhole needs k nonempty segments; such a pair's members are
+    // < k chars (and any qualifying partner of a sub-k name that is
+    // itself >= k chars IS caught by the signature arm via its own
+    // segments). Alphabet-bounded at any corpus size.
+    val tiny = p.filter(col("n") < k)
+    val candTiny = tiny
+      .select(col("key").as("key_a"), col("name").as("name_a"))
+      .crossJoin(tiny
+        .select(col("key").as("key_b"), col("name").as("name_b")))
+      .filter(col("key_a") =!= col("key_b"))
+    candSig.unionByName(candTiny)
+      .select(when(col("key_a") < col("key_b"), col("key_a"))
+        .otherwise(col("key_b")).as("key_a"),
+        when(col("key_a") < col("key_b"), col("name_a"))
+          .otherwise(col("name_b")).as("name_a"),
+        when(col("key_a") < col("key_b"), col("key_b"))
+          .otherwise(col("key_a")).as("key_b"),
+        when(col("key_a") < col("key_b"), col("name_b"))
+          .otherwise(col("name_a")).as("name_b"))
+      .distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("key_a"), col("key_b"), col("dist"))
@@ -1183,13 +1275,23 @@ object Advanced {
         least(floor(col("rate") * lit(4294967296.0)),
           lit(4294967295.0)).cast("bigint")), 8, "0")))
       .filter(col("rate") >= 1.0 || col("h") < col("thresh"))
+    // LEFT joins from the raw per-language counts: a language with zero
+    // survivors at any stage (every doc fails quality, or the draw kept
+    // none) must show 0 in the funnel report — the most interesting row
+    // for a pipeline owner — not silently disappear (it would under
+    // inner joins). The oracle mirrors the left joins + coalesce.
     docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
       .join(qual.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")),
-        Seq("lang"))
+        Seq("lang"), "left_outer")
       .join(uniq.groupBy(col("lang")).agg(count(lit(1)).as("n_unique")),
-        Seq("lang"))
+        Seq("lang"), "left_outer")
       .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
-        sum(col("n_tok")).as("tok_kept")), Seq("lang"))
+        sum(col("n_tok")).as("tok_kept")), Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
   }
 
   /** Quality-filter ablation census — the filter-tuning report behind
@@ -2015,20 +2117,30 @@ object Advanced {
       FROM graft_pd_orders GROUP BY o_orderstatus""")
   }
 
-  /** EXACT grouped quantiles at sketch cost: pass 1 builds a mergeable KLL
-    * summary per group (O(k log n) state, one small buffer per group per
-    * mapper on the shuffle); the driver reads each summary's rank-error
-    * band around every target rank; pass 2 counts rows strictly below each
-    * band and collects ONLY the in-band rows (≈ 2εn per group, the only
-    * part of the distribution that can contain the answer). The exact
-    * order statistics are then picked out of the sorted band and
-    * interpolated — and the band is VERIFIED against the exact below-count
-    * (below ≤ ⌊r⌋ and below + |band| > ⌈r⌉), widening and retrying if the
-    * sketch's probabilistic bound ever misses, so the result is exact
-    * unconditionally, not just w.h.p. This is how exact percentiles stay
-    * feasible at 100 TB: the full sort never happens; only εn rows are
-    * ever centralized. Oracle: DuckDB quantile_cont.
-    */
+  /** EXACT grouped quantiles at sketch cost, with O(1) ROWS CENTRALIZED:
+    * pass 1 builds a mergeable KLL summary per group (O(k log n) state,
+    * one small buffer per group per mapper on the shuffle) plus the exact
+    * count; then a short PROBE LOOP resolves each target order statistic
+    * — value at rank j = the minimum data value w with count(v ≤ w) ≥
+    * j+1 — from exact scan-side AGGREGATES only: per probe point m, the
+    * loop reads count(v ≤ m), max(v ≤ m) and min(v > m). The sketch
+    * supplies the first probe (within εn ranks w.h.p.), then outcomes
+    * bracket the answer between a known-low probe's DATA successor
+    * (min(v > m) — no data hides in between, so count is known exact up
+    * to it) and a known-high data value (max(v ≤ m)); value-midpoint
+    * bisection closes the bracket, and every probe SNAPS to real data
+    * values so duplicates and gaps terminate it. Resolution rules are
+    * exact, not probabilistic: count(≤ m) = j+1 ⟹ answer = max(v ≤ m);
+    * a low probe's successor w with count(≤ w) ≥ j+1 ⟹ answer = w.
+    *
+    * This is how exact percentiles stay feasible at 100 TB: the full
+    * sort never happens, and — unlike the earlier band-collect form,
+    * which centralized ≈ 2εn rows per group (terabytes at petabyte
+    * corpus sizes, through a single collect_list buffer) — the driver
+    * only ever sees O(groups × quantiles) aggregate values per pass,
+    * independent of n. Passes are O(1) expected (sketch-guided first
+    * probe; each later pass halves the value bracket or advances to a
+    * data successor). Oracle: DuckDB quantile_cont. */
   def sketchQuantiles(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{KllSketch, KllSummary}
     val qs = Array(0.1, 0.5, 0.9)
@@ -2056,76 +2168,138 @@ object Advanced {
       G(r.getString(0), items.map(_.getDouble(0)).toArray,
         items.map(_.getLong(1)).toArray, r.getLong(2))
     }
+    val eps = 8.0 / k
 
-    var eps = 8.0 / k
-    var attempt = 0
-    while (attempt < 4) {
-      // per group, per quantile: [lo, hi] candidate band from the summary
-      val bandRows = groups.map { g =>
-        val edges = qs.flatMap { q =>
-          val r = (g.n - 1) * q
-          val loRank = math.max(0.0, math.floor(r) - eps * g.n)
-          val hiRank = math.min((g.n - 1).toDouble, math.ceil(r) + eps * g.n)
-          Seq(KllSummary.valueAtRank(g.vs, g.ws, loRank),
-            KllSummary.valueAtRank(g.vs, g.ws, hiRank))
-        }
-        (g.flag, edges(0), edges(1), edges(2), edges(3), edges(4), edges(5))
-      }.toSeq
-      import s.implicits._
-      val bands = broadcast(bandRows
-        .toDF("l_returnflag", "lo0", "hi0", "lo1", "hi1", "lo2", "hi2"))
-      val aggs = qs.indices.flatMap { i =>
-        Seq(
-          sum(when(col("v") < col(s"lo$i"), 1L).otherwise(0L))
-            .as(s"below$i"),
-          sort_array(collect_list(
-            when(col("v").between(col(s"lo$i"), col(s"hi$i")), col("v"))))
-            .as(s"band$i"))
+    // one probe state per (group, distinct target rank j); ≤ 6 per group
+    final class T(val g: G, val j: Long) {
+      var ans: Option[Double] = None
+      var loProbe: Option[Double] = None // probe with count(≤) ≤ j
+      var loNext: Option[Double] = None // min data value > loProbe
+      var hi: Option[Double] = None // data value with count(≤) ≥ j+1
+      var highTries = 0
+      var lowTries = 0
+      def sketchAt(rank: Double): Double =
+        KllSummary.valueAtRank(g.vs, g.ws,
+          math.max(0.0, math.min((g.n - 1).toDouble, rank)))
+      // next probe point, None once resolved
+      def probe: Option[Double] = ans match {
+        case Some(_) => None
+        case None =>
+          if (loProbe.isEmpty && hi.isEmpty) Some(sketchAt(j.toDouble))
+          else if (hi.isEmpty) {
+            highTries += 1
+            Some(if (highTries == 1) sketchAt(j + eps * g.n + 1)
+            else Double.MaxValue)
+          } else if (loNext.isEmpty) {
+            lowTries += 1
+            Some(if (lowTries == 1) sketchAt(j - eps * g.n - 1)
+            else -Double.MaxValue)
+          } else {
+            val (a, b) = (loNext.get, hi.get)
+            val mid = a / 2 + b / 2
+            Some(if (mid > a && mid < b) mid else a)
+          }
       }
-      val pass2 = base.join(bands, Seq("l_returnflag"))
+      def update(m: Double, cntLe: Long, maxLe: Option[Double],
+          minGt: Option[Double]): Unit = if (ans.isEmpty) {
+        if (cntLe >= j + 1) {
+          // maxLe is a data value with the same count(≤) as m
+          if (cntLe == j + 1) ans = maxLe // count(< it) ≤ j: mult ≥ 1
+          else {
+            hi = maxLe
+            // the bracket closed onto the lo probe's data successor
+            if (loNext.isDefined && hi == loNext) ans = hi
+          }
+        } else { // cntLe ≤ j: nothing in (m, minGt) — successor is exact
+          loProbe = Some(m)
+          loNext = minGt
+          if (loNext.isDefined && hi.isDefined && loNext == hi) ans = hi
+        }
+      }
+    }
+    val targets: Array[T] = groups.flatMap { g =>
+      if (g.n == 0) Array.empty[T]
+      else qs.flatMap { q =>
+        val r = (g.n - 1) * q
+        Seq(math.floor(r).toLong, math.ceil(r).toLong)
+      }.distinct.map(j => new T(g, j))
+    }
+
+    import s.implicits._
+    val slots = targets.groupBy(_.g.flag).values.map(_.length)
+      .reduceOption(_ max _).getOrElse(0)
+    var pass = 0
+    while (targets.exists(_.ans.isEmpty) && pass < 100) {
+      pass += 1
+      val byFlag = targets.filter(_.ans.isEmpty).groupBy(_.g.flag)
+      // probe points captured ONCE per pass (`probe` advances escalation
+      // counters, so it must not be re-evaluated at update time)
+      val probeVals: Map[String, Array[Option[Double]]] =
+        byFlag.map { case (f, ts) => f -> ts.map(_.probe) }
+      // one row per active group: up to `slots` probe points (null-pad)
+      val probeRows = probeVals.toSeq.map { case (flag, ms) =>
+        (flag, ms.padTo(slots, None).toSeq)
+      }
+      val probes = broadcast(probeRows.toDF("l_returnflag", "ms")
+        .select(col("l_returnflag") +:
+          (0 until slots).map(i =>
+            element_at(col("ms"), i + 1).as(s"m$i")): _*))
+      val aggExprs = (0 until slots).flatMap { i =>
+        Seq(
+          sum(when(col("v") <= col(s"m$i"), 1L).otherwise(0L))
+            .as(s"cnt$i"),
+          max(when(col("v") <= col(s"m$i"), col("v"))).as(s"ml$i"),
+          min(when(col("v") > col(s"m$i"), col("v"))).as(s"mg$i"))
+      }
+      val res = base.join(probes, Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
         .collect()
         .map(r => r.getString(0) -> r).toMap
+      byFlag.foreach { case (flag, ts) =>
+        val r = res(flag)
+        ts.zipWithIndex.foreach { case (t, i) =>
+          probeVals(flag)(i).foreach { m =>
+            val cnt = r.getLong(1 + 3 * i)
+            val ml = if (r.isNullAt(2 + 3 * i)) None
+              else Some(r.getDouble(2 + 3 * i))
+            val mg = if (r.isNullAt(3 + 3 * i)) None
+              else Some(r.getDouble(3 + 3 * i))
+            t.update(m, cnt, ml, mg)
+          }
+        }
+      }
+    }
+    if (targets.exists(_.ans.isEmpty))
+      // unreachable unless bisection failed to converge in 100 passes:
+      // exact percentile aggregate as the unconditional fallback
+      return base.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(v, 0.1)"), 2).as("p10"),
+          round(expr("percentile(v, 0.5)"), 2).as("p50"),
+          round(expr("percentile(v, 0.9)"), 2).as("p90"),
+          count(col("v")).as("n"))
 
-      val results = groups.map { g =>
-        val r2 = pass2(g.flag)
-        val vals = qs.indices.map { i =>
-          val r = (g.n - 1) * qs(i)
+    // same rounding rule as Spark's/DuckDB's round(): HALF_UP, not
+    // rint's half-even
+    def r2d(v: Double): Double =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byKey = targets.map(t => (t.g.flag, t.j) -> t.ans.get).toMap
+    val rows = groups.toSeq.map { g =>
+      if (g.n == 0) // all-null group: DuckDB quantile_cont(empty) = NULL
+        (g.flag, None: Option[Double], None: Option[Double],
+          None: Option[Double], g.n)
+      else {
+        val v = qs.map { q =>
+          val r = (g.n - 1) * q
           val j0 = math.floor(r).toLong
           val j1 = math.ceil(r).toLong
-          val below = r2.getLong(1 + 2 * i)
-          val band = r2.getSeq[Double](2 + 2 * i)
-          if (below <= j0 && below + band.size > j1) {
-            val v0 = band((j0 - below).toInt)
-            val v1 = band((j1 - below).toInt)
-            Some(v0 + (r - j0) * (v1 - v0))
-          } else None
+          val (v0, v1) = (byKey((g.flag, j0)), byKey((g.flag, j1)))
+          Some(r2d(v0 + (r - j0) * (v1 - v0))): Option[Double]
         }
-        (g, vals)
+        (g.flag, v(0), v(1), v(2), g.n)
       }
-      if (results.forall(_._2.forall(_.isDefined))) {
-        // same rounding rule as Spark's/DuckDB's round(): HALF_UP, not
-        // rint's half-even
-        def r2d(v: Double): Double =
-          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble
-        import s.implicits._
-        return results.map { case (g, vals) =>
-          (g.flag, r2d(vals(0).get), r2d(vals(1).get), r2d(vals(2).get),
-            g.n)
-        }.toSeq.toDF(("l_returnflag" +: outCols :+ "n"): _*)
-      }
-      eps = math.min(eps * 3, 0.5)
-      attempt += 1
     }
-    // unconditional fallback (unreachable unless the sketch bound failed
-    // four widenings in a row): exact percentile aggregate
-    base.groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(v, 0.1)"), 2).as("p10"),
-        round(expr("percentile(v, 0.5)"), 2).as("p50"),
-        round(expr("percentile(v, 0.9)"), 2).as("p90"),
-        count(col("v")).as("n"))
+    rows.toDF(("l_returnflag" +: outCols :+ "n"): _*)
   }
 
   /** VARIANT-type battery: build nested JSON from document columns,

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Spatial joins over the star schema. The reference pipeline is a food-
   * delivery ETL (SURVEY §1) yet never computes a distance; nearest-facility
   * assignment is the obvious next query over such data, so it joins the
-  * extension surface with the scale-correct shape: a GRID-CELL bounded
-  * join, not the quadratic cross join the oracle runs.
+  * extension surface with the scale-correct shape: a CASCADED grid join
+  * whose cell size adapts to supplier density, not the quadratic cross
+  * join the oracle runs.
   *
   * Coordinates are synthesized deterministically from the keys (integer
   * modulo arithmetic then one decimal scale — bit-identical in any IEEE
@@ -16,13 +17,13 @@ import org.apache.spark.sql.functions._
 object Geo {
 
   val EarthKm = 6371.0
+  val KmPerDeg = EarthKm * math.Pi / 180 // ≈ 111.195 km per great-circle °
   val RadiusKm = 500.0
-  // Cell sizing must make the 3×3 neighborhood a SUPERSET of the radius:
-  // lat: 500 km / 111.19 km-per-deg = 4.5° ≤ 5°; lon: worst case at the
-  // |lat| ≤ 60 data bound is 500 / (111.19·cos60°) = 9.0° ≤ 12°.
+  // COMPLETE coarse level: the 3×3 neighborhood is a SUPERSET of the
+  // radius for the data's |lat| ≤ 60 bound: lat 500 km / 111.19 km-per-
+  // deg = 4.5° ≤ 5°; lon worst case 500 / (111.19·cos60°) = 9.0° ≤ 12°.
   val LatCell = 5.0
   val LonCell = 12.0
-  val LonCells = 30 // 360 / 12, for antimeridian wraparound
 
   def custGeo(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey"),
@@ -47,37 +48,113 @@ object Geo {
 
   /** Nearest supplier within 500 km of each customer.
     *
-    * Scale shape: suppliers (the small side) are EXPANDED ×9 into their
-    * 3×3 grid-cell neighborhood (with longitude cells wrapping at the
-    * antimeridian — haversine itself is Δλ-periodic, the pruning must be
-    * too) and broadcast; customers join on their exact cell. Per customer
-    * the candidate set is the ~9-cell neighborhood instead of every
-    * supplier — the cross join the DuckDB oracle runs is O(|C|·|S|) and
-    * exists precisely to prove the pruned join loses nothing. Distances
-    * are rounded to 4 decimals BEFORE both the radius filter and the
-    * argmin so the boundary and tie decisions are identical cross-engine;
-    * min(struct(dist, key)) makes the nearest pick total-order
-    * deterministic. */
-  def nearestSupplier(s: SparkSession, d: String): DataFrame = {
-    val cells = suppGeo(s, d)
-      .withColumn("dlat", explode(array((-1 to 1).map(lit): _*)))
-      .withColumn("dlon", explode(array((-1 to 1).map(lit): _*)))
-      .select(col("s_suppkey"), col("slat"), col("slon"),
-        (floor(col("slat") / LatCell) + col("dlat")).as("cell_lat"),
-        pmod(floor(col("slon") / LonCell) + col("dlon") + LonCells / 2,
-          lit(LonCells)).as("cell_lon"))
-    val cust = custGeo(s, d)
-      .withColumn("cell_lat", floor(col("clat") / LatCell))
-      .withColumn("cell_lon",
-        pmod(floor(col("clon") / LonCell) + LonCells / 2, lit(LonCells)))
-    cust.join(broadcast(cells), Seq("cell_lat", "cell_lon"))
-      .select(col("c_custkey"), col("s_suppkey"),
-        round(haversineKm(col("clat"), col("clon"), col("slat"),
-          col("slon")), 4).as("dist"))
-      .filter(col("dist") <= RadiusKm)
-      .groupBy(col("c_custkey"))
-      .agg(min(struct(col("dist"), col("s_suppkey"))).as("m"))
-      .select(col("c_custkey"), col("m.s_suppkey").as("nearest_supp"),
-        col("m.dist").as("dist_km"))
+    * Scale shape — a CASCADE of grid joins, finest first:
+    *
+    *  - The old single-level form (suppliers ×9-exploded into a FIXED
+    *    5°/12° grid and broadcast) carried two scale killers the ×16
+    *    bench convicted at 44× time for 16× data: the broadcast side
+    *    grew with the supplier table, and fixed cells mean per-cell
+    *    density grows linearly with the corpus, so candidate pairs grow
+    *    quadratically.
+    *  - Now: cell size ADAPTS to supplier density (side ∝ √(1/n_supp),
+    *    from one count aggregate — driver-side metadata, not data), so
+    *    a fine cell holds O(1) suppliers at ANY corpus size. Customers
+    *    explode ×9 into their probe stencil (suppliers keep ONE row per
+    *    level) and the join is a plain shuffle hash join on
+    *    (cell_lat, cell_lon) — no broadcast anywhere.
+    *  - A fine level cannot SEE the whole 500 km radius, so it resolves
+    *    a customer only when its found minimum is PROVABLY global: the
+    *    3×3 stencil covers every point within g = min(latKm-per-cell,
+    *    lon-coverage at this row's latitude); a found min m ≤ g − 1 mm
+    *    beats everything outside the stencil. At realistic density
+    *    almost every customer's nearest is well inside g, so each level
+    *    resolves the bulk and passes a shrinking straggler set down;
+    *    the FINAL level is the radius-complete 5°/12° grid, so the
+    *    cascade is exact — bit-identical to the cross-join oracle.
+    *
+    * Lon-coverage bound (per row): with both endpoints' |lat| ≤
+    * |clat| + s_lat, haversine gives d ≥ 2R·asin(cos(maxlat)·sin(Δλ/2)),
+    * so d ≤ 2R·asin(cos(maxlat)·sin(s_lon/2)) forces Δλ ≤ s_lon — one
+    * cell width, inside the 3×3.
+    *
+    * Distances are rounded to 4 decimals BEFORE both the radius filter
+    * and the argmin so boundary and tie decisions are identical
+    * cross-engine (resolution compares m ≤ g − 0.001: an out-of-stencil
+    * supplier's true distance > g rounds to ≥ g − 0.00005 > m, so it
+    * can neither beat nor tie a resolved min); min(struct(dist, key))
+    * makes the nearest pick total-order deterministic. */
+  def nearestSupplier(s: SparkSession, d: String): DataFrame =
+    nearestSupplierDf(custGeo(s, d), suppGeo(s, d))
+
+  /** [[nearestSupplier]] over arbitrary (c_custkey, clat, clon) /
+    * (s_suppkey, slat, slon) frames — exposed for the cascade spec
+    * (multi-level equality vs brute force on a dense synthetic corpus). */
+  private[graft] def nearestSupplierDf(custIn: DataFrame,
+      suppIn: DataFrame): DataFrame = {
+    val supp = suppIn.localCheckpoint() // re-keyed per level
+    val cust = custIn
+    // adaptive fine-cell side: lat ∈ [-60,60) × lon ∈ [-180,180) is
+    // 43200 deg²; side s with lon cells 2.4× wider puts ~6 expected
+    // suppliers in a 3×3 stencil at 9·2.4·s²·(n/43200) = 6 → s =
+    // √(12000/n). One count() — O(1) metadata to the driver.
+    val nSupp = supp.count()
+    val sFine = math.sqrt(12000.0 / math.max(nSupp, 1L)) max 0.02
+    // cascade: fine, geometric mid (only if meaningfully finer than the
+    // coarse level), then the radius-complete 5°/12° grid
+    val levels = (Seq(sFine, math.sqrt(sFine * LatCell))
+      .filter(_ < 0.8 * LatCell) :+ LatCell).distinct
+
+    def cellKeys(latC: Column, lonC: Column, sLat: Double, sLon: Double,
+        lonCells: Long): (Column, Column) =
+      (floor(latC / sLat), pmod(floor(lonC / sLon), lit(lonCells)))
+
+    var unresolved = cust
+    var out: DataFrame = null
+    levels.zipWithIndex.foreach { case (sLat, li) =>
+      val isLast = li == levels.size - 1
+      val lonCells = math.ceil(360.0 / (2.4 * sLat)).toLong max 1L
+      val sLon = 360.0 / lonCells
+      val (sCellLat, sCellLon) =
+        cellKeys(col("slat"), col("slon"), sLat, sLon, lonCells)
+      val sc = supp.select(col("s_suppkey"), col("slat"), col("slon"),
+        sCellLat.as("cell_lat"), sCellLon.as("cell_lon"))
+      val (cCellLat, cCellLon) =
+        cellKeys(col("clat"), col("clon"), sLat, sLon, lonCells)
+      val probes = unresolved
+        .withColumn("dlat", explode(array((-1 to 1).map(lit): _*)))
+        .withColumn("dlon", explode(array((-1 to 1).map(lit): _*)))
+        .select(col("c_custkey"), col("clat"), col("clon"),
+          (cCellLat + col("dlat")).as("cell_lat"),
+          pmod(cCellLon + col("dlon"), lit(lonCells)).as("cell_lon"))
+      val best = probes.join(sc, Seq("cell_lat", "cell_lon"))
+        .select(col("c_custkey"), col("clat"), col("clon"),
+          col("s_suppkey"),
+          round(haversineKm(col("clat"), col("clon"), col("slat"),
+            col("slon")), 4).as("dist"))
+        .groupBy(col("c_custkey"), col("clat"), col("clon"))
+        .agg(min(struct(col("dist"), col("s_suppkey"))).as("m"))
+      val found = best.select(col("c_custkey"),
+        col("m.s_suppkey").as("nearest_supp"), col("m.dist").as("dist_km"))
+      val resolved =
+        if (isLast) found // complete level: the stencil covers 500 km
+        else {
+          // per-row provable-global bound g (see scaladoc)
+          val gLat = KmPerDeg * sLat
+          val gLon = lit(2 * EarthKm) * asin(
+            greatest(cos(radians(abs(col("clat")) + lit(sLat))), lit(0.0)) *
+              math.sin(math.toRadians(sLon) / 2))
+          best.filter(col("m.dist") <= least(lit(gLat), gLon) - 0.001)
+            .select(col("c_custkey"), col("m.s_suppkey").as("nearest_supp"),
+              col("m.dist").as("dist_km"))
+        }
+      val emitted = resolved.filter(col("dist_km") <= RadiusKm)
+      out = if (out == null) emitted else out.unionByName(emitted)
+      if (!isLast)
+        unresolved = unresolved
+          .join(resolved.select(col("c_custkey")), Seq("c_custkey"),
+            "left_anti")
+          .localCheckpoint() // truncate the cascade's lineage
+    }
+    out
   }
 }

@@ -832,7 +832,11 @@ object TextQueries {
     * pins hot-token exclusion. */
   private[graft] def wjIndex(tf: DataFrame, threshold: Double)
       : DataFrame = {
-    val tNum = math.floor(threshold * 10000).toLong max 1L
+    // the prune threshold quantizes to ⌊t·10⁴⌋/10⁴; below the quantum a
+    // clamped tNum=1 would prune HARDER than requested, contradicting
+    // the losslessness proof — sub-resolution thresholds fall back to
+    // tNum = 0 (no pruning: cum·tDen ≥ 0 keeps every posting)
+    val tNum = math.floor(threshold * 10000).toLong max 0L
     val tDen = 10000L
     val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("t"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -891,8 +895,45 @@ object TextQueries {
     * broadcast, and both directions emit from the SAME intersection
     * row. Exact integers to the single output division. */
   def shingleContainment(s: SparkSession, d: String,
+      threshold: Double = 0.05): DataFrame =
+    shingleContainmentPairsDf(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")), threshold)
+
+  /** [[shingleContainment]] over an arbitrary (doc_id, text) frame, with
+    * a LOSSLESS prefix-filtered candidate join (the containment analogue
+    * of [[weightedJaccardPairsDf]]'s AllPairs index): the raw shingle
+    * self-join is df² in a hot shingle's document frequency — one
+    * corpus-common 3-gram ("of the and"-class boilerplate) makes the
+    * candidate join quadratic in the corpus.
+    *
+    * Why lossless: a qualifying pair has max(c_ab, c_ba) =
+    * cap / min(s_x, s_y) survive the 6-dp rounding, i.e. cap ≥
+    * ⌈(t−5·10⁻⁷)·s_min⌉ =: o — an overlap bound KNOWN FROM THE SMALLER
+    * DOC ALONE. So orient every pair by the (size, doc_id) total order:
+    * the SMALLER doc is the index side and may skip any o−1 of its own
+    * shingles (the common set has ≥ o members, so at least one is still
+    * indexed); the larger doc probes with its FULL shingle set. Skipping
+    * the o−1 globally HOTTEST (df-desc) maximizes pruning: a
+    * corpus-wide shingle ranks hottest in every doc, so it stays
+    * indexed only by docs too small to skip anything — candidate
+    * fan-out through it is df_small-docs × df, never df². Candidates
+    * dedup and rescore EXACTLY from the full postings: output identical
+    * to the naive join (the oracle stays the full self-join). The
+    * overlap bound is exact integer arithmetic (⌈a/b⌉ as
+    * (a + b − 1) DIV b); the true double threshold applies only at the
+    * output edge, exactly as before. `threshold` must be a multiple of
+    * 10⁻⁶ (the rounding grain the bound mirrors). */
+  private[graft] def shingleContainmentPairsDf(docs: DataFrame,
       threshold: Double = 0.05): DataFrame = {
-    val sh = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    require(threshold >= 1e-6 && threshold <= 1.0 &&
+      math.abs(threshold * 1e6 - math.round(threshold * 1e6)) < 1e-9,
+      s"threshold must be a multiple of 1e-6 in (0, 1], got $threshold")
+    // candidate cutoff: round(cap/s, 6) >= t ⟺ cap ≥ (t − 5e-7)·s,
+    // as the exact rational tNum/tDen
+    val tNum = math.round(threshold * 1e7) - 5
+    val tDen = 10000000L
+    val sh = docs
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
       .filter(size(col("w")) >= 3)
@@ -900,21 +941,45 @@ object TextQueries {
         "transform(sequence(0, size(w) - 3), i -> " +
           "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), " +
           "element_at(w, i + 3)))"))).as("sh"))
-      .localCheckpoint() // sizes pass + both intersection sides
+      .localCheckpoint() // index build + probe side + rescore + sizes
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc prefix: skip the o−1 hottest shingles (window bounded by
+    // document size, the q256 bounded-key discipline)
+    val wHot = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").desc, col("sh").desc)
+    val idx = sh.join(dfreq, Seq("sh")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wHot))
+      .filter(col("rn") >=
+        greatest(lit(1L), expr(s"($tNum * sz + ${tDen - 1}) DIV $tDen")))
+      .select(col("doc_id").as("doc_s"), col("sz").as("ss"), col("sh"))
+    // candidates: small-side prefix ⋈ large-side FULL postings; the
+    // (size, id) total order orients each unordered pair exactly once
+    val cand = idx
+      .join(sh.select(col("doc_id").as("doc_l"), col("sh"))
+        .join(sz.select(col("doc_id").as("doc_l"), col("sz").as("sl")),
+          Seq("doc_l")), Seq("sh"))
+      .filter(col("ss") < col("sl") ||
+        (col("ss") === col("sl") && col("doc_s") < col("doc_l")))
+      .select(col("doc_s"), col("doc_l")).distinct()
+    // exact rescore over the full postings of surviving pairs only
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_s"), col("sh")), Seq("doc_s"))
+      .join(sh.select(col("doc_id").as("doc_l"), col("sh")),
+        Seq("doc_l", "sh"))
+      .groupBy(col("doc_s"), col("doc_l"))
       .agg(count(lit(1)).as("cap"))
     inter
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"),
-        col("sz").as("sa"))), Seq("doc_a"))
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"),
-        col("sz").as("sb"))), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("cap"),
-        round(col("cap") / col("sa").cast("double"), 6).as("c_ab"),
-        round(col("cap") / col("sb").cast("double"), 6).as("c_ba"))
+      .join(sz.select(col("doc_id").as("doc_s"), col("sz").as("ss")),
+        Seq("doc_s"))
+      .join(sz.select(col("doc_id").as("doc_l"), col("sz").as("sl")),
+        Seq("doc_l"))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"), col("cap"),
+        round(col("cap") / when(col("doc_s") < col("doc_l"), col("ss"))
+          .otherwise(col("sl")).cast("double"), 6).as("c_ab"),
+        round(col("cap") / when(col("doc_s") < col("doc_l"), col("sl"))
+          .otherwise(col("ss")).cast("double"), 6).as("c_ba"))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
   }
 
@@ -1258,7 +1323,12 @@ object TextQueries {
     val cnt = dbg.filter(col("lang") === "en")
       .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
     val uni = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val voc = cnt.agg(count_distinct(col("w2")).as("v"))
+    // PRECONDITION: the model trains on the corpus' en slice. If that
+    // slice is EMPTY, v would be 0 and every score -log2(1/0) → ±Inf/NaN
+    // garbage; flooring v at 1 keeps the smoothing denominator positive
+    // (every doc then scores a deterministic 0.0 — "no model" reads as
+    // indistinguishable docs, not NaNs). Mirrored in the oracle.
+    val voc = cnt.agg(greatest(count_distinct(col("w2")), lit(1L)).as("v"))
     val scored = dbg
       .join(cnt, Seq("w1", "w2"), "left_outer")
       .join(uni, Seq("w1"), "left_outer")

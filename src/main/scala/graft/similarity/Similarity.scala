@@ -790,20 +790,28 @@ object Similarity {
     * arXiv:2303.09540): cluster the embedding space, then drop any
     * vector whose cosine to a LOWER-id member of its own cluster
     * reaches the threshold — keep-lowest-id, the deterministic form of
-    * the paper's keep-one-per-duplicate-group rule. Clustering here is
-    * the assignment step against the deterministic `% CentroidStep`
-    * seed sample (the same stand-in-for-k-means [[ivfTopK]] documents,
-    * with the same precondition: ids dense enough that the modulo
-    * sample is non-empty — an id space that dodges every multiple of
-    * CentroidStep would yield no seeds and an empty result);
-    * production would feed [[kmeansCentroids]] with nlist ∝ √n so
-    * expected cluster size stays corpus-independent.
+    * the paper's keep-one-per-duplicate-group rule. Clustering is
+    * TRAINED k-means, not a raw seed sample: the capped
+    * `% CentroidStep` modulo sample seeds one Lloyd refinement round
+    * under [[Clustering]]'s cross-engine determinism discipline
+    * (per-dimension DECIMAL(30,12) means — order-independent sums —
+    * re-quantized to 7 dp), then vectors assign to the REFINED
+    * centroids. Refined centroids track embedding density where raw
+    * modulo seeds don't: with skewed density, seed-sample clusters are
+    * unbalanced, degrading both the anchor cap's one-sided error and
+    * recall of the dup decision. (Precondition unchanged: ids dense
+    * enough that the modulo sample is non-empty — an id space dodging
+    * every multiple of CentroidStep yields no seeds and an empty
+    * result. Empty clusters drop after refinement; surviving cluster
+    * ids remain their seed's vec_id.)
     *
     * Determinism across engines: assignment ranks the 6-dp-ROUNDED
     * cosine with a lowest-centroid-id tie-break (the q30 discipline —
-    * both engines rank the identical rounded double), and the dup
-    * decision compares the 6-dp-rounded pair cosine against the
-    * threshold, so the oracle reproduces every boolean exactly.
+    * both engines rank the identical rounded double), centroid means
+    * follow the q165 DECIMAL rule so the oracle rebuilds bit-identical
+    * centroid arrays, and the dup decision compares the 6-dp-rounded
+    * pair cosine against the threshold, so the oracle reproduces every
+    * boolean exactly.
     *
     * 100 TB shape: assignment is a broadcast cross join + map-side
     * argmax (one shuffled row per vector); the pair join shuffles on
@@ -831,15 +839,35 @@ object Similarity {
     val seeds = v.filter(col("vec_id") % CentroidStep === 0)
       .orderBy(col("vec_id")).limit(SemMaxClusters)
       .select(col("vec_id").as("cluster_id"), col("emb").as("cent_emb"))
-    val asg = v
+    // broadcast-argmax assignment against a (bounded) centroid table:
+    // one shuffled row per vector, deterministic (csim desc, lowest
+    // cluster_id) tie-break
+    def assignTo(cents: DataFrame): DataFrame = v
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("emb"), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cluster_id"),
           struct(col("csim"), -col("cluster_id"))).as("cluster_id"),
         first(col("emb")).as("emb"))
+    // ONE Lloyd refinement round (k-means, the q165 determinism rule):
+    // per-dimension means in DECIMAL(30,12) — order-independent — then
+    // /n and a 7-dp re-quantization, so both engines rebuild the same
+    // centroid arrays bit-for-bit. The (cluster, pos) aggregate's
+    // post-partial grain is ≤ SemMaxClusters·dim at any corpus size.
+    val cents = assignTo(seeds)
+      .select(col("cluster_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("x").cast("decimal(30,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("pos"),
+        round(col("sx").cast("double") / col("n"), 7).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t.getField("m")).as("cent_emb"))
+    val asg = assignTo(cents)
       // every branch below (anchor ranking, both pair-join sides, the
       // final left join) re-derives from the assignment; pin it so the
       // broadcast-argmax scan runs once

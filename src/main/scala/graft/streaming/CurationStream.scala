@@ -48,10 +48,19 @@ object CurationStream {
         expr("filter(split(lower(text), ' '), x -> x != '')"))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
-      .withColumn("bg", expr("transform(sequence(0, size(w) - 2), i -> " +
-        "concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-      .withColumn("max_bg", expr("array_max(transform(array_distinct(bg), " +
-        "x -> size(filter(bg, y -> y = x))))").cast("long"))
+      // explicit sub-2-token guard (the filterAblationDf discipline):
+      // sequence(0, size(w) - 2) DESCENDS for 0/1-token docs and
+      // element_at(w, 0) throws under ANSI — the n_tok >= 10 conjunct
+      // below short-circuits today, but conjunct order surviving
+      // planner transforms is not a contract (the GlobalOrder CaseWhen
+      // lesson), so the expression itself must be total
+      .withColumn("bg", expr("IF(size(w) >= 2, " +
+        "transform(sequence(0, size(w) - 2), i -> " +
+        "concat(element_at(w, i + 1), ' ', element_at(w, i + 2))), " +
+        "cast(array() as array<string>))"))
+      .withColumn("max_bg", expr("IF(size(bg) >= 1, " +
+        "array_max(transform(array_distinct(bg), " +
+        "x -> size(filter(bg, y -> y = x)))), 0)").cast("long"))
       .withColumn("total_bg", size(col("bg")).cast("long"))
       .filter(col("n_tok") >= 10 &&
         !(col("max_bg") * 100 > col("total_bg") * 18) &&

@@ -111,4 +111,56 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.violations(Seq("q7_mixed" -> 13.6),
       BenchGuard.baselines(md3, "x16")).isEmpty)
   }
+
+  test("a scale tag is a WHOLE token: a note merely beginning with " +
+      "'x16' (or a future x160 tag) stays in the default history") {
+    val md4 =
+      """|| q8_noted | 3.00 | x16-adjacent prose note |
+         || q8_noted | 5.00 | x160 future tag |
+         || q8_noted | 7.00 | x16 |
+         |""".stripMargin
+    assert(BenchGuard.baselines(md4) === Map("q8_noted" -> 3.0))
+    assert(BenchGuard.baselines(md4, "x16") === Map("q8_noted" -> 7.0))
+  }
+
+  test("output-normalized ratchet: output growth at the same rate " +
+      "never fires, a plan regression at the same output does") {
+    val md5 = "| q9_pairs | 10.00 | rows=1000000 |\n" +
+      "| q2_steady | 4.00 |\n"
+    val base = BenchGuard.baselines(md5)
+    val rate = BenchGuard.rateBaselines(md5)
+    assert(rate === Map("q9_pairs" -> 1e-5))
+    assert(base("q9_pairs") === 10.0) // wall history still parses
+    // 4× output, 4× time — same sec/row. The wall-time bound (20 s)
+    // would have fired; the rate bound must not.
+    assert(BenchGuard.violationsWithRows(
+      Seq(("q9_pairs", 40.0, 4000000L)), base, rate).isEmpty)
+    // same output, 2.5× time: plan regression — fires
+    assert(BenchGuard.violationsWithRows(
+      Seq(("q9_pairs", 25.0, 1000000L)), base, rate) === Seq("q9_pairs"))
+    // rows-free queries keep the wall-time rule through the same call
+    assert(BenchGuard.violationsWithRows(
+      Seq(("q2_steady", 10.0, 5L)), base, rate) === Seq("q2_steady"))
+    // a zero-row run can't be rate-bounded: falls back to wall time
+    assert(BenchGuard.violationsWithRows(
+      Seq(("q9_pairs", 15.0, 0L)), base, rate).isEmpty)
+    assert(BenchGuard.violationsWithRows(
+      Seq(("q9_pairs", 25.0, 0L)), base, rate) === Seq("q9_pairs"))
+  }
+
+  test("rate history ratchets to the best sec/row, respects resets, " +
+      "and combines with scale tags") {
+    val md6 =
+      """|| q9_pairs | 10.00 | rows=1000000 |
+         || q9_pairs | 4.00 | rows=1000000 |
+         || q9_pairs | 20.00 | x16 rows=10000000 |
+         |""".stripMargin
+    assert(BenchGuard.rateBaselines(md6) === Map("q9_pairs" -> 4e-6))
+    assert(BenchGuard.rateBaselines(md6, "x16") === Map("q9_pairs" -> 2e-6))
+    val md7 =
+      """|| q9_pairs | 4.00 | rows=1000000 |
+         || q9_pairs | 12.00 | re-baselined round 8: rows=1000000 |
+         |""".stripMargin
+    assert(BenchGuard.rateBaselines(md7) === Map("q9_pairs" -> 1.2e-5))
+  }
 }

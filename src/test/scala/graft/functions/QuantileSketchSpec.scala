@@ -104,6 +104,36 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(viaSketch === exact)
   }
 
+  test("q111 probe loop stays exact on duplicate-heavy and " +
+      "outlier-heavy values (count jumps across a probe point; value-" +
+      "midpoint bisection through 6-decades-skewed brackets)") {
+    val tmp = java.nio.file.Files.createTempDirectory("kll_dup").toString
+    graft.operators.Tables.lineitem(spark, sf0001)
+      .withColumn("l_extendedprice",
+        // a third collapses onto ONE value (massive multiplicity), a
+        // third quantizes to 1000-steps (plateaus), a third blows up
+        // ×10⁶ (outliers that skew any value-midpoint)
+        when(col("l_orderkey") % 3 === 0, lit(100.0))
+          .when(col("l_orderkey") % 3 === 1,
+            floor(col("l_extendedprice") / 1000) * 1000.0)
+          .otherwise(col("l_extendedprice") * 1000000.0))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val viaSketch = Advanced.sketchQuantiles(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val exact = graft.operators.Tables.lineitem(spark, tmp)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(v, 0.1)"), 2).as("p10"),
+        round(expr("percentile(v, 0.5)"), 2).as("p50"),
+        round(expr("percentile(v, 0.9)"), 2).as("p90"),
+        count(col("v")).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(viaSketch === exact)
+  }
+
   test("q111 empty input yields empty result with the right schema") {
     val tmp = java.nio.file.Files.createTempDirectory("kll_empty").toString
     graft.operators.Tables.lineitem(spark, sf0001).limit(0)

@@ -177,12 +177,32 @@ class SemDedupDsirSpec extends SparkTestBase {
     val maxCid = out.agg(max(col("cluster_id"))).head().getLong(0)
     assert(maxCid <= 97L * 1023,
       s"cluster ids must come from the 1024 lowest seeds, got $maxCid")
-    // a retained seed self-assigns (csim 1.0, lowest-cid tie-break
-    // can only prefer an identical-direction LOWER seed — none here)
-    val selfAssigned = out
-      .filter(col("vec_id") < 97L * 1024 &&
-        col("cluster_id") === col("vec_id")).count()
-    assert(selfAssigned === 1024L)
+    // with the Lloyd refinement, centroids MOVE off their seeds where
+    // clusters absorb the beyond-cap tail, so seed self-assignment is
+    // no longer an invariant at the boundary clusters; what must hold:
+    // the id space of clusters is the capped seed set, and refinement
+    // can only MERGE clusters (each survivor keeps ≥ 1 member) — on
+    // this evenly-spread circle nearly all 1024 survive
+    val nClusters = out.select(col("cluster_id")).distinct().count()
+    assert(nClusters >= 1000L && nClusters <= 1024L,
+      s"expected nearly all capped seeds to survive refinement, " +
+        s"got $nClusters")
     out.unpersist()
+  }
+
+  test("semdedup: identical seeds refine to identical centroids and " +
+      "the assignment tie-break still picks the LOWEST cluster id") {
+    // seeds 0 and 97 are the same direction → every vector ties on the
+    // rounded cosine between their clusters at assignment; cluster 97
+    // therefore receives no members in the refinement pass and drops,
+    // and every final assignment lands on cluster 0
+    val v = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      97L -> Seq(1.0, 0.0, 0.0, 0.0),
+      5L -> Seq(0.8, 0.6, 0.0, 0.0),
+      6L -> Seq(0.0, 0.0, 1.0, 0.0))
+    val out = Similarity.semDedupDf(spark, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet === Set(0L))
   }
 }
