@@ -16,10 +16,16 @@ import graft.operators.Tables
   * linearly in input size with plans whose shuffle structure is
   * scale-independent.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factors...]
-  * (default factors: 16 64). Prints one JSON line.
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factors|probe-prefixes...]
+  * — numeric args are replication factors (default: 16 64), non-numeric
+  * args filter probes by name prefix (default: all). Prints one JSON line.
   */
 object ScaleProbe {
+
+  /** Probe-name prefixes selected by the CLI (None = all). */
+  private var only: Option[Seq[String]] = None
+  private def want(p: String): Boolean =
+    only.forall(_.exists(p.startsWith))
 
   /** Replicate a docs frame ×n with unique ids and perturbed text (replica
     * tag appended → shingle/token sets differ, so dedup probes measure the
@@ -56,7 +62,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(16, 64)
+    val (facArgs, nameArgs) =
+      args.partition(a => a.nonEmpty && a.forall(_.isDigit))
+    val factors =
+      if (facArgs.nonEmpty) facArgs.map(_.toInt).toSeq else Seq(16, 64)
+    if (nameArgs.nonEmpty) only = Some(nameArgs.toSeq)
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for runtime
@@ -73,21 +83,28 @@ object ScaleProbe {
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), n)
 
       // LSH minhash dedup over the replicated corpus (native kernels)
+      if (want("minhash_lsh_pairs")) {
       val (tMh, rMh) = time(Dedup.minhashDupPairsDf(docs).count())
       results += (("minhash_lsh_pairs", n, tMh, rMh))
+      }
 
       // SimHash near-dup groups — the PRODUCTION path (Dedup.simhashGroupsDf)
+      if (want("simhash_groups")) {
       val (tSh, rSh) = time(Dedup.simhashGroupsDf(docs).count())
       results += (("simhash_groups", n, tSh, rSh))
+      }
 
       // distributed-prefix-sum shard packing — production path
       // (Advanced.shardPackDf)
+      if (want("shard_pack")) {
       val (tSp, rSp) = time(
         graft.operators.Advanced.shardPackDf(spark, docs).count())
       results += (("shard_pack", n, tSp, rSp))
+      }
 
       // nearest-centroid assignment (ANN ingest path) — production path
       // (Similarity.nearestCentroid)
+      if (want("ivf_assign")) {
       val (tIvf, rIvf) = time {
         val v = replicateKeyed(
           Tables.embeddings(spark, sfDir)
@@ -101,10 +118,12 @@ object ScaleProbe {
           .groupBy(col("cent_id")).count().count()
       }
       results += (("ivf_assign", n, tIvf, rIvf))
+      }
 
       // native as-of join (AsOfJoinExec): replicated event stream, the
       // per-partition merge must stay linear — its state is ONE buffered
       // row regardless of key width or time density
+      if (want("asof_join")) {
       val (tAsof, rAsof) = time {
         val ev = replicateKeyed(
           Tables.events(spark, sfDir).select(col("user_id"),
@@ -119,10 +138,12 @@ object ScaleProbe {
           .count()
       }
       results += (("asof_join", n, tAsof, rAsof))
+      }
 
       // Misra-Gries heavy-hitter sketch over the replicated token stream —
       // sketch state is ≤k entries per mapper, so cost must track the
       // token count, never the vocabulary
+      if (want("misra_gries")) {
       val (tMg, rMg) = time {
         docs.select(explode(expr("filter(split(text, ' '), x -> x != '')"))
             .as("word"))
@@ -130,10 +151,12 @@ object ScaleProbe {
           .count()
       }
       results += (("misra_gries", n, tMg, rMg))
+      }
 
       // Count-Min sketch build over the replicated token stream — fixed
       // width·depth state per mapper (mergeable), so cost must track the
       // token count, never the key universe
+      if (want("count_min_build")) {
       val (tCm, rCm) = time {
         docs.select(explode(expr("filter(split(text, ' '), x -> x != '')"))
             .as("word"))
@@ -141,10 +164,12 @@ object ScaleProbe {
           .stat.countMinSketch("h", 0.0001, 0.99, 42).totalCount()
       }
       results += (("count_min_build", n, tCm, rCm))
+      }
 
       // fixed-round Bellman-Ford on a synthetic weighted chain (+reverse):
       // each relax round is one join + one groupBy-MIN, so wall time must
       // track the edge count — rounds are fixed by contract
+      if (want("sssp_relax")) {
       val (tSs, rSs) = time {
         val ids = spark.range(0L, 20000L * n).toDF("id")
         val fwd = ids.filter(col("id") > 0)
@@ -157,10 +182,12 @@ object ScaleProbe {
         graft.operators.Graph.shortestPathsEdges(e2, seeds, 4).count()
       }
       results += (("sssp_relax", n, tSs, rSs))
+      }
 
       // KLL quantile sketch over the replicated price stream — summary
       // state is O(k log n) per group per mapper, so cost must track the
       // scan, never the value count
+      if (want("kll_sketch")) {
       val (tKll, rKll) = time {
         val li = replicateKeyed(Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_returnflag"),
@@ -170,8 +197,10 @@ object ScaleProbe {
           .count()
       }
       results += (("kll_sketch", n, tKll, rKll))
+      }
 
       // shuffle join + agg (the relational heavyweight)
+      if (want("join_agg")) {
       val (tJ, rJ) = time {
         val li = replicateKeyed(Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey", n)
@@ -182,11 +211,13 @@ object ScaleProbe {
           .agg(count(lit(1)), sum(col("l_extendedprice"))).count()
       }
       results += (("join_agg", n, tJ, rJ))
+      }
 
       // bloom-pruned semi join: the fact side is replicated, the dim side
       // is NOT — the sketch stays fixed-size, so the probe must scale with
       // the fact scan (map work), while the shuffle carries only the
       // ~matching fraction regardless of n
+      if (want("bloom_semi_join")) {
       val (tBl, rBl) = time {
         val dim = Tables.orders(spark, sfDir)
           .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -203,10 +234,12 @@ object ScaleProbe {
           .groupBy(col("l_orderkey")).count().count()
       }
       results += (("bloom_semi_join", n, tBl, rBl))
+      }
 
       // sweep-line interval concurrency: two-level prefix sum — per-day
       // in-bucket windows parallelize, only day totals cross the global
       // window, so scaling must track the event count
+      if (want("interval_sweep")) {
       val (tSw, rSw) = time {
         val ev = replicateKeyed(Tables.events(spark, sfDir)
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -214,11 +247,13 @@ object ScaleProbe {
         graft.operators.Advanced.intervalConcurrencyDf(ev).count()
       }
       results += (("interval_sweep", n, tSw, rSw))
+      }
 
       // alternating-star connected components on a synthetic
       // chain+hub graph (path segments of 8 linked to per-64 hubs):
       // rounds are O(log n) by construction, so wall time must track
       // the edge count, never the component diameter
+      if (want("connected_components")) {
       val (tCc, rCc) = time {
         val ids = spark.range(0L, 20000L * n).toDF("id")
         val chain = ids.filter(col("id") % 8 =!= 0)
@@ -230,6 +265,7 @@ object ScaleProbe {
           ids.select(col("id").as("node")), chain.unionAll(hub)).count()
       }
       results += (("connected_components", n, tCc, rCc))
+      }
 
       // prefix-filtered exact similarity join, LAST in the loop: its
       // output is quadratic in dup-CLUSTER size by definition (the full
@@ -237,6 +273,7 @@ object ScaleProbe {
       // %4 sample under disjoint-namespace replication — and after the
       // probes whose timings its shuffle/GC pressure would contaminate
       // (the combined run measured cc at 6x; isolated, cc is flat)
+      if (want("prefix_filter_join")) {
       val (tPf, rPf) = time(Dedup.prefixFilterJaccardPairsDf(
         replicateDocsDisjoint(
           Tables.documents(spark, sfDir)
@@ -244,10 +281,12 @@ object ScaleProbe {
             .select(col("doc_id"), col("text")),
           n)).count())
       results += (("prefix_filter_join", n, tPf, rPf))
+      }
 
       // skip-gram co-occurrence (round 5): pair generation is an array
       // HOF in the projection — zero joins — so cost must track the
       // token count and the shuffle only the distinct-pair count
+      if (want("skipgram_cooc")) {
       val (tSg, rSg) = time {
         docs.select(expr("filter(split(lower(text), ' '), x -> x != '')")
             .as("w"))
@@ -261,12 +300,14 @@ object ScaleProbe {
           .groupBy(col("p.a"), col("p.b")).count().count()
       }
       results += (("skipgram_cooc", n, tSg, rSg))
+      }
 
       // rank-statistic AUC (round 6, q197/q198 shape): the GlobalOrder
       // ordered pass touches only the DISTINCT-SCORE grid. Replicated
       // events repeat the same score values, so the grid stays FLAT
       // (rows counter = grid size) while the reducing scan grows —
       // cost must track the scan, never the ordered pass
+      if (want("rank_stats_auc")) {
       val (tRk, rRk) = time {
         val ev = replicateKeyed(Tables.events(spark, sfDir)
           .select(col("event_id"), col("event_type"), col("value")),
@@ -275,11 +316,13 @@ object ScaleProbe {
         ev.select(col("value")).distinct().count()
       }
       results += (("rank_stats_auc", n, tRk, rRk))
+      }
 
       // GlobalOrder global ranking (round 6, q122/q187/q188 shape):
       // range-partitioned two-level prefix sum — the only global window
       // ranks the P-row offset table, so cost must track the row count
       // linearly with no single-partition collapse
+      if (want("global_order_rank")) {
       val (tGo, rGo) = time {
         val c = replicateKeyed(Tables.customer(spark, sfDir)
           .select(col("c_custkey"), col("c_acctbal")), "c_custkey", n)
@@ -288,6 +331,7 @@ object ScaleProbe {
           .count()
       }
       results += (("global_order_rank", n, tGo, rGo))
+      }
 
       // weighted-Jaccard prefix-filtered pair join (round 7, q231
       // shape): a corpus-wide planted token drives the naive postings
@@ -295,6 +339,7 @@ object ScaleProbe {
       // exclusion keeps it out of the inverted index (its tf mass is
       // far under β·T for every doc), so cost must track corpus size
       // linearly while df grows linearly and df² quadratically
+      if (want("weighted_jaccard_hot")) {
       val (tWj, rWj) = time {
         val planted = replicateDocsDisjoint(
           Tables.documents(spark, sfDir)
@@ -307,6 +352,7 @@ object ScaleProbe {
           .count()
       }
       results += (("weighted_jaccard_hot", n, tWj, rWj))
+      }
 
       // capped item-cosine build (round 7, q232 production path): a
       // planted power user touching 1000·n items would contribute
@@ -314,6 +360,7 @@ object ScaleProbe {
       // top-M per-user cap bounds EVERY user at M² pairs, so cost must
       // track the organic interaction volume while the power user's
       // uncapped pair count grows quadratically
+      if (want("item_cosine_power_user")) {
       val (tIc, rIc) = time {
         val organic = replicateKeyed(
           Tables.events(spark, sfDir)
@@ -330,6 +377,7 @@ object ScaleProbe {
           .count()
       }
       results += (("item_cosine_power_user", n, tIc, rIc))
+      }
 
       // semdedup anchor cap (round 7, q256 production path): identical
       // vectors tie on the rounded cosine everywhere, so the lowest-id
@@ -337,6 +385,7 @@ object ScaleProbe {
       // members through a single join key. Uncapped that is (2000·n)²
       // pair work; the 256-anchor bounded-heap cap must hold it at
       // |c|·256 (linear in n)
+      if (want("semdedup_mega_cluster")) {
       val (tSd, rSd) = time {
         val v = spark.range(0L, 2000L * n)
           .select(col("id").as("vec_id"),
@@ -346,6 +395,7 @@ object ScaleProbe {
         graft.similarity.Similarity.semDedupDf(spark, v).count()
       }
       results += (("semdedup_mega_cluster", n, tSd, rSd))
+      }
 
       // substring-dedup window census (round 7, q260 production path):
       // disjoint replica namespaces keep each replica's duplicate
@@ -353,17 +403,20 @@ object ScaleProbe {
       // rows, and cost must all track corpus tokens LINEARLY — the
       // content-keyed count shape (a window duplicated d times costs d
       // rows, never d²)
+      if (want("substring_dedup")) {
       val (tSu, rSu) = time(
         Dedup.substringDedupDf(replicateDocsDisjoint(
           Tables.documents(spark, sfDir)
             .select(col("doc_id"), col("text")), n)).count())
       results += (("substring_dedup", n, tSu, rSu))
+      }
 
       // CCNet scoring (round 7, q263 production path): the en model
       // grows with the en token volume and the scoring join is
       // content-keyed + partial-aggregated, so cost must track corpus
       // tokens — a per-language ranking window or a model broadcast
       // would both break at real vocabulary sizes
+      if (want("ccnet_buckets")) {
       val (tCb, rCb) = time {
         val d = Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("lang"), col("text"),
@@ -374,6 +427,7 @@ object ScaleProbe {
         graft.operators.TextQueries.ccnetBucketsDf(d).count()
       }
       results += (("ccnet_buckets", n, tCb, rCb))
+      }
 
       // snapshot near-dup probe (round 7 continuation, q278 production
       // shape, registry built inline): disjoint replica namespaces PLUS
@@ -383,6 +437,7 @@ object ScaleProbe {
       // the inverted join. The panel is count-capped (~100 docs at any
       // n), so hot-trigram fan-out is panel×corpus = LINEAR, and total
       // cost must track the registry build, never df².
+      if (want("snapshot_neardup_hot")) {
       val (tSn, rSn) = time {
         val d = replicateDocsDisjoint(
           Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
@@ -393,6 +448,7 @@ object ScaleProbe {
         Dedup.snapshotNeardupDf(d).count()
       }
       results += (("snapshot_neardup_hot", n, tSn, rSn))
+      }
 
       // fuzzy-levenshtein segment join (round 8, q59 production path):
       // the old broadcast nested-loop was n² levenshtein calls (×16
@@ -400,6 +456,7 @@ object ScaleProbe {
       // prefix that forces ≥ 3 edits BETWEEN replicas, so true pairs —
       // and therefore output — grow linearly while the old all-pairs
       // work would grow n²
+      if (want("fuzzy_levenshtein_seg")) {
       val (tFz, rFz) = time {
         val names = replicateKeyed(
           Tables.part(spark, sfDir).filter(col("p_partkey") % 20 === 0)
@@ -411,12 +468,14 @@ object ScaleProbe {
         graft.operators.Advanced.fuzzyLevenshteinPairsDf(names, 2).count()
       }
       results += (("fuzzy_levenshtein_seg", n, tFz, rFz))
+      }
 
       // geo nearest cascade (round 8, q125 production path): supplier
       // DENSITY grows ×n (fixed lat/lon area) — the fixed-grid join's
       // candidate pairs grow n² (×16 bench: 44×); the adaptive cascade
       // shrinks cells as √(1/n) so per-customer candidates stay O(1)
       // and cost tracks the row count
+      if (want("geo_nearest_cascade")) {
       val (tGe, rGe) = time {
         val supp = spark.range(0L, 1000L * n)
           .select(col("id").as("s_suppkey"),
@@ -429,6 +488,7 @@ object ScaleProbe {
         graft.operators.Geo.nearestSupplierDf(cust, supp).count()
       }
       results += (("geo_nearest_cascade", n, tGe, rGe))
+      }
 
       // shingle-containment prefix filter (round 8, q240 production
       // path): disjoint replica namespaces keep true containment pairs
@@ -436,6 +496,7 @@ object ScaleProbe {
       // 3-grams in every doc — the raw self-join's df² worst case. The
       // prefix filter must exclude the hot shingles from every doc
       // large enough to skip, holding candidate fan-out linear
+      if (want("shingle_containment_hot")) {
       val (tSc, rSc) = time {
         val d = replicateDocsDisjoint(
           Tables.documents(spark, sfDir)
@@ -447,6 +508,7 @@ object ScaleProbe {
         graft.operators.TextQueries.shingleContainmentPairsDf(d).count()
       }
       results += (("shingle_containment_hot", n, tSc, rSc))
+      }
     }
 
     val body = results.map { case (p, n, sec, rows) =>

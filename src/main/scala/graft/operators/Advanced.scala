@@ -853,14 +853,23 @@ object Advanced {
     * join (the oracle stays the brute-force cross join).
     *
     * Scale shape: the index side emits k rows per name; the probe side
-    * emits O(|name| · k) substrings (each partner length l ∈
-    * [n−maxDist, n+maxDist] contributes ≤ k distinct segment lengths).
-    * Both sides are linear in the corpus and the join is a shuffle
-    * hash join on segment content — pair work scales with true
-    * near-match density, never n². Names shorter than k segments
-    * (where an empty segment would void the pigeonhole) pair inside a
-    * tiny length-bounded arm: their partners are ≤ k−1+maxDist chars,
-    * a character-alphabet-bounded set at any corpus size. */
+    * emits the MULTI-MATCH-AWARE substring set — for each partner
+    * length l ∈ [n−maxDist, n+maxDist] and slot i, only the ≤ 2·maxDist+1
+    * positions within maxDist of slot i's start (an untouched segment
+    * cannot shift further), ≤ k·(2maxDist+1)·(2maxDist+1) slim rows per
+    * name. Both sides are linear in the corpus and the join is a
+    * shuffle hash join on (segment, partner length, slot) — the
+    * position constraint lives in the KEYED generation, so a hot
+    * segment string (TPC-H color names share many ⌈n/3⌉-grams) only
+    * collides when it sits at the matching slot of a length-compatible
+    * partner; pair work scales with true near-match density, never n²
+    * (the first cut joined on bare segment content and position-
+    * filtered AFTER the join — hot 11-grams made that 14× slower than
+    * the broadcast loop it replaced at ×16). Names shorter than k
+    * segments (where an empty segment would void the pigeonhole) pair
+    * inside a tiny length-bounded arm: their partners are ≤
+    * k−1+maxDist chars, a character-alphabet-bounded set at any
+    * corpus size. */
   def fuzzyLevenshtein(s: SparkSession, d: String, maxDist: Int = 2)
       : DataFrame =
     fuzzyLevenshteinPairsDf(
@@ -875,68 +884,83 @@ object Advanced {
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val k = maxDist + 1 // pigeonhole segment count
-    val p = names.select(col("key"), col("name"),
-      length(col("name")).as("n"))
+    val rows = names.select(col("key"), col("name"))
+      .localCheckpoint() // both sides of the final key expansion
+    // DEDUP-FIRST: all segment work runs on DISTINCT names. Duplicate
+    // names are pure output structure (every key pair across two equal
+    // names qualifies at dist 0), so pairing them through the signature
+    // join would shuffle |output| wide candidate rows — the dup-heavy
+    // ×16 replica has 250 copies per name and 7 M true pairs, which
+    // made the first cut spend two minutes DISTINCT-ing 89 M candidate
+    // rows. On distinct names the candidate volume tracks true fuzzy
+    // structure; the key expansion at the end emits exactly the output.
+    val p = rows.select(col("name")).distinct()
+      .withColumn("n", length(col("name")))
       .localCheckpoint() // segment side + substring side + tiny arm
-    // index side: the k segments of each name (all nonempty iff n >= k)
+    // index side: the k segments of each name (all nonempty iff n >= k),
+    // keyed by (slot, own length) — the probe side targets exactly this
     val segs = p.filter(col("n") >= k)
-      .select(col("key").as("key_a"), col("name").as("name_a"),
-        col("n").as("n_a"),
+      .select(col("name").as("name_a"), col("n").as("l"),
         explode(expr(
           s"""transform(sequence(0, $k - 1), i -> named_struct(
-             |  'start', (i * n) DIV $k + 1,
+             |  'slot', i,
              |  'sig', substr(name, (i * n) DIV $k + 1,
              |    ((i + 1) * n) DIV $k - (i * n) DIV $k)))""".stripMargin))
           .as("g"))
-      .select(col("key_a"), col("name_a"), col("n_a"),
-        col("g.start").as("start_a"), col("g.sig").as("sig"))
-    // probe side: every substring whose length equals a segment length
-    // of SOME partner length l in [n-maxDist, n+maxDist] with l >= k
-    // (shorter partners never index). ~k distinct lengths, so O(n·k)
-    // substrings per name — linear in the corpus.
+      .select(col("name_a"), col("l"),
+        col("g.slot").as("slot"), col("g.sig").as("sig"))
+    // probe side, multi-match-aware: for each partner length l and
+    // slot i, substrings of slot i's length at the ≤ 2·maxDist+1
+    // positions an untouched segment can occupy (start ± #indels)
     val subs = p
-      .select(col("key").as("key_b"), col("name").as("name_b"),
-        col("n").as("n_b"),
+      .select(col("name").as("name_b"),
         explode(expr(
-          s"""flatten(transform(
-             |  filter(array_distinct(flatten(transform(
-             |    sequence(greatest(n - $maxDist, $k), n + $maxDist),
-             |    l -> transform(sequence(0, $k - 1),
-             |      i -> ((i + 1) * l) DIV $k - (i * l) DIV $k)))),
-             |    m -> m >= 1 AND m <= n),
-             |  m -> transform(sequence(1, n - m + 1),
-             |    q -> named_struct('pos', q,
-             |      'sig', substr(name, q, m)))))""".stripMargin)).as("g"))
-      .select(col("key_b"), col("name_b"), col("n_b"),
-        col("g.pos").as("pos_b"), col("g.sig").as("sig"))
-    val candSig = segs.join(subs, Seq("sig"))
-      .filter(col("key_a") =!= col("key_b") &&
-        abs(col("n_a") - col("n_b")) <= maxDist &&
-        abs(col("pos_b") - col("start_a")) <= maxDist)
-      .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"))
-    // tiny arm: pairs where BOTH names are shorter than k — the
+          s"""flatten(flatten(transform(
+             |  sequence(greatest(n - $maxDist, $k), n + $maxDist),
+             |  l -> transform(sequence(0, $k - 1), i ->
+             |    transform(
+             |      filter(sequence((i * l) DIV $k + 1 - $maxDist,
+             |          (i * l) DIV $k + 1 + $maxDist),
+             |        q -> q >= 1 AND
+             |          q + ((i + 1) * l) DIV $k - (i * l) DIV $k - 1 <= n),
+             |      q -> named_struct('l', l, 'slot', i,
+             |        'sig', substr(name, q,
+             |          ((i + 1) * l) DIV $k - (i * l) DIV $k)))))))"""
+            .stripMargin)).as("g"))
+      .select(col("name_b"), col("g.l").as("l"),
+        col("g.slot").as("slot"), col("g.sig").as("sig"))
+    val candSig = segs.join(subs, Seq("sig", "l", "slot"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select(col("name_a"), col("name_b"))
+    // tiny arm: name pairs where BOTH are shorter than k — the
     // pigeonhole needs k nonempty segments; such a pair's members are
     // < k chars (and any qualifying partner of a sub-k name that is
     // itself >= k chars IS caught by the signature arm via its own
     // segments). Alphabet-bounded at any corpus size.
     val tiny = p.filter(col("n") < k)
-    val candTiny = tiny
-      .select(col("key").as("key_a"), col("name").as("name_a"))
-      .crossJoin(tiny
-        .select(col("key").as("key_b"), col("name").as("name_b")))
-      .filter(col("key_a") =!= col("key_b"))
-    candSig.unionByName(candTiny)
-      .select(when(col("key_a") < col("key_b"), col("key_a"))
-        .otherwise(col("key_b")).as("key_a"),
-        when(col("key_a") < col("key_b"), col("name_a"))
-          .otherwise(col("name_b")).as("name_a"),
-        when(col("key_a") < col("key_b"), col("key_b"))
-          .otherwise(col("key_a")).as("key_b"),
-        when(col("key_a") < col("key_b"), col("name_b"))
-          .otherwise(col("name_a")).as("name_b"))
+    val candTiny = tiny.select(col("name").as("name_a"))
+      .crossJoin(tiny.select(col("name").as("name_b")))
+      .filter(col("name_a") =!= col("name_b"))
+    // exact rescore at DISTINCT-NAME grain, then both orientations plus
+    // the diagonal (equal names pair at dist 0 by definition)
+    val namePairs = candSig.unionByName(candTiny)
+      .select(least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
       .distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
+      .localCheckpoint() // consumed twice (both orientations)
+    val sym = namePairs
+      .unionByName(namePairs.select(col("name_b").as("name_a"),
+        col("name_a").as("name_b"), col("dist")))
+      .unionByName(p.select(col("name").as("name_a"),
+        col("name").as("name_b"), lit(0).as("dist")))
+    // key expansion: name-keyed joins whose fan-out IS the output size
+    rows.select(col("key").as("key_a"), col("name").as("name_a"))
+      .join(sym, Seq("name_a"))
+      .join(rows.select(col("key").as("key_b"),
+        col("name").as("name_b")), Seq("name_b"))
+      .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"), col("dist"))
   }
 
@@ -2149,6 +2173,11 @@ object Advanced {
     val base = lineitem(s, d)
       .select(col("l_returnflag"),
         col("l_extendedprice").cast("double").as("v"))
+      // width the probe scans to the full executor count — the parquet
+      // read may land in a handful of input splits, and an N-pass loop
+      // over an M-partition checkpoint runs at M-way parallelism
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint() // the sketch pass + every probe pass share it
     val outSchema = StructType(
       StructField("l_returnflag", StringType, nullable = true) +:
         outCols.map(c => StructField(c, DoubleType, nullable = true)) :+
@@ -2170,34 +2199,79 @@ object Advanced {
     }
     val eps = 8.0 / k
 
+    // a target whose bracket provably holds at most this many rows
+    // (exact counts at both ends) finishes by collecting the band in
+    // the next pass — the verdict-round budget that bounds what the
+    // driver may ever centralize per target
+    val BandBudget = 10000L
     // one probe state per (group, distinct target rank j); ≤ 6 per group
     final class T(val g: G, val j: Long) {
       var ans: Option[Double] = None
       var loProbe: Option[Double] = None // probe with count(≤) ≤ j
       var loNext: Option[Double] = None // min data value > loProbe
       var hi: Option[Double] = None // data value with count(≤) ≥ j+1
+      var cLo = 0L // exact count(≤ loProbe)
+      var cHi = 0L // exact count(≤ hi)
       var highTries = 0
       var lowTries = 0
+      var bracketProbes = 0
+      // the band (loProbe, hi] is provably ≤ BandBudget rows: one
+      // collect finishes this target exactly
+      def bandReady: Boolean = ans.isEmpty && loProbe.isDefined &&
+        hi.isDefined && cHi - cLo <= BandBudget
       def sketchAt(rank: Double): Double =
         KllSummary.valueAtRank(g.vs, g.ws,
           math.max(0.0, math.min((g.n - 1).toDouble, rank)))
-      // next probe point, None once resolved
-      def probe: Option[Double] = ans match {
-        case Some(_) => None
+      // next probe points (ascending), empty once resolved. The FIRST
+      // pass probes the target rank AND both sketch band edges in one
+      // scan, so the bracket (and usually both sides of it) exists
+      // after a single pass instead of three sequential ones.
+      def probes: Seq[Double] = ans match {
+        case Some(_) => Seq.empty
+        case None if loProbe.isEmpty && hi.isEmpty && highTries == 0 &&
+            lowTries == 0 =>
+          highTries = 1; lowTries = 1 // sketch edges consumed here
+          Seq(sketchAt(j - eps * g.n - 1), sketchAt(j.toDouble),
+            sketchAt(j + eps * g.n + 1)).distinct.sorted
         case None =>
-          if (loProbe.isEmpty && hi.isEmpty) Some(sketchAt(j.toDouble))
-          else if (hi.isEmpty) {
+          if (hi.isEmpty) {
             highTries += 1
-            Some(if (highTries == 1) sketchAt(j + eps * g.n + 1)
+            Seq(if (highTries == 1) sketchAt(j + eps * g.n + 1)
             else Double.MaxValue)
           } else if (loNext.isEmpty) {
             lowTries += 1
-            Some(if (lowTries == 1) sketchAt(j - eps * g.n - 1)
+            Seq(if (lowTries == 1) sketchAt(j - eps * g.n - 1)
             else -Double.MaxValue)
           } else {
+            // bracket pass, three decisive points per scan:
+            //  - loNext itself: count(≤ loNext) ≥ j+1 resolves to it
+            //    (count below is the known cLo ≤ j);
+            //  - the rank-INTERPOLATED point (secant on the exact
+            //    bracket counts — locally-uniform values land within a
+            //    few ranks; pure value-midpoint bisection needs
+            //    log₂(εn) passes ≈ 17 full scans at ×16, measured
+            //    63 s), with a midpoint fallback every third pass for
+            //    guaranteed halving on exponential-gap layouts;
+            //  - nextDown(hi): count(≤ it) ≤ j proves nothing sits
+            //    between and resolves to hi, else snaps hi to its true
+            //    data predecessor — the duplicate-run endgame closes in
+            //    ONE pass instead of a per-distinct-value walk.
             val (a, b) = (loNext.get, hi.get)
+            bracketProbes += 1
+            val frac = (j + 1 - cLo).toDouble / (cHi - cLo).toDouble
+            def at(f: Double): Double = {
+              val v = a + (b - a) * f
+              if (v > a && v < b) v else a / 2 + b / 2
+            }
             val mid = a / 2 + b / 2
-            Some(if (mid > a && mid < b) mid else a)
+            val interps =
+              if (bracketProbes % 3 == 0) Seq(mid)
+              else Seq(at(frac / 2), at(frac), at(frac + (1 - frac) / 2))
+            (Seq(a, math.nextDown(b)).filter(x => x >= a && x < b) ++
+              interps.filter(x => x > a && x < b) match {
+              case Nil => Seq(a)
+              case xs => xs
+            }).distinct.sorted
           }
       }
       def update(m: Double, cntLe: Long, maxLe: Option[Double],
@@ -2205,15 +2279,24 @@ object Advanced {
         if (cntLe >= j + 1) {
           // maxLe is a data value with the same count(≤) as m
           if (cntLe == j + 1) ans = maxLe // count(< it) ≤ j: mult ≥ 1
-          else {
+          // TIGHTEN-ONLY: several points probe per pass against the
+          // state they were chosen from, so a later (larger) point's
+          // outcome must never move hi back UP past a tighter one set
+          // earlier in the same pass (that widening loop stalled the
+          // ×16 run at 12 unresolved targets for 90 passes)
+          else if (hi.isEmpty || maxLe.exists(_ < hi.get)) {
             hi = maxLe
+            cHi = cntLe
             // the bracket closed onto the lo probe's data successor
             if (loNext.isDefined && hi == loNext) ans = hi
           }
         } else { // cntLe ≤ j: nothing in (m, minGt) — successor is exact
-          loProbe = Some(m)
-          loNext = minGt
-          if (loNext.isDefined && hi.isDefined && loNext == hi) ans = hi
+          if (loNext.isEmpty || minGt.exists(_ > loNext.get)) {
+            loProbe = Some(m)
+            loNext = minGt
+            cLo = cntLe
+            if (loNext.isDefined && hi.isDefined && loNext == hi) ans = hi
+          }
         }
       }
     }
@@ -2226,47 +2309,82 @@ object Advanced {
     }
 
     import s.implicits._
-    val slots = targets.groupBy(_.g.flag).values.map(_.length)
-      .reduceOption(_ max _).getOrElse(0)
     var pass = 0
     while (targets.exists(_.ans.isEmpty) && pass < 100) {
       pass += 1
+      if (sys.env.contains("GRAFT_Q111_DEBUG"))
+        System.err.println(s"[q111] pass $pass unresolved=" +
+          targets.count(_.ans.isEmpty) + " t=" +
+          (System.nanoTime / 1e9).toLong)
       val byFlag = targets.filter(_.ans.isEmpty).groupBy(_.g.flag)
-      // probe points captured ONCE per pass (`probe` advances escalation
-      // counters, so it must not be re-evaluated at update time)
-      val probeVals: Map[String, Array[Option[Double]]] =
-        byFlag.map { case (f, ts) => f -> ts.map(_.probe) }
-      // one row per active group: up to `slots` probe points (null-pad)
-      val probeRows = probeVals.toSeq.map { case (flag, ms) =>
-        (flag, ms.padTo(slots, None).toSeq)
-      }
-      val probes = broadcast(probeRows.toDF("l_returnflag", "ms")
-        .select(col("l_returnflag") +:
-          (0 until slots).map(i =>
-            element_at(col("ms"), i + 1).as(s"m$i")): _*))
+      // band-mode targets (bracket provably ≤ BandBudget rows) collect
+      // their band this pass; the rest contribute probe points,
+      // captured ONCE (`probes` advances escalation counters, so it
+      // must not be re-evaluated at update time). Pass 1 probes the
+      // rank AND both sketch band edges together.
+      val bandTs: Map[String, Array[T]] =
+        byFlag.map { case (f, ts) => f -> ts.filter(_.bandReady) }
+      val probePts: Map[String, Array[(Int, Double)]] =
+        byFlag.map { case (f, ts) =>
+          f -> ts.zipWithIndex.flatMap { case (t, ti) =>
+            if (t.bandReady) Seq.empty[(Int, Double)]
+            else t.probes.map(m => (ti, m))
+          }
+        }
+      val slots = probePts.values.map(_.length).reduceOption(_ max _)
+        .getOrElse(0)
+      val bandSlots = bandTs.values.map(_.length).reduceOption(_ max _)
+        .getOrElse(0)
+      // probe points and band bounds enter as LITERAL case-when columns
+      // keyed by the group value — no per-pass DataFrame build,
+      // broadcast, or join: a pass is one groupBy-aggregate over the
+      // checkpoint
+      def mExpr(i: Int): Column =
+        probePts.foldLeft(lit(null).cast("double"): Column) {
+          case (e, (f, pts)) =>
+            if (i < pts.length)
+              when(col("l_returnflag") === lit(f), lit(pts(i)._2))
+                .otherwise(e)
+            else e
+        }
+      def bandCond(b: Int): Column =
+        bandTs.foldLeft(lit(false): Column) { case (e, (f, ts)) =>
+          if (b < ts.length)
+            when(col("l_returnflag") === lit(f),
+              col("v") > lit(ts(b).loProbe.get) &&
+                col("v") <= lit(ts(b).hi.get)).otherwise(e)
+          else e
+        }
       val aggExprs = (0 until slots).flatMap { i =>
+        val m = mExpr(i)
         Seq(
-          sum(when(col("v") <= col(s"m$i"), 1L).otherwise(0L))
-            .as(s"cnt$i"),
-          max(when(col("v") <= col(s"m$i"), col("v"))).as(s"ml$i"),
-          min(when(col("v") > col(s"m$i"), col("v"))).as(s"mg$i"))
+          sum(when(col("v") <= m, 1L).otherwise(0L)).as(s"cnt$i"),
+          max(when(col("v") <= m, col("v"))).as(s"ml$i"),
+          min(when(col("v") > m, col("v"))).as(s"mg$i"))
+      } ++ (0 until bandSlots).map { b =>
+        sort_array(collect_list(when(bandCond(b), col("v"))))
+          .as(s"band$b")
       }
-      val res = base.join(probes, Seq("l_returnflag"))
+      val res = base
         .groupBy(col("l_returnflag"))
         .agg(aggExprs.head, aggExprs.tail: _*)
         .collect()
         .map(r => r.getString(0) -> r).toMap
       byFlag.foreach { case (flag, ts) =>
         val r = res(flag)
-        ts.zipWithIndex.foreach { case (t, i) =>
-          probeVals(flag)(i).foreach { m =>
-            val cnt = r.getLong(1 + 3 * i)
-            val ml = if (r.isNullAt(2 + 3 * i)) None
-              else Some(r.getDouble(2 + 3 * i))
-            val mg = if (r.isNullAt(3 + 3 * i)) None
-              else Some(r.getDouble(3 + 3 * i))
-            t.update(m, cnt, ml, mg)
-          }
+        probePts(flag).zipWithIndex.foreach { case ((ti, m), i) =>
+          val cnt = r.getLong(1 + 3 * i)
+          val ml = if (r.isNullAt(2 + 3 * i)) None
+            else Some(r.getDouble(2 + 3 * i))
+          val mg = if (r.isNullAt(3 + 3 * i)) None
+            else Some(r.getDouble(3 + 3 * i))
+          ts(ti).update(m, cnt, ml, mg)
+        }
+        bandTs(flag).zipWithIndex.foreach { case (t, b) =>
+          val band = r.getSeq[Double](1 + 3 * slots + b)
+          // exact by construction: ranks cLo..cHi−1 live in the band
+          val off = (t.j - t.cLo).toInt
+          if (off >= 0 && off < band.size) t.ans = Some(band(off))
         }
       }
     }

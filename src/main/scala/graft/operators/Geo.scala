@@ -99,33 +99,43 @@ object Geo {
     // √(12000/n). One count() — O(1) metadata to the driver.
     val nSupp = supp.count()
     val sFine = math.sqrt(12000.0 / math.max(nSupp, 1L)) max 0.02
-    // cascade: fine, geometric mid (only if meaningfully finer than the
-    // coarse level), then the radius-complete 5°/12° grid
+    // cascade: fine, geometric mid, then the radius-complete 5°/12°
+    // grid. A level joins the list only when it at least HALVES the
+    // coarse cell side — a barely-finer level costs a full extra
+    // join/aggregate/anti-join round for almost no candidate pruning
+    // (at sf0.1 the 3.46° level tripled wall time to save nothing)
     val levels = (Seq(sFine, math.sqrt(sFine * LatCell))
-      .filter(_ < 0.8 * LatCell) :+ LatCell).distinct
+      .filter(_ <= LatCell / 2) :+ LatCell).distinct
 
     def cellKeys(latC: Column, lonC: Column, sLat: Double, sLon: Double,
         lonCells: Long): (Column, Column) =
       (floor(latC / sLat), pmod(floor(lonC / sLon), lit(lonCells)))
 
     var unresolved = cust
+    var done = false
     var out: DataFrame = null
     levels.zipWithIndex.foreach { case (sLat, li) =>
+      if (!done) {
       val isLast = li == levels.size - 1
       val lonCells = math.ceil(360.0 / (2.4 * sLat)).toLong max 1L
       val sLon = 360.0 / lonCells
       val (sCellLat, sCellLon) =
         cellKeys(col("slat"), col("slon"), sLat, sLon, lonCells)
-      val sc = supp.select(col("s_suppkey"), col("slat"), col("slon"),
-        sCellLat.as("cell_lat"), sCellLon.as("cell_lon"))
+      // the 3×3 stencil explodes the SUPPLIER side (facilities — the
+      // smaller table in this query's semantics and in the schema):
+      // customers shuffle one probe row each, suppliers nine
+      val sc = supp
+        .withColumn("dlat", explode(array((-1 to 1).map(lit): _*)))
+        .withColumn("dlon", explode(array((-1 to 1).map(lit): _*)))
+        .select(col("s_suppkey"), col("slat"), col("slon"),
+          (sCellLat + col("dlat")).as("cell_lat"),
+          pmod(sCellLon + col("dlon"), lit(lonCells)).as("cell_lon"))
       val (cCellLat, cCellLon) =
         cellKeys(col("clat"), col("clon"), sLat, sLon, lonCells)
       val probes = unresolved
-        .withColumn("dlat", explode(array((-1 to 1).map(lit): _*)))
-        .withColumn("dlon", explode(array((-1 to 1).map(lit): _*)))
         .select(col("c_custkey"), col("clat"), col("clon"),
-          (cCellLat + col("dlat")).as("cell_lat"),
-          pmod(cCellLon + col("dlon"), lit(lonCells)).as("cell_lon"))
+          cCellLat.as("cell_lat"),
+          pmod(cCellLon, lit(lonCells)).as("cell_lon"))
       val best = probes.join(sc, Seq("cell_lat", "cell_lon"))
         .select(col("c_custkey"), col("clat"), col("clon"),
           col("s_suppkey"),
@@ -149,11 +159,16 @@ object Geo {
         }
       val emitted = resolved.filter(col("dist_km") <= RadiusKm)
       out = if (out == null) emitted else out.unionByName(emitted)
-      if (!isLast)
+      if (!isLast) {
         unresolved = unresolved
           .join(resolved.select(col("c_custkey")), Seq("c_custkey"),
             "left_anti")
           .localCheckpoint() // truncate the cascade's lineage
+        // a fully-resolved level ends the cascade — the checkpoint is
+        // already materialized, so the emptiness read is free
+        if (unresolved.isEmpty) done = true
+      }
+      }
     }
     out
   }

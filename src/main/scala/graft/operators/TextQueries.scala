@@ -933,47 +933,75 @@ object TextQueries {
     // as the exact rational tNum/tDen
     val tNum = math.round(threshold * 1e7) - 5
     val tDen = 10000000L
-    val sh = docs
+    // set sizes compute IN-ROW (size of the distinct shingle array,
+    // before the explode) so postings carry them for free — no count
+    // shuffle, no size joins against the 16×-corpus posting stream
+    // the CHECKPOINT sits BEFORE the explode: projection collapse
+    // substitutes the (expensive) distinct-shingle array expression
+    // into every consumer, and a post-explode projection of size(arr)
+    // re-evaluates it PER POSTING ROW — measured 20× slower at ×16.
+    // Materializing (doc_id, sz, arr) evaluates the array exactly once;
+    // the explode below is a cheap read of materialized arrays for
+    // each of the four downstream consumers. The scan repartitions
+    // first: replica parquet can land in a handful of input splits,
+    // and the HOF-heavy tokenize/shingle projection must not run at
+    // 3-way parallelism on a 32-core box.
+    val pre = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(w) - 3), i -> " +
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
           "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), " +
-          "element_at(w, i + 3)))"))).as("sh"))
-      .localCheckpoint() // index build + probe side + rescore + sizes
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+          "element_at(w, i + 3))))").as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
+        col("arr"))
+      .localCheckpoint()
+    val sh = pre.select(col("doc_id"), col("sz"),
+      explode(col("arr")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // per-doc prefix: skip the o−1 hottest shingles (window bounded by
     // document size, the q256 bounded-key discipline)
     val wHot = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").desc, col("sh").desc)
-    val idx = sh.join(dfreq, Seq("sh")).join(sz, Seq("doc_id"))
+    val ranked = sh.join(dfreq, Seq("sh"))
       .withColumn("rn", row_number().over(wHot))
-      .filter(col("rn") >=
+      .withColumn("o",
         greatest(lit(1L), expr(s"($tNum * sz + ${tDen - 1}) DIV $tDen")))
+      .localCheckpoint() // prefix + skipped sides split from one ranking
+    val idx = ranked.filter(col("rn") >= col("o"))
       .select(col("doc_id").as("doc_s"), col("sz").as("ss"), col("sh"))
-    // candidates: small-side prefix ⋈ large-side FULL postings; the
-    // (size, id) total order orients each unordered pair exactly once
-    val cand = idx
-      .join(sh.select(col("doc_id").as("doc_l"), col("sh"))
-        .join(sz.select(col("doc_id").as("doc_l"), col("sz").as("sl")),
-          Seq("doc_l")), Seq("sh"))
+    // the o−1 hottest shingles each small doc left out of its index —
+    // ≤ t·|S| rows per doc, the bounded correction set
+    val skipped = ranked.filter(col("rn") < col("o"))
+      .select(col("doc_id").as("doc_s"), col("sh"))
+    // prefix-side intersection counts: small-side prefix ⋈ large-side
+    // FULL postings, one row per common indexed shingle; the (size, id)
+    // total order orients each unordered pair exactly once. No
+    // distinct-then-rescore second pass: cap splits EXACTLY into
+    // |prefix_s ∩ B| (this aggregate) + |skipped_s ∩ B| (the bounded
+    // correction below) — the full self-join never happens
+    val capPrefix = idx
+      .join(sh.select(col("doc_id").as("doc_l"), col("sh"),
+        col("sz").as("sl")), Seq("sh"))
       .filter(col("ss") < col("sl") ||
         (col("ss") === col("sl") && col("doc_s") < col("doc_l")))
-      .select(col("doc_s"), col("doc_l")).distinct()
-    // exact rescore over the full postings of surviving pairs only
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_s"), col("sh")), Seq("doc_s"))
+      .groupBy(col("doc_s"), col("doc_l"), col("ss"), col("sl"))
+      .agg(count(lit(1)).as("cap_p"))
+      .localCheckpoint() // the correction join + final output share it
+    // correction: of the small doc's skipped (hottest) shingles, how
+    // many the large doc contains — pair-keyed joins only, never a
+    // shingle-keyed join that a corpus-wide hot shingle could blow up
+    val capSkip = capPrefix.select(col("doc_s"), col("doc_l"))
+      .join(skipped, Seq("doc_s"))
       .join(sh.select(col("doc_id").as("doc_l"), col("sh")),
         Seq("doc_l", "sh"))
       .groupBy(col("doc_s"), col("doc_l"))
-      .agg(count(lit(1)).as("cap"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_s"), col("sz").as("ss")),
-        Seq("doc_s"))
-      .join(sz.select(col("doc_id").as("doc_l"), col("sz").as("sl")),
-        Seq("doc_l"))
+      .agg(count(lit(1)).as("cap_k"))
+    capPrefix
+      .join(capSkip, Seq("doc_s", "doc_l"), "left_outer")
+      .withColumn("cap", col("cap_p") + coalesce(col("cap_k"), lit(0L)))
       .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
         greatest(col("doc_s"), col("doc_l")).as("doc_b"), col("cap"),
         round(col("cap") / when(col("doc_s") < col("doc_l"), col("ss"))
