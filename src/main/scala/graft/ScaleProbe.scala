@@ -493,9 +493,17 @@ object ScaleProbe {
       // shingle-containment prefix filter (round 8, q240 production
       // path): disjoint replica namespaces keep true containment pairs
       // linear, and a planted boilerplate header puts corpus-wide HOT
-      // 3-grams in every doc — the raw self-join's df² worst case. The
-      // prefix filter must exclude the hot shingles from every doc
-      // large enough to skip, holding candidate fan-out linear
+      // 3-grams in every LONG doc — the raw self-join's df² worst case
+      // (10⁹+ candidate rows at ×64). Probe design: the header goes
+      // only into docs ≥ 60 tokens AND the threshold is 0.3, so the
+      // header can never QUALIFY a pair by itself (6 shared shingles
+      // < 0.3·40) — with a universal header at the q240 default 0.05,
+      // all small-doc pairs GENUINELY qualify and the true output is
+      // quadratic, which measures the corpus, not the algorithm (the
+      // first probe cut filled the disk with 77 GB of spill learning
+      // this). At 0.3 every header doc's o−1 ≥ 11 skips all 6 header
+      // shingles from its index: candidate fan-out via the hot keys
+      // must be ZERO and cost linear.
       if (want("shingle_containment_hot")) {
       val (tSc, rSc) = time {
         val d = replicateDocsDisjoint(
@@ -503,9 +511,12 @@ object ScaleProbe {
             .filter(col("doc_id") % 5 === 0)
             .select(col("doc_id"), col("text")), n)
           .select(col("doc_id"),
-            concat(lit("the of and boiler plate header "), col("text"))
-              .as("text"))
-        graft.operators.TextQueries.shingleContainmentPairsDf(d).count()
+            when(size(expr("filter(split(text, ' '), x -> x != '')"))
+                >= 60,
+              concat(lit("the of and boiler plate header "), col("text")))
+              .otherwise(col("text")).as("text"))
+        graft.operators.TextQueries
+          .shingleContainmentPairsDf(d, threshold = 0.3).count()
       }
       results += (("shingle_containment_hot", n, tSc, rSc))
       }

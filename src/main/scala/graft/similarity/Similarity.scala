@@ -25,9 +25,27 @@ import graft.operators.{Tables, WarehouseCache}
   */
 object Similarity {
 
-  /** Deterministic query subset: every 100th vector. */
+  /** Deterministic query subset: every 100th vector — see
+    * [[queryFilter]] for the fixed-panel cap that bounds it at scale. */
   val QueryStep = 100
+  /** Hard cap on the ANN query panel (the q271/q139 fixed-panel rule):
+    * an uncapped `% QueryStep` panel grows linearly with the corpus,
+    * and the exact TRUTH arms every ANN query carries (queries ×
+    * corpus brute force) grow quadratically — the ×64 run measured
+    * q84/q112 at ~21× for 4× data from exactly this. The cap engages
+    * only past ~12.8k vectors, so every committed test-scale result
+    * (sf0.001/0.01/0.1) is bit-identical. */
+  val QueryPanelMax = 128L
   val CentroidStep = 97
+
+  /** The deterministic query panel over a (vec_id, …) frame: modulo
+    * step = max(QueryStep, ⌈n / QueryPanelMax⌉), derived from one
+    * count — panel size is corpus-independent past the cap. */
+  private def queryFilter(v: DataFrame): DataFrame = {
+    val step = math.max(QueryStep.toLong,
+      (v.count() + QueryPanelMax - 1) / QueryPanelMax)
+    v.filter(col("vec_id") % step === 0)
+  }
 
   /** Coarse-list cap for [[kmeansCentroids]]: nlist = min(n/97, 1024).
     * Production IVF sizes nlist ~ √n; the cap is the guard that keeps
@@ -74,7 +92,7 @@ object Similarity {
     * not a neighbor. */
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val v = vectors(s, d)
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -358,7 +376,7 @@ object Similarity {
       pqAssign(sub, cents).select(col("vec_id"), col("m"), col("code"))
     }
 
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val qsub = q.select(col("query_id"),
       posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
@@ -438,7 +456,7 @@ object Similarity {
       pqAssign(sub, cb).select(col("vec_id"), col("m"), col("code"))
     }
 
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     // per-(query, centroid) coarse terms: dot for the score decomposition,
     // cosine for probe ranking (same probe rule as ivfTopK)
@@ -515,7 +533,7 @@ object Similarity {
     // queries → NProbe nearest buckets: the query set is tiny, so a ranking
     // window is fine — but over slim (query_id, cent_id, cdist) triples,
     // with q_emb re-attached by a broadcast join afterwards
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cent_id"))
@@ -575,7 +593,7 @@ object Similarity {
           "255) + 0.5) * " +
           "(element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256 " +
           "ELSE element_at(mns, i + 1) END)").as("deq"))
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
     deq.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -624,7 +642,7 @@ object Similarity {
           "255) + 0.5) * " +
           "(element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256 " +
           "ELSE element_at(mns, i + 1) END)").as("deq"))
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
     val short = deq
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -946,7 +964,7 @@ object Similarity {
     * the IVF index (cents, assigned lists) supplied by the caller. */
   def filteredTopKDf(s: SparkSession, vl: DataFrame, cents: DataFrame,
       assigned: DataFrame, k: Int): DataFrame = {
-    val q = vl.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(vl)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("emb").as("q_emb"))
     val exact = vl
@@ -1050,7 +1068,7 @@ object Similarity {
 
   /** Spec-facing form: centroids train on `base` alone, `delta` ingests
     * by frozen-centroid assignment, search covers the union. Returns
-    * (query_id, neighbor_id) for queries = vec_id % QueryStep. */
+    * (query_id, neighbor_id) for the queryFilter panel.*/
   def ivfDeltaTopKDf(s: SparkSession, base: DataFrame, delta: DataFrame,
       k: Int = 5): DataFrame = {
     val cents = kmeansCentroids(s, base)
@@ -1061,7 +1079,7 @@ object Similarity {
 
   private def ivfDeltaTopKFrom(s: SparkSession, v: DataFrame,
       cents: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
-    val q = v.filter(col("vec_id") % QueryStep === 0)
+    val q = queryFilter(v)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cent_id"))
