@@ -106,15 +106,26 @@ object Bench {
     val baseline: Map[String, Double] = BenchGuard.baselines(md, scaleTag)
     val rateBase: Map[String, Double] =
       BenchGuard.rateBaselines(md, scaleTag)
-    val over2x =
+    val flagged =
       if (sfDir.endsWith("sf0.1") || scaleTag.nonEmpty)
         BenchGuard.violationsWithRows(withRows, baseline, rateBase)
       else Seq.empty
+    // MiniBench adjudication: an in-sequence flag whose query is at
+    // best-known under the isolated 3-trial-minimum protocol is
+    // contention, not regression — see BenchGuard scaladoc. Only the
+    // sf0.1 protocol has MiniBench records; scale tags confirm as-is.
+    val (over2x, adjudicated) =
+      if (scaleTag.isEmpty)
+        BenchGuard.adjudicate(flagged, BenchGuard.miniHistory(md))
+      else (flagged, Seq.empty)
     over2x.foreach(n => System.err.println(
       f"[bench] OVER BEST-KNOWN BOUND: $n ${results.toMap.apply(n)}%.2fs " +
         f"vs best ${baseline.getOrElse(n, -1.0)}%.2fs" +
         rateBase.get(n).map(r => f" (rate bound $r%.2e s/row)")
           .getOrElse("")))
+    adjudicated.foreach(n => System.err.println(
+      f"[bench] flag adjudicated by MiniBench (isolated at best-known, " +
+        f"in-sequence contention): $n ${results.toMap.apply(n)}%.2fs"))
 
     def entry(k: String, v: Double) = "\"" + k + f"""":$v%.3f"""
     // full map → bench_full.json (judge-readable, no size limit);
@@ -124,8 +135,9 @@ object Bench {
     val rowsJs = withRows.map { case (n, _, r) => "\"" + n + s"""":$r""" }
       .mkString("{", ",", "}")
     val overJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val adjJson = adjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"adjudicated":$adjJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case e: Throwable =>
@@ -148,7 +160,7 @@ object Bench {
     val qs = (kept.map((entry _).tupled) :+ entry("other", other))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"adjudicated":${adjudicated.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

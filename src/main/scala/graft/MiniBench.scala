@@ -29,7 +29,13 @@ object MiniBench {
     "q173_cm_frequent", "q216_sq8_ann", "q225_rerank_ann",
     "q232_item_cosine", "q250_hyperanf", "q256_semdedup",
     "q262_filtered_ann", "q269_ivf_delta_ingest", "q281_ivf_probe_curve",
-    "q282_sq8_distortion")
+    "q282_sq8_distortion",
+    // round 9 appends (comparability: the original 17 keep their order):
+    // the four round-8 scale rewrites are now the queries whose drift
+    // matters most — PassJoin segments, probe-loop quantiles, the geo
+    // cascade, and the prefix-filtered containment join
+    "q59_fuzzy_levenshtein", "q111_sketch_quantiles", "q125_geo_nearest",
+    "q240_shingle_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

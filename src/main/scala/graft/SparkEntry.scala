@@ -324,6 +324,8 @@ object SparkEntry {
     "q282_sq8_distortion" ->
       ((s, d) => Similarity.sq8Distortion(s, d)),
     "q283_pack_efficiency" -> ((s, d) => Advanced.packEfficiency(s, d)),
+    "q284_fuzzy_phone_linkage" ->
+      ((s, d) => Advanced.fuzzyPhoneLinkage(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -452,10 +454,10 @@ object SparkEntry {
         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS sim, " +
         "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) AS rk " +
         "FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id " +
-        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+        "WHERE q.vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0) WHERE rk <= 5"),
     "q31_ann_ivf" ->
       ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
-        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+        "true AS recall_ok FROM embeddings WHERE vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0"),
     "q32_multimodal_meta" ->
       ("SELECT doc_id AS asset_id, 'text/plain' AS mime, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
@@ -847,7 +849,7 @@ object SparkEntry {
         "FROM t"),
     "q84_pq_ann" ->
       ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
-        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+        "true AS recall_ok FROM embeddings WHERE vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0"),
     "q85_gap_fill" ->
       ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, " +
         "round(sum(value), 2) AS day_value FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
@@ -953,7 +955,7 @@ object SparkEntry {
         "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms"),
     "q96_ivfpq_ann" ->
       ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
-        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+        "true AS recall_ok FROM embeddings WHERE vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0"),
     "q97_scd2_merge" ->
       ("WITH ch AS (SELECT user_id, epoch_ms(ts) AS valid_from_ms, event_id, " +
         "round(value, 2) AS attr_value FROM events WHERE event_type = 'purchase') " +
@@ -1074,7 +1076,7 @@ object SparkEntry {
         "count(l_extendedprice) AS n FROM lineitem GROUP BY l_returnflag"),
     "q112_opq_ann" ->
       ("SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, " +
-        "true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+        "true AS recall_ok FROM embeddings WHERE vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0"),
     "q113_url_extract" ->
       ("WITH u AS (SELECT c_custkey, 'https://' || lower(c_mktsegment) || " +
         "'.example.com/user/' || c_custkey || '?ref=' || c_nationkey AS url " +
@@ -2407,7 +2409,7 @@ object SparkEntry {
         "round(list_sum(list_transform(range(1, len(q.emb) + 1), " +
         "i -> q.emb[i] * c.deq[i])), 6) DESC, c.vec_id) AS INT) AS rk " +
         "FROM ve q JOIN dq c ON q.vec_id <> c.vec_id " +
-        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+        "WHERE q.vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0) WHERE rk <= 5"),
     "q217_wilson_ranking" ->
       ("WITH b AS (SELECT p_brand, count(*) AS n, " +
         "count(*) FILTER (WHERE l_returnflag = 'R') AS pos " +
@@ -2567,7 +2569,7 @@ object SparkEntry {
         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
         "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) " +
         "AS rk FROM embeddings q JOIN embeddings v " +
-        "ON q.vec_id <> v.vec_id WHERE q.vec_id % 100 = 0) " +
+        "ON q.vec_id <> v.vec_id WHERE q.vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0) " +
         "WHERE rk <= 5"),
     "q226_hits" -> {
       def half(src: String, dst: String, prev: String, cur: String,
@@ -3200,7 +3202,7 @@ object SparkEntry {
         "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) " +
         "AS rk FROM embeddings q JOIN embeddings v " +
         "ON q.label = v.label AND q.vec_id <> v.vec_id " +
-        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5"),
+        "WHERE q.vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0) WHERE rk <= 5"),
     "q263_ccnet_buckets" ->
       // q127's Laplace LM trained on the en slice only; unseen mass via
       // left joins (coalesce 0); terciles are rank-free cumulative
@@ -3350,7 +3352,7 @@ object SparkEntry {
         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
         "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS rk " +
         "FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id " +
-        "WHERE q.vec_id % 100 = 0) WHERE rk <= 5) " +
+        "WHERE q.vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0) WHERE rk <= 5) " +
         "SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries, " +
         "count(*) AS n_truth, " +
         "CAST(count(*) FILTER (WHERE neighbor_id % 7 = 3) AS BIGINT) " +
@@ -3594,7 +3596,7 @@ object SparkEntry {
         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
         "CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS INT) " +
         "AS rk FROM embeddings q JOIN embeddings v " +
-        "ON q.vec_id <> v.vec_id WHERE q.vec_id % 100 = 0) " +
+        "ON q.vec_id <> v.vec_id WHERE q.vec_id % (SELECT greatest(100, (count(*) + 127) // 128) FROM embeddings) = 0) " +
         "WHERE rk <= 5), " +
         "st AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) " +
         "AS n_queries, count(*) AS truth_pairs, " +
@@ -3638,5 +3640,25 @@ object SparkEntry {
         "padded_examples * 512 - stream_tokens AS padded_waste, " +
         "round(1.0 - ((stream_tokens + 511) // 512) / " +
         "CAST(padded_examples AS DOUBLE), 6) AS example_savings FROM a"),
+    "q284_fuzzy_phone_linkage" ->
+      // same corpus construction (phone book + deterministic deletion
+      // aliases at key+10^7), then brute-force levenshtein — the
+      // kernel's PassJoin output must be identical
+      ("WITH ph AS (SELECT c_custkey, " +
+        "lpad(CAST((c_custkey // 10000) % 100 AS VARCHAR), 2, '0') || '-' || " +
+        "lpad(CAST((c_custkey * 313) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST((c_custkey * 677) % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone " +
+        "FROM customer), " +
+        "base AS (SELECT c_custkey AS key, phone AS name FROM ph), " +
+        "dirty AS (SELECT c_custkey + 10000000 AS key, " +
+        "concat(substr(phone, 1, CAST(c_custkey % 12 AS INT)), " +
+        "substr(phone, CAST(c_custkey % 12 + 2 AS INT))) AS name " +
+        "FROM ph WHERE c_custkey % 20 = 0), " +
+        "n AS (SELECT * FROM base UNION ALL SELECT * FROM dirty) " +
+        "SELECT a.key AS key_a, b.key AS key_b, " +
+        "CAST(levenshtein(a.name, b.name) AS INT) AS dist " +
+        "FROM n a JOIN n b ON a.key < b.key " +
+        "WHERE levenshtein(a.name, b.name) <= 1"),
   )
 }

@@ -879,89 +879,51 @@ object Advanced {
 
   /** [[fuzzyLevenshtein]] over an arbitrary (key, name) frame — exposed
     * for the losslessness spec (equality vs brute force, including
-    * sub-k-length names and shifted-segment indel pairs). */
+    * sub-k-length names and shifted-segment indel pairs). The PassJoin
+    * machinery itself lives in [[FuzzyJoin.editDistancePairs]] (round-9
+    * kernel promotion): the measured lessons — the position constraint
+    * in the KEYED generation, dedup-first so candidate volume tracks
+    * fuzzy structure, the alphabet-bounded tiny arm — are documented
+    * there. */
   private[graft] def fuzzyLevenshteinPairsDf(names: DataFrame,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val k = maxDist + 1 // pigeonhole segment count
-    val rows = names.select(col("key"), col("name"))
-      .localCheckpoint() // both sides of the final key expansion
-    // DEDUP-FIRST: all segment work runs on DISTINCT names. Duplicate
-    // names are pure output structure (every key pair across two equal
-    // names qualifies at dist 0), so pairing them through the signature
-    // join would shuffle |output| wide candidate rows — the dup-heavy
-    // ×16 replica has 250 copies per name and 7 M true pairs, which
-    // made the first cut spend two minutes DISTINCT-ing 89 M candidate
-    // rows. On distinct names the candidate volume tracks true fuzzy
-    // structure; the key expansion at the end emits exactly the output.
-    val p = rows.select(col("name")).distinct()
-      .withColumn("n", length(col("name")))
-      .localCheckpoint() // segment side + substring side + tiny arm
-    // index side: the k segments of each name (all nonempty iff n >= k),
-    // keyed by (slot, own length) — the probe side targets exactly this
-    val segs = p.filter(col("n") >= k)
-      .select(col("name").as("name_a"), col("n").as("l"),
-        explode(expr(
-          s"""transform(sequence(0, $k - 1), i -> named_struct(
-             |  'slot', i,
-             |  'sig', substr(name, (i * n) DIV $k + 1,
-             |    ((i + 1) * n) DIV $k - (i * n) DIV $k)))""".stripMargin))
-          .as("g"))
-      .select(col("name_a"), col("l"),
-        col("g.slot").as("slot"), col("g.sig").as("sig"))
-    // probe side, multi-match-aware: for each partner length l and
-    // slot i, substrings of slot i's length at the ≤ 2·maxDist+1
-    // positions an untouched segment can occupy (start ± #indels)
-    val subs = p
-      .select(col("name").as("name_b"),
-        explode(expr(
-          s"""flatten(flatten(transform(
-             |  sequence(greatest(n - $maxDist, $k), n + $maxDist),
-             |  l -> transform(sequence(0, $k - 1), i ->
-             |    transform(
-             |      filter(sequence((i * l) DIV $k + 1 - $maxDist,
-             |          (i * l) DIV $k + 1 + $maxDist),
-             |        q -> q >= 1 AND
-             |          q + ((i + 1) * l) DIV $k - (i * l) DIV $k - 1 <= n),
-             |      q -> named_struct('l', l, 'slot', i,
-             |        'sig', substr(name, q,
-             |          ((i + 1) * l) DIV $k - (i * l) DIV $k)))))))"""
-            .stripMargin)).as("g"))
-      .select(col("name_b"), col("g.l").as("l"),
-        col("g.slot").as("slot"), col("g.sig").as("sig"))
-    val candSig = segs.join(subs, Seq("sig", "l", "slot"))
-      .filter(col("name_a") =!= col("name_b"))
-      .select(col("name_a"), col("name_b"))
-    // tiny arm: name pairs where BOTH are shorter than k — the
-    // pigeonhole needs k nonempty segments; such a pair's members are
-    // < k chars (and any qualifying partner of a sub-k name that is
-    // itself >= k chars IS caught by the signature arm via its own
-    // segments). Alphabet-bounded at any corpus size.
-    val tiny = p.filter(col("n") < k)
-    val candTiny = tiny.select(col("name").as("name_a"))
-      .crossJoin(tiny.select(col("name").as("name_b")))
-      .filter(col("name_a") =!= col("name_b"))
-    // exact rescore at DISTINCT-NAME grain, then both orientations plus
-    // the diagonal (equal names pair at dist 0 by definition)
-    val namePairs = candSig.unionByName(candTiny)
-      .select(least(col("name_a"), col("name_b")).as("name_a"),
-        greatest(col("name_a"), col("name_b")).as("name_b"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
-      .localCheckpoint() // consumed twice (both orientations)
-    val sym = namePairs
-      .unionByName(namePairs.select(col("name_b").as("name_a"),
-        col("name_a").as("name_b"), col("dist")))
-      .unionByName(p.select(col("name").as("name_a"),
-        col("name").as("name_b"), lit(0).as("dist")))
-    // key expansion: name-keyed joins whose fan-out IS the output size
-    rows.select(col("key").as("key_a"), col("name").as("name_a"))
-      .join(sym, Seq("name_a"))
-      .join(rows.select(col("key").as("key_b"),
-        col("name").as("name_b")), Seq("name_b"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), col("dist"))
+      maxDist: Int): DataFrame =
+    FuzzyJoin.editDistancePairs(names, "key", "name", maxDist)
+
+  /** Fuzzy entity linkage over a synthesized noisy contact corpus: the
+    * customer phone book plus a deterministic one-character-deletion
+    * "typo alias" for every 20th customer (alias keys offset by 10⁷ —
+    * far above any replica's key range), joined at edit distance ≤ 1
+    * through the [[FuzzyJoin]] kernel. The second production caller
+    * the kernel promotion asked for, on a corpus PassJoin is strong
+    * at: random digit strings have no corpus-wide hot segments (unlike
+    * `Customer#…` names, whose constant first half would funnel every
+    * name pair through one slot-0 signature — the q240-class hot-key
+    * cliff the kernel scaladoc warns about), so candidates track the
+    * planted typo density and the output stays linear in the corpus.
+    * maxDist = 1 also exercises the kernel's k = 2 segment split,
+    * which q59 (maxDist = 2, k = 3) never touches. Oracle: the same
+    * corpus construction in SQL and a brute-force levenshtein join. */
+  def fuzzyPhoneLinkage(s: SparkSession, d: String): DataFrame = {
+    // the slim synthetic customer table carries no phone column, so the
+    // phone book is synthesized from the key with integer arithmetic
+    // (the Geo-coordinate / q113-URL pattern — bit-identical in any
+    // engine): 15 chars `AA-BBB-CCC-DDDD`, unique per key below 10⁶
+    // (first + last group reconstruct the key)
+    val phone = expr(
+      "concat_ws('-', lpad(CAST((c_custkey div 10000) % 100 AS STRING), 2, '0'), " +
+        "lpad(CAST((c_custkey * 313) % 1000 AS STRING), 3, '0'), " +
+        "lpad(CAST((c_custkey * 677) % 1000 AS STRING), 3, '0'), " +
+        "lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'))")
+    val c = Tables.customer(s, d).select(col("c_custkey"),
+      phone.as("phone"))
+    val base = c.select(col("c_custkey").as("key"), col("phone").as("name"))
+    // deletion position from the key (1-based char (key % 12) + 1):
+    // deterministic, engine-agnostic integer arithmetic
+    val dirty = c.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") + lit(10000000L)).as("key"),
+        expr("concat(substr(phone, 1, CAST(c_custkey % 12 AS INT)), " +
+          "substr(phone, CAST(c_custkey % 12 + 2 AS INT)))").as("name"))
+    FuzzyJoin.editDistancePairs(base.unionByName(dirty), "key", "name", 1)
   }
 
   // ------------------------------------------------------------------ SCD2

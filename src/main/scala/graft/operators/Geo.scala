@@ -19,11 +19,14 @@ object Geo {
   val EarthKm = 6371.0
   val KmPerDeg = EarthKm * math.Pi / 180 // ≈ 111.195 km per great-circle °
   val RadiusKm = 500.0
-  // COMPLETE coarse level: the 3×3 neighborhood is a SUPERSET of the
-  // radius for the data's |lat| ≤ 60 bound: lat 500 km / 111.19 km-per-
-  // deg = 4.5° ≤ 5°; lon worst case 500 / (111.19·cos60°) = 9.0° ≤ 12°.
+  /** Final-level lat cell: 500 km of meridian is 500 / 111.19 = 4.497°
+    * ≤ 5°, and that bound is latitude-independent (the sin²(Δφ/2) term
+    * alone forces d ≥ KmPerDeg·Δφ), so a 5° lat cell with a 3-row
+    * stencil is radius-complete at ANY latitude. Lon cells cannot be
+    * fixed the same way — their coverage degrades with cos(lat) — so
+    * the final level sizes them from the observed max |lat| (see
+    * [[nearestSupplierDf]]); poles included, the cascade stays exact. */
   val LatCell = 5.0
-  val LonCell = 12.0
 
   def custGeo(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey"),
@@ -48,76 +51,132 @@ object Geo {
 
   /** Nearest supplier within 500 km of each customer.
     *
-    * Scale shape — a CASCADE of grid joins, finest first:
+    * Scale shape — dedup-first, then a CASCADE of grid joins, finest
+    * first:
     *
-    *  - The old single-level form (suppliers ×9-exploded into a FIXED
-    *    5°/12° grid and broadcast) carried two scale killers the ×16
-    *    bench convicted at 44× time for 16× data: the broadcast side
-    *    grew with the supplier table, and fixed cells mean per-cell
-    *    density grows linearly with the corpus, so candidate pairs grow
-    *    quadratically.
-    *  - Now: cell size ADAPTS to supplier density (side ∝ √(1/n_supp),
-    *    from one count aggregate — driver-side metadata, not data), so
-    *    a fine cell holds O(1) suppliers at ANY corpus size. Customers
-    *    explode ×9 into their probe stencil (suppliers keep ONE row per
-    *    level) and the join is a plain shuffle hash join on
-    *    (cell_lat, cell_lon) — no broadcast anywhere.
+    *  - DEDUP-FIRST (q59's measured lesson, exact here too): distance
+    *    is a function of POSITION only and the argmin total order is
+    *    (dist, s_suppkey), so of suppliers sharing a position only the
+    *    min key can ever win — the supplier side collapses to distinct
+    *    positions keyed by min(s_suppkey). Customers sharing a position
+    *    share the ANSWER, so probes run at distinct-position grain and
+    *    a final equi-join fans the answers back out to keys. Production
+    *    coordinates quantize to a 0.1° lattice with period 3600 in the
+    *    key, so a ×64 corpus is 128k supplier rows but 3600 cascade
+    *    rows; without the dedup, per-cell density — and every straggler
+    *    level's candidate volume — grows linearly with the corpus and
+    *    the cascade re-creates the quadratic it was built to kill (the
+    *    ×64 probe convicted exactly that at 7.6× time for 4× data).
+    *  - Cell size ADAPTS to (deduped) supplier density: side ∝ √(1/n),
+    *    from one count aggregate — driver-side metadata, not data — so
+    *    a fine cell holds O(1) distinct supplier positions at ANY
+    *    corpus size. Customers explode ×9 into their probe stencil is
+    *    avoided — suppliers (the smaller side) take the ×9 stencil
+    *    explosion, customers shuffle one probe row each, and the join
+    *    is a plain shuffle hash join on (cell_lat, cell_lon) — no
+    *    broadcast anywhere.
     *  - A fine level cannot SEE the whole 500 km radius, so it resolves
-    *    a customer only when its found minimum is PROVABLY global: the
-    *    3×3 stencil covers every point within g = min(latKm-per-cell,
-    *    lon-coverage at this row's latitude); a found min m ≤ g − 1 mm
-    *    beats everything outside the stencil. At realistic density
-    *    almost every customer's nearest is well inside g, so each level
-    *    resolves the bulk and passes a shrinking straggler set down;
-    *    the FINAL level is the radius-complete 5°/12° grid, so the
-    *    cascade is exact — bit-identical to the cross-join oracle.
+    *    a customer only when its found minimum is PROVABLY global (the
+    *    per-row bound g below); each level resolves the bulk and passes
+    *    a shrinking straggler set down. Levels DOUBLE the cell side
+    *    (s, 2s, 4s, … then the radius-complete final level): stragglers
+    *    at side s are customers whose nearest exceeds ~g(s), a
+    *    population that thins with the nearest-distance tail as s
+    *    grows, while per-straggler candidate volume grows only 4× per
+    *    level — the geometric ladder that keeps total work near-linear.
+    *    (The round-8 three-level ladder jumped fine → √(fine·5) → 5°;
+    *    the unbounded factor between rungs is where the ×64 straggler
+    *    blow-up lived.) The FINAL level is radius-complete — 5° lat
+    *    cells always cover 500 km of meridian, and its lon cells are
+    *    sized from the observed max |lat| Φ so a 3-cell lon stencil
+    *    covers every qualifying Δλ (at cos Φ ≤ sin(250 km/R) the level
+    *    degrades to ONE lon cell: near a pole every longitude can
+    *    qualify, and the stencil covers them all) — so the cascade is
+    *    exact on ANY latitude domain, bit-identical to the cross-join
+    *    oracle.
     *
-    * Lon-coverage bound (per row): with both endpoints' |lat| ≤
-    * |clat| + s_lat, haversine gives d ≥ 2R·asin(cos(maxlat)·sin(Δλ/2)),
-    * so d ≤ 2R·asin(cos(maxlat)·sin(s_lon/2)) forces Δλ ≤ s_lon — one
-    * cell width, inside the 3×3.
+    * Resolution bound (per row): an out-of-stencil supplier is ≥ 2 lat
+    * cells or ≥ 2 lon cells away. Lat arm: Δφ > s_lat forces
+    * d ≥ 2R·asin(sin(Δφ/2)) = KmPerDeg·Δφ > KmPerDeg·s_lat =: gLat.
+    * Lon arm: an in-lat-stencil supplier sits within 2 cells of the
+    * customer's lat (|slat − clat| < 2·s_lat, so |slat| ≤ |clat| +
+    * 2·s_lat), and Δλ > s_lon forces d ≥ 2R·asin(cos(|clat| + 2·s_lat)
+    * ·sin(s_lon/2)) =: gLon (clamped at 0 when the cos goes negative —
+    * the level then resolves nothing there and the row falls through,
+    * still exact). g = min(gLat, gLon).
     *
     * Distances are rounded to 4 decimals BEFORE both the radius filter
     * and the argmin so boundary and tie decisions are identical
     * cross-engine (resolution compares m ≤ g − 0.001: an out-of-stencil
     * supplier's true distance > g rounds to ≥ g − 0.00005 > m, so it
     * can neither beat nor tie a resolved min); min(struct(dist, key))
-    * makes the nearest pick total-order deterministic. */
+    * makes the nearest pick total-order deterministic.
+    *
+    * Residual (documented, not hidden): candidate volume within one
+    * stencil is bounded by DISTINCT POSITIONS per cell, which global
+    * sizing cannot bound under extreme local skew (every position
+    * distinct and packed into one fine cell). Exactness never depends
+    * on it; per-cell sub-splitting is the known refinement if a real
+    * corpus ever presents it. */
   def nearestSupplier(s: SparkSession, d: String): DataFrame =
     nearestSupplierDf(custGeo(s, d), suppGeo(s, d))
 
   /** [[nearestSupplier]] over arbitrary (c_custkey, clat, clon) /
     * (s_suppkey, slat, slon) frames — exposed for the cascade spec
-    * (multi-level equality vs brute force on a dense synthetic corpus). */
+    * (multi-level equality vs brute force on a dense synthetic corpus,
+    * polar rows included). */
   private[graft] def nearestSupplierDf(custIn: DataFrame,
       suppIn: DataFrame): DataFrame = {
-    val supp = suppIn.localCheckpoint() // re-keyed per level
-    val cust = custIn
-    // adaptive fine-cell side: lat ∈ [-60,60) × lon ∈ [-180,180) is
+    // dedup-first: distinct positions only (see scaladoc above)
+    val supp = suppIn.groupBy(col("slat"), col("slon"))
+      .agg(min(col("s_suppkey")).as("s_suppkey"))
+      .localCheckpoint() // re-keyed per level
+    val custPos = custIn.select(col("clat"), col("clon")).distinct()
+      .localCheckpoint() // probe side of every level + the anti-joins
+    // two tiny aggregates — O(1) metadata to the driver: the deduped
+    // supplier count sizes the fine cells; Φ = max |lat| over BOTH
+    // frames sizes the final level's lon cells (domain-exactness)
+    val sRow = supp.agg(count(lit(1)), max(abs(col("slat")))).head()
+    val nSupp = sRow.getLong(0)
+    val cRow = custPos.agg(max(abs(col("clat")))).head()
+    val phi = math.min(90.0, math.max(
+      if (sRow.isNullAt(1)) 0.0 else sRow.getDouble(1),
+      if (cRow.isNullAt(0)) 0.0 else cRow.getDouble(0)))
+    // adaptive fine-cell side: lat × lon of the production domain is
     // 43200 deg²; side s with lon cells 2.4× wider puts ~6 expected
-    // suppliers in a 3×3 stencil at 9·2.4·s²·(n/43200) = 6 → s =
-    // √(12000/n). One count() — O(1) metadata to the driver.
-    val nSupp = supp.count()
+    // positions in a 3×3 stencil at 9·2.4·s²·(n/43200) = 6 → s =
+    // √(12000/n)
     val sFine = math.sqrt(12000.0 / math.max(nSupp, 1L)) max 0.02
-    // cascade: fine, geometric mid, then the radius-complete 5°/12°
-    // grid. A level joins the list only when it at least HALVES the
-    // coarse cell side — a barely-finer level costs a full extra
-    // join/aggregate/anti-join round for almost no candidate pruning
-    // (at sf0.1 the 3.46° level tripled wall time to save nothing)
-    val levels = (Seq(sFine, math.sqrt(sFine * LatCell))
-      .filter(_ <= LatCell / 2) :+ LatCell).distinct
+    // geometric ladder: s, 2s, 4s, … while ≤ LatCell/2, then the
+    // radius-complete final level (consecutive rungs differ ≥ 2×, so
+    // no rung costs a join round for marginal pruning — at sf0.1 a
+    // barely-finer extra level tripled wall time to save nothing)
+    val levels = Iterator.iterate(sFine)(_ * 2)
+      .takeWhile(_ <= LatCell / 2).toSeq :+ LatCell
+    // final-level lon cells from Φ: every ≤ 500 km pair (both |lat| ≤
+    // Φ) has sin(Δλ/2)·cos Φ ≤ sin(250/R), so Δλ ≤ 2·asin(min(1,
+    // sin(250/R)/cos Φ)); one lon cell at least that wide makes the
+    // 3-cell stencil a superset of the radius. cos Φ ≤ sin(250/R)
+    // (pole-adjacent data) → one cell spanning all longitudes.
+    val sinQ = math.sin(RadiusKm / (2 * EarthKm))
+    val finalLonCells =
+      if (math.cos(math.toRadians(phi)) <= sinQ) 1L
+      else math.max(1L, math.floor(360.0 / math.toDegrees(
+        2 * math.asin(sinQ / math.cos(math.toRadians(phi))))).toLong)
 
     def cellKeys(latC: Column, lonC: Column, sLat: Double, sLon: Double,
         lonCells: Long): (Column, Column) =
       (floor(latC / sLat), pmod(floor(lonC / sLon), lit(lonCells)))
 
-    var unresolved = cust
+    var unresolved = custPos
     var done = false
-    var out: DataFrame = null
+    var out: DataFrame = null // (clat, clon, nearest_supp, dist_km)
     levels.zipWithIndex.foreach { case (sLat, li) =>
       if (!done) {
       val isLast = li == levels.size - 1
-      val lonCells = math.ceil(360.0 / (2.4 * sLat)).toLong max 1L
+      val lonCells =
+        if (isLast) finalLonCells
+        else math.ceil(360.0 / (2.4 * sLat)).toLong max 1L
       val sLon = 360.0 / lonCells
       val (sCellLat, sCellLon) =
         cellKeys(col("slat"), col("slon"), sLat, sLon, lonCells)
@@ -133,17 +192,16 @@ object Geo {
       val (cCellLat, cCellLon) =
         cellKeys(col("clat"), col("clon"), sLat, sLon, lonCells)
       val probes = unresolved
-        .select(col("c_custkey"), col("clat"), col("clon"),
+        .select(col("clat"), col("clon"),
           cCellLat.as("cell_lat"),
           pmod(cCellLon, lit(lonCells)).as("cell_lon"))
       val best = probes.join(sc, Seq("cell_lat", "cell_lon"))
-        .select(col("c_custkey"), col("clat"), col("clon"),
-          col("s_suppkey"),
+        .select(col("clat"), col("clon"), col("s_suppkey"),
           round(haversineKm(col("clat"), col("clon"), col("slat"),
             col("slon")), 4).as("dist"))
-        .groupBy(col("c_custkey"), col("clat"), col("clon"))
+        .groupBy(col("clat"), col("clon"))
         .agg(min(struct(col("dist"), col("s_suppkey"))).as("m"))
-      val found = best.select(col("c_custkey"),
+      val found = best.select(col("clat"), col("clon"),
         col("m.s_suppkey").as("nearest_supp"), col("m.dist").as("dist_km"))
       val resolved =
         if (isLast) found // complete level: the stencil covers 500 km
@@ -151,18 +209,19 @@ object Geo {
           // per-row provable-global bound g (see scaladoc)
           val gLat = KmPerDeg * sLat
           val gLon = lit(2 * EarthKm) * asin(
-            greatest(cos(radians(abs(col("clat")) + lit(sLat))), lit(0.0)) *
-              math.sin(math.toRadians(sLon) / 2))
+            greatest(cos(radians(abs(col("clat")) + lit(2 * sLat))),
+              lit(0.0)) * math.sin(math.toRadians(sLon) / 2))
           best.filter(col("m.dist") <= least(lit(gLat), gLon) - 0.001)
-            .select(col("c_custkey"), col("m.s_suppkey").as("nearest_supp"),
+            .select(col("clat"), col("clon"),
+              col("m.s_suppkey").as("nearest_supp"),
               col("m.dist").as("dist_km"))
         }
       val emitted = resolved.filter(col("dist_km") <= RadiusKm)
       out = if (out == null) emitted else out.unionByName(emitted)
       if (!isLast) {
         unresolved = unresolved
-          .join(resolved.select(col("c_custkey")), Seq("c_custkey"),
-            "left_anti")
+          .join(resolved.select(col("clat"), col("clon")),
+            Seq("clat", "clon"), "left_anti")
           .localCheckpoint() // truncate the cascade's lineage
         // a fully-resolved level ends the cascade — the checkpoint is
         // already materialized, so the emptiness read is free
@@ -170,6 +229,10 @@ object Geo {
       }
       }
     }
-    out
+    // key expansion: position-keyed equi-join whose fan-out IS the
+    // output size (customers beyond 500 km of every supplier have no
+    // position row and drop here, as in the oracle)
+    custIn.join(out, Seq("clat", "clon"))
+      .select(col("c_custkey"), col("nearest_supp"), col("dist_km"))
   }
 }

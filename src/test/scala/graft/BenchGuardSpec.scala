@@ -163,4 +163,55 @@ class BenchGuardSpec extends AnyFunSuite {
          |""".stripMargin
     assert(BenchGuard.rateBaselines(md7) === Map("q9_pairs" -> 1.2e-5))
   }
+
+  // ---------------------------------------------- MiniBench adjudication
+
+  private val miniMd =
+    """|## Round-8 MiniBench run 1
+       |
+       |```
+       |q112_opq | 99.0 | not a mini line (table rows never parse here) |
+       |q112_opq: 1.018 s
+       |q84_pq: 0.782 s
+       |```
+       |
+       |## Round-8 MiniBench run 2
+       |
+       |```
+       |q112_opq: 1.186 s
+       |q84_pq: 2.9 s
+       |```
+       |""".stripMargin
+
+  test("miniHistory parses only `name: X s` lines, in document order") {
+    val h = BenchGuard.miniHistory(miniMd)
+    assert(h("q112_opq") === Seq(1.018, 1.186))
+    assert(h("q84_pq") === Seq(0.782, 2.9))
+  }
+
+  test("adjudication downgrades a flag whose last MiniBench value is " +
+      "at best-known (contention), confirms one whose isolated run " +
+      "also regressed, and confirms queries with no MiniBench history") {
+    val mini = BenchGuard.miniHistory(miniMd)
+    // q112: last 1.186 <= max(2*1.018, 1.018+1) → adjudicated (the
+    // round-8 dangling-flag case, closed)
+    // q84: last 2.9 > max(2*0.782, 1.782) → the isolated protocol
+    // corroborates the regression → confirmed
+    // q999: no MiniBench history → confirmed as-is
+    val (confirmed, adjudicated) = BenchGuard.adjudicate(
+      Seq("q112_opq", "q84_pq", "q999_none"), mini)
+    assert(adjudicated === Seq("q112_opq"))
+    assert(confirmed === Seq("q84_pq", "q999_none"))
+  }
+
+  test("adjudication never loosens the MiniBench ratchet: the bound is " +
+      "the MINIMUM across all recorded runs, not the latest") {
+    // latest run slowed to 2.2 s; min is 1.0 → bound max(2.0, 2.0) →
+    // 2.2 exceeds it and the flag stays confirmed even though 2.2 is
+    // within 2x of the LATEST recorded value (2.2 <= 4.4)
+    val mini = Map("q5_x" -> Seq(1.0, 2.2))
+    val (confirmed, adjudicated) =
+      BenchGuard.adjudicate(Seq("q5_x"), mini)
+    assert(confirmed === Seq("q5_x") && adjudicated.isEmpty)
+  }
 }

@@ -85,6 +85,26 @@ class ScaleFixSpec extends SparkTestBase {
     assert(fuzzySeg(names, 2) === fuzzyBrute(names, 2))
   }
 
+  test("FuzzyJoin kernel at maxDist=1 (k=2 segments, the split q59 " +
+      "never exercises) equals brute force on phone-typo pairs, with " +
+      "caller-named columns") {
+    // q284's corpus shape: digit strings + one-char-deletion aliases
+    val phones = (0L until 60L).map { i =>
+      i -> f"${(i * 97) % 100}%02d-${(i * 313) % 1000}%03d-${(i * 677) % 1000}%03d-${(i * 131) % 10000}%04d"
+    }
+    val aliases = (0L until 60L by 5L).map { i =>
+      val s = phones(i.toInt)._2
+      val p = (i % 12).toInt
+      (i + 1000L) -> (s.take(p) + s.drop(p + 1)) // delete char p+1
+    }
+    val rows = (phones ++ aliases).toDF("pid", "phone")
+    val out = FuzzyJoin.editDistancePairs(rows, "pid", "phone", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === fuzzyBrute(phones ++ aliases, 1))
+    // every planted alias is linked to its source at dist 1
+    assert((0L until 60L by 5L).forall(i => out.contains((i, i + 1000L, 1))))
+  }
+
   // ------------------------------------------------- q125 cascade levels
 
   test("q125 multi-level cascade equals the exhaustive cross join on a " +
