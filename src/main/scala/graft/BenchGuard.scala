@@ -145,6 +145,18 @@ object BenchGuard {
       }
     }
 
+  /** The firing bound for one query under the current protocol: the
+    * sec/row rate bound when rows-annotated history exists and the run
+    * produced rows, else the wall-time bound; None with no history
+    * (such queries never fire). Exposed so [[Bench]]'s contention
+    * retry can test a re-measurement against the SAME bound. */
+  def boundFor(n: String, rows: Long, base: Map[String, Double],
+      rateBase: Map[String, Double], floorSec: Double = 1.0)
+      : Option[Double] =
+    rateBase.get(n).filter(_ => rows > 0)
+      .map(r => math.max(2 * r * rows, r * rows + floorSec))
+      .orElse(base.get(n).map(b => math.max(2 * b, b + floorSec)))
+
   /** [[violations]] with the current run's output row counts: a query
     * present in `rateBase` (its history carries `rows=` annotations)
     * is bounded by bestRate × its CURRENT row count instead of raw
@@ -154,11 +166,7 @@ object BenchGuard {
       base: Map[String, Double], rateBase: Map[String, Double],
       floorSec: Double = 1.0): Seq[String] =
     results.collect {
-      case (n, t, rows) if t > 0 && (rateBase.get(n) match {
-        case Some(rate) if rows > 0 =>
-          t > math.max(2 * rate * rows, rate * rows + floorSec)
-        case _ =>
-          base.get(n).exists(b => t > math.max(2 * b, b + floorSec))
-      }) => n
+      case (n, t, rows) if t > 0 &&
+        boundFor(n, rows, base, rateBase, floorSec).exists(t > _) => n
     }
 }

@@ -164,6 +164,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.rateBaselines(md7) === Map("q9_pairs" -> 1.2e-5))
   }
 
+  test("boundFor: rate bound when rows-annotated history exists and " +
+      "the run produced rows, wall bound otherwise, None with no " +
+      "history — the same bound the contention retry re-tests") {
+    val base = Map("q1" -> 1.0)
+    val rate = Map("q1" -> 2e-6)
+    // rate path: max(2·2e-6·1e6, 2e-6·1e6 + 1) = max(4, 3) = 4
+    assert(BenchGuard.boundFor("q1", 1000000L, base, rate) === Some(4.0))
+    // zero rows → falls back to the wall bound max(2·1, 1+1) = 2
+    assert(BenchGuard.boundFor("q1", 0L, base, rate) === Some(2.0))
+    // no history of either kind → never fires
+    assert(BenchGuard.boundFor("q2", 10L, base, rate) === None)
+  }
+
   // ---------------------------------------------- MiniBench adjudication
 
   private val miniMd =
