@@ -841,7 +841,9 @@ object SparkEntry {
         "list_transform(emb, (x, i) -> CASE WHEN (i - 1) % 2 = 0 " +
         "THEN x * 1.02 ELSE x * 0.98 END) AS emb FROM v0), " +
         "v AS (SELECT vec_id, emb FROM (SELECT vec_id, emb FROM v0 " +
-        "UNION ALL SELECT vec_id, emb FROM pl) WHERE vec_id % 5 = 0), " +
+        "UNION ALL SELECT vec_id, emb FROM pl) WHERE (vec_id % 1000000) % " +
+        "(SELECT greatest(5, (count(*) + 1279) // 1280) FROM embeddings) " +
+        "= 0), " +
         "t AS (SELECT count(*) AS c FROM v a JOIN v b " +
         "ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9) " +

@@ -719,13 +719,18 @@ object Analytics {
     * the oracle recomputes the same two paths, so a hash match pins the
     * delta algebra itself. */
   def joinIvm(s: SparkSession, d: String): DataFrame = {
+    // NO localCheckpoint on either side (round 9): the ×64 run OOM'd
+    // here — two corpus-sized pinned block sets (38M + 9.6M rows) sat
+    // in the unified region while four concurrent shuffle joins bid
+    // for execution memory ("unable to acquire 44 bytes"). Re-reading
+    // the 3-column pruned parquet four times is the scale-correct
+    // trade: at 100 TB a maintenance job reads base/delta from storage
+    // with pushed projections — it never pins the corpus in memory.
     val li = lineitem(s, d).select(col("l_orderkey"),
       round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
       (col("l_orderkey") % 10 === 0).as("dl"))
-      .localCheckpoint() // split into L0/ΔL for four independent joins
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
       (col("o_custkey") % 7 === 0).as("dr"))
-      .localCheckpoint()
     val l0 = li.filter(!col("dl")); val dL = li.filter(col("dl"))
     val r0 = o.filter(!col("dr")); val dR = o.filter(col("dr"))
     def agg(left: DataFrame, right: DataFrame, cnt: String,

@@ -207,14 +207,23 @@ object MLPrep {
     val wCum = Window.partitionBy(col("seg")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wSeg = Window.partitionBy(col("seg"))
+    // rev² sums run in DECIMAL: daily revenue at the ×64 replica is
+    // ~1e8 dollars, whose square (~1e16) overflows int64 within a
+    // 365-day prefix sum (the ×64 bench caught exactly this — ANSI
+    // ARITHMETIC_OVERFLOW). DECIMAL(15,0)² → DECIMAL(31,0), summed at
+    // DECIMAL(38,0): exact for daily revenue up to 1e15, i.e. corpus
+    // headroom far past 100 TB. DuckDB needs no mirror — its sum()
+    // already returns HUGEINT — and the values stay exactly equal
+    // integers on both engines before the one double cast.
+    val revD = col("rev").cast("decimal(15,0)")
     val pre = daily
       .withColumn("k", count(lit(1)).over(
         Window.partitionBy(col("seg")).orderBy(col("day"))))
       .withColumn("s", sum(col("rev")).over(wCum))
-      .withColumn("ss", sum(col("rev") * col("rev")).over(wCum))
+      .withColumn("ss", sum(revD * revD).over(wCum))
       .withColumn("dn", count(lit(1)).over(wSeg))
       .withColumn("st", sum(col("rev")).over(wSeg))
-      .withColumn("sst", sum(col("rev") * col("rev")).over(wSeg))
+      .withColumn("sst", sum(revD * revD).over(wSeg))
       .filter(col("k") < col("dn"))
     val k = col("k").cast("double")
     val rk = (col("dn") - col("k")).cast("double")

@@ -47,8 +47,8 @@ object Similarity {
     * immutable within a session (the same contract WarehouseCache's
     * fingerprint-keyed artifacts already rely on). */
   private val panelStepCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int),
-      java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, Int, Long, Long), java.lang.Long]()
 
   /** The deterministic query panel over a (vec_id, …) frame: modulo
     * step = max(QueryStep, ⌈n / QueryPanelMax⌉), derived from one
@@ -56,12 +56,18 @@ object Similarity {
     * Mirrored in every ANN oracle as
     * `vec_id % greatest(100, (count(*) + 127) // 128) = 0` so the
     * cap's engaged regime (> ~12.8k vectors) stays oracle-checkable. */
-  private def queryFilter(v: DataFrame): DataFrame = {
-    val key = (v.sparkSession, v.queryExecution.analyzed.semanticHash())
-    val step: Long = panelStepCache.computeIfAbsent(key,
-      _ => math.max(QueryStep.toLong,
-        (v.count() + QueryPanelMax - 1) / QueryPanelMax))
-    v.filter(col("vec_id") % step === 0)
+  private def queryFilter(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % corpusCount(v, QueryStep.toLong,
+      QueryPanelMax) === 0)
+
+  /** Memoized `max(floor, ⌈count/target⌉)` over a frame — the shared
+    * machinery behind every fixed-size panel/sample rule (ANN query
+    * panels, q83's truth-arm sample). One count per (session, plan). */
+  private def corpusCount(v: DataFrame, floor: Long, target: Long): Long = {
+    val key = (v.sparkSession,
+      v.queryExecution.analyzed.semanticHash(), floor, target)
+    panelStepCache.computeIfAbsent(key,
+      _ => math.max(floor, (v.count() + target - 1) / target))
   }
 
   /** Coarse-list cap for [[kmeansCentroids]]: nlist = min(n/97, 1024).
@@ -187,14 +193,37 @@ object Similarity {
 
   // ---------------------------------------------------------------- RP-LSH
 
-  /** Random-hyperplane LSH geometry: 32 hyperplanes = 4 bands × 8 bits.
+  /** Random-hyperplane LSH geometry: 4 bands × (adaptive) bits.
     * Deterministic fixed-seed gaussians — signatures are reproducible
-    * across runs and partitionings. */
+    * across runs and partitionings.
+    *
+    * Bits per band ADAPT to the corpus (round 9): a FIXED 8-bit band
+    * has only 256 buckets, so per-band candidate volume Σ|bucket|² ≈
+    * n²/256 is quadratic no matter how good the hash is — the ×64 run
+    * convicted q83 at 15.6× time for 4× data from exactly this (plus
+    * the truth arm, fixed separately). bits = ⌈log₂(n/64)⌉ keeps
+    * expected bucket size ~64, so candidates stay ~4·64·n = linear.
+    * Floor 8 (identical signatures at every committed test scale —
+    * bits only grow past ~16k vectors), cap 24 (16M buckets; int keys).
+    * Recall at the planted cosine ≈ 0.999: per-bit agreement
+    * p = 1 − acos(0.999)/π ≈ 0.9858, band miss (1−p^b)⁴ — 1.4e-4 at
+    * b=8, 7.3e-3 at b=24: the 0.9 recall gate keeps wide margin over
+    * the whole adaptive range. */
   val LshBands = 4
   val LshBitsPerBand = 8
-  private lazy val hyperplanes: Array[Array[Double]] = {
-    val r = new scala.util.Random(42)
-    Array.fill(LshBands * LshBitsPerBand)(Array.fill(64)(r.nextGaussian()))
+  val LshMaxBits = 24
+  val LshTargetBucket = 64L
+  private val hyperplaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def hyperplanes(bits: Int): Array[Array[Double]] =
+    hyperplaneCache.computeIfAbsent(bits, { b =>
+      val r = new scala.util.Random(42)
+      Array.fill(LshBands * b)(Array.fill(64)(r.nextGaussian()))
+    })
+  private def lshBits(corpusSize: Long): Int = {
+    var b = LshBitsPerBand
+    while (b < LshMaxBits && (corpusSize >> b) > LshTargetBucket) b += 1
+    b
   }
 
   /** Near-duplicate detection over embeddings via random-hyperplane LSH
@@ -218,10 +247,14 @@ object Similarity {
       expr("transform(emb, (x, i) -> CASE WHEN i % 2 = 0 " +
         "THEN x * 1.02 ELSE x * 0.98 END)").as("emb"))
     val v = v0.unionByName(planted)
+    // corpus = 2·|v0| (planted doubles it); one memoized count sizes
+    // the band width — see lshBits
+    val bits = lshBits(2 * corpusCount(v0, 1L, 1L))
 
+    val planes = hyperplanes(bits)
     val bandCols = (0 until LshBands).map { b =>
-      (0 until LshBitsPerBand).map { j =>
-        val w = array(hyperplanes(b * LshBitsPerBand + j).map(lit): _*)
+      (0 until bits).map { j =>
+        val w = array(planes(b * bits + j).map(lit): _*)
         when(dot(col("emb"), w) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }
@@ -773,27 +806,35 @@ object Similarity {
     * pair count over the planted corpus (oracle-reproducible — DuckDB
     * rebuilds the same deterministic planted vectors and cosines) plus
     * LSH recall against that exact truth as a boolean. The planted
-    * pairs sit at cosine ≈ 0.999 where 4×8-bit band detection is
-    * ~0.9998 per pair, so 0.9 has wide margin on any regeneration. The
-    * exact-truth arm runs on the deterministic vec_id % 5 sample
-    * (planted counterparts keep the residue: 10⁶ ≡ 0 mod 5), keeping
-    * the quadratic ground-truth pass a fixed 1/25 of the all-pairs
-    * cost while the LSH arm under test is the full production query. */
+    * pairs sit at cosine ≈ 0.999 where banded detection misses at most
+    * ~7e-3 of pairs over the whole adaptive-bits range, so 0.9 has
+    * wide margin on any regeneration. The exact-truth arm runs on a
+    * deterministic FIXED-SIZE sample (round 9 — the q271/q139
+    * fixed-panel rule): step = max(5, ⌈n/1280⌉) from one memoized
+    * count, so the quadratic ground-truth pass is ~2560 vectors at ANY
+    * corpus size (the old fixed % 5 sample grew with the corpus and
+    * the ×64 run convicted the pass at 15.6× time for 4× data).
+    * Sampling keys on `vec_id % 10⁶` keeps every planted counterpart
+    * (id + 10⁶) in or out WITH its source for any step — mirrored
+    * verbatim in the oracle SQL. Engages only past 6.4k vectors; all
+    * committed gate scales keep the exact % 5 sample bit-identical. */
   def rpLshRecallCheck(s: SparkSession, d: String,
       threshold: Double = 0.9): DataFrame = {
     val v0 = vectors(s, d)
+    val step = corpusCount(v0, 5L, 1280L)
     val planted = v0.select((col("vec_id") + 1000000L).as("vec_id"),
       expr("transform(emb, (x, i) -> CASE WHEN i % 2 = 0 " +
         "THEN x * 1.02 ELSE x * 0.98 END)").as("emb"))
     val v = v0.unionByName(planted)
-      .filter(col("vec_id") % 5 === 0).localCheckpoint()
+      .filter((col("vec_id") % 1000000L) % step === 0).localCheckpoint()
     val truth = v.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
       .join(v.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
         col("vec_a") < col("vec_b"))
       .filter(cosine(col("ea"), col("eb")) >= threshold)
       .select(col("vec_a"), col("vec_b"))
     val found = rpLshNearDup(s, d, threshold)
-      .filter(col("vec_a") % 5 === 0 && col("vec_b") % 5 === 0)
+      .filter((col("vec_a") % 1000000L) % step === 0 &&
+        (col("vec_b") % 1000000L) % step === 0)
       .select(col("vec_a"), col("vec_b"))
     val hits = truth.join(found, Seq("vec_a", "vec_b"))
       .agg(count(lit(1)).as("n_hits"))
