@@ -35,7 +35,11 @@ object MiniBench {
     // matters most — PassJoin segments, probe-loop quantiles, the geo
     // cascade, and the prefix-filtered containment join
     "q59_fuzzy_levenshtein", "q111_sketch_quantiles", "q125_geo_nearest",
-    "q240_shingle_containment")
+    "q240_shingle_containment",
+    // round 10 appends: the extracted fuzzy kernel's second caller and
+    // the new image near-dup family — the current drift-sensitive surface
+    "q284_fuzzy_phone_linkage", "q285_image_neardup_pairs",
+    "q286_image_neardup_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -326,6 +326,10 @@ object SparkEntry {
     "q283_pack_efficiency" -> ((s, d) => Advanced.packEfficiency(s, d)),
     "q284_fuzzy_phone_linkage" ->
       ((s, d) => Advanced.fuzzyPhoneLinkage(s, d)),
+    "q285_image_neardup_pairs" ->
+      ((s, d) => graft.multimodal.ImageNeardup.imageNeardupPairs(s, d)),
+    "q286_image_neardup_apply" ->
+      ((s, d) => graft.multimodal.ImageNeardup.imageNeardupApply(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3662,5 +3666,12 @@ object SparkEntry {
         "CAST(levenshtein(a.name, b.name) AS INT) AS dist " +
         "FROM n a JOIN n b ON a.key < b.key " +
         "WHERE levenshtein(a.name, b.name) <= 1"),
+    // corpus + dHash arithmetic rebuilt in SQL; brute-force HUGEINT
+    // xor/bit_count pair join — the Spark side must match bit-for-bit
+    // through the full render→encode→decode→hash path
+    "q285_image_neardup_pairs" ->
+      graft.multimodal.ImageNeardup.PairsOracleSql,
+    "q286_image_neardup_apply" ->
+      graft.multimodal.ImageNeardup.ApplyOracleSql,
   )
 }

@@ -1,0 +1,277 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Image near-duplicate detection — the missing member of the multimodal
+  * curation family: decoded pixels → 64-bit perceptual difference hash
+  * (dHash: each bit is a luma comparison between horizontally adjacent
+  * cells of a 9×8 grid — Krawetz's classic formulation) → banded Hamming
+  * LSH candidate join → exact Hamming verify. Composes the proven parts:
+  * the pure-JVM codecs ([[BmpCodec]]/[[PngCodec]]/[[GifCodec]]/
+  * [[JpegCodec]] behind [[Multimodal.decodeAny]]) and the banded-LSH
+  * join shape of [[graft.dedup.Dedup]].
+  *
+  * EXACT by construction for Hamming ≤ maxHamming: the 64-bit hash is
+  * split into maxHamming+1 contiguous bit bands, so ≤ maxHamming
+  * differing bits leave at least one band identical (pigeonhole) — every
+  * true pair collides in some band, and the verify step is an exact
+  * bit_count on the carried hashes. No recall parameter to tune and the
+  * brute-force oracle must match bit-for-bit.
+  *
+  * 100 TB shape: candidates come from a shuffle equi-join on
+  * (band, bandkey) — never image×image. Expected bucket occupancy is
+  * n / 2^bandBits per band (16 bits at the default maxHamming = 3), so
+  * candidate volume stays effectively linear to ~10⁷ images per corpus;
+  * past that, the same seam takes a wider perceptual hash (a 256-bit
+  * PDQ-style grid raises bandBits to 64) with no change to the join
+  * shape. The decode+hash pass is per-partition map work (mapPartitions,
+  * the codec batch shape of [[Multimodal]]); the verify is
+  * candidate-local. Nothing is quadratic in the corpus.
+  *
+  * The contract corpus ([[imageCorpus]]) renders one deterministic 9×8
+  * grayscale image per document (md5-seeded luma with a full-index mix
+  * so hashes don't tile — see [[lumaGrid]]) through a codec arm picked
+  * by key % 3 (BMP/PNG/GIF — the lossless arms, so the decoded grid is
+  * bit-exact), and plants a near-dup variant for every 20th document at
+  * key + 10⁷ (the q284 alias-key pattern) with ONE luma cell perturbed —
+  * flipping ≤ 2 dHash bits, always within the default threshold. All
+  * formulas are engine-agnostic integer+md5 arithmetic, mirrored verbatim
+  * in the DuckDB oracle (which rebuilds the luma grid in SQL and
+  * brute-forces pairs with HUGEINT xor/bit_count).
+  */
+object ImageNeardup {
+
+  val GridW = 9
+  val GridH = 8
+  val DefaultMaxHamming = 3
+  /** Planted-variant key offset — far above any replica's doc_id range
+    * (same constant as q284's alias keys). */
+  val VariantOffset = 10000000L
+
+  final case class ImageAsset(asset_id: Long, media: Array[Byte],
+      mime: String)
+  final case class HashedAsset(asset_id: Long, dhash: Long)
+
+  /** Deterministic 72-cell luma grid for a seed key: cell i holds
+    * (md5(seed)[i mod 16] + 31·i) mod 256. The +31·i full-index mix
+    * matters: without it the 16 digest bytes tile, the 64 dHash bits
+    * collapse onto 16 independent comparisons, and accidental
+    * hash-identical pairs appear at n²/2¹⁶ — quadratic output at
+    * replica scale. With the mix the bits decorrelate across the tile
+    * period and accidental collisions vanish at any committed scale.
+    * `perturb` ≥ 0 adds 128 (mod 256) to that one cell — the planted
+    * near-dup edit, touching at most 2 comparison bits. */
+  private[multimodal] def lumaGrid(seed: Long, perturb: Int): Array[Int] = {
+    val dig = MessageDigest.getInstance("MD5")
+      .digest(seed.toString.getBytes("UTF-8"))
+    val p = Array.tabulate(GridW * GridH) { i =>
+      ((dig(i % 16) & 0xff) + 31 * i) % 256
+    }
+    if (perturb >= 0) p(perturb) = (p(perturb) + 128) % 256
+    p
+  }
+
+  /** Render a luma grid as an encoded grayscale image (R=G=B) through
+    * the lossless arm picked by key % 3. */
+  private[multimodal] def renderImage(key: Long, seed: Long, perturb: Int)
+      : (Array[Byte], String) = {
+    val p = lumaGrid(seed, perturb)
+    val bgr = new Array[Byte](GridW * GridH * 3)
+    var i = 0
+    while (i < p.length) {
+      val v = p(i).toByte
+      bgr(i * 3) = v; bgr(i * 3 + 1) = v; bgr(i * 3 + 2) = v
+      i += 1
+    }
+    val img = BmpCodec.Decoded(GridW, GridH, bgr)
+    (key % 3) match {
+      case 0 => (BmpCodec.encode(img), "image/bmp")
+      case 1 => (PngCodec.encode(img), "image/png")
+      case _ => (GifCodec.encode(img), "image/gif")
+    }
+  }
+
+  /** The deterministic image-asset corpus over the documents table: one
+    * base image per doc_id plus a planted one-cell-perturbed variant at
+    * doc_id + 10⁷ for every 20th document. Rendering is per-partition
+    * map work after a key repartition. */
+  def imageCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val base = docs.select(col("doc_id").as("key"),
+      col("doc_id").as("seed"), lit(-1).as("pi"))
+    val variants = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(VariantOffset)).as("key"),
+        col("doc_id").as("seed"),
+        (col("doc_id") % (GridW * GridH)).cast("int").as("pi"))
+    base.unionByName(variants)
+      .repartition(col("key"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (key, seed, pi) =>
+        val (bytes, mime) = renderImage(key, seed, pi)
+        ImageAsset(key, bytes, mime)
+      })
+      .toDF()
+  }
+
+  /** 64-bit dHash of one encoded image: decode (any codec arm),
+    * nearest-neighbor down to the 9×8 grid, integer BT.601 luma
+    * (exact for grayscale pixels: (299v+587v+114v)/1000 = v), bit
+    * y·8+x set iff luma(x+1,y) > luma(x,y). None for undecodable
+    * payloads — callers drop those rows, never throw. */
+  def dhashOf(media: Array[Byte]): Option[Long] =
+    Multimodal.decodeAny(media).map { img =>
+      val g =
+        if (img.width == GridW && img.height == GridH) img
+        else BmpCodec.resizeNearest(img, GridW, GridH)
+      @inline def luma(x: Int, y: Int): Int = {
+        val i = (y * GridW + x) * 3
+        val b = g.bgr(i) & 0xff; val gg = g.bgr(i + 1) & 0xff
+        val r = g.bgr(i + 2) & 0xff
+        (r * 299 + gg * 587 + b * 114) / 1000
+      }
+      var h = 0L
+      var y = 0
+      while (y < GridH) {
+        var x = 0
+        while (x < GridW - 1) {
+          if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+  /** Decode + hash as per-partition map work over an (asset_id, media)
+    * frame — batch or streaming (stateless). */
+  def dHashes(assets: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    assets.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, media) =>
+        dhashOf(media).map(HashedAsset(id, _))
+      })
+      .toDF()
+  }
+
+  /** Contiguous bit-band keys of the `dhash` column: maxHamming+1 bands
+    * cover all 64 bits, so ≤ maxHamming flipped bits leave ≥ 1 band
+    * intact. Shared by the batch pair join and the streaming probe. */
+  private[graft] def bandKeys(maxHamming: Int): Seq[Column] = {
+    val bands = maxHamming + 1
+    require(bands >= 1 && bands <= 64, s"maxHamming out of range: $maxHamming")
+    val width = 64 / bands
+    (0 until bands).map { b =>
+      val lo = b * width
+      val w = if (b == bands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("dhash"), lo).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** One (idCol, band, bandkey, dhash) row per band — the LSH key table
+    * of a hashed frame; stateless per-row explode, identical on batch
+    * and streaming frames. */
+  private[graft] def bandTable(hashes: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame =
+    hashes.select(col("asset_id").as(idCol), col("dhash"))
+      .select(col(idCol), col("dhash"),
+        posexplode(array(bandKeys(maxHamming): _*)).as(Seq("band", "bandkey")))
+
+  /** All asset pairs within `maxHamming` dHash bits, exact: banded
+    * candidate equi-join on (band, bandkey), then exact bit_count
+    * verify on the carried hashes. Output (asset_a < asset_b, hamming). */
+  def neardupPairs(hashes: DataFrame, maxHamming: Int = DefaultMaxHamming)
+      : DataFrame = {
+    val banded = bandTable(hashes, "asset_id", maxHamming)
+    val a = banded.select(col("band"), col("bandkey"),
+      col("asset_id").as("asset_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("bandkey"),
+      col("asset_id").as("asset_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "bandkey"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"), col("ha"), col("hb"))
+      .distinct() // a pair may collide in several bands; ha/hb are id-functional
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
+
+  /** Group-assignment apply form: per asset, its near-dup degree and the
+    * keep/drop verdict (keep iff no neighbor with a smaller id — the
+    * min-id survivor rule of the text dedup family). */
+  def neardupApply(hashes: DataFrame, maxHamming: Int = DefaultMaxHamming)
+      : DataFrame = {
+    val pairs = neardupPairs(hashes, maxHamming)
+      .localCheckpoint() // both direction projections read it
+    val nb = pairs.select(col("asset_a").as("asset_id"),
+        col("asset_b").as("nb"))
+      .unionByName(pairs.select(col("asset_b").as("asset_id"),
+        col("asset_a").as("nb")))
+    hashes.select(col("asset_id"))
+      .join(nb, Seq("asset_id"), "left_outer")
+      .groupBy(col("asset_id"))
+      .agg(count(col("nb")).as("n_neardups"),
+        sum(when(col("nb") < col("asset_id"), 1).otherwise(0)).as("sm"))
+      .select(col("asset_id"), col("n_neardups"),
+        (col("sm") === 0).as("keep"))
+  }
+
+  /** q285: the contract pair query — corpus render → decode+hash →
+    * banded exact pair join. */
+  def imageNeardupPairs(s: SparkSession, d: String): DataFrame =
+    neardupPairs(dHashes(imageCorpus(s, d), s))
+
+  /** q286: the apply form over the same corpus. */
+  def imageNeardupApply(s: SparkSession, d: String): DataFrame =
+    neardupApply(dHashes(imageCorpus(s, d), s))
+
+  /** DuckDB mirror of the corpus + hash arithmetic: rebuilds the luma
+    * grid from the SAME md5+integer formulas (hex pairs parsed via
+    * strpos — engine-agnostic), derives the 64 dHash bits from adjacent-
+    * cell comparisons, packs them into a HUGEINT (BIGINT shifts raise on
+    * bit 63 in DuckDB; HUGEINT xor/bit_count are exact), and brute-
+    * forces all pairs. The Spark side goes the long way — render →
+    * encode (BMP/PNG/GIF by key % 3) → decode → luma → hash — so a
+    * codec regression on any arm diverges the hashes and fails the
+    * driver gate. */
+  private val OracleGrid: String =
+    "WITH ks AS (SELECT doc_id AS key, doc_id AS seed, -1 AS pi FROM documents " +
+      "UNION ALL SELECT doc_id + 10000000, doc_id, CAST(doc_id % 72 AS INT) " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
+      "px AS (SELECT key, x, y, " +
+      "CASE WHEN x + 9*y = pi THEN (b0 + 128) % 256 ELSE b0 END AS p FROM (" +
+      "SELECT key, pi, x, y, " +
+      "((strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
+      "2*((x + 9*y) % 16) + 1, 1)) - 1) * 16 " +
+      "+ strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
+      "2*((x + 9*y) % 16) + 2, 1)) - 1 " +
+      "+ 31*(x + 9*y)) % 256 AS b0 " +
+      "FROM ks, range(0, 9) tx(x), range(0, 8) ty(y))), " +
+      "h AS (SELECT l.key, " +
+      "bit_or(CASE WHEN r.p > l.p THEN 1::HUGEINT << CAST(l.y*8 + l.x AS INT) " +
+      "ELSE 0::HUGEINT END) AS dh " +
+      "FROM px l JOIN px r ON r.key = l.key AND r.y = l.y AND r.x = l.x + 1 " +
+      "GROUP BY l.key)"
+
+  val PairsOracleSql: String = OracleGrid +
+    " SELECT a.key AS asset_a, b.key AS asset_b, " +
+    "CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming " +
+    "FROM h a JOIN h b ON a.key < b.key " +
+    "WHERE bit_count(xor(a.dh, b.dh)) <= 3"
+
+  val ApplyOracleSql: String = OracleGrid +
+    ", pr AS (SELECT a.key AS ka, b.key AS kb FROM h a JOIN h b " +
+    "ON a.key < b.key WHERE bit_count(xor(a.dh, b.dh)) <= 3), " +
+    "nb AS (SELECT ka AS id, kb AS nb FROM pr UNION ALL SELECT kb, ka FROM pr) " +
+    "SELECT k.key AS asset_id, count(nb.nb) AS n_neardups, " +
+    "count(CASE WHEN nb.nb < k.key THEN 1 END) = 0 AS keep " +
+    "FROM ks k LEFT JOIN nb ON nb.id = k.key GROUP BY k.key"
+}
