@@ -120,22 +120,56 @@ object BenchGuard {
       base, Map.empty, floorSec)
 
   // MiniBench record lines inside BASELINE.md code fences: `qNN_x: 1.018 s`
-  private val miniRow = """(?m)^(q\d+\w*):\s*([0-9.]+) s$""".r
+  private val miniRow = """^(q\d+\w*):\s*([0-9.]+) s$""".r
+  private val stampRow = """^code:\s*([0-9a-f]{6,})$""".r
+
+  /** One recorded MiniBench run: optional code-identity stamp (the
+    * `code: <hex>` line the protocol puts first in the fenced block)
+    * plus its per-query seconds, in record order. */
+  final case class MiniBlock(stamp: Option[String],
+      queries: Seq[(String, Double)])
+
+  /** Recorded MiniBench runs, document order — parsed ONLY from sections
+    * under a `## … MiniBench …` heading (round 10: the old
+    * anywhere-in-the-file regex would have swallowed a prose line of the
+    * same shape into adjudication history). Each section contributes one
+    * block: its `qNN_name: X s` lines plus the optional `code:` stamp. */
+  def miniBlocks(md: String): Seq[MiniBlock] = {
+    val sections = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    md.linesIterator.foreach { line =>
+      if (line.startsWith("## ")) {
+        if (cur != null) { sections += cur.toVector; cur = null }
+        if (line.toLowerCase.contains("minibench"))
+          cur = scala.collection.mutable.ArrayBuffer[String]()
+      } else if (cur != null) cur += line
+    }
+    if (cur != null) sections += cur.toVector
+    sections.toSeq.flatMap { ls =>
+      val qs = ls.map(_.trim).collect {
+        case miniRow(q, v) => (q, v.toDouble) }
+      val stamp = ls.map(_.trim).collectFirst {
+        case stampRow(s) => s }
+      if (qs.isEmpty) None else Some(MiniBlock(stamp, qs))
+    }
+  }
 
   /** Per-query recorded MiniBench values, document order (= recording
     * order). Only queries that ever appeared in a recorded MiniBench
     * run are present. */
-  def miniHistory(md: String): Map[String, Seq[Double]] =
-    miniRow.findAllMatchIn(md).toSeq
-      .map(m => (m.group(1), m.group(2).toDouble))
-      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2) }
+  def miniHistory(md: String): Map[String, Seq[Double]] = {
+    val rows = miniBlocks(md).flatMap(_.queries)
+    rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2) }
+  }
 
   /** Split guard violations into (confirmed, adjudicated): a violation
     * is adjudicated away when the query's LAST recorded MiniBench value
     * is within max(2 × miniBest, miniBest + floorSec) — the isolated
     * protocol says the code is at best-known, so the in-sequence flag
     * is contention, not regression. Queries with no MiniBench history
-    * are always confirmed. */
+    * are always confirmed. Value logic only — the stamped entry point
+    * below adds the code-identity check that makes staleness a machine
+    * refusal instead of a process promise. */
   def adjudicate(violations: Seq[String], mini: Map[String, Seq[Double]],
       floorSec: Double = 1.0): (Seq[String], Seq[String]) =
     violations.partition { q =>
@@ -144,6 +178,52 @@ object BenchGuard {
         h.last <= math.max(2 * best, best + floorSec)
       }
     }
+
+  /** [[adjudicate]] with the code-identity check (round 10): a violation
+    * may only be downgraded when the LAST block that recorded the query
+    * carries a `code:` stamp equal to the stamp of the code under test —
+    * a MiniBench record predating the benched code (or never stamped)
+    * refuses to adjudicate, so a real regression introduced after the
+    * last recorded run can never be cleared by stale evidence. */
+  def adjudicateStamped(violations: Seq[String], blocks: Seq[MiniBlock],
+      currentStamp: Option[String], floorSec: Double = 1.0)
+      : (Seq[String], Seq[String]) = {
+    val hist = blocks.flatMap(_.queries)
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2) }
+    val lastStamp: Map[String, Option[String]] = blocks
+      .flatMap(b => b.queries.map { case (q, _) => q -> b.stamp })
+      .groupBy(_._1).map { case (q, ss) => q -> ss.last._2 }
+    val stampOk: String => Boolean = q =>
+      currentStamp.isDefined && lastStamp.get(q).exists(_ == currentStamp)
+    val (candidates, staleConfirmed) = violations.partition(stampOk)
+    val (confirmed, adjudicated) = adjudicate(candidates, hist, floorSec)
+    // preserve the input order among confirmed flags
+    (violations.filter(q =>
+      staleConfirmed.contains(q) || confirmed.contains(q)), adjudicated)
+  }
+
+  /** Identity of the code under test: a digest over every main-source
+    * file (path + contents, sorted). MiniBench prints it so recorded
+    * blocks can carry a `code:` line; [[adjudicateStamped]] compares it.
+    * None when sources aren't readable (e.g. run outside the repo) —
+    * which refuses adjudication, the conservative direction. */
+  def codeStamp(root: String = "src/main/scala"): Option[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(p)) return None
+      val files = java.nio.file.Files.walk(p).iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+      if (files.isEmpty) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        files.foreach { f =>
+          md.update(f.toString.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(f))
+        }
+        Some(md.digest().map("%02x".format(_)).mkString.take(12))
+      }
+    } catch { case _: Throwable => None }
 
   /** The firing bound for one query under the current protocol: the
     * sec/row rate bound when rows-annotated history exists and the run

@@ -81,7 +81,11 @@ object MiniBench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"mini_bench","value":$total%.3f,"unit":"sec","trials":$trials,"queries":$qs,"sf":"$sfDir"}""")
+    // code-identity stamp: recorded BASELINE.md blocks carry it as a
+    // `code: <stamp>` line so BenchGuard.adjudicateStamped can refuse
+    // stale evidence (a record predating the code under test)
+    val stamp = BenchGuard.codeStamp().getOrElse("unavailable")
+    println(f"""{"metric":"mini_bench","value":$total%.3f,"unit":"sec","trials":$trials,"code":"$stamp","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,13 +42,18 @@ object Similarity {
     * (session, analyzed-plan) invariant — bench runs execute the same
     * ANN frame dozens of times, and an EAGER count at plan-build time
     * sat inside every timed region (the round-8 ADVICE measured it as
-    * part of q112's drift). Keyed by the canonical plan so distinct
-    * dirs/frames never share a step; assumes the source parquet is
-    * immutable within a session (the same contract WarehouseCache's
+    * part of q112's drift). Keyed per SESSION through weak references
+    * (round 10: a strong session key retained every stopped session
+    * for process lifetime across test churn) and, within a session, by
+    * an md5 of the full CANONICALIZED plan text — not the 32-bit
+    * semanticHash, whose collision between two frames would silently
+    * reuse the wrong step. Assumes the source parquet is immutable
+    * within a session (the same contract WarehouseCache's
     * fingerprint-keyed artifacts already rely on). */
   private val panelStepCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, Int, Long, Long), java.lang.Long]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        (String, Long, Long), java.lang.Long]]()
 
   /** The deterministic query panel over a (vec_id, …) frame: modulo
     * step = max(QueryStep, ⌈n / QueryPanelMax⌉), derived from one
@@ -64,9 +69,20 @@ object Similarity {
     * machinery behind every fixed-size panel/sample rule (ANN query
     * panels, q83's truth-arm sample). One count per (session, plan). */
   private def corpusCount(v: DataFrame, floor: Long, target: Long): Long = {
-    val key = (v.sparkSession,
-      v.queryExecution.analyzed.semanticHash(), floor, target)
-    panelStepCache.computeIfAbsent(key,
+    val perSession = panelStepCache.synchronized {
+      var m = panelStepCache.get(v.sparkSession)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (String, Long, Long), java.lang.Long]()
+        panelStepCache.put(v.sparkSession, m)
+      }
+      m
+    }
+    val planId = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.queryExecution.analyzed.canonicalized.toString
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    perSession.computeIfAbsent((planId, floor, target),
       _ => math.max(floor, (v.count() + target - 1) / target))
   }
 

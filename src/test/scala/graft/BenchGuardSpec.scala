@@ -227,4 +227,87 @@ class BenchGuardSpec extends AnyFunSuite {
       BenchGuard.adjudicate(Seq("q5_x"), mini)
     assert(confirmed === Seq("q5_x") && adjudicated.isEmpty)
   }
+
+  test("mini parsing is anchored to MiniBench sections: a same-shaped " +
+      "line in prose or another section never enters history") {
+    val md =
+      """|## Round-9 sf0.1 close
+         |
+         |q112_opq: 9.9 s was the in-sequence number (prose, not a record)
+         |
+         |```
+         |q300_other: 1.0 s
+         |```
+         |
+         |## Round-9 MiniBench run 1
+         |
+         |code: abc123def456
+         |```
+         |q112_opq: 1.018 s
+         |```
+         |""".stripMargin
+    val h = BenchGuard.miniHistory(md)
+    assert(h === Map("q112_opq" -> Seq(1.018)),
+      "only the MiniBench section's lines parse")
+    val blocks = BenchGuard.miniBlocks(md)
+    assert(blocks.size === 1 && blocks.head.stamp === Some("abc123def456"))
+  }
+
+  test("stamped adjudication: a current-code stamp adjudicates, a stale " +
+      "or missing stamp stays confirmed — a regression introduced after " +
+      "the last recorded run can never be cleared by old evidence") {
+    def md(stamp: String) =
+      s"""|## MiniBench run
+          |code: $stamp
+          |```
+          |q112_opq: 1.018 s
+          |```
+          |""".stripMargin
+    val cur = Some("cafe01cafe01")
+    // current stamp + value at best-known → adjudicated
+    val (c1, a1) = BenchGuard.adjudicateStamped(Seq("q112_opq"),
+      BenchGuard.miniBlocks(md("cafe01cafe01")), cur)
+    assert(a1 === Seq("q112_opq") && c1.isEmpty)
+    // stale stamp → confirmed, regardless of the recorded value
+    val (c2, a2) = BenchGuard.adjudicateStamped(Seq("q112_opq"),
+      BenchGuard.miniBlocks(md("0dd0dd0dd0dd")), cur)
+    assert(c2 === Seq("q112_opq") && a2.isEmpty)
+    // unstamped legacy block → confirmed
+    val legacy = "## MiniBench run\n```\nq112_opq: 1.018 s\n```\n"
+    val (c3, a3) = BenchGuard.adjudicateStamped(Seq("q112_opq"),
+      BenchGuard.miniBlocks(legacy), cur)
+    assert(c3 === Seq("q112_opq") && a3.isEmpty)
+    // unknown current stamp (sources unreadable) → refuse everything
+    val (c4, a4) = BenchGuard.adjudicateStamped(Seq("q112_opq"),
+      BenchGuard.miniBlocks(md("cafe01cafe01")), None)
+    assert(c4 === Seq("q112_opq") && a4.isEmpty)
+  }
+
+  test("stamped adjudication uses the stamp of the LAST block recording " +
+      "the query and still ratchets on the minimum across all blocks") {
+    val md =
+      """|## MiniBench run 1
+         |code: aaaaaaaaaaaa
+         |```
+         |q5_x: 1.0 s
+         |```
+         |## MiniBench run 2
+         |code: cafe01cafe01
+         |```
+         |q5_x: 2.2 s
+         |```
+         |""".stripMargin
+    // last block is current-code, but 2.2 > max(2×1.0, 2.0) → confirmed
+    val (c, a) = BenchGuard.adjudicateStamped(Seq("q5_x"),
+      BenchGuard.miniBlocks(md), Some("cafe01cafe01"))
+    assert(c === Seq("q5_x") && a.isEmpty)
+  }
+
+  test("codeStamp digests main sources deterministically and is None " +
+      "outside a source tree") {
+    val s1 = BenchGuard.codeStamp()
+    val s2 = BenchGuard.codeStamp()
+    assert(s1.isDefined && s1 === s2)
+    assert(BenchGuard.codeStamp("/no/such/dir").isEmpty)
+  }
 }
