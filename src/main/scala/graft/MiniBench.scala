@@ -39,7 +39,7 @@ object MiniBench {
     // round 10 appends: the extracted fuzzy kernel's second caller and
     // the new image near-dup family — the current drift-sensitive surface
     "q284_fuzzy_phone_linkage", "q285_image_neardup_pairs",
-    "q286_image_neardup_apply")
+    "q286_image_neardup_apply", "q287_image_neardup_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -490,6 +490,30 @@ object ScaleProbe {
       results += (("geo_nearest_cascade", n, tGe, rGe))
       }
 
+      // wide (256-bit) image near-dup (round 10, q287 production path):
+      // replicated doc keys render ×n distinct 17×16 images (md5-seeded
+      // luma → hashes uniform-random), variants planted every 20th key
+      // so TRUE pairs grow linearly. 32-bit bands keep expected bucket
+      // occupancy n/2³² ≈ 0 at any committed scale, so candidates =
+      // true pairs and cost must track the decode+hash scan. (The
+      // compact 64-bit operator is NOT probed at scale: its 16-bit
+      // bands carry the documented (k+1)·n²/2¹⁶ candidate arm past
+      // ~6·10⁵ images — the scaladoc bounds its range and q287 is the
+      // scale path.)
+      if (want("image_neardup_wide")) {
+      val (tIw, rIw) = time {
+        val keys = replicateKeyed(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", n)
+        graft.multimodal.ImageNeardup.neardupPairsWide(
+          graft.multimodal.ImageNeardup.dHashesWide(
+            graft.multimodal.ImageNeardup.imageCorpusDf(keys, spark,
+              graft.multimodal.ImageNeardup.WideW,
+              graft.multimodal.ImageNeardup.WideH), spark)).count()
+      }
+      results += (("image_neardup_wide", n, tIw, rIw))
+      }
+
       // shingle-containment prefix filter (round 8, q240 production
       // path): disjoint replica namespaces keep true containment pairs
       // linear, and a planted boilerplate header puts corpus-wide HOT

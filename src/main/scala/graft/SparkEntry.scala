@@ -330,6 +330,8 @@ object SparkEntry {
       ((s, d) => graft.multimodal.ImageNeardup.imageNeardupPairs(s, d)),
     "q286_image_neardup_apply" ->
       ((s, d) => graft.multimodal.ImageNeardup.imageNeardupApply(s, d)),
+    "q287_image_neardup_wide" ->
+      ((s, d) => graft.multimodal.ImageNeardup.imageNeardupWide(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3673,5 +3675,8 @@ object SparkEntry {
       graft.multimodal.ImageNeardup.PairsOracleSql,
     "q286_image_neardup_apply" ->
       graft.multimodal.ImageNeardup.ApplyOracleSql,
+    // the 256-bit scale-path hash: four HUGEINT words, summed bit_count
+    "q287_image_neardup_wide" ->
+      graft.multimodal.ImageNeardup.WideOracleSql,
   )
 }

@@ -24,14 +24,19 @@ import graft.operators.Tables
   * brute-force oracle must match bit-for-bit.
   *
   * 100 TB shape: candidates come from a shuffle equi-join on
-  * (band, bandkey) — never image×image. Expected bucket occupancy is
-  * n / 2^bandBits per band (16 bits at the default maxHamming = 3), so
-  * candidate volume stays effectively linear to ~10⁷ images per corpus;
-  * past that, the same seam takes a wider perceptual hash (a 256-bit
-  * PDQ-style grid raises bandBits to 64) with no change to the join
-  * shape. The decode+hash pass is per-partition map work (mapPartitions,
-  * the codec batch shape of [[Multimodal]]); the verify is
-  * candidate-local. Nothing is quadratic in the corpus.
+  * (band, bandkey) — never image×image. Candidate volume is the honest
+  * bound that picks between the two operators: random-hash bucket
+  * occupancy is n / 2^bandBits per band, so expected candidates are
+  * (maxHamming+1) · n² / 2^bandBits — the q83 lesson (a FIXED band
+  * width is a quadratic arm past its design range). At the compact
+  * 64-bit hash's 16-bit bands that stays under ~10·n to ~6·10⁵ images
+  * and is the right tool for per-shard dedup; past that, use
+  * [[neardupPairsWide]] — the 256-bit grid hash whose 32-bit bands
+  * (maxHamming 7) hold expected occupancy below 1 to ~4·10⁹ images,
+  * with the identical join shape. The decode+hash pass is
+  * per-partition map work (mapPartitions, the codec batch shape of
+  * [[Multimodal]]); the verify is candidate-local. Nothing is
+  * image×image in either operator.
   *
   * The contract corpus ([[imageCorpus]]) renders one deterministic 9×8
   * grayscale image per document (md5-seeded luma with a full-index mix
@@ -49,6 +54,12 @@ object ImageNeardup {
   val GridW = 9
   val GridH = 8
   val DefaultMaxHamming = 3
+  /** Wide (256-bit) grid: 16 comparisons × 16 rows. */
+  val WideW = 17
+  val WideH = 16
+  /** Wide threshold: 7/256 ≈ the compact contract's 3/64 bit fraction;
+    * 8 pigeonhole bands of 32 bits. */
+  val WideMaxHamming = 7
   /** Planted-variant key offset — far above any replica's doc_id range
     * (same constant as q284's alias keys). */
   val VariantOffset = 10000000L
@@ -66,10 +77,14 @@ object ImageNeardup {
     * period and accidental collisions vanish at any committed scale.
     * `perturb` ≥ 0 adds 128 (mod 256) to that one cell — the planted
     * near-dup edit, touching at most 2 comparison bits. */
-  private[multimodal] def lumaGrid(seed: Long, perturb: Int): Array[Int] = {
+  private[multimodal] def lumaGrid(seed: Long, perturb: Int): Array[Int] =
+    lumaGridN(seed, perturb, GridW * GridH)
+
+  private[multimodal] def lumaGridN(seed: Long, perturb: Int,
+      cells: Int): Array[Int] = {
     val dig = MessageDigest.getInstance("MD5")
       .digest(seed.toString.getBytes("UTF-8"))
-    val p = Array.tabulate(GridW * GridH) { i =>
+    val p = Array.tabulate(cells) { i =>
       ((dig(i % 16) & 0xff) + 31 * i) % 256
     }
     if (perturb >= 0) p(perturb) = (p(perturb) + 128) % 256
@@ -78,17 +93,17 @@ object ImageNeardup {
 
   /** Render a luma grid as an encoded grayscale image (R=G=B) through
     * the lossless arm picked by key % 3. */
-  private[multimodal] def renderImage(key: Long, seed: Long, perturb: Int)
-      : (Array[Byte], String) = {
-    val p = lumaGrid(seed, perturb)
-    val bgr = new Array[Byte](GridW * GridH * 3)
+  private[multimodal] def renderImage(key: Long, seed: Long, perturb: Int,
+      w: Int = GridW, h: Int = GridH): (Array[Byte], String) = {
+    val p = lumaGridN(seed, perturb, w * h)
+    val bgr = new Array[Byte](w * h * 3)
     var i = 0
     while (i < p.length) {
       val v = p(i).toByte
       bgr(i * 3) = v; bgr(i * 3 + 1) = v; bgr(i * 3 + 2) = v
       i += 1
     }
-    val img = BmpCodec.Decoded(GridW, GridH, bgr)
+    val img = BmpCodec.Decoded(w, h, bgr)
     (key % 3) match {
       case 0 => (BmpCodec.encode(img), "image/bmp")
       case 1 => (PngCodec.encode(img), "image/png")
@@ -100,20 +115,33 @@ object ImageNeardup {
     * base image per doc_id plus a planted one-cell-perturbed variant at
     * doc_id + 10⁷ for every 20th document. Rendering is per-partition
     * map work after a key repartition. */
-  def imageCorpus(s: SparkSession, d: String): DataFrame = {
+  def imageCorpus(s: SparkSession, d: String): DataFrame =
+    imageCorpusDf(Tables.documents(s, d).select(col("doc_id")), s,
+      GridW, GridH)
+
+  /** Wide-grid (17×16) form of the corpus — one 256-bit-hashable image
+    * per doc plus the same every-20th planted variant (perturb cell
+    * doc_id % 272). */
+  def imageCorpusWide(s: SparkSession, d: String): DataFrame =
+    imageCorpusDf(Tables.documents(s, d).select(col("doc_id")), s,
+      WideW, WideH)
+
+  /** [[imageCorpus]] over an arbitrary doc_id frame (ScaleProbe
+    * replicates ids through here). */
+  def imageCorpusDf(docs: DataFrame, s: SparkSession,
+      w: Int, h: Int): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"))
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + lit(VariantOffset)).as("key"),
         col("doc_id").as("seed"),
-        (col("doc_id") % (GridW * GridH)).cast("int").as("pi"))
+        (col("doc_id") % (w * h)).cast("int").as("pi"))
     base.unionByName(variants)
       .repartition(col("key"))
       .as[(Long, Long, Int)]
       .mapPartitions(_.map { case (key, seed, pi) =>
-        val (bytes, mime) = renderImage(key, seed, pi)
+        val (bytes, mime) = renderImage(key, seed, pi, w, h)
         ImageAsset(key, bytes, mime)
       })
       .toDF()
@@ -159,6 +187,87 @@ object ImageNeardup {
       })
       .toDF()
   }
+
+  /** 256-bit grid dHash of one encoded image, packed little-endian into
+    * 4 longs: decode, nearest-resize to the 17×16 grid, integer luma,
+    * bit y·16+x (x < 16) set iff luma(x+1,y) > luma(x,y). The scale-path
+    * hash: its 32-bit pigeonhole bands (at [[WideMaxHamming]] = 7) keep
+    * banded-join bucket occupancy under 1 to ~4·10⁹ images. */
+  def dhash256Of(media: Array[Byte]): Option[Array[Long]] =
+    Multimodal.decodeAny(media).map { img =>
+      val g =
+        if (img.width == WideW && img.height == WideH) img
+        else BmpCodec.resizeNearest(img, WideW, WideH)
+      @inline def luma(x: Int, y: Int): Int = {
+        val i = (y * WideW + x) * 3
+        val b = g.bgr(i) & 0xff; val gg = g.bgr(i + 1) & 0xff
+        val r = g.bgr(i + 2) & 0xff
+        (r * 299 + gg * 587 + b * 114) / 1000
+      }
+      val w = new Array[Long](4)
+      var y = 0
+      while (y < WideH) {
+        var x = 0
+        while (x < WideW - 1) {
+          if (luma(x + 1, y) > luma(x, y)) {
+            val idx = y * 16 + x
+            w(idx >> 6) |= 1L << (idx & 63)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      w
+    }
+
+  /** Decode + wide-hash as per-partition map work: (asset_id,
+    * dwords array<long>[4]). */
+  def dHashesWide(assets: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    assets.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, media) =>
+        dhash256Of(media).map(ws => (id, ws))
+      })
+      .toDF("asset_id", "dwords")
+  }
+
+  /** 8 × 32-bit pigeonhole band keys of the 4-word wide hash: band b is
+    * the half-word dwords[b/2] >>> 32·(b%2). Hamming ≤ 7 leaves ≥ 1 of
+    * the 8 bands intact. */
+  private[graft] def wideBandKeys(): Seq[Column] =
+    (0 until 8).map { b =>
+      shiftrightunsigned(element_at(col("dwords"), b / 2 + 1),
+        32 * (b % 2)).bitwiseAND(lit(0xffffffffL))
+    }
+
+  /** All asset pairs within [[WideMaxHamming]] bits of the 256-bit
+    * hash, exact — the 100 TB operator ([[neardupPairs]] scaladoc has
+    * the occupancy math). Same join shape: banded candidates, exact
+    * summed bit_count verify on the carried words. */
+  def neardupPairsWide(hashes: DataFrame,
+      maxHamming: Int = WideMaxHamming): DataFrame = {
+    val banded = hashes.select(col("asset_id"), col("dwords"),
+      posexplode(array(wideBandKeys(): _*)).as(Seq("band", "bandkey")))
+    val a = banded.select(col("band"), col("bandkey"),
+      col("asset_id").as("asset_a"), col("dwords").as("wa"))
+    val b = banded.select(col("band"), col("bandkey"),
+      col("asset_id").as("asset_b"), col("dwords").as("wb"))
+    a.join(b, Seq("band", "bandkey"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"), col("wa"), col("wb"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(wa, wb, (x, y) -> CAST(bit_count(x ^ y) " +
+          "AS INT)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
+
+  /** q287: the wide-hash contract query — 17×16 corpus → 256-bit hash →
+    * 8-banded exact pair join. */
+  def imageNeardupWide(s: SparkSession, d: String): DataFrame =
+    neardupPairsWide(dHashesWide(imageCorpusWide(s, d), s))
 
   /** Contiguous bit-band keys of the `dhash` column: maxHamming+1 bands
     * cover all 64 bits, so ≤ maxHamming flipped bits leave ≥ 1 band
@@ -266,6 +375,43 @@ object ImageNeardup {
     "CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming " +
     "FROM h a JOIN h b ON a.key < b.key " +
     "WHERE bit_count(xor(a.dh, b.dh)) <= 3"
+
+  /** DuckDB mirror of the WIDE corpus + 256-bit hash: same md5+integer
+    * luma formulas on the 17×16 grid, the 256 comparison bits packed
+    * into four 64-bit words carried as HUGEINTs (shift ≤ 63 per word —
+    * BIGINT shifts raise on bit 63), hamming = the summed per-word
+    * bit_count of the xor, brute-forced over all key pairs. */
+  private val WideOracleGrid: String =
+    "WITH ks AS (SELECT doc_id AS key, doc_id AS seed, -1 AS pi FROM documents " +
+      "UNION ALL SELECT doc_id + 10000000, doc_id, CAST(doc_id % 272 AS INT) " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
+      "px AS (SELECT key, x, y, " +
+      "CASE WHEN x + 17*y = pi THEN (b0 + 128) % 256 ELSE b0 END AS p FROM (" +
+      "SELECT key, pi, x, y, " +
+      "((strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
+      "2*((x + 17*y) % 16) + 1, 1)) - 1) * 16 " +
+      "+ strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
+      "2*((x + 17*y) % 16) + 2, 1)) - 1 " +
+      "+ 31*(x + 17*y)) % 256 AS b0 " +
+      "FROM ks, range(0, 17) tx(x), range(0, 16) ty(y))), " +
+      "h AS (SELECT l.key, " +
+      (0 until 4).map { w =>
+        s"bit_or(CASE WHEN (l.y*16 + l.x) // 64 = $w AND r.p > l.p " +
+          "THEN 1::HUGEINT << CAST((l.y*16 + l.x) % 64 AS INT) " +
+          s"ELSE 0::HUGEINT END) AS w$w"
+      }.mkString(", ") +
+      " FROM px l JOIN px r ON r.key = l.key AND r.y = l.y AND r.x = l.x + 1 " +
+      "GROUP BY l.key)"
+
+  val WideOracleSql: String = WideOracleGrid + {
+    // bit_count returns a TINYINT in DuckDB — the 4-word sum overflows
+    // 127 on far pairs, so each term is cast to INT before adding
+    val ham = (0 until 4)
+      .map(w => s"CAST(bit_count(xor(a.w$w, b.w$w)) AS INT)")
+      .mkString(" + ")
+    s" SELECT a.key AS asset_a, b.key AS asset_b, $ham AS hamming " +
+      s"FROM h a JOIN h b ON a.key < b.key WHERE $ham <= 7"
+  }
 
   val ApplyOracleSql: String = OracleGrid +
     ", pr AS (SELECT a.key AS ka, b.key AS kb FROM h a JOIN h b " +

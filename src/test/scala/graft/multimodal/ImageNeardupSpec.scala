@@ -100,6 +100,77 @@ class ImageNeardupSpec extends SparkTestBase {
     assert(ImageNeardup.dhashOf("BM".getBytes ++ Array.fill[Byte](60)(0)).isEmpty)
   }
 
+  private def bruteforceWide(hs: Seq[(Long, Array[Long])], t: Int)
+      : Set[(Long, Long, Int)] =
+    (for {
+      (ia, wa) <- hs; (ib, wb) <- hs if ia < ib
+      d = wa.zip(wb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum if d <= t
+    } yield (ia, ib, d)).toSet
+
+  test("wide (256-bit) banded pair join equals brute force, with flips " +
+      "at every 32-bit band boundary and across words") {
+    val base = Array.fill(4)(0x5a5a5a5a5a5a5a5aL)
+    def flip(bits: Int*): Array[Long] = {
+      val w = base.clone()
+      bits.foreach(i => w(i >> 6) ^= 1L << (i & 63))
+      w
+    }
+    val hs: Seq[(Long, Array[Long])] = Seq(
+      1L -> base, 2L -> base.clone(),
+      3L -> flip(0), // 1 bit, band 0
+      4L -> flip(31, 32), // straddles bands 0/1 inside word 0
+      5L -> flip(63, 64), // straddles words 0/1
+      6L -> flip(0, 33, 66, 99, 132, 165, 198), // 7 bits, 7 bands — in
+      7L -> flip(0, 33, 66, 99, 132, 165, 198, 231), // 8 bits — out at 7
+      8L -> flip(255), // top bit of word 3
+      9L -> flip(0 until 16: _*) // 16 bits in one band — out
+    )
+    for (t <- Seq(0, 1, 7)) {
+      val got = ImageNeardup
+        .neardupPairsWide(hs.toDF("asset_id", "dwords"), t)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === bruteforceWide(hs, t), s"maxHamming=$t")
+    }
+  }
+
+  test("the wide corpus plants one variant per 20th doc, within 2 bits " +
+      "of the 256-bit hash, and q287 finds exactly the planted set") {
+    val corpus = ImageNeardup.imageCorpusWide(spark, sf0001)
+      .localCheckpoint()
+    val n = corpus.count()
+    val hashed = ImageNeardup.dHashesWide(corpus, spark)
+    assert(hashed.count() === n, "every rendered asset must decode+hash")
+    val pairs = ImageNeardup.imageNeardupWide(spark, sf0001)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, d) =>
+      assert(b === a + ImageNeardup.VariantOffset,
+        s"only planted (base, base+10^7) pairs expected, got ($a,$b)")
+      assert(d <= 2, "a one-cell luma edit flips at most 2 comparison bits")
+    }
+    val expected = graft.operators.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 20 === 0).count()
+    assert(pairs.length === expected)
+  }
+
+  test("the 256-bit hash is invariant across codec arms") {
+    val p = ImageNeardup.lumaGridN(4242L, -1,
+      ImageNeardup.WideW * ImageNeardup.WideH)
+    val bgr = new Array[Byte](p.length * 3)
+    p.indices.foreach { i =>
+      val v = p(i).toByte; bgr(i * 3) = v; bgr(i * 3 + 1) = v; bgr(i * 3 + 2) = v
+    }
+    val img = BmpCodec.Decoded(ImageNeardup.WideW, ImageNeardup.WideH, bgr)
+    val viaBmp = ImageNeardup.dhash256Of(BmpCodec.encode(img))
+    val viaPng = ImageNeardup.dhash256Of(PngCodec.encode(img))
+    val viaGif = ImageNeardup.dhash256Of(GifCodec.encode(img))
+    assert(viaBmp.isDefined)
+    assert(viaBmp.get.toSeq === viaPng.get.toSeq)
+    assert(viaBmp.get.toSeq === viaGif.get.toSeq)
+    assert(ImageNeardup.dhash256Of(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("apply keeps exactly the min-id member of each pair group and " +
       "counts degrees symmetrically") {
     val hs = Seq( // 1-2-3 form a hamming-0/1 chain; 9 is isolated
