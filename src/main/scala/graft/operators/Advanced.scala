@@ -1228,21 +1228,52 @@ object Advanced {
       .select(col("doc_id"), col("lang"), col("text")))
 
   def curationPipelineDf(docs: DataFrame): DataFrame = {
-    val sig = graft.operators.TextQueries.repetitionSignalsDf(
-      docs.select(col("doc_id"), col("text")))
-    // quality survivors keep (doc_id, lang, canon, n_tok): canon is
-    // computed HERE so the dedup stage never rescans text
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // Per-doc signals: ONE in-row projection (repetitionSignalsDf),
+    // evaluated AFTER an explicit width-pinned exchange and
+    // materialized through a narrow checkpoint. Each piece is load-
+    // bearing, established by the round-10 ×64 attribution ladder
+    // (NOTES_r10): the old aggregate-form signals were ~50 s of the
+    // 39.8 s isolated total (token-grain shuffles dominated the whole
+    // pipeline); the in-row form is interpreted HOF work whose
+    // parallelism tracks SCAN partitions unless exchanged first (the
+    // replica parquet reads as 2 splits — the projection re-serializes
+    // without the exchange); the explicit count pins the width because
+    // AQE coalesces count-less repartitions by SIZE, and this stage is
+    // compute-bound, not size-bound; and the checkpoint (narrow:
+    // doc_id + four longs + lang) is ALSO the pushdown barrier — the
+    // quality filter would otherwise be substituted through the
+    // projection and re-evaluate the signal expression against the
+    // un-exchanged scan.
+    val sig = graft.operators.TextQueries.flattenSignals(
+      graft.operators.TextQueries.repetitionSignalsRawDf(
+        docs.select(col("doc_id"), col("text"))
+          .repartition(n, col("doc_id")))
+        .localCheckpoint()) // the pushdown barrier — see raw scaladoc
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        col("flagged"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
     val qual = sig
       .filter(col("n_tok") >= 10 && !col("flagged") &&
         !((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7))
-      .select(col("doc_id"), col("n_tok"))
-      .join(docs, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("n_tok"),
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    // canonical-dedup winners, own branch: canon computes from a
+    // RE-READ of the pruned (doc_id, text) columns (q218's lesson:
+    // re-reading pruned parquet beats pinning a corpus-sized frame —
+    // the first-shipped form carried canon, a string as large as the
+    // text, through the checkpoint), behind the same width-pinned
+    // exchange (the canon sort/distinct is interpreted per-doc work
+    // too), joined to the survivor ids, flowing straight into its one
+    // content-keyed shuffle without ever being materialized.
+    val keepIds = docs.select(col("doc_id"), col("text"))
+      .repartition(n, col("doc_id"))
+      .join(qual.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"),
         concat_ws(" ", array_sort(array_distinct(
           expr("filter(split(lower(text), ' '), x -> x != '')"))))
           .as("canon"))
-      .localCheckpoint() // consumed by dedup, rebalance, and two rollups
-    val keepIds = qual.groupBy(col("canon"))
+      .groupBy(col("canon"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val uniq = qual.join(keepIds, Seq("doc_id"))

@@ -1041,48 +1041,98 @@ object TextQueries {
     * document occupied by its single most frequent 2-gram and the
     * duplicate-token fraction — the quality filters that catch
     * keyword-stuffed / boilerplate-looped pages which per-document
-    * length or stopword checks (q75 Gopher rules) miss. Bigrams build
-    * inside the scan projection (array HOF, no join, no token-stream
-    * self-join); the shuffles are per-doc count aggregates, so cost
-    * tracks token count at any corpus size. All counts are exact longs;
-    * the two fractions divide once at the output edge, and the flag
-    * compares in INTEGER arithmetic (max_bg·100 > total_bg·18 — the
-    * Gopher 0.18 top-2-gram threshold with no float compare to drift
-    * across engines). Deterministic doc_id % 10 sample. */
+    * length or stopword checks (q75 Gopher rules) miss. Every signal
+    * computes IN-ROW with array HOFs (q274's single-pass lesson): ZERO
+    * shuffles, zero materializations, one scan projection — the
+    * first-shipped form checkpointed the tokenized corpus and shuffled
+    * it at token grain twice, and the round-10 ×64 attribution run
+    * measured those as ~50 s of q259's 39.8-s-total budget (the
+    * aggregates dominated the whole pipeline). All counts are exact
+    * longs; the two fractions divide once at the output edge, and the
+    * flag compares in INTEGER arithmetic (max_bg·100 > total_bg·18 —
+    * the Gopher 0.18 top-2-gram threshold with no float compare to
+    * drift across engines). Deterministic doc_id % 10 sample. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
-    repetitionSignalsDf(
+    flattenSignals(repetitionSignalsRawDf(
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"))
+        // width-pinned exchange + barrier checkpoint, the q259 shape:
+        // the projection is interpreted per-doc work whose parallelism
+        // otherwise tracks the file layout, and without the barrier
+        // flattenSignals' null guard is substituted below the exchange
+        // and re-evaluates the struct at scan width
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_id")))
+      .localCheckpoint())
 
-  /** [[repetitionSignals]] over an arbitrary (doc_id, text) frame. */
-  def repetitionSignalsDf(docs: DataFrame): DataFrame = {
-    val base = docs
+  /** All per-doc counting signals as ONE expression over `text`,
+    * returning a struct (null for sub-2-token docs). The token array is
+    * bound as a LAMBDA VARIABLE (`transform(array(<w>), w -> …)[1]`),
+    * not a projected alias: Catalyst's predicate pushdown substitutes
+    * referenced aliases into filter conditions regardless of cost, and
+    * with `w` a plain alias every `element_at(w, i)` inside the bigram
+    * lambdas re-inlines the full filter(split(lower(text))) —
+    * re-tokenizing the document PER ARRAY ELEMENT, ~1 ms/doc instead of
+    * ~0.1 ms (the first cut of this rewrite shipped that way and
+    * measured q259 at 359 s on the ×64 replica). A lambda variable is
+    * bound once per evaluation, so however many times the optimizer
+    * duplicates the outer expression, per-element work stays O(1). */
+  private val sigStructExpr: String =
+    """element_at(transform(array(filter(split(lower(text), ' '), t -> t != '')), w ->
+      |  IF(size(w) >= 2, named_struct(
+      |    'n_tok', bigint(size(w)),
+      |    'n_distinct', bigint(size(array_distinct(w))),
+      |    'total_bg', bigint(size(w) - 1),
+      |    'max_bg', aggregate(
+      |      array_sort(transform(sequence(0, size(w) - 2), i ->
+      |        concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))),
+      |      named_struct('prev', cast(null as string),
+      |                   'run', bigint(0), 'mx', bigint(0)),
+      |      (acc, x) -> named_struct(
+      |        'prev', x,
+      |        'run', IF(acc.prev <=> x, acc.run + 1, bigint(1)),
+      |        'mx', greatest(acc.mx,
+      |          IF(acc.prev <=> x, acc.run + 1, bigint(1)))),
+      |      acc -> acc.mx)),
+      |    cast(null as struct<n_tok: bigint, n_distinct: bigint,
+      |      total_bg: bigint, max_bg: bigint>))), 1)""".stripMargin
+
+  /** [[repetitionSignals]] over an arbitrary (doc_id, text) frame. The
+    * max-bigram multiplicity is the longest equal-run of the SORTED
+    * bigram array — q274's fold — so the whole signal table is one
+    * projection; [[sigStructExpr]]'s scaladoc explains the lambda
+    * binding that keeps it cheap under optimizer duplication. Callers
+    * that filter on the signal columns over a large corpus should
+    * exchange + checkpoint first (the q259 shape): the checkpoint is a
+    * pushdown barrier, and the exchange decouples the interpreted-HOF
+    * projection's parallelism from the source file layout. */
+  def repetitionSignalsDf(docs: DataFrame): DataFrame =
+    flattenSignals(repetitionSignalsRawDf(docs))
+
+  /** The unfiltered (doc_id, sig struct) projection. Callers that
+    * filter on signal columns over a large corpus checkpoint THIS
+    * frame (the q259 shape): once materialized, no downstream filter
+    * can be substituted below the projection — without the barrier
+    * even the null-guard filter pushes beneath a caller's exchange and
+    * re-evaluates the whole struct expression at scan-partition
+    * width. */
+  def repetitionSignalsRawDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(sigStructExpr).as("sig"))
+
+  private[operators] def flattenSignals(raw: DataFrame): DataFrame =
+    raw
+      .filter(col("sig").isNotNull) // <2-token docs have no bigram
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), x -> x != '')").as("w"))
-      .filter(size(col("w")) >= 2)
-      .localCheckpoint() // token pass + bigram pass share the scan
-    val toks = base
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
-    val bgs = base
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> " +
-          "concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-        .as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("total_bg"), max(col("c")).as("max_bg"))
-    toks.join(bgs, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
-        col("total_bg"), col("max_bg"),
-        round(col("max_bg") / col("total_bg").cast("double"), 6)
+        col("sig.n_tok").as("n_tok"),
+        col("sig.n_distinct").as("n_distinct"),
+        col("sig.total_bg").as("total_bg"),
+        col("sig.max_bg").as("max_bg"),
+        round(col("sig.max_bg") / col("sig.total_bg").cast("double"), 6)
           .as("top2_frac"),
-        round((col("n_tok") - col("n_distinct")) /
-          col("n_tok").cast("double"), 6).as("dup_tok_frac"),
-        (col("max_bg") * 100 > col("total_bg") * 18).as("flagged"))
-  }
+        round((col("sig.n_tok") - col("sig.n_distinct")) /
+          col("sig.n_tok").cast("double"), 6).as("dup_tok_frac"),
+        (col("sig.max_bg") * 100 > col("sig.total_bg") * 18)
+          .as("flagged"))
 
   /** Pointwise-mutual-information collocation mining over document
     * co-occurrence: which frequent token pairs appear in the same
