@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin -Xms to -Xmx: with a growing heap, allocation-heavy stages
+  // (crossJoin streams into sorters/aggregates) thrash in
+  // HeapMemoryAllocator while G1 expands under GCLocker pressure —
+  // the round-10 mega-cluster probe measured the same run 2-8x apart
+  // until the heap was pinned; a fixed heap is also what a production
+  // executor gets
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -54,7 +54,18 @@ object ScaleProbe {
       .withColumn(key, col(key) * n + col("rep"))
       .drop("rep")
 
+  /** Pre-timer cleanup hook, set once the session exists: drops every
+    * leftover localCheckpoint block (blocking) and GCs, OUTSIDE the
+    * timed region — Bench has done this since round 4 (dead pinned
+    * blocks accumulate into storage-memory pressure that slowed its
+    * tail ~5×), and the round-10 mega-cluster probe series showed the
+    * same contamination here: back-to-back checkpoint-heavy probes in
+    * one JVM measured 2-8× apart run-to-run until the blocks were
+    * dropped. */
+  private var preTimer: () => Unit = () => ()
+
   private def time(f: => Long): (Double, Long) = {
+    preTimer()
     val t0 = System.nanoTime()
     val rows = f
     ((System.nanoTime() - t0) / 1e9, rows)
@@ -69,6 +80,11 @@ object ScaleProbe {
     if (nameArgs.nonEmpty) only = Some(nameArgs.toSeq)
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    preTimer = () => {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for runtime
     // SQL confs (join strategy, partition counts) without code edits
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>

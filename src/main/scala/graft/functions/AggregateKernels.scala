@@ -62,6 +62,28 @@ object AggregateKernels {
   def momentMatrix(v: Column): Column =
     ColumnBridge.column(
       MomentMatrix(ColumnBridge.expression(v)).toAggregateExpression())
+
+  /** Column API: the long id whose (score desc, id asc) is maximal —
+    * exactly `max_by(id, struct(score, -id))`, but HASH-aggregable.
+    * max_by's single STRUCT buffer slot is an immutable buffer type,
+    * which silently demotes the whole aggregate from HashAggregate to
+    * SortAggregateExec — sorting the entire pre-aggregation stream
+    * through UnsafeExternalSorter per task. On the broadcast-argmax
+    * shape every ANN/semdedup assignment uses (corpus × centroids
+    * crossJoin into groupBy(vec_id)) that is an n·|cents|-row sort with
+    * embedding arrays riding every row; the round-10 ×128 mega-cluster
+    * probe caught its task threads thrashing in sorter page allocation,
+    * and run-to-run variance of the same probe spanned 2-8× from the
+    * sort's spill behavior. [[ArgMaxTieMinId]] keeps two flat primitive
+    * buffer slots (double, long) → HashAggregate with map-side partial
+    * combine, and callers re-attach any payload columns with a narrow
+    * equi-join instead of `first(array)` (array buffers cause the same
+    * demotion). Double comparisons are Catalyst's, which order NaN
+    * largest and NaN = NaN — the struct ordering's total order. */
+  def argMaxTieMinId(score: Column, id: Column): Column =
+    ColumnBridge.column(
+      ArgMaxTieMinId(ColumnBridge.expression(score),
+        ColumnBridge.expression(id)).toAggregateExpression())
 }
 
 /** Misra-Gries frequent-items sketch over string items: at most k
@@ -751,4 +773,56 @@ object MomentBuffer {
     }
     b
   }
+}
+
+/** Hash-aggregable argmax with the (score desc, lowest id) tie-break —
+  * see [[AggregateKernels.argMaxTieMinId]] for why this exists instead
+  * of `max_by(id, struct(score, -id))`. Declarative with two flat
+  * primitive buffer slots, so HashAggregateExec's mutable-buffer check
+  * passes and the plan never demotes to sort-based aggregation. The
+  * empty-group buffer evaluates to Long.MaxValue, but every caller
+  * aggregates a crossJoin/join stream where groups are non-empty by
+  * construction; null scores never replace the buffer (a null
+  * comparison is a false condition), matching max_by's skip-null. */
+case class ArgMaxTieMinId(score: Expression, id: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThan, If, LessThan, Literal, Or}
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint), got " +
+          s"(${s.simpleString(10)}, ${i.simpleString(10)})")
+    }
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmax_tie_min_id"
+
+  private lazy val bScore =
+    AttributeReference("bScore", DoubleType, nullable = false)()
+  private lazy val bId =
+    AttributeReference("bId", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bScore, bId)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(Double.NegativeInfinity), Literal(Long.MaxValue))
+  override lazy val updateExpressions: Seq[Expression] = {
+    val better = Or(GreaterThan(score, bScore),
+      And(EqualTo(score, bScore), LessThan(id, bId)))
+    Seq(If(better, score, bScore), If(better, id, bId))
+  }
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val better = Or(GreaterThan(bScore.right, bScore.left),
+      And(EqualTo(bScore.right, bScore.left),
+        LessThan(bId.right, bId.left)))
+    Seq(If(better, bScore.right, bScore.left),
+      If(better, bId.right, bId.left))
+  }
+  override lazy val evaluateExpression: Expression = bId
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ArgMaxTieMinId =
+    copy(score = c(0), id = c(1))
 }

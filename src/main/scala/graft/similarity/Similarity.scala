@@ -192,20 +192,28 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment: broadcast cross join + map-side max_by
-    * argmax with deterministic (cdist, -cent_id) tie-break — one shuffled
-    * row per vector. Shared by the k-means loop, ivfTopK, and the scale
-    * probe. Input v: (vec_id, emb); cents: (cent_id, cent_emb). */
+  /** Nearest-centroid assignment: broadcast cross join + map-side
+    * hash-aggregated argmax with deterministic (cdist, -cent_id)
+    * tie-break — one shuffled row per vector. Shared by the k-means
+    * loop, ivfTopK, and the scale probe. Input v: (vec_id, emb); cents:
+    * (cent_id, cent_emb). Round 10: the argmax is
+    * [[graft.functions.AggregateKernels.argMaxTieMinId]] and `emb`
+    * re-attaches with a narrow equi-join — the prior
+    * max_by(_, struct(…)) + first(array) form has non-mutable buffer
+    * types, which silently demoted this aggregate to SortAggregateExec:
+    * the n·|cents| crossJoin stream was SORTED per task with both
+    * embedding arrays riding every row (the argMaxTieMinId scaladoc has
+    * the measured evidence). */
   def nearestCentroid(s: SparkSession, v: DataFrame, cents: DataFrame)
       : DataFrame =
     v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", cosine(col("emb"), col("cent_emb")))
       .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cent_id"),
-          struct(col("cdist"), -col("cent_id"))).as("cent_id"),
-        first(col("emb")).as("emb"))
+      .agg(graft.functions.AggregateKernels.argMaxTieMinId(
+        col("cdist"), col("cent_id")).as("cent_id"))
+      .join(v.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .select(col("vec_id"), col("cent_id"), col("emb"))
 
   // ---------------------------------------------------------------- RP-LSH
 
@@ -325,11 +333,18 @@ object Similarity {
   private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
     val c2 = cents.withColumn("halfn",
       lit(0.5) * dot(col("cv"), col("cv")))
+    // hash-aggregated argmax + sv join-back (round 10): max_by(struct)
+    // + first(array) buffers demote to SortAggregateExec and sort the
+    // |subvectors|·|codes| stream per task — argMaxTieMinId's scaladoc
+    // has the measured evidence
     sub.join(broadcast(c2), Seq("m"))
       .withColumn("score", dot(col("sv"), col("cv")) - col("halfn"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
-        first(col("sv")).as("sv"))
+      .agg(graft.functions.AggregateKernels.argMaxTieMinId(
+        col("score"), col("code")).as("code"))
+      .join(sub.select(col("vec_id"), col("m"), col("sv")),
+        Seq("vec_id", "m"))
+      .select(col("vec_id"), col("m"), col("code"), col("sv"))
   }
 
   /** Product-quantization ANN (Jégou et al. 2011): per-subspace codebooks
@@ -933,16 +948,21 @@ object Similarity {
       .select(col("vec_id").as("cluster_id"), col("emb").as("cent_emb"))
     // broadcast-argmax assignment against a (bounded) centroid table:
     // one shuffled row per vector, deterministic (csim desc, lowest
-    // cluster_id) tie-break
+    // cluster_id) tie-break. Round 10: hash-aggregated argmax
+    // (argMaxTieMinId — its scaladoc has the measured evidence) with
+    // emb re-attached by a narrow equi-join; the prior max_by(struct)
+    // + first(array) form demoted to SortAggregateExec and sorted the
+    // whole n·seeds crossJoin stream, which the ×128 mega-cluster
+    // probe caught thrashing in sorter page allocation.
     def assignTo(cents: DataFrame): DataFrame = v
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("emb"), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cluster_id"),
-          struct(col("csim"), -col("cluster_id"))).as("cluster_id"),
-        first(col("emb")).as("emb"))
+      .agg(graft.functions.AggregateKernels.argMaxTieMinId(
+        col("csim"), col("cluster_id")).as("cluster_id"))
+      .join(v.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("emb"))
     // ONE Lloyd refinement round (k-means, the q165 determinism rule):
     // per-dimension means in DECIMAL(30,12) — order-independent — then
     // /n and a 7-dp re-quantization, so both engines rebuild the same
