@@ -85,7 +85,18 @@ object MiniBench {
     // `code: <stamp>` line so BenchGuard.adjudicateStamped can refuse
     // stale evidence (a record predating the code under test)
     val stamp = BenchGuard.codeStamp().getOrElse("unavailable")
-    println(f"""{"metric":"mini_bench","value":$total%.3f,"unit":"sec","trials":$trials,"code":"$stamp","queries":$qs,"sf":"$sfDir"}""")
+    // box-speed index vs the recorded MiniBench best-knowns: the panel
+    // is isolated 3-trial minimums on both sides, so the median ratio
+    // IS the box — see BenchGuard.boxIndex
+    val md =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BASELINE.md"))
+      catch { case _: Throwable => "" }
+    val miniBest = BenchGuard.miniHistory(md)
+      .map { case (q, h) => q -> h.min }
+    val box = BenchGuard.boxIndex(results, miniBest)
+      .map(b => f""","box":$b%.3f""").getOrElse("")
+    println(f"""{"metric":"mini_bench","value":$total%.3f,"unit":"sec","trials":$trials,"code":"$stamp"$box,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

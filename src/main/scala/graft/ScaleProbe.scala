@@ -64,6 +64,13 @@ object ScaleProbe {
     * dropped. */
   private var preTimer: () => Unit = () => ()
 
+  /** INVARIANT: every probe must BUILD its frames inside its own time{}
+    * block — preTimer unpersists every persistent RDD before the timed
+    * region, and a localCheckpoint materialized outside the block is
+    * UNRECOVERABLE once dropped (truncated lineage): a probe that
+    * checkpoints during setup and counts inside time{} fails with a
+    * missing-block error, not a slow measurement. All current probes
+    * comply; keep it that way. */
   private def time(f: => Long): (Double, Long) = {
     preTimer()
     val t0 = System.nanoTime()
@@ -517,6 +524,16 @@ object ScaleProbe {
       // ~6·10⁵ images — the scaladoc bounds its range and q287 is the
       // scale path.)
       if (want("image_neardup_wide")) {
+      // replicated keys are doc_id·n + rep < (maxDoc+1)·n; past the
+      // planted-variant offset they'd COLLIDE with variant asset_ids
+      // and distort the true-pair count the linearity claim rests on —
+      // fail loudly instead of skewing the measurement
+      val maxDoc = Tables.documents(spark, sfDir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      require((maxDoc + 1) * n <= graft.multimodal.ImageNeardup.VariantOffset,
+        s"image_neardup_wide: replicated key range ${(maxDoc + 1) * n} " +
+          s"crosses VariantOffset ${graft.multimodal.ImageNeardup.VariantOffset}" +
+          s" at factor $n — shrink n or raise the offset")
       val (tIw, rIw) = time {
         val keys = replicateKeyed(
           Tables.documents(spark, sfDir).select(col("doc_id")),

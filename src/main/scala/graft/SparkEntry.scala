@@ -332,6 +332,12 @@ object SparkEntry {
       ((s, d) => graft.multimodal.ImageNeardup.imageNeardupApply(s, d)),
     "q287_image_neardup_wide" ->
       ((s, d) => graft.multimodal.ImageNeardup.imageNeardupWide(s, d)),
+    "q288_audio_neardup_pairs" ->
+      ((s, d) => graft.multimodal.AudioNeardup.audioNeardupPairs(s, d)),
+    "q289_audio_neardup_apply" ->
+      ((s, d) => graft.multimodal.AudioNeardup.audioNeardupApply(s, d)),
+    "q290_audio_neardup_wide" ->
+      ((s, d) => graft.multimodal.AudioNeardup.audioNeardupWide(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3678,5 +3684,14 @@ object SparkEntry {
     // the 256-bit scale-path hash: four HUGEINT words, summed bit_count
     "q287_image_neardup_wide" ->
       graft.multimodal.ImageNeardup.WideOracleSql,
+    // audio: PCM synth + Haitsma-Kalker band-energy sign bits rebuilt in
+    // SQL; the Spark side must match bit-for-bit through the full
+    // synth→WAV-encode→decode→fingerprint path on every clip
+    "q288_audio_neardup_pairs" ->
+      graft.multimodal.AudioNeardup.PairsOracleSql,
+    "q289_audio_neardup_apply" ->
+      graft.multimodal.AudioNeardup.ApplyOracleSql,
+    "q290_audio_neardup_wide" ->
+      graft.multimodal.AudioNeardup.WideOracleSql,
   )
 }

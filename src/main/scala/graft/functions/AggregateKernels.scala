@@ -779,14 +779,23 @@ object MomentBuffer {
   * see [[AggregateKernels.argMaxTieMinId]] for why this exists instead
   * of `max_by(id, struct(score, -id))`. Declarative with two flat
   * primitive buffer slots, so HashAggregateExec's mutable-buffer check
-  * passes and the plan never demotes to sort-based aggregation. The
-  * empty-group buffer evaluates to Long.MaxValue, but every caller
-  * aggregates a crossJoin/join stream where groups are non-empty by
-  * construction; null scores never replace the buffer (a null
-  * comparison is a false condition), matching max_by's skip-null. */
+  * passes and the plan never demotes to sort-based aggregation.
+  * Null handling (round 11, hardened per the round-10 advice): an input
+  * row with a null score OR a null id never replaces the buffer — the
+  * update condition is null-guarded, so a null id can never be written
+  * into the non-nullable long buffer slot (undefined for unsafe-row
+  * hash-agg buffers) — and a group with NO qualifying row evaluates to
+  * NULL (nullable = true), never the internal Long.MaxValue sentinel:
+  * the untouched buffer state (-Inf, MaxValue) is unreachable from any
+  * update (a (-Inf, MaxValue) input row fails both branches of the
+  * condition), so the sentinel test is exact, not heuristic. Current
+  * callers aggregate crossJoin/join streams whose groups are non-empty
+  * by construction and read the result as non-null; a future caller
+  * with a filtered or outer-joined input now gets null instead of a
+  * phantom id. */
 case class ArgMaxTieMinId(score: Expression, id: Expression)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
-  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThan, If, LessThan, Literal, Or}
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThan, If, IsNotNull, LessThan, Literal, Or}
 
   override def children: Seq[Expression] = Seq(score, id)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -796,7 +805,7 @@ case class ArgMaxTieMinId(score: Expression, id: Expression)
         s"$prettyName requires (double, bigint), got " +
           s"(${s.simpleString(10)}, ${i.simpleString(10)})")
     }
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "argmax_tie_min_id"
 
@@ -809,8 +818,13 @@ case class ArgMaxTieMinId(score: Expression, id: Expression)
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(Double.NegativeInfinity), Literal(Long.MaxValue))
   override lazy val updateExpressions: Seq[Expression] = {
-    val better = Or(GreaterThan(score, bScore),
-      And(EqualTo(score, bScore), LessThan(id, bId)))
+    // null-guard BOTH inputs: without it a null id with a strictly
+    // greater (non-null) score makes `better` TRUE and writes null
+    // into the non-nullable buffer slot — undefined behavior for
+    // unsafe-row hash-agg buffers
+    val better = And(And(IsNotNull(score), IsNotNull(id)),
+      Or(GreaterThan(score, bScore),
+        And(EqualTo(score, bScore), LessThan(id, bId))))
     Seq(If(better, score, bScore), If(better, id, bId))
   }
   override lazy val mergeExpressions: Seq[Expression] = {
@@ -820,7 +834,16 @@ case class ArgMaxTieMinId(score: Expression, id: Expression)
     Seq(If(better, bScore.right, bScore.left),
       If(better, bId.right, bId.left))
   }
-  override lazy val evaluateExpression: Expression = bId
+  // The untouched-buffer state is exactly (-Inf, MaxValue): any update
+  // leaves score > -Inf or id < MaxValue (a (-Inf, MaxValue) row fails
+  // GreaterThan(-Inf,-Inf) and LessThan(MaxValue,MaxValue)), and merge
+  // preserves reachability. A real selected row with score > -Inf and
+  // id = MaxValue yields (score, MaxValue) — condition false — so no
+  // qualifying row is ever misreported as empty.
+  override lazy val evaluateExpression: Expression =
+    If(And(EqualTo(bScore, Literal(Double.NegativeInfinity)),
+        EqualTo(bId, Literal(Long.MaxValue))),
+      Literal(null, LongType), bId)
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): ArgMaxTieMinId =

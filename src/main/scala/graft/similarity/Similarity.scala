@@ -203,7 +203,15 @@ object Similarity {
     * types, which silently demoted this aggregate to SortAggregateExec:
     * the n·|cents| crossJoin stream was SORTED per task with both
     * embedding arrays riding every row (the argMaxTieMinId scaladoc has
-    * the measured evidence). */
+    * the measured evidence).
+    *
+    * PRECONDITION: `vec_id` must be UNIQUE in v and v must be
+    * deterministic under re-evaluation (it is read twice: argmax input
+    * and emb join-back). Every caller feeds a parquet/checkpoint-backed
+    * frame keyed by a primary id; a duplicate-keyed input would
+    * multiply join-back rows where the old groupBy+first collapsed
+    * them. Same contract at pqAssign ((vec_id, m) unique) and
+    * semdedup's assignTo. */
   def nearestCentroid(s: SparkSession, v: DataFrame, cents: DataFrame)
       : DataFrame =
     v.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -336,7 +344,8 @@ object Similarity {
     // hash-aggregated argmax + sv join-back (round 10): max_by(struct)
     // + first(array) buffers demote to SortAggregateExec and sort the
     // |subvectors|·|codes| stream per task — argMaxTieMinId's scaladoc
-    // has the measured evidence
+    // has the measured evidence. PRECONDITION (nearestCentroid scaladoc):
+    // (vec_id, m) unique in sub and sub deterministic — it is read twice
     sub.join(broadcast(c2), Seq("m"))
       .withColumn("score", dot(col("sv"), col("cv")) - col("halfn"))
       .groupBy(col("vec_id"), col("m"))
@@ -953,7 +962,9 @@ object Similarity {
     // emb re-attached by a narrow equi-join; the prior max_by(struct)
     // + first(array) form demoted to SortAggregateExec and sorted the
     // whole n·seeds crossJoin stream, which the ×128 mega-cluster
-    // probe caught thrashing in sorter page allocation.
+    // probe caught thrashing in sorter page allocation. PRECONDITION
+    // (nearestCentroid scaladoc): vec_id unique in v, v deterministic —
+    // v is a checkpointed projection of the embeddings table here.
     def assignTo(cents: DataFrame): DataFrame = v
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .crossJoin(broadcast(cents))

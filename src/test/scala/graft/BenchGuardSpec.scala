@@ -310,4 +310,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(s1.isDefined && s1 === s2)
     assert(BenchGuard.codeStamp("/no/such/dir").isEmpty)
   }
+
+  test("boxIndex is the median ratio to best-known: uniform slowdown " +
+      "reads as the box, outlier regressions don't move it") {
+    val best = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 4.0, "q4" -> 0.5,
+      "q5" -> 3.0)
+    // a uniformly 1.6× slower box → index 1.6 exactly
+    val uniform = best.toSeq.map { case (n, b) => (n, b * 1.6) }
+    assert(math.abs(BenchGuard.boxIndex(uniform, best).get - 1.6) < 1e-9)
+    // one 10× regression on a quiet box → median stays ~1, not 10
+    val oneBad = Seq(("q1", 1.0), ("q2", 2.1), ("q3", 40.0), ("q4", 0.5),
+      ("q5", 2.9))
+    assert(BenchGuard.boxIndex(oneBad, best).get < 1.1)
+    // failed queries (t<0) and no-history queries are excluded; all
+    // excluded → None
+    assert(BenchGuard.boxIndex(Seq(("q1", -1.0), ("qX", 5.0)), best).isEmpty)
+  }
 }

@@ -255,4 +255,44 @@ class AggregateKernelSpec extends SparkTestBase {
         s"mixed=${mixed.map(_.length).mkString(",")} parts=$parts")
     }
   }
+
+  test("argmax_tie_min_id equals max_by(id, struct(score, -id)) and is " +
+      "partitioning-invariant") {
+    for (parts <- Seq(1, 7)) {
+      val rows = scored.repartition(parts)
+      val viaMaxBy = rows.groupBy(col("query_id"))
+        .agg(expr("max_by(vec_id, struct(sim, -vec_id))").as("best"))
+        .as[(Long, Long)].collect().toMap
+      val viaKernel = rows.groupBy(col("query_id"))
+        .agg(AggregateKernels.argMaxTieMinId(col("sim"), col("vec_id"))
+          .as("best"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaKernel === viaMaxBy, s"parts=$parts")
+    }
+  }
+
+  test("argmax_tie_min_id skips null score/id rows and evaluates an " +
+      "empty group to null, never the internal sentinel") {
+    // (group, score, id): g=1 mixes null ids/scores with real rows;
+    // g=2 has ONLY null-id rows (empty group after the skip); g=3's
+    // single qualifying row carries score -Inf (still a real row)
+    val df = Seq[(Int, Option[Double], Option[Long])](
+      (1, Some(5.0), None),                     // best score but null id
+      (1, Some(3.0), Some(30L)), (1, Some(3.0), Some(10L)),
+      (1, None, Some(1L)),                      // null score
+      (2, Some(9.0), None), (2, None, Some(7L)),
+      (3, Some(Double.NegativeInfinity), Some(42L))
+    ).toDF("g", "score", "id")
+    for (parts <- Seq(1, 5)) {
+      val got = df.repartition(parts).groupBy(col("g"))
+        .agg(AggregateKernels.argMaxTieMinId(col("score"), col("id"))
+          .as("best"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got === Map(1 -> Some(10L), 2 -> None, 3 -> Some(42L)),
+        s"parts=$parts")
+      assert(!got.values.flatten.exists(_ == Long.MaxValue))
+    }
+  }
 }
