@@ -547,6 +547,34 @@ object ScaleProbe {
       results += (("image_neardup_wide", n, tIw, rIw))
       }
 
+      // wide (256-bit) audio near-dup (round 11, q290 production path):
+      // same design as image_neardup_wide one modality over — replicated
+      // keys synthesize ×n distinct PCM clips (per-chunk md5 samples →
+      // fingerprints uniform), variants planted every 20th key so TRUE
+      // pairs grow linearly; 32-bit bands keep bucket occupancy ≈ 0 at
+      // any committed scale, so cost must track the synth→encode→
+      // decode→fingerprint scan. (The compact 64-bit fingerprint is NOT
+      // probed at scale — same 16-bit-band bound as the compact image
+      // hash, documented in the scaladoc; q290 is the scale path.)
+      if (want("audio_neardup_wide")) {
+      val maxDocA = Tables.documents(spark, sfDir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      require((maxDocA + 1) * n <= graft.multimodal.ImageNeardup.VariantOffset,
+        s"audio_neardup_wide: replicated key range ${(maxDocA + 1) * n} " +
+          s"crosses VariantOffset at factor $n")
+      val (tAw, rAw) = time {
+        val keys = replicateKeyed(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", n)
+        graft.multimodal.ImageNeardup.neardupPairsWide(
+          graft.multimodal.AudioNeardup.fingerprintsWide(
+            graft.multimodal.AudioNeardup.audioCorpusDf(keys, spark,
+              graft.multimodal.AudioNeardup.WideFrames,
+              graft.multimodal.AudioNeardup.WideBands), spark)).count()
+      }
+      results += (("audio_neardup_wide", n, tAw, rAw))
+      }
+
       // shingle-containment prefix filter (round 8, q240 production
       // path): disjoint replica namespaces keep true containment pairs
       // linear, and a planted boilerplate header puts corpus-wide HOT

@@ -106,8 +106,12 @@ object AudioNeardup {
       .select((col("doc_id") + lit(ImageNeardup.VariantOffset)).as("key"),
         col("doc_id").as("seed"),
         ((col("doc_id") % frames) * bands + (bands - 1)).cast("int").as("pb"))
+    // width-pinned exchange — see ImageNeardup.imageCorpusDf: a
+    // count-less repartition(col) lets AQE coalesce the skinny
+    // pre-synth triples into one partition and serialize the
+    // compute-bound synth→encode→decode→fingerprint stage
     base.unionByName(variants)
-      .repartition(col("key"))
+      .repartition(s.sparkContext.defaultParallelism, col("key"))
       .as[(Long, Long, Int)]
       .mapPartitions(_.map { case (key, seed, pb) =>
         val wav = WavCodec.Wav(SampleRate, 1, pcm(seed, pb, n))

@@ -39,8 +39,10 @@ import graft.operators.Tables
   * image×image in either operator.
   *
   * The contract corpus ([[imageCorpus]]) renders one deterministic 9×8
-  * grayscale image per document (md5-seeded luma with a full-index mix
-  * so hashes don't tile — see [[lumaGrid]]) through a codec arm picked
+  * grayscale image per document (md5-seeded luma, one independent
+  * digest per 16-cell chunk — [[lumaGrid]]'s scaladoc has the measured
+  * reason the cheaper tiled-digest + ramp recipe was replaced in round
+  * 11) through a codec arm picked
   * by key % 3 (BMP/PNG/GIF — the lossless arms, so the decoded grid is
   * bit-exact), and plants a near-dup variant for every 20th document at
   * key + 10⁷ (the q284 alias-key pattern) with ONE luma cell perturbed —
@@ -68,24 +70,37 @@ object ImageNeardup {
       mime: String)
   final case class HashedAsset(asset_id: Long, dhash: Long)
 
-  /** Deterministic 72-cell luma grid for a seed key: cell i holds
-    * (md5(seed)[i mod 16] + 31·i) mod 256. The +31·i full-index mix
-    * matters: without it the 16 digest bytes tile, the 64 dHash bits
-    * collapse onto 16 independent comparisons, and accidental
-    * hash-identical pairs appear at n²/2¹⁶ — quadratic output at
-    * replica scale. With the mix the bits decorrelate across the tile
-    * period and accidental collisions vanish at any committed scale.
-    * `perturb` ≥ 0 adds 128 (mod 256) to that one cell — the planted
-    * near-dup edit, touching at most 2 comparison bits. */
+  /** Deterministic luma grid for a seed key: cell i holds byte (i mod
+    * 16) of md5(seed ++ "_" ++ i/16) — one INDEPENDENT digest per
+    * 16-cell chunk. Round 11, forced by the first recorded
+    * `image_neardup_wide` ScaleProbe rows (21.4 s ×16 → 588 s ×64, 27×
+    * for 4× data): the previous single-digest + 31·i ramp recipe made
+    * dHash bits CORRELATED ACROSS SEEDS — on the 17-wide grid, bit
+    * (x, y) and bit (x−1, y+1) compare the SAME digest-byte pair
+    * (17 ≡ 1 mod 16, the ramp only shifts both sides by a constant), so
+    * a band's 32 bits carried far less than 32 bits of entropy and the
+    * banded join's accidental-candidate volume was measured QUADRATIC:
+    * 288 k candidate pairs at 88 k images → 4.58 M at 352 k (16× for
+    * 4×, max bucket 103 where uniform hashing expects ~1). Per-chunk
+    * digests remove the shared structure: same simulation, 145 → 2 337
+    * accidental candidates (max bucket 3) — linear. The defect was in
+    * this CORPUS GENERATOR, not the operator: the banded join is
+    * agnostic to how hashes were produced, but the probe measures it on
+    * this corpus, and the corpus's intent is unique decorrelated
+    * images. `perturb` ≥ 0 adds 128 (mod 256) to that one cell — the
+    * planted near-dup edit, touching at most 2 comparison bits (both
+    * geometries re-verified under the new grid). */
   private[multimodal] def lumaGrid(seed: Long, perturb: Int): Array[Int] =
     lumaGridN(seed, perturb, GridW * GridH)
 
   private[multimodal] def lumaGridN(seed: Long, perturb: Int,
       cells: Int): Array[Int] = {
-    val dig = MessageDigest.getInstance("MD5")
-      .digest(seed.toString.getBytes("UTF-8"))
+    val md = MessageDigest.getInstance("MD5")
+    var dig: Array[Byte] = null
     val p = Array.tabulate(cells) { i =>
-      ((dig(i % 16) & 0xff) + 31 * i) % 256
+      if (i % 16 == 0)
+        dig = md.digest(s"${seed}_${i / 16}".getBytes("UTF-8"))
+      dig(i % 16) & 0xff
     }
     if (perturb >= 0) p(perturb) = (p(perturb) + 128) % 256
     p
@@ -137,8 +152,16 @@ object ImageNeardup {
       .select((col("doc_id") + lit(VariantOffset)).as("key"),
         col("doc_id").as("seed"),
         (col("doc_id") % (w * h)).cast("int").as("pi"))
+    // WIDTH-PINNED exchange (round 11, the q259 lesson recurring): the
+    // pre-render rows are skinny (key, seed, pi) triples — a count-less
+    // repartition(col) lets AQE coalesce them BY SIZE into one
+    // partition, serializing the compute-bound render→decode→hash
+    // pipeline that follows in the same stage on a single core (the
+    // first image_neardup_wide ScaleProbe rows measured exactly this:
+    // ~890 s at ×64 where the parallel plan takes ~1/30th). An explicit
+    // partition count pins the exchange width against AQE.
     base.unionByName(variants)
-      .repartition(col("key"))
+      .repartition(s.sparkContext.defaultParallelism, col("key"))
       .as[(Long, Long, Int)]
       .mapPartitions(_.map { case (key, seed, pi) =>
         val (bytes, mime) = renderImage(key, seed, pi, w, h)
@@ -253,7 +276,17 @@ object ImageNeardup {
       col("asset_id").as("asset_a"), col("dwords").as("wa"))
     val b = banded.select(col("band"), col("bandkey"),
       col("asset_id").as("asset_b"), col("dwords").as("wb"))
-    a.join(b, Seq("band", "bandkey"))
+    // SHUFFLE_HASH, never broadcast (round 11): both sides are the
+    // corpus-derived band table hidden behind MapPartitions, whose size
+    // Catalyst estimates from the tiny pre-render child — at ×64 probe
+    // scale the optimizer auto-broadcast a 2.8M-row / ~230 MB side
+    // (driver collect of the ENTIRE rendered corpus + a single-threaded
+    // hashed-relation build; stage profile measured the join side at
+    // 75× the render's CPU). At 100 TB that plan is a driver OOM. The
+    // hint pins the scale-correct plan: co-partition both sides on
+    // (band, bandkey), build per-partition hash maps.
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"),
+        Seq("band", "bandkey"))
       .filter(col("asset_a") < col("asset_b"))
       .select(col("asset_a"), col("asset_b"), col("wa"), col("wb"))
       .distinct()
@@ -303,7 +336,11 @@ object ImageNeardup {
       col("asset_id").as("asset_a"), col("dhash").as("ha"))
     val b = banded.select(col("band"), col("bandkey"),
       col("asset_id").as("asset_b"), col("dhash").as("hb"))
-    a.join(b, Seq("band", "bandkey"))
+    // SHUFFLE_HASH, never broadcast — see neardupPairsWide: the band
+    // table's size is opaque to Catalyst behind MapPartitions and the
+    // auto-broadcast plan collects the whole corpus to the driver
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"),
+        Seq("band", "bandkey"))
       .filter(col("asset_a") < col("asset_b"))
       .select(col("asset_a"), col("asset_b"), col("ha"), col("hb"))
       .distinct() // a pair may collide in several bands; ha/hb are id-functional
@@ -358,11 +395,12 @@ object ImageNeardup {
       "px AS (SELECT key, x, y, " +
       "CASE WHEN x + 9*y = pi THEN (b0 + 128) % 256 ELSE b0 END AS p FROM (" +
       "SELECT key, pi, x, y, " +
-      "((strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
+      "(strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) " +
+      "|| '_' || CAST((x + 9*y) // 16 AS VARCHAR)), " +
       "2*((x + 9*y) % 16) + 1, 1)) - 1) * 16 " +
-      "+ strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
-      "2*((x + 9*y) % 16) + 2, 1)) - 1 " +
-      "+ 31*(x + 9*y)) % 256 AS b0 " +
+      "+ strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) " +
+      "|| '_' || CAST((x + 9*y) // 16 AS VARCHAR)), " +
+      "2*((x + 9*y) % 16) + 2, 1)) - 1 AS b0 " +
       "FROM ks, range(0, 9) tx(x), range(0, 8) ty(y))), " +
       "h AS (SELECT l.key, " +
       "bit_or(CASE WHEN r.p > l.p THEN 1::HUGEINT << CAST(l.y*8 + l.x AS INT) " +
@@ -388,11 +426,12 @@ object ImageNeardup {
       "px AS (SELECT key, x, y, " +
       "CASE WHEN x + 17*y = pi THEN (b0 + 128) % 256 ELSE b0 END AS p FROM (" +
       "SELECT key, pi, x, y, " +
-      "((strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
+      "(strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) " +
+      "|| '_' || CAST((x + 17*y) // 16 AS VARCHAR)), " +
       "2*((x + 17*y) % 16) + 1, 1)) - 1) * 16 " +
-      "+ strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR)), " +
-      "2*((x + 17*y) % 16) + 2, 1)) - 1 " +
-      "+ 31*(x + 17*y)) % 256 AS b0 " +
+      "+ strpos('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) " +
+      "|| '_' || CAST((x + 17*y) // 16 AS VARCHAR)), " +
+      "2*((x + 17*y) % 16) + 2, 1)) - 1 AS b0 " +
       "FROM ks, range(0, 17) tx(x), range(0, 16) ty(y))), " +
       "h AS (SELECT l.key, " +
       (0 until 4).map { w =>
