@@ -39,7 +39,12 @@ object MiniBench {
     // round 10 appends: the extracted fuzzy kernel's second caller and
     // the new image near-dup family — the current drift-sensitive surface
     "q284_fuzzy_phone_linkage", "q285_image_neardup_pairs",
-    "q286_image_neardup_apply", "q287_image_neardup_wide")
+    "q286_image_neardup_apply", "q287_image_neardup_wide",
+    // round 11 appends: the audio and video near-dup families — the
+    // near-dup panel now spans text, embeddings, images, audio, video
+    "q288_audio_neardup_pairs", "q289_audio_neardup_apply",
+    "q290_audio_neardup_wide", "q291_video_neardup_pairs",
+    "q292_video_neardup_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

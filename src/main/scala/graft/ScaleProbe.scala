@@ -575,6 +575,28 @@ object ScaleProbe {
       results += (("audio_neardup_wide", n, tAw, rAw))
       }
 
+      // video near-dup (round 11, q291 production path): 4-frame
+      // containers, per-frame dHash, 256-bit temporal stack through the
+      // same 8×32-bit banded join — cost must track the 4×-image
+      // render+decode scan; true pairs linear via the same every-20th
+      // planting
+      if (want("video_neardup")) {
+      val maxDocV = Tables.documents(spark, sfDir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      require((maxDocV + 1) * n <= graft.multimodal.ImageNeardup.VariantOffset,
+        s"video_neardup: replicated key range crosses VariantOffset at $n")
+      val (tVd, rVd) = time {
+        val keys = replicateKeyed(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", n)
+        graft.multimodal.ImageNeardup.neardupPairsWide(
+          graft.multimodal.VideoNeardup.fingerprints(
+            graft.multimodal.VideoNeardup.videoCorpusDf(keys, spark), spark),
+          graft.multimodal.VideoNeardup.MaxHamming).count()
+      }
+      results += (("video_neardup", n, tVd, rVd))
+      }
+
       // shingle-containment prefix filter (round 8, q240 production
       // path): disjoint replica namespaces keep true containment pairs
       // linear, and a planted boilerplate header puts corpus-wide HOT

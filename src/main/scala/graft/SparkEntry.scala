@@ -338,6 +338,10 @@ object SparkEntry {
       ((s, d) => graft.multimodal.AudioNeardup.audioNeardupApply(s, d)),
     "q290_audio_neardup_wide" ->
       ((s, d) => graft.multimodal.AudioNeardup.audioNeardupWide(s, d)),
+    "q291_video_neardup_pairs" ->
+      ((s, d) => graft.multimodal.VideoNeardup.videoNeardupPairs(s, d)),
+    "q292_video_neardup_apply" ->
+      ((s, d) => graft.multimodal.VideoNeardup.videoNeardupApply(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3693,5 +3697,12 @@ object SparkEntry {
       graft.multimodal.AudioNeardup.ApplyOracleSql,
     "q290_audio_neardup_wide" ->
       graft.multimodal.AudioNeardup.WideOracleSql,
+    // video: per-(doc,frame) md5 luma grids rebuilt in SQL, per-frame
+    // dHash words brute-forced; the Spark side must match bit-for-bit
+    // through render→frame-encode→container→decode→hash on every arm
+    "q291_video_neardup_pairs" ->
+      graft.multimodal.VideoNeardup.PairsOracleSql,
+    "q292_video_neardup_apply" ->
+      graft.multimodal.VideoNeardup.ApplyOracleSql,
   )
 }

@@ -354,14 +354,22 @@ object ImageNeardup {
     * keep/drop verdict (keep iff no neighbor with a smaller id — the
     * min-id survivor rule of the text dedup family). */
   def neardupApply(hashes: DataFrame, maxHamming: Int = DefaultMaxHamming)
+      : DataFrame =
+    neardupApplyFromPairs(hashes.select(col("asset_id")),
+      neardupPairs(hashes, maxHamming))
+
+  /** The apply verdict from ANY (asset_a, asset_b) pair frame — shared
+    * by the compact/wide image forms and the audio/video members that
+    * compose this family's pair operators (round 11). */
+  def neardupApplyFromPairs(assetIds: DataFrame, pairFrame: DataFrame)
       : DataFrame = {
-    val pairs = neardupPairs(hashes, maxHamming)
+    val pairs = pairFrame
       .localCheckpoint() // both direction projections read it
     val nb = pairs.select(col("asset_a").as("asset_id"),
         col("asset_b").as("nb"))
       .unionByName(pairs.select(col("asset_b").as("asset_id"),
         col("asset_a").as("nb")))
-    hashes.select(col("asset_id"))
+    assetIds.select(col("asset_id"))
       .join(nb, Seq("asset_id"), "left_outer")
       .groupBy(col("asset_id"))
       .agg(count(col("nb")).as("n_neardups"),

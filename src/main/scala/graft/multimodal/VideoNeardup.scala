@@ -1,0 +1,206 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Video near-duplicate detection — the temporal member of the near-dup
+  * family (text q27/q83, embeddings q29, images q285-q287, audio
+  * q288-q290): a video is a frame sequence; its fingerprint is the
+  * TEMPORAL STACK of per-frame 64-bit dHashes — 4 frames × 64 bits =
+  * one 256-bit code, the frame-level-hash + temporal-aggregation shape
+  * of Facebook's public PDQ/TMK video-similarity stack — and the join
+  * is [[ImageNeardup.neardupPairsWide]] UNCHANGED (8 × 32-bit
+  * pigeonhole bands at maxHamming 7, each band one half of one frame's
+  * hash). Two videos are near-dups when their aligned frames differ by
+  * ≤ 7 comparison bits in total: pigeonhole-exact, never video×video,
+  * and every component is already spec/oracle-proven.
+  *
+  * Container: there is no multi-frame codec in the pure-JVM family, so
+  * videos ship in a minimal length-prefixed container ("GVID" magic,
+  * u32 frame count, then u32-length-prefixed encoded frames — each
+  * frame an ordinary BMP/PNG/GIF payload decoded by
+  * [[Multimodal.decodeAny]]). [[decodeVideo]] returns None on any
+  * malformed input (the codec-family contract: callers drop, never
+  * throw).
+  *
+  * The contract corpus ([[videoCorpus]]): one 4-frame video per
+  * document; frame f renders the [[ImageNeardup.lumaGridN]] grid for
+  * seed doc_id·4+f (per-(doc,frame) independent grids — seed spaces
+  * disjoint across docs) through codec arm (doc_id+f) mod 3, so every
+  * video exercises all three lossless arms. Every 20th document plants
+  * a variant at doc_id + 10⁷ with ONE cell of ONE frame perturbed
+  * (frame doc_id mod 4, cell doc_id mod 72) — ≤ 2 bits of the 256-bit
+  * stack, always within maxHamming 7. The DuckDB oracle rebuilds the
+  * per-frame grids from the same md5 arithmetic and brute-forces pairs
+  * over four HUGEINT words; the Spark side goes the long way —
+  * render → encode frames → container → decode container → decode
+  * frames → luma → hash — so a regression in the container OR any
+  * codec arm diverges the hashes and fails the driver gate. */
+object VideoNeardup {
+
+  val FrameCount = 4
+  val MaxHamming = ImageNeardup.WideMaxHamming // 7
+
+  final case class VideoAsset(asset_id: Long, media: Array[Byte],
+      mime: String)
+
+  /** Minimal deterministic container: "GVID" + u32 n + n × (u32 len,
+    * frame bytes). Little-endian, like the WAV codec. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("GVID".getBytes("US-ASCII"))
+    w32(frames.length)
+    frames.foreach { f => w32(f.length); out.write(f) }
+    out.toByteArray
+  }
+
+  def decodeVideo(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    try {
+      if (b.length < 8 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' ||
+        b(3) != 'D') return None
+      def u32(off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      val n = u32(4)
+      if (n < 0 || n > 65536) return None
+      var pos = 8
+      val frames = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < n) {
+        if (pos + 4 > b.length) return None
+        val len = u32(pos)
+        if (len < 0 || pos + 4 + len > b.length) return None
+        frames += java.util.Arrays.copyOfRange(b, pos + 4, pos + 4 + len)
+        pos += 4 + len
+        i += 1
+      }
+      Some(frames.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** Render one video: frame f = the 9×8 luma grid of seed
+    * key·4+f (perturbed at `pi` when f == pf), encoded through codec
+    * arm (key+f) mod 3. */
+  private def renderVideo(key: Long, seed: Long, pf: Int,
+      pi: Int): Array[Byte] =
+    encodeVideo((0 until FrameCount).map { f =>
+      ImageNeardup.renderImage(key + f, seed * FrameCount + f,
+        if (f == pf) pi else -1)._1
+    })
+
+  /** The deterministic video corpus over the documents table. Planted
+    * variant for every 20th doc at doc_id + 10⁷: frame doc_id mod 4,
+    * cell doc_id mod 72 perturbed. Width-pinned exchange before the
+    * compute-bound render (the round-11 corpus lesson). */
+  def videoCorpusDf(docs: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = docs.select(col("doc_id").as("key"),
+      col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
+    val variants = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(ImageNeardup.VariantOffset)).as("key"),
+        col("doc_id").as("seed"),
+        (col("doc_id") % FrameCount).cast("int").as("pf"),
+        (col("doc_id") % (ImageNeardup.GridW * ImageNeardup.GridH))
+          .cast("int").as("pi"))
+    base.unionByName(variants)
+      .repartition(s.sparkContext.defaultParallelism, col("key"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (key, seed, pf, pi) =>
+        VideoAsset(key, renderVideo(key, seed, pf, pi), "video/x-gvid")
+      })
+      .toDF()
+  }
+
+  def videoCorpus(s: SparkSession, d: String): DataFrame =
+    videoCorpusDf(Tables.documents(s, d).select(col("doc_id")), s)
+
+  /** 256-bit temporal fingerprint: decode container, dHash each of the
+    * 4 frames ([[ImageNeardup.dhashOf]] — any codec arm), stack as
+    * 4 longs. None unless the container holds exactly [[FrameCount]]
+    * decodable frames. */
+  def fingerprintOf(media: Array[Byte]): Option[Array[Long]] =
+    decodeVideo(media).filter(_.length == FrameCount).flatMap { frames =>
+      val hs = frames.flatMap(ImageNeardup.dhashOf)
+      if (hs.length == FrameCount) Some(hs.toArray) else None
+    }
+
+  /** Decode + fingerprint as per-partition map work: (asset_id, dwords
+    * array<long>[4]) — the wide band machinery applies unchanged. */
+  def fingerprints(assets: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    assets.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, media) =>
+        fingerprintOf(media).map((id, _))
+      })
+      .toDF("asset_id", "dwords")
+  }
+
+  /** q291: corpus render → container decode → per-frame hash → stacked
+    * 256-bit banded exact pair join. */
+  def videoNeardupPairs(s: SparkSession, d: String): DataFrame =
+    ImageNeardup.neardupPairsWide(fingerprints(videoCorpus(s, d), s),
+      MaxHamming)
+
+  /** q292: the apply form (per-video near-dup degree + min-id-survivor
+    * keep verdict) over the same corpus. */
+  def videoNeardupApply(s: SparkSession, d: String): DataFrame = {
+    val fps = fingerprints(videoCorpus(s, d), s).localCheckpoint()
+    ImageNeardup.neardupApplyFromPairs(fps.select(col("asset_id")),
+      ImageNeardup.neardupPairsWide(fps, MaxHamming))
+  }
+
+  /** DuckDB mirror: per (doc, frame) the [[ImageNeardup]] grid with
+    * seed doc·4+f (per-chunk md5), dHash bits packed per frame into one
+    * HUGEINT word each, hamming = the summed per-word bit_count of the
+    * xor, brute-forced over all key pairs. */
+  private val OracleGrid: String =
+    "WITH ks AS (SELECT doc_id AS key, doc_id AS seed, -1 AS pf, -1 AS pi " +
+      "FROM documents " +
+      "UNION ALL SELECT doc_id + 10000000, doc_id, " +
+      s"CAST(doc_id % $FrameCount AS INT), CAST(doc_id % 72 AS INT) " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
+      "px AS (SELECT key, f, x, y, " +
+      "CASE WHEN f = pf AND x + 9*y = pi THEN (b0 + 128) % 256 ELSE b0 END AS p " +
+      "FROM (SELECT key, pf, pi, f, x, y, " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST(seed*$FrameCount + f AS VARCHAR) " +
+      "|| '_' || CAST((x + 9*y) // 16 AS VARCHAR)), " +
+      "2*((x + 9*y) % 16) + 1, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr(md5(CAST(seed*$FrameCount + f AS VARCHAR) " +
+      "|| '_' || CAST((x + 9*y) // 16 AS VARCHAR)), " +
+      "2*((x + 9*y) % 16) + 2, 1)) - 1 AS b0 " +
+      s"FROM ks, range(0, $FrameCount) tf(f), range(0, 9) tx(x), " +
+      "range(0, 8) ty(y))), " +
+      "h AS (SELECT l.key, " +
+      (0 until FrameCount).map { f =>
+        s"bit_or(CASE WHEN l.f = $f AND r.p > l.p " +
+          "THEN 1::HUGEINT << CAST(l.y*8 + l.x AS INT) " +
+          s"ELSE 0::HUGEINT END) AS w$f"
+      }.mkString(", ") +
+      " FROM px l JOIN px r ON r.key = l.key AND r.f = l.f " +
+      "AND r.y = l.y AND r.x = l.x + 1 GROUP BY l.key)"
+
+  private val Ham: String = (0 until FrameCount)
+    .map(f => s"CAST(bit_count(xor(a.w$f, b.w$f)) AS INT)")
+    .mkString(" + ")
+
+  val PairsOracleSql: String = OracleGrid +
+    s" SELECT a.key AS asset_a, b.key AS asset_b, $Ham AS hamming " +
+    s"FROM h a JOIN h b ON a.key < b.key WHERE $Ham <= $MaxHamming"
+
+  val ApplyOracleSql: String = OracleGrid +
+    s", pr AS (SELECT a.key AS ka, b.key AS kb FROM h a JOIN h b " +
+    s"ON a.key < b.key WHERE $Ham <= $MaxHamming), " +
+    "nb AS (SELECT ka AS id, kb AS nb FROM pr UNION ALL SELECT kb, ka FROM pr) " +
+    "SELECT k.key AS asset_id, count(nb.nb) AS n_neardups, " +
+    "count(CASE WHEN nb.nb < k.key THEN 1 END) = 0 AS keep " +
+    "FROM ks k LEFT JOIN nb ON nb.id = k.key GROUP BY k.key"
+}
