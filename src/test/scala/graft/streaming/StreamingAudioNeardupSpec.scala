@@ -67,6 +67,59 @@ class StreamingAudioNeardupSpec extends SparkTestBase {
     assert(hams(100L) >= 1 && hams(100L) <= 3)
   }
 
+  test("checkpointed restart is exactly-once: each arriving clip's " +
+      "matches land once, an idle restart adds nothing, and the final " +
+      "output equals the batch probe row-for-row") {
+    def tmpDir(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmpDir("audnear-src"); val out = tmpDir("audnear-out")
+    val ckpt = tmpDir("audnear-ckpt")
+    val registry = AudioNeardup.fingerprints(Seq(
+      (1L, wav(0L)), (2L, wav(31337L))
+    ).toDF("asset_id", "media"), spark).localCheckpoint()
+    val arriving = Seq(
+      (100L, wav(0L, nearPb)),
+      (101L, wav(12345L)),
+      (102L, wav(0L)))
+    def run(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = StreamingAudioNeardup.matches(stream, registry, spark)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+    // the parquet file source wants FLAT data files: stage each batch,
+    // then drop its part file into the watched dir
+    def addFile(rows: Seq[(Long, Array[Byte])], name: String): Unit = {
+      val stage = tmpDir("audnear-stage")
+      rows.toDF("asset_id", "media")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    addFile(arriving.take(2), "f1.parquet")
+    run() // processes file 1
+    addFile(arriving.drop(2), "f2.parquet")
+    run() // restart from the checkpoint: only file 2 is new
+    val afterTwo = spark.read.parquet(out)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    run() // restart with nothing new: must be a no-op
+    val afterThree = spark.read.parquet(out)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(afterThree === afterTwo, "an idle restart must add no rows")
+    val batch = StreamingAudioNeardup.matches(
+        arriving.toDF("asset_id", "media"), registry, spark)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(afterTwo === batch,
+      "restarted stream equals batch row-for-row (per-band multiset)")
+  }
+
   test("the streaming probe plan is stateless (no state store nodes)") {
     val input = MemoryStream[(Long, Array[Byte])](spark)
     val registry = AudioNeardup.fingerprints(Seq(
