@@ -215,8 +215,13 @@ object Bench {
 
     // stdout line → slowest-first entries until the char budget is hit,
     // remainder folded into "other"; must fit the driver's 2000-char tail
-    // together with sbt's trailing "[success] …" line.
-    val budget = 1500
+    // together with sbt's trailing "[success] …" line. Flag NAMES ride
+    // the line (round-12 verdict item 2 — the stderr tail truncates in
+    // the driver artifact and the count alone isn't self-contained),
+    // budget-capped by BenchGuard.flagsJson and deducted from the
+    // queries budget so the total line length stays bounded.
+    val flagsJs = BenchGuard.flagsJson(over2x.toSeq)
+    val budget = 1500 - flagsJs.length
     val bySlow = results.filter(_._2 >= 0).sortBy(-_._2)
     val kept = {
       var used = 0
@@ -230,7 +235,7 @@ object Bench {
     val qs = (kept.map((entry _).tupled) :+ entry("other", other))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"adjudicated":${adjudicatedFinal.size},"retried_clear":${retriedClear.size},"retry_sec":$retrySec%.3f$boxJs,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"flags":$flagsJs,"adjudicated":${adjudicatedFinal.size},"retried_clear":${retriedClear.size},"retry_sec":$retrySec%.3f$boxJs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -254,7 +254,33 @@ object BenchGuard {
       case (n, t) if t > 0 && best.get(n).exists(_ > 0) => t / best(n)
     }.sorted
     if (ratios.isEmpty) None
-    else Some(ratios(ratios.size / 2))
+    // true median: even-sized panels average the two middle elements —
+    // taking only ratios(size/2) biased the index slightly upward on
+    // small even query sets (round-11 advice)
+    else if (ratios.size % 2 == 1) Some(ratios(ratios.size / 2))
+    else Some((ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+  }
+
+  /** Render flag NAMES as a JSON string array capped at `budget`
+    * characters (round-12, verdict item 2): the driver parses the
+    * one-line stdout artifact out of a 2000-char tail, and round 11's
+    * 7th flag name survived only in bench_full.json because the line
+    * carried just the count. Names emit in order until the budget is
+    * hit; the remainder folds into a final "+N more" element, so the
+    * primary artifact is self-contained for realistic flag counts yet
+    * bounded under a pathology run's 70 flags (bench_full.json always
+    * carries the complete set). */
+  def flagsJson(names: Seq[String], budget: Int = 400): String = {
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    var rest = 0
+    names.foreach { n =>
+      if (rest == 0 && used + n.length + 3 <= budget) {
+        kept += "\"" + n + "\""; used += n.length + 3
+      } else rest += 1
+    }
+    if (rest > 0) kept += "\"+" + rest + " more\""
+    kept.mkString("[", ",", "]")
   }
 
   /** [[violations]] with the current run's output row counts: a query

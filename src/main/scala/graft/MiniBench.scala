@@ -44,7 +44,21 @@ object MiniBench {
     // near-dup panel now spans text, embeddings, images, audio, video
     "q288_audio_neardup_pairs", "q289_audio_neardup_apply",
     "q290_audio_neardup_wide", "q291_video_neardup_pairs",
-    "q292_video_neardup_apply")
+    "q292_video_neardup_apply",
+    // round 12 appends — the ADJUDICATION ANNEX (verdict items 1+7):
+    // the seven queries the round-11 driver bench flagged over the 2×
+    // ratchet with NO MiniBench history to adjudicate against
+    // (over2x:7, adjudicated:0 — the evidence machinery existed but
+    // these had no isolated recordings), plus the five non-panel
+    // retried-clear repeat offenders from the same run. On the panel
+    // they accumulate isolated 3-trial minimums every round, so a
+    // future in-sequence flag self-discharges through
+    // BenchGuard.adjudicateStamped instead of dangling as an open claim
+    "q110_recursive_chain", "q139_knn_triangles", "q247_tpch_q16",
+    "q263_ccnet_buckets", "q276_vocab_coverage", "q277_dsir_ess",
+    "q278_snapshot_neardup",
+    "q69_contamination", "q86_pagerank", "q97_scd2_merge",
+    "q98_bfs_reach", "q251_heaps_law")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -785,17 +785,19 @@ object MomentBuffer {
   * update condition is null-guarded, so a null id can never be written
   * into the non-nullable long buffer slot (undefined for unsafe-row
   * hash-agg buffers) — and a group with NO qualifying row evaluates to
-  * NULL (nullable = true), never the internal Long.MaxValue sentinel:
-  * the untouched buffer state (-Inf, MaxValue) is unreachable from any
-  * update (a (-Inf, MaxValue) input row fails both branches of the
-  * condition), so the sentinel test is exact, not heuristic. Current
-  * callers aggregate crossJoin/join streams whose groups are non-empty
-  * by construction and read the result as non-null; a future caller
-  * with a filtered or outer-joined input now gets null instead of a
-  * phantom id. */
+  * NULL (nullable = true). Emptiness is an explicit third boolean
+  * buffer slot (round 12, per the round-11 advice): the previous
+  * sentinel encoding (-Inf, MaxValue) collided with a legitimate input
+  * — a group containing only (score = -Inf, id = Long.MaxValue) rows
+  * could never select that row and evaluated to null where
+  * `max_by(id, struct(score, -id))` returns Long.MaxValue. With the
+  * `seen` slot the first non-null row ALWAYS loads the buffer
+  * (regardless of value) and evaluate is exact for every input,
+  * sentinel values included. Three flat primitive slots still pass
+  * HashAggregateExec's mutable-buffer check. */
 case class ArgMaxTieMinId(score: Expression, id: Expression)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
-  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThan, If, IsNotNull, LessThan, Literal, Or}
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThan, If, IsNotNull, LessThan, Literal, Not, Or}
 
   override def children: Seq[Expression] = Seq(score, id)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -813,37 +815,42 @@ case class ArgMaxTieMinId(score: Expression, id: Expression)
     AttributeReference("bScore", DoubleType, nullable = false)()
   private lazy val bId =
     AttributeReference("bId", LongType, nullable = false)()
+  private lazy val bSeen =
+    AttributeReference("bSeen", BooleanType, nullable = false)()
   override lazy val aggBufferAttributes: Seq[AttributeReference] =
-    Seq(bScore, bId)
+    Seq(bScore, bId, bSeen)
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(Double.NegativeInfinity), Literal(Long.MaxValue))
+    Seq(Literal(Double.NegativeInfinity), Literal(Long.MaxValue),
+      Literal(false))
   override lazy val updateExpressions: Seq[Expression] = {
     // null-guard BOTH inputs: without it a null id with a strictly
     // greater (non-null) score makes `better` TRUE and writes null
     // into the non-nullable buffer slot — undefined behavior for
-    // unsafe-row hash-agg buffers
+    // unsafe-row hash-agg buffers. An unseen buffer accepts ANY
+    // non-null row — including (-Inf, Long.MaxValue), which the old
+    // sentinel encoding could never select.
     val better = And(And(IsNotNull(score), IsNotNull(id)),
-      Or(GreaterThan(score, bScore),
-        And(EqualTo(score, bScore), LessThan(id, bId))))
-    Seq(If(better, score, bScore), If(better, id, bId))
+      Or(Not(bSeen),
+        Or(GreaterThan(score, bScore),
+          And(EqualTo(score, bScore), LessThan(id, bId)))))
+    Seq(If(better, score, bScore), If(better, id, bId),
+      Or(bSeen, better))
   }
   override lazy val mergeExpressions: Seq[Expression] = {
-    val better = Or(GreaterThan(bScore.right, bScore.left),
-      And(EqualTo(bScore.right, bScore.left),
-        LessThan(bId.right, bId.left)))
-    Seq(If(better, bScore.right, bScore.left),
-      If(better, bId.right, bId.left))
+    // right wins iff it has seen a row AND (left hasn't, or right's
+    // (score desc, id asc) beats left's); an unseen side's slot values
+    // are the inert initials and must never be compared as data
+    val rightWins = And(bSeen.right,
+      Or(Not(bSeen.left),
+        Or(GreaterThan(bScore.right, bScore.left),
+          And(EqualTo(bScore.right, bScore.left),
+            LessThan(bId.right, bId.left)))))
+    Seq(If(rightWins, bScore.right, bScore.left),
+      If(rightWins, bId.right, bId.left),
+      Or(bSeen.left, bSeen.right))
   }
-  // The untouched-buffer state is exactly (-Inf, MaxValue): any update
-  // leaves score > -Inf or id < MaxValue (a (-Inf, MaxValue) row fails
-  // GreaterThan(-Inf,-Inf) and LessThan(MaxValue,MaxValue)), and merge
-  // preserves reachability. A real selected row with score > -Inf and
-  // id = MaxValue yields (score, MaxValue) — condition false — so no
-  // qualifying row is ever misreported as empty.
   override lazy val evaluateExpression: Expression =
-    If(And(EqualTo(bScore, Literal(Double.NegativeInfinity)),
-        EqualTo(bId, Literal(Long.MaxValue))),
-      Literal(null, LongType), bId)
+    If(bSeen, bId, Literal(null, LongType))
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): ArgMaxTieMinId =

@@ -99,6 +99,9 @@ object AudioNeardup {
   def audioCorpusDf(docs: DataFrame, s: SparkSession,
       frames: Int, bands: Int): DataFrame = {
     import s.implicits._
+    // variant keys live at doc_id + VariantOffset — see
+    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard)
+    ImageNeardup.requireIdsBelowVariantOffset(docs, "audioCorpusDf")
     val n = frames * bands * BlockLen
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pb"))

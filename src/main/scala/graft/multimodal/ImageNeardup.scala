@@ -141,11 +141,30 @@ object ImageNeardup {
     imageCorpusDf(Tables.documents(s, d).select(col("doc_id")), s,
       WideW, WideH)
 
+  /** Fail loudly when corpus ids would collide with the planted-variant
+    * key range (round-12, verdict item 3 — the round-11 A4 fix guarded
+    * the ScaleProbe callers but not the generators themselves): variants
+    * live at doc_id + [[VariantOffset]], so a documents table with
+    * doc_id ≥ 10⁷ (plausible at sf ≳ 100) would silently alias variant
+    * keys onto base keys and corrupt the planted-pair contract that the
+    * near-dup oracles and ScaleProbe linearity claims rest on. One
+    * max() over the skinny id column per corpus build — noise next to
+    * the render stage that follows. */
+  private[multimodal] def requireIdsBelowVariantOffset(
+      docs: DataFrame, who: String): Unit = {
+    val r = docs.agg(max(col("doc_id"))).head()
+    require(r.isNullAt(0) || r.getLong(0) < VariantOffset,
+      s"$who: max doc_id ${if (r.isNullAt(0)) -1L else r.getLong(0)} " +
+        s"reaches VariantOffset $VariantOffset — planted-variant keys " +
+        "would collide with base keys; raise the offset")
+  }
+
   /** [[imageCorpus]] over an arbitrary doc_id frame (ScaleProbe
     * replicates ids through here). */
   def imageCorpusDf(docs: DataFrame, s: SparkSession,
       w: Int, h: Int): DataFrame = {
     import s.implicits._
+    requireIdsBelowVariantOffset(docs, "imageCorpusDf")
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)

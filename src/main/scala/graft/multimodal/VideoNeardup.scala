@@ -82,6 +82,11 @@ object VideoNeardup {
         pos += 4 + len
         i += 1
       }
+      // the scaladoc contract is None on ANY malformed input: trailing
+      // bytes after the last frame are malformed too (round-11 advice —
+      // the truncation spec passed only because dropping a byte happens
+      // to shorten the last frame, not because the tail was checked)
+      if (pos != b.length) return None
       Some(frames.result())
     } catch { case _: Exception => None }
   }
@@ -102,6 +107,9 @@ object VideoNeardup {
     * compute-bound render (the round-11 corpus lesson). */
   def videoCorpusDf(docs: DataFrame, s: SparkSession): DataFrame = {
     import s.implicits._
+    // variant keys live at doc_id + VariantOffset — see
+    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard)
+    ImageNeardup.requireIdsBelowVariantOffset(docs, "videoCorpusDf")
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)

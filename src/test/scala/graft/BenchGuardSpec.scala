@@ -326,4 +326,31 @@ class BenchGuardSpec extends AnyFunSuite {
     // excluded → None
     assert(BenchGuard.boxIndex(Seq(("q1", -1.0), ("qX", 5.0)), best).isEmpty)
   }
+
+  test("boxIndex is the TRUE median on even-sized panels: the two " +
+      "middle ratios average instead of biasing upward (round-11 advice)") {
+    val best = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0, "q4" -> 1.0)
+    // ratios 1.0, 1.2, 1.8, 3.0 → median (1.2 + 1.8)/2 = 1.5, not 1.8
+    val run = Seq(("q1", 1.0), ("q2", 1.2), ("q3", 1.8), ("q4", 3.0))
+    assert(math.abs(BenchGuard.boxIndex(run, best).get - 1.5) < 1e-9)
+    // odd panels keep the middle element exactly
+    assert(math.abs(BenchGuard.boxIndex(run.take(3), best).get - 1.2) < 1e-9)
+  }
+
+  test("flagsJson names the flags verbatim within budget and folds the " +
+      "overflow into '+N more' so the one-line artifact stays bounded") {
+    assert(BenchGuard.flagsJson(Seq.empty) === "[]")
+    assert(BenchGuard.flagsJson(Seq("q110_recursive_chain", "q278_x")) ===
+      """["q110_recursive_chain","q278_x"]""")
+    // a pathology run's 70 flags must not blow the driver's 2000-char
+    // stdout tail: emit until the budget, fold the rest
+    val many = (1 to 70).map(i => f"q$i%03d_some_query_name")
+    val js = BenchGuard.flagsJson(many, budget = 60)
+    assert(js.length <= 60 + 16, js) // the fold marker rides past budget
+    assert(js.startsWith("""["q001_some_query_name"""))
+    assert(js.endsWith("""more"]"""))
+    val kept = "\"q\\d+_some_query_name\"".r.findAllIn(js).size
+    assert("\\+(\\d+) more".r.findFirstMatchIn(js).get.group(1).toInt ===
+      70 - kept)
+  }
 }

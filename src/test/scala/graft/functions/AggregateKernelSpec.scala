@@ -295,4 +295,30 @@ class AggregateKernelSpec extends SparkTestBase {
       assert(!got.values.flatten.exists(_ == Long.MaxValue))
     }
   }
+
+  test("argmax_tie_min_id selects a (-Inf, Long.MaxValue) row exactly " +
+      "like max_by — the old sentinel encoding's blind spot") {
+    // round-11 advice: inferring emptiness from the buffer value made
+    // a group of only (score = -Inf, id = Long.MaxValue) rows evaluate
+    // to null; the explicit `seen` slot selects them like max_by does
+    val df = Seq[(Int, Double, Long)](
+      (1, Double.NegativeInfinity, Long.MaxValue), // the only row wins
+      (2, Double.NegativeInfinity, Long.MaxValue),
+      (2, Double.NegativeInfinity, 5L),            // tie → lowest id
+      (3, 1.0, Long.MaxValue)
+    ).toDF("g", "score", "id")
+    for (parts <- Seq(1, 4)) {
+      val rows = df.repartition(parts)
+      val viaKernel = rows.groupBy(col("g"))
+        .agg(AggregateKernels.argMaxTieMinId(col("score"), col("id"))
+          .as("best"))
+        .as[(Int, Long)].collect().toMap
+      val viaMaxBy = rows.groupBy(col("g"))
+        .agg(expr("max_by(id, struct(score, -id))").as("best"))
+        .as[(Int, Long)].collect().toMap
+      assert(viaKernel === viaMaxBy, s"parts=$parts")
+      assert(viaKernel === Map(1 -> Long.MaxValue, 2 -> 5L,
+        3 -> Long.MaxValue), s"parts=$parts")
+    }
+  }
 }

@@ -80,6 +80,34 @@ class ImageNeardupSpec extends SparkTestBase {
     assert(pairs.length === expected)
   }
 
+  test("all three corpus generators fail loudly on doc_id >= the " +
+      "planted-variant offset instead of silently colliding keys") {
+    // round-12 verdict item 3: the ScaleProbe callers were guarded in
+    // round 11 but the generators weren't — a documents table with
+    // doc_id >= 10^7 (plausible at sf >~ 100) would alias variant keys
+    // onto base keys and corrupt the planted-pair contract
+    val bad = Seq(1L, 20L, ImageNeardup.VariantOffset).toDF("doc_id")
+    def mustThrow(what: String)(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("VariantOffset"), s"$what: $e")
+    }
+    mustThrow("image") {
+      ImageNeardup.imageCorpusDf(bad, spark,
+        ImageNeardup.GridW, ImageNeardup.GridH).count()
+    }
+    mustThrow("audio") {
+      AudioNeardup.audioCorpusDf(bad, spark,
+        AudioNeardup.Frames, AudioNeardup.Bands).count()
+    }
+    mustThrow("video") { VideoNeardup.videoCorpusDf(bad, spark).count() }
+    // ids strictly below the offset (and the empty frame) stay fine
+    val ok = Seq(0L, ImageNeardup.VariantOffset - 1).toDF("doc_id")
+    assert(ImageNeardup.imageCorpusDf(ok, spark,
+      ImageNeardup.GridW, ImageNeardup.GridH).count() === 3)
+    assert(VideoNeardup.videoCorpusDf(
+      spark.range(0).selectExpr("id as doc_id"), spark).count() === 0)
+  }
+
   test("dHash is invariant across codec arms (same pixels through " +
       "BMP, PNG and GIF decode to the same hash)") {
     val p = ImageNeardup.lumaGrid(4242L, -1)

@@ -28,6 +28,12 @@ class VideoNeardupSpec extends SparkTestBase {
       "truncated payload must be rejected, not mis-sliced")
     val lied = enc.clone(); lied(4) = 9 // claims 9 frames
     assert(VideoNeardup.decodeVideo(lied).isEmpty)
+    // trailing garbage after the last frame is malformed too — the
+    // contract is None on ANY malformed input (round-11 advice: the
+    // truncation check alone passed only because dropping a byte
+    // shortens the last frame)
+    assert(VideoNeardup.decodeVideo(enc :+ 0x7f.toByte).isEmpty,
+      "appended trailing bytes must be rejected")
   }
 
   test("the temporal fingerprint equals the per-frame dHash composition " +
