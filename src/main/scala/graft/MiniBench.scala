@@ -58,7 +58,10 @@ object MiniBench {
     "q263_ccnet_buckets", "q276_vocab_coverage", "q277_dsir_ess",
     "q278_snapshot_neardup",
     "q69_contamination", "q86_pagerank", "q97_scd2_merge",
-    "q98_bfs_reach", "q251_heaps_law")
+    "q98_bfs_reach", "q251_heaps_law",
+    // round 12 new-operator appends: the animated-GIF89a video
+    // container arm (real-world multi-frame packaging of q291/q292)
+    "q293_video_neardup_gif", "q294_video_neardup_gif_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -523,17 +523,22 @@ object ScaleProbe {
       // bands carry the documented (k+1)·n²/2¹⁶ candidate arm past
       // ~6·10⁵ images — the scaladoc bounds its range and q287 is the
       // scale path.)
-      if (want("image_neardup_wide")) {
       // replicated keys are doc_id·n + rep < (maxDoc+1)·n; past the
       // planted-variant offset they'd COLLIDE with variant asset_ids
-      // and distort the true-pair count the linearity claim rests on —
-      // fail loudly instead of skewing the measurement
-      val maxDoc = Tables.documents(spark, sfDir)
-        .agg(max(col("doc_id"))).head().getLong(0)
-      require((maxDoc + 1) * n <= graft.multimodal.ImageNeardup.VariantOffset,
-        s"image_neardup_wide: replicated key range ${(maxDoc + 1) * n} " +
-          s"crosses VariantOffset ${graft.multimodal.ImageNeardup.VariantOffset}" +
-          s" at factor $n — shrink n or raise the offset")
+      // and distort the true-pair count the linearity claims rest on.
+      // Round 12: instead of refusing big factors, pass an offset the
+      // replicated range provably clears (the planted geometry is
+      // offset-invariant — the generators' own guard still fails
+      // loudly if this arithmetic is ever wrong). Production queries
+      // keep the 10⁷ default, which the oracle SQL hardcodes.
+      lazy val wideOffset: Long = {
+        val maxDoc = Tables.documents(spark, sfDir)
+          .agg(max(col("doc_id"))).head().getLong(0)
+        math.max(graft.multimodal.ImageNeardup.VariantOffset,
+          (maxDoc + 1) * n)
+      }
+
+      if (want("image_neardup_wide")) {
       val (tIw, rIw) = time {
         val keys = replicateKeyed(
           Tables.documents(spark, sfDir).select(col("doc_id")),
@@ -542,7 +547,8 @@ object ScaleProbe {
           graft.multimodal.ImageNeardup.dHashesWide(
             graft.multimodal.ImageNeardup.imageCorpusDf(keys, spark,
               graft.multimodal.ImageNeardup.WideW,
-              graft.multimodal.ImageNeardup.WideH), spark)).count()
+              graft.multimodal.ImageNeardup.WideH, wideOffset), spark))
+          .count()
       }
       results += (("image_neardup_wide", n, tIw, rIw))
       }
@@ -557,11 +563,6 @@ object ScaleProbe {
       // probed at scale — same 16-bit-band bound as the compact image
       // hash, documented in the scaladoc; q290 is the scale path.)
       if (want("audio_neardup_wide")) {
-      val maxDocA = Tables.documents(spark, sfDir)
-        .agg(max(col("doc_id"))).head().getLong(0)
-      require((maxDocA + 1) * n <= graft.multimodal.ImageNeardup.VariantOffset,
-        s"audio_neardup_wide: replicated key range ${(maxDocA + 1) * n} " +
-          s"crosses VariantOffset at factor $n")
       val (tAw, rAw) = time {
         val keys = replicateKeyed(
           Tables.documents(spark, sfDir).select(col("doc_id")),
@@ -570,7 +571,8 @@ object ScaleProbe {
           graft.multimodal.AudioNeardup.fingerprintsWide(
             graft.multimodal.AudioNeardup.audioCorpusDf(keys, spark,
               graft.multimodal.AudioNeardup.WideFrames,
-              graft.multimodal.AudioNeardup.WideBands), spark)).count()
+              graft.multimodal.AudioNeardup.WideBands, wideOffset),
+            spark)).count()
       }
       results += (("audio_neardup_wide", n, tAw, rAw))
       }
@@ -581,20 +583,36 @@ object ScaleProbe {
       // render+decode scan; true pairs linear via the same every-20th
       // planting
       if (want("video_neardup")) {
-      val maxDocV = Tables.documents(spark, sfDir)
-        .agg(max(col("doc_id"))).head().getLong(0)
-      require((maxDocV + 1) * n <= graft.multimodal.ImageNeardup.VariantOffset,
-        s"video_neardup: replicated key range crosses VariantOffset at $n")
       val (tVd, rVd) = time {
         val keys = replicateKeyed(
           Tables.documents(spark, sfDir).select(col("doc_id")),
           "doc_id", n)
         graft.multimodal.ImageNeardup.neardupPairsWide(
           graft.multimodal.VideoNeardup.fingerprints(
-            graft.multimodal.VideoNeardup.videoCorpusDf(keys, spark), spark),
+            graft.multimodal.VideoNeardup.videoCorpusDf(keys, spark,
+              wideOffset), spark),
           graft.multimodal.VideoNeardup.MaxHamming).count()
       }
       results += (("video_neardup", n, tVd, rVd))
+      }
+
+      // animated-GIF89a video container (round 12, q293 production
+      // path): same fingerprints and planting as video_neardup, but
+      // every video goes through multi-frame GIF encode → strict
+      // composed decode (4 LZW streams per asset both ways) — cost
+      // must stay linear in assets and roughly track the GVID arm
+      if (want("video_neardup_gif")) {
+      val (tVg, rVg) = time {
+        val keys = replicateKeyed(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", n)
+        graft.multimodal.ImageNeardup.neardupPairsWide(
+          graft.multimodal.VideoNeardup.fingerprints(
+            graft.multimodal.VideoNeardup.videoCorpusGifDf(keys, spark,
+              wideOffset), spark),
+          graft.multimodal.VideoNeardup.MaxHamming).count()
+      }
+      results += (("video_neardup_gif", n, tVg, rVg))
       }
 
       // shingle-containment prefix filter (round 8, q240 production

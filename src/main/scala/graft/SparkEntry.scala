@@ -342,6 +342,10 @@ object SparkEntry {
       ((s, d) => graft.multimodal.VideoNeardup.videoNeardupPairs(s, d)),
     "q292_video_neardup_apply" ->
       ((s, d) => graft.multimodal.VideoNeardup.videoNeardupApply(s, d)),
+    "q293_video_neardup_gif" ->
+      ((s, d) => graft.multimodal.VideoNeardup.videoNeardupPairsGif(s, d)),
+    "q294_video_neardup_gif_apply" ->
+      ((s, d) => graft.multimodal.VideoNeardup.videoNeardupApplyGif(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3703,6 +3707,16 @@ object SparkEntry {
     "q291_video_neardup_pairs" ->
       graft.multimodal.VideoNeardup.PairsOracleSql,
     "q292_video_neardup_apply" ->
+      graft.multimodal.VideoNeardup.ApplyOracleSql,
+    // the animated-GIF89a container (round 12): the fingerprint
+    // contract is container-independent — same per-(doc,frame) luma
+    // grids, same planted variants — so the oracle SQL is q291/q292's
+    // VERBATIM while the Spark side goes through multi-frame GIF
+    // encode → strict composed decode → per-frame hash; a container
+    // or composition bug diverges the hashes and fails this gate
+    "q293_video_neardup_gif" ->
+      graft.multimodal.VideoNeardup.PairsOracleSql,
+    "q294_video_neardup_gif_apply" ->
       graft.multimodal.VideoNeardup.ApplyOracleSql,
   )
 }

@@ -97,16 +97,18 @@ object AudioNeardup {
     * Synthesis + encode is per-partition map work after a key
     * repartition, the [[ImageNeardup.imageCorpusDf]] shape. */
   def audioCorpusDf(docs: DataFrame, s: SparkSession,
-      frames: Int, bands: Int): DataFrame = {
+      frames: Int, bands: Int,
+      offset: Long = ImageNeardup.VariantOffset): DataFrame = {
     import s.implicits._
-    // variant keys live at doc_id + VariantOffset — see
-    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard)
-    ImageNeardup.requireIdsBelowVariantOffset(docs, "audioCorpusDf")
+    // variant keys live at doc_id + offset — see
+    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard;
+    // offset-parameterized like imageCorpusDf for big probe factors)
+    ImageNeardup.requireIdsBelowVariantOffset(docs, "audioCorpusDf", offset)
     val n = frames * bands * BlockLen
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pb"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + lit(ImageNeardup.VariantOffset)).as("key"),
+      .select((col("doc_id") + lit(offset)).as("key"),
         col("doc_id").as("seed"),
         ((col("doc_id") % frames) * bands + (bands - 1)).cast("int").as("pb"))
     // width-pinned exchange — see ImageNeardup.imageCorpusDf: a

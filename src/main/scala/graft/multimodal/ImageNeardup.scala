@@ -108,8 +108,11 @@ object ImageNeardup {
 
   /** Render a luma grid as an encoded grayscale image (R=G=B) through
     * the lossless arm picked by key % 3. */
-  private[multimodal] def renderImage(key: Long, seed: Long, perturb: Int,
-      w: Int = GridW, h: Int = GridH): (Array[Byte], String) = {
+  /** The luma grid as an un-encoded grayscale raster (the pixel content
+    * of [[renderImage]] before a codec arm wraps it) — the animated-GIF
+    * video container feeds frames from here. */
+  private[multimodal] def renderDecoded(seed: Long, perturb: Int,
+      w: Int = GridW, h: Int = GridH): BmpCodec.Decoded = {
     val p = lumaGridN(seed, perturb, w * h)
     val bgr = new Array[Byte](w * h * 3)
     var i = 0
@@ -118,7 +121,12 @@ object ImageNeardup {
       bgr(i * 3) = v; bgr(i * 3 + 1) = v; bgr(i * 3 + 2) = v
       i += 1
     }
-    val img = BmpCodec.Decoded(w, h, bgr)
+    BmpCodec.Decoded(w, h, bgr)
+  }
+
+  private[multimodal] def renderImage(key: Long, seed: Long, perturb: Int,
+      w: Int = GridW, h: Int = GridH): (Array[Byte], String) = {
+    val img = renderDecoded(seed, perturb, w, h)
     (key % 3) match {
       case 0 => (BmpCodec.encode(img), "image/bmp")
       case 1 => (PngCodec.encode(img), "image/png")
@@ -150,25 +158,31 @@ object ImageNeardup {
     * near-dup oracles and ScaleProbe linearity claims rest on. One
     * max() over the skinny id column per corpus build — noise next to
     * the render stage that follows. */
-  private[multimodal] def requireIdsBelowVariantOffset(
-      docs: DataFrame, who: String): Unit = {
+  private[graft] def requireIdsBelowVariantOffset(
+      docs: DataFrame, who: String,
+      offset: Long = VariantOffset): Unit = {
     val r = docs.agg(max(col("doc_id"))).head()
-    require(r.isNullAt(0) || r.getLong(0) < VariantOffset,
+    require(r.isNullAt(0) || r.getLong(0) < offset,
       s"$who: max doc_id ${if (r.isNullAt(0)) -1L else r.getLong(0)} " +
-        s"reaches VariantOffset $VariantOffset — planted-variant keys " +
+        s"reaches VariantOffset $offset — planted-variant keys " +
         "would collide with base keys; raise the offset")
   }
 
   /** [[imageCorpus]] over an arbitrary doc_id frame (ScaleProbe
-    * replicates ids through here). */
+    * replicates ids through here). `offset` relocates the planted
+    * variants: the production queries keep the [[VariantOffset]]
+    * default (the oracle SQL hardcodes it), while probe factors whose
+    * replicated id range crosses 10⁷ pass a larger one — the planted
+    * geometry is offset-invariant, so the probe still measures the
+    * production plan. */
   def imageCorpusDf(docs: DataFrame, s: SparkSession,
-      w: Int, h: Int): DataFrame = {
+      w: Int, h: Int, offset: Long = VariantOffset): DataFrame = {
     import s.implicits._
-    requireIdsBelowVariantOffset(docs, "imageCorpusDf")
+    requireIdsBelowVariantOffset(docs, "imageCorpusDf", offset)
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + lit(VariantOffset)).as("key"),
+      .select((col("doc_id") + lit(offset)).as("key"),
         col("doc_id").as("seed"),
         (col("doc_id") % (w * h)).cast("int").as("pi"))
     // WIDTH-PINNED exchange (round 11, the q259 lesson recurring): the
@@ -195,28 +209,33 @@ object ImageNeardup {
     * y·8+x set iff luma(x+1,y) > luma(x,y). None for undecodable
     * payloads — callers drop those rows, never throw. */
   def dhashOf(media: Array[Byte]): Option[Long] =
-    Multimodal.decodeAny(media).map { img =>
-      val g =
-        if (img.width == GridW && img.height == GridH) img
-        else BmpCodec.resizeNearest(img, GridW, GridH)
-      @inline def luma(x: Int, y: Int): Int = {
-        val i = (y * GridW + x) * 3
-        val b = g.bgr(i) & 0xff; val gg = g.bgr(i + 1) & 0xff
-        val r = g.bgr(i + 2) & 0xff
-        (r * 299 + gg * 587 + b * 114) / 1000
-      }
-      var h = 0L
-      var y = 0
-      while (y < GridH) {
-        var x = 0
-        while (x < GridW - 1) {
-          if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
-          x += 1
-        }
-        y += 1
-      }
-      h
+    Multimodal.decodeAny(media).map(dhashOfDecoded)
+
+  /** [[dhashOf]] on an already-decoded raster — the animated-GIF video
+    * container hashes its composed frames through here (same resize,
+    * luma and bit layout; container-independence is spec-pinned). */
+  private[multimodal] def dhashOfDecoded(img: BmpCodec.Decoded): Long = {
+    val g =
+      if (img.width == GridW && img.height == GridH) img
+      else BmpCodec.resizeNearest(img, GridW, GridH)
+    @inline def luma(x: Int, y: Int): Int = {
+      val i = (y * GridW + x) * 3
+      val b = g.bgr(i) & 0xff; val gg = g.bgr(i + 1) & 0xff
+      val r = g.bgr(i + 2) & 0xff
+      (r * 299 + gg * 587 + b * 114) / 1000
     }
+    var h = 0L
+    var y = 0
+    while (y < GridH) {
+      var x = 0
+      while (x < GridW - 1) {
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
 
   /** Decode + hash as per-partition map work over an (asset_id, media)
     * frame — batch or streaming (stateless). */

@@ -19,13 +19,17 @@ import graft.operators.Tables
   * ≤ 7 comparison bits in total: pigeonhole-exact, never video×video,
   * and every component is already spec/oracle-proven.
   *
-  * Container: there is no multi-frame codec in the pure-JVM family, so
-  * videos ship in a minimal length-prefixed container ("GVID" magic,
-  * u32 frame count, then u32-length-prefixed encoded frames — each
-  * frame an ordinary BMP/PNG/GIF payload decoded by
-  * [[Multimodal.decodeAny]]). [[decodeVideo]] returns None on any
-  * malformed input (the codec-family contract: callers drop, never
-  * throw).
+  * Containers, TWO (round 12 added the real-world one):
+  * (a) the minimal length-prefixed "GVID" container (u32 frame count,
+  * then u32-length-prefixed encoded frames — each an ordinary
+  * BMP/PNG/GIF payload decoded by [[Multimodal.decodeAny]]), and
+  * (b) animated GIF89a via [[GifCodec.encodeFrames]]/
+  * [[GifCodec.decodeFrames]] — a public, spec-defined multi-frame
+  * format the JDK's ImageIO independently reads back.
+  * [[fingerprintOf]] dispatches on the magic bytes, so the fingerprint
+  * contract (and therefore the oracle) is container-independent; both
+  * decoders return None on any malformed input (the codec-family
+  * contract: callers drop, never throw).
   *
   * The contract corpus ([[videoCorpus]]): one 4-frame video per
   * document; frame f renders the [[ImageNeardup.lumaGridN]] grid for
@@ -105,15 +109,17 @@ object VideoNeardup {
     * variant for every 20th doc at doc_id + 10⁷: frame doc_id mod 4,
     * cell doc_id mod 72 perturbed. Width-pinned exchange before the
     * compute-bound render (the round-11 corpus lesson). */
-  def videoCorpusDf(docs: DataFrame, s: SparkSession): DataFrame = {
+  def videoCorpusDf(docs: DataFrame, s: SparkSession,
+      offset: Long = ImageNeardup.VariantOffset): DataFrame = {
     import s.implicits._
-    // variant keys live at doc_id + VariantOffset — see
-    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard)
-    ImageNeardup.requireIdsBelowVariantOffset(docs, "videoCorpusDf")
+    // variant keys live at doc_id + offset — see
+    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard;
+    // offset-parameterized like imageCorpusDf for big probe factors)
+    ImageNeardup.requireIdsBelowVariantOffset(docs, "videoCorpusDf", offset)
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + lit(ImageNeardup.VariantOffset)).as("key"),
+      .select((col("doc_id") + lit(offset)).as("key"),
         col("doc_id").as("seed"),
         (col("doc_id") % FrameCount).cast("int").as("pf"),
         (col("doc_id") % (ImageNeardup.GridW * ImageNeardup.GridH))
@@ -130,15 +136,60 @@ object VideoNeardup {
   def videoCorpus(s: SparkSession, d: String): DataFrame =
     videoCorpusDf(Tables.documents(s, d).select(col("doc_id")), s)
 
-  /** 256-bit temporal fingerprint: decode container, dHash each of the
-    * 4 frames ([[ImageNeardup.dhashOf]] — any codec arm), stack as
-    * 4 longs. None unless the container holds exactly [[FrameCount]]
-    * decodable frames. */
-  def fingerprintOf(media: Array[Byte]): Option[Array[Long]] =
-    decodeVideo(media).filter(_.length == FrameCount).flatMap { frames =>
-      val hs = frames.flatMap(ImageNeardup.dhashOf)
-      if (hs.length == FrameCount) Some(hs.toArray) else None
-    }
+  /** The same corpus through the REAL container (round 12): identical
+    * per-(doc,frame) luma grids and planted variants, but packaged as
+    * one animated GIF89a per video instead of GVID — the pixel math is
+    * container-invariant, so q293/q294 reuse q291/q292's oracle SQL
+    * verbatim while the Spark side exercises the full multi-frame GIF
+    * encode→decode path (LCT per frame, GCE disposal, LZW ×4). */
+  def videoCorpusGifDf(docs: DataFrame, s: SparkSession,
+      offset: Long = ImageNeardup.VariantOffset): DataFrame = {
+    import s.implicits._
+    ImageNeardup.requireIdsBelowVariantOffset(docs, "videoCorpusGifDf",
+      offset)
+    val base = docs.select(col("doc_id").as("key"),
+      col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
+    val variants = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(offset)).as("key"),
+        col("doc_id").as("seed"),
+        (col("doc_id") % FrameCount).cast("int").as("pf"),
+        (col("doc_id") % (ImageNeardup.GridW * ImageNeardup.GridH))
+          .cast("int").as("pi"))
+    base.unionByName(variants)
+      .repartition(s.sparkContext.defaultParallelism, col("key"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (key, seed, pf, pi) =>
+        val frames = (0 until FrameCount).map { f =>
+          ImageNeardup.renderDecoded(seed * FrameCount + f,
+            if (f == pf) pi else -1)
+        }
+        VideoAsset(key, GifCodec.encodeFrames(frames), "image/gif")
+      })
+      .toDF()
+  }
+
+  def videoCorpusGif(s: SparkSession, d: String): DataFrame =
+    videoCorpusGifDf(Tables.documents(s, d).select(col("doc_id")), s)
+
+  /** 256-bit temporal fingerprint: decode the container (GVID or
+    * animated GIF89a, dispatched on the magic bytes), dHash each of
+    * the 4 frames, stack as 4 longs. None unless the container holds
+    * exactly [[FrameCount]] decodable frames. Container-independent by
+    * construction: the same pixel frames produce the same fingerprint
+    * through either container (spec-pinned), which is why q293/q294
+    * reuse q291/q292's oracle SQL verbatim. */
+  def fingerprintOf(media: Array[Byte]): Option[Array[Long]] = {
+    val hashes: Option[Seq[Long]] =
+      if (GifCodec.isGif(media))
+        GifCodec.decodeFrames(media).filter(_.length == FrameCount)
+          .map(_.map(ImageNeardup.dhashOfDecoded))
+      else
+        decodeVideo(media).filter(_.length == FrameCount)
+          .map(_.flatMap(ImageNeardup.dhashOf))
+    // the GVID arm's per-frame decode may drop an undecodable frame —
+    // require all FrameCount hashes, not just a full container
+    hashes.filter(_.length == FrameCount).map(_.toArray)
+  }
 
   /** Decode + fingerprint as per-partition map work: (asset_id, dwords
     * array<long>[4]) — the wide band machinery applies unchanged. */
@@ -162,6 +213,20 @@ object VideoNeardup {
     * keep verdict) over the same corpus. */
   def videoNeardupApply(s: SparkSession, d: String): DataFrame = {
     val fps = fingerprints(videoCorpus(s, d), s).localCheckpoint()
+    ImageNeardup.neardupApplyFromPairs(fps.select(col("asset_id")),
+      ImageNeardup.neardupPairsWide(fps, MaxHamming))
+  }
+
+  /** q293: q291 through the animated-GIF89a container — same planted
+    * pairs, same oracle, real-world packaging (multi-frame GIF encode →
+    * strict composed decode → per-frame hash). */
+  def videoNeardupPairsGif(s: SparkSession, d: String): DataFrame =
+    ImageNeardup.neardupPairsWide(fingerprints(videoCorpusGif(s, d), s),
+      MaxHamming)
+
+  /** q294: q292 through the animated-GIF89a container. */
+  def videoNeardupApplyGif(s: SparkSession, d: String): DataFrame = {
+    val fps = fingerprints(videoCorpusGif(s, d), s).localCheckpoint()
     ImageNeardup.neardupApplyFromPairs(fps.select(col("asset_id")),
       ImageNeardup.neardupPairsWide(fps, MaxHamming))
   }

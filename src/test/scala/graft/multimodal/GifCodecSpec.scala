@@ -137,6 +137,134 @@ class GifCodecSpec extends AnyFunSuite {
     val gif = GifCodec.encode(img)
     assert(Multimodal.decodeAny(gif).isDefined)
   }
+
+  // ---- animated GIF89a (round 12) ----
+
+  private def frame(w: Int, h: Int, salt: Int): BmpCodec.Decoded =
+    BmpCodec.Decoded(w, h,
+      Array.tabulate(w * h * 3)(i => ((i * 7 + salt * 31) % 251).toByte))
+
+  test("encodeFrames round-trips every frame pixel-exact through " +
+      "decodeFrames, and the JDK's ImageIO reads the same frames back") {
+    val (w, h) = (11, 9)
+    val frames = Seq(frame(w, h, 1), frame(w, h, 2), frame(w, h, 3))
+    val gif = GifCodec.encodeFrames(frames)
+    assert(GifCodec.isGif(gif) && gif(4) == '9') // GIF89a
+    val got = GifCodec.decodeFrames(gif)
+    assert(got.isDefined && got.get.length === 3)
+    frames.zip(got.get).zipWithIndex.foreach { case ((a, b), f) =>
+      assert(b.width === w && b.height === h)
+      assert(a.bgr.toSeq === b.bgr.toSeq, s"frame $f")
+    }
+    // independent reader: ImageIO sees 3 frames with the same pixels
+    // (every frame is full-screen here, so raw raster == composition)
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) === 3)
+    for (f <- 0 until 3) {
+      val ref = reader.read(f)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val i = (y * w + x) * 3
+        assert((frames(f).bgr(i + 2) & 0xff) === ((rgb >> 16) & 0xff),
+          s"R($x,$y) frame $f")
+        assert((frames(f).bgr(i + 1) & 0xff) === ((rgb >> 8) & 0xff),
+          s"G($x,$y) frame $f")
+        assert((frames(f).bgr(i) & 0xff) === (rgb & 0xff),
+          s"B($x,$y) frame $f")
+      }
+    }
+    reader.dispose(); iis.close()
+  }
+
+  test("decodeFrames agrees with decode on single-frame files and is " +
+      "strict about stream structure where decode is lenient") {
+    val img = frame(7, 5, 4)
+    val single = GifCodec.encode(img) // GIF87a, one frame
+    val viaFrames = GifCodec.decodeFrames(single)
+    assert(viaFrames.isDefined && viaFrames.get.length === 1)
+    assert(viaFrames.get.head.bgr.toSeq ===
+      GifCodec.decode(single).get.bgr.toSeq)
+    // strictness: trailing bytes after the trailer, truncation, and a
+    // missing trailer are all malformed for the whole-stream contract
+    assert(GifCodec.decodeFrames(single :+ 0x00.toByte).isEmpty,
+      "trailing bytes after the trailer must be rejected")
+    assert(GifCodec.decodeFrames(single.dropRight(1)).isEmpty,
+      "a stream without its trailer must be rejected")
+    assert(GifCodec.decodeFrames(single.dropRight(10)).isEmpty)
+    assert(GifCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
+    // decode keeps its documented first-frame contract (stops reading
+    // at its frame, tolerates what follows)
+    assert(GifCodec.decode(single :+ 0x00.toByte).isDefined)
+  }
+
+  /** Hand-assemble a GIF89a around spec-valid LZW data: a 4-entry GCT
+    * (bg=0: black, 1: red, 2: green, 3: blue) and per-frame
+    * (left, top, iw, ih, indices, disposal, transparentIdx). */
+  private def handGif(w: Int, h: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Byte], Int, Int)])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | 1) // GCT present, 4 entries
+    out.write(0); out.write(0) // bg index 0, aspect
+    // GCT: black, red, green, blue (RGB order)
+    out.write(Array[Byte](0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1))
+    frames.foreach { case (left, top, iw, ih, idx, disposal, tIdx) =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((disposal << 2) | (if (tIdx >= 0) 1 else 0))
+      w16(0) // delay
+      out.write(math.max(tIdx, 0))
+      out.write(0)
+      out.write(0x2c); w16(left); w16(top); w16(iw); w16(ih)
+      out.write(0) // no LCT, not interlaced
+      out.write(2) // mcs
+      GifCodec.writeLzw(out, idx, 2)
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  test("decodeFrames honors GCE transparency and disposal methods 2 " +
+      "and 3 per the 89a spec") {
+    // logical screen 4x3 over a black background; color letters:
+    // K=black(0) R=red(1) G=green(2) B=blue(3)
+    val full = Array.fill[Byte](12)(1) // frame 1: all red, disposal 2
+    // frame 2: 2x2 at (1,1), [G, transparent; transparent, G],
+    // disposal 3 (restore previous)
+    val patch = Array[Byte](2, 3, 3, 2)
+    val gif = handGif(4, 3, Seq(
+      (0, 0, 4, 3, full, 2, -1),
+      (1, 1, 2, 2, patch, 3, 3), // transparent index 3 (the blues)
+      (0, 0, 4, 3, Array.fill[Byte](12)(3), 0, -1))) // frame 3: all blue
+    val got = GifCodec.decodeFrames(gif)
+    assert(got.isDefined && got.get.length === 3)
+    def rgbAt(d: BmpCodec.Decoded, x: Int, y: Int): (Int, Int, Int) = {
+      val i = (y * d.width + x) * 3
+      ((d.bgr(i + 2) & 0xff), (d.bgr(i + 1) & 0xff), (d.bgr(i) & 0xff))
+    }
+    val Seq(f1, f2, f3) = got.get
+    // frame 1: all red
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(rgbAt(f1, x, y) === ((255, 0, 0)), s"f1($x,$y)")
+    // frame 1's disposal 2 restored the full region to background
+    // BEFORE frame 2, so frame 2 = black canvas + the green diagonal
+    // of the patch (its blue cells are transparent → background shows)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val expected =
+        if ((x, y) == (1, 1) || (x, y) == (2, 2)) (0, 255, 0)
+        else (0, 0, 0)
+      assert(rgbAt(f2, x, y) === expected, s"f2($x,$y)")
+    }
+    // frame 2's disposal 3 restored the pre-frame-2 canvas (all
+    // black), and frame 3 paints it all blue
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(rgbAt(f3, x, y) === ((0, 0, 255)), s"f3($x,$y)")
+  }
 }
 
 /** q158: the four-arm encode→decode battery as a distributed query. */

@@ -55,6 +55,33 @@ class VideoNeardupSpec extends SparkTestBase {
         Array[Byte](9, 9, 9)))).isEmpty)
   }
 
+  test("the fingerprint is container-independent: the same pixel frames " +
+      "through GVID and animated GIF89a hash identically, and the GIF " +
+      "corpus finds exactly the GVID corpus's pairs at sf0.001") {
+    // unit level: one video, both containers, equal 256-bit stacks
+    for (key <- Seq(0L, 7L, 4242L)) {
+      val rasters = (0 until VideoNeardup.FrameCount)
+        .map(f => ImageNeardup.renderDecoded(key * 4 + f, -1))
+      val viaGvid = VideoNeardup.fingerprintOf(VideoNeardup.encodeVideo(
+        rasters.zipWithIndex.map { case (r, f) =>
+          ImageNeardup.renderImage(key + f, key * 4 + f, -1)._1 }))
+      val viaGif = VideoNeardup.fingerprintOf(
+        GifCodec.encodeFrames(rasters))
+      assert(viaGif.isDefined && viaGvid.isDefined, s"key=$key")
+      assert(viaGif.get.toSeq === viaGvid.get.toSeq, s"key=$key")
+    }
+    // wrong frame count through the GIF arm → None
+    assert(VideoNeardup.fingerprintOf(GifCodec.encodeFrames(
+      Seq(ImageNeardup.renderDecoded(1L, -1)))).isEmpty)
+    // corpus level: q293 == q291 pair-for-pair
+    val viaGifCorpus = VideoNeardup.videoNeardupPairsGif(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaGvidCorpus = VideoNeardup.videoNeardupPairs(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaGifCorpus === viaGvidCorpus)
+    assert(viaGifCorpus.nonEmpty)
+  }
+
   test("the corpus plants one variant per 20th doc within 2 bits of one " +
       "frame and the pair query finds exactly the planted set at sf0.001") {
     val corpus = VideoNeardup.videoCorpus(spark, sf0001).localCheckpoint()
