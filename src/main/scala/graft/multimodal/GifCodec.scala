@@ -3,20 +3,24 @@ package graft.multimodal
 import java.io.ByteArrayOutputStream
 
 /** Pure-JVM GIF87a/89a codec (CompuServe spec; LZW per the original
-  * GIF appendix). Decode covers the full still-image profile: global and
-  * local color tables at any legal depth, BOTH interlace modes, variable-
-  * width LZW with dictionary resets and the KwKwK case, and extension
-  * blocks (graphic control / comment / application) skipped via their
-  * sub-block chains. Animated files decode to their FIRST frame composed
-  * onto the logical screen; transparency is ignored (the transparent
-  * index renders as its palette color — the shared representation has no
-  * alpha channel, same policy as the PNG arm's alpha drop).
+  * GIF appendix). [[decode]] covers the full still-image profile: global
+  * and local color tables at any legal depth, BOTH interlace modes,
+  * variable-width LZW with dictionary resets and the KwKwK case, and
+  * extension blocks (graphic control / comment / application) skipped
+  * via their sub-block chains. Under [[decode]] animated files yield
+  * their FIRST frame composed onto the logical screen and transparency
+  * is ignored (the transparent index renders as its palette color — the
+  * shared representation has no alpha channel, same policy as the PNG
+  * arm's alpha drop); [[decodeFrames]] (round 12) is the full animated
+  * profile — every frame composed per the 89a GCE semantics.
   *
-  * Encode writes GIF87a, non-interlaced, one image: palette = the sorted
-  * distinct colors when ≤ 256 (lossless round trip), else deterministic
-  * 3-3-2 RGB quantization; LZW with an explicit initial clear, width
-  * growth at dictionary fill, and a clear+reset at the 4096-entry cap.
-  * ImageIO reads our output back (spec-pinned both directions). */
+  * Encode: [[encode]] writes GIF87a, non-interlaced, one image —
+  * palette = the sorted distinct colors when ≤ 256 (lossless round
+  * trip), else deterministic 3-3-2 RGB quantization; LZW with an
+  * explicit initial clear, width growth at dictionary fill, and a
+  * clear+reset at the 4096-entry cap. [[encodeFrames]] writes animated
+  * GIF89a from the same per-frame machinery. ImageIO reads both back
+  * (spec-pinned in all directions). */
 object GifCodec {
 
   def isGif(b: Array[Byte]): Boolean =

@@ -302,6 +302,16 @@ object ImageNeardup {
         32 * (b % 2)).bitwiseAND(lit(0xffffffffL))
     }
 
+  /** One (idCol, band, bandkey, dwords) row per wide band — the
+    * 256-bit counterpart of [[bandTable]]; stateless per-row explode,
+    * identical on batch and streaming frames (the streaming video
+    * probe's registry/arrival key tables). */
+  private[graft] def bandTableWide(hashes: DataFrame,
+      idCol: String): DataFrame =
+    hashes.select(col("asset_id").as(idCol), col("dwords"))
+      .select(col(idCol), col("dwords"),
+        posexplode(array(wideBandKeys(): _*)).as(Seq("band", "bandkey")))
+
   /** All asset pairs within [[WideMaxHamming]] bits of the 256-bit
     * hash, exact — the 100 TB operator ([[neardupPairs]] scaladoc has
     * the occupancy math). Same join shape: banded candidates, exact
