@@ -150,10 +150,40 @@ object Bench {
       (ok && t <= bound, t)
     }
     val retriedClear = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val over2x = stillFlagged.filter { n =>
+    val retrySurvivors = stillFlagged.filter { n =>
       val (under, t) = retryOnce(n)
       if (under) { retriedClear += n -> t; false } else true
     }
+    // In-run isolated adjudication (round 13, verdict item 1): a flag
+    // that survives the single retry gets MiniBench's own 3-trial
+    // isolated-minimum protocol in this JVM — checkpoints dropped and a
+    // GC before every trial, the MINIMUM kept — and adjudicates against
+    // the SAME ratchet bound on the spot. Twice (rounds 11 and 12) a
+    // contention flag on a non-panel query dangled a full round for
+    // lack of exactly this evidence. Trials run OUTSIDE the timed pass
+    // and their wall time folds into retry_sec, so "value" stays the
+    // timed pass alone. The decision logic is BenchGuard's
+    // (spec-pinned); this closure supplies the measurement.
+    def isolatedMin3(n: String): Double = {
+      val trials = (0 until 3).map { _ =>
+        dropCheckpoints(); System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        retrySec += t
+        if (ok) t else -1.0
+      }
+      if (trials.exists(_ < 0)) -1.0 else trials.min
+    }
+    val (over2x, isolatedClearSeq) = BenchGuard.adjudicateIsolated(
+      retrySurvivors,
+      n => BenchGuard.boundFor(n,
+        withRows.collectFirst { case (`n`, _, r) => r }.getOrElse(0L),
+        baseline, rateBase),
+      isolatedMin3)
+    val isolatedClear =
+      scala.collection.mutable.LinkedHashMap(isolatedClearSeq: _*)
     // Adjudicated flags get the SAME one-shot retry (round 10): direct
     // current-binary evidence rides the artifact next to the stamped
     // MiniBench record. A clearing retry upgrades the flag to
@@ -168,6 +198,10 @@ object Bench {
     retriedClear.foreach { case (n, t) => System.err.println(
       f"[bench] flag cleared on isolated retry (host-spike, not " +
         f"regression): $n ${results.toMap.apply(n)}%.2fs -> $t%.2fs") }
+    isolatedClear.foreach { case (n, t) => System.err.println(
+      f"[bench] flag adjudicated IN-RUN by the 3-trial isolated-minimum " +
+        f"protocol (contention, not regression): $n " +
+        f"${results.toMap.apply(n)}%.2fs, isolated min $t%.2fs") }
     over2x.foreach(n => System.err.println(
       f"[bench] OVER BEST-KNOWN BOUND: $n ${results.toMap.apply(n)}%.2fs " +
         f"vs best ${baseline.getOrElse(n, -1.0)}%.2fs" +
@@ -206,8 +240,11 @@ object Bench {
     val retryJson = retriedClear
       .map { case (n, t) => "\"" + n + f"""":$t%.3f""" }
       .mkString("{", ",", "}")
+    val isoJson = isolatedClear
+      .map { case (n, t) => "\"" + n + f"""":$t%.3f""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"adjudicated":$adjJson,"adjudicated_retry":$adjRetryJson,"retried_clear":$retryJson,"retry_sec":$retrySec%.3f$boxJs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"adjudicated":$adjJson,"adjudicated_retry":$adjRetryJson,"retried_clear":$retryJson,"isolated_clear":$isoJson,"retry_sec":$retrySec%.3f$boxJs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case e: Throwable =>
@@ -221,7 +258,9 @@ object Bench {
     // budget-capped by BenchGuard.flagsJson and deducted from the
     // queries budget so the total line length stays bounded.
     val flagsJs = BenchGuard.flagsJson(over2x.toSeq)
-    val budget = 1500 - flagsJs.length
+    // 1460, was 1500: the round-13 "isolated_clear" count field costs
+    // ~22 chars of the same 2000-char driver tail the line must fit
+    val budget = 1460 - flagsJs.length
     val bySlow = results.filter(_._2 >= 0).sortBy(-_._2)
     val kept = {
       var used = 0
@@ -235,7 +274,7 @@ object Bench {
     val qs = (kept.map((entry _).tupled) :+ entry("other", other))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"flags":$flagsJs,"adjudicated":${adjudicatedFinal.size},"retried_clear":${retriedClear.size},"retry_sec":$retrySec%.3f$boxJs,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${names.size},"failed":$failed,"over2x":${over2x.size},"flags":$flagsJs,"adjudicated":${adjudicatedFinal.size},"retried_clear":${retriedClear.size},"isolated_clear":${isolatedClear.size},"retry_sec":$retrySec%.3f$boxJs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -269,18 +269,50 @@ object BenchGuard {
     * hit; the remainder folds into a final "+N more" element, so the
     * primary artifact is self-contained for realistic flag counts yet
     * bounded under a pathology run's 70 flags (bench_full.json always
-    * carries the complete set). */
+    * carries the complete set). Names are JSON-escaped (round-12
+    * advice): every current query identifier is [a-z0-9_], but one
+    * pathological name containing a quote or backslash must corrupt
+    * neither this array nor the one-line artifact around it. */
   def flagsJson(names: Seq[String], budget: Int = 400): String = {
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
     var rest = 0
-    names.foreach { n =>
+    names.foreach { raw =>
+      val n = raw.replace("\\", "\\\\").replace("\"", "\\\"")
       if (rest == 0 && used + n.length + 3 <= budget) {
         kept += "\"" + n + "\""; used += n.length + 3
       } else rest += 1
     }
     if (rest > 0) kept += "\"+" + rest + " more\""
     kept.mkString("[", ",", "]")
+  }
+
+  /** IN-RUN isolated adjudication (round 13, verdict item 1): twice in
+    * a row (round 11: 7 flags, round 12: 3), a >2× flag on a query with
+    * no recorded MiniBench history dangled as an open claim for a full
+    * round because the only in-run evidence was Bench's single retry —
+    * weaker than the isolated 3-trial-minimum protocol the stamped
+    * records use. This closes the gap: a flag that survives the single
+    * retry gets the SAME protocol MiniBench runs (checkpoint drop + GC
+    * before each trial, MINIMUM kept — `isolatedMin` must implement
+    * it), in the same JVM, adjudicated against the query's own ratchet
+    * bound on the spot. Min within bound → contention, reported as
+    * isolated_clear with the minimum in the artifact (history
+    * untouched — an in-run reading never loosens the ratchet); min
+    * over bound → a confirmed flag genuinely worth fixing. Returns
+    * (confirmed flags in input order, cleared (name, min) pairs). */
+  def adjudicateIsolated(flags: Seq[String],
+      bound: String => Option[Double],
+      isolatedMin: String => Double): (Seq[String], Seq[(String, Double)]) = {
+    val cleared = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val confirmed = flags.filter { n =>
+      val m = isolatedMin(n)
+      // a failed trial reports negative: never clear on it
+      if (m >= 0 && bound(n).exists(m <= _)) {
+        cleared += n -> m; false
+      } else true
+    }
+    (confirmed, cleared.toSeq)
   }
 
   /** [[violations]] with the current run's output row counts: a query

@@ -61,7 +61,17 @@ object MiniBench {
     "q98_bfs_reach", "q251_heaps_law",
     // round 12 new-operator appends: the animated-GIF89a video
     // container arm (real-world multi-frame packaging of q291/q292)
-    "q293_video_neardup_gif", "q294_video_neardup_gif_apply")
+    "q293_video_neardup_gif", "q294_video_neardup_gif_apply",
+    // round 13 appends (verdict item 1): the three queries the round-12
+    // driver bench flagged over the 2× ratchet with no isolated history
+    // — on the panel they accumulate stamped 3-trial minimums every
+    // round, so a future in-sequence flag self-discharges (and Bench
+    // itself now runs this protocol in-run on any flag that survives
+    // its single retry, so non-panel queries no longer dangle either)
+    "q197_auc", "q205_fifo_costing", "q224_changepoint",
+    // round 13 new-operator appends: the MJPEG (lossy) video container
+    // arm — the near-dup family's first member through quantization loss
+    "q295_video_neardup_mjpeg", "q296_video_neardup_mjpeg_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -346,6 +346,10 @@ object SparkEntry {
       ((s, d) => graft.multimodal.VideoNeardup.videoNeardupPairsGif(s, d)),
     "q294_video_neardup_gif_apply" ->
       ((s, d) => graft.multimodal.VideoNeardup.videoNeardupApplyGif(s, d)),
+    "q295_video_neardup_mjpeg" ->
+      ((s, d) => graft.multimodal.VideoNeardup.videoNeardupPairsMjpeg(s, d)),
+    "q296_video_neardup_mjpeg_apply" ->
+      ((s, d) => graft.multimodal.VideoNeardup.videoNeardupApplyMjpeg(s, d)),
   )
 
   /** DuckDB equivalents, same column names (aliased identically on both
@@ -3718,5 +3722,15 @@ object SparkEntry {
       graft.multimodal.VideoNeardup.PairsOracleSql,
     "q294_video_neardup_gif_apply" ->
       graft.multimodal.VideoNeardup.ApplyOracleSql,
+    // the MJPEG (lossy) container (round 13): DuckDB cannot run a JPEG
+    // decode, so the oracle is the round-6 invariant pattern — the
+    // no-tie margin corpus pins the detected pair set to EXACTLY the
+    // planted set, which IS pure SQL over documents; a quantization
+    // bit-flip breaking the margin (false or missed pair) diverges the
+    // rows and fails this gate
+    "q295_video_neardup_mjpeg" ->
+      graft.multimodal.VideoNeardup.MjpegPairsOracleSql,
+    "q296_video_neardup_mjpeg_apply" ->
+      graft.multimodal.VideoNeardup.MjpegApplyOracleSql,
   )
 }

@@ -100,10 +100,6 @@ object AudioNeardup {
       frames: Int, bands: Int,
       offset: Long = ImageNeardup.VariantOffset): DataFrame = {
     import s.implicits._
-    // variant keys live at doc_id + offset — see
-    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard;
-    // offset-parameterized like imageCorpusDf for big probe factors)
-    ImageNeardup.requireIdsBelowVariantOffset(docs, "audioCorpusDf", offset)
     val n = frames * bands * BlockLen
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pb"))
@@ -119,6 +115,9 @@ object AudioNeardup {
       .repartition(s.sparkContext.defaultParallelism, col("key"))
       .as[(Long, Long, Int)]
       .mapPartitions(_.map { case (key, seed, pb) =>
+        // per-row variant-offset guard riding the synth pass — see
+        // ImageNeardup.requireSeedBelowOffset (round-13 advice form)
+        ImageNeardup.requireSeedBelowOffset(seed, "audioCorpusDf", offset)
         val wav = WavCodec.Wav(SampleRate, 1, pcm(seed, pb, n))
         AudioAsset(key, WavCodec.encode(wav), "audio/wav")
       })

@@ -139,6 +139,14 @@ object GifCodec {
     * file must end with the 0x3b trailer, and trailing bytes after the
     * trailer are malformed — None on any violation (the codec-family
     * contract: callers drop, never throw). */
+  /** [[decodeFrames]] bounds — see the image-block budget check below:
+    * frame count mirrors GVID's cap; the byte budget caps the TOTAL
+    * decoded output (canvas + disposal snapshot + every composed-frame
+    * clone) at 256 MB, generous for any real animation yet far below
+    * the multi-GB a crafted file could otherwise force. */
+  private val MaxFrames = 65536
+  private val MaxDecodedBytes = 256L << 20
+
   def decodeFrames(b: Array[Byte]): Option[Seq[BmpCodec.Decoded]] = {
     try {
       if (!isGif(b)) return None
@@ -188,6 +196,19 @@ object GifCodec {
             while ((b(pos) & 0xff) != 0) pos += 1 + (b(pos) & 0xff)
             pos += 1
           case 0x2c =>
+            // Allocation budget (round-12 advice): every composed frame
+            // snapshots the full logical-screen canvas, so a crafted
+            // KB-scale file — a large logical screen plus many ~15-byte
+            // 1×1 image blocks — could otherwise allocate multi-GB, and
+            // the resulting OutOfMemoryError is an Error, NOT an
+            // Exception: it escapes the family's "callers drop, never
+            // throw" catch and would kill an executor instead of
+            // dropping the row (GVID bounds frames at 65536 and frame
+            // bytes by input length; this decoder must bound both too).
+            // Budget = live canvases plus every snapshot taken so far.
+            if (nFrames >= MaxFrames ||
+              (nFrames + 3).toLong * width * height * 3 > MaxDecodedBytes)
+              return None
             val left = u16(b, pos + 1); val top = u16(b, pos + 3)
             val iw = u16(b, pos + 5); val ih = u16(b, pos + 7)
             val ip = b(pos + 9) & 0xff

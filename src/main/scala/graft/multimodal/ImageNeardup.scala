@@ -149,24 +149,27 @@ object ImageNeardup {
     imageCorpusDf(Tables.documents(s, d).select(col("doc_id")), s,
       WideW, WideH)
 
-  /** Fail loudly when corpus ids would collide with the planted-variant
+  /** Fail loudly when a corpus id would collide with the planted-variant
     * key range (round-12, verdict item 3 — the round-11 A4 fix guarded
     * the ScaleProbe callers but not the generators themselves): variants
     * live at doc_id + [[VariantOffset]], so a documents table with
     * doc_id ≥ 10⁷ (plausible at sf ≳ 100) would silently alias variant
     * keys onto base keys and corrupt the planted-pair contract that the
-    * near-dup oracles and ScaleProbe linearity claims rest on. One
-    * max() over the skinny id column per corpus build — noise next to
-    * the render stage that follows. */
-  private[graft] def requireIdsBelowVariantOffset(
-      docs: DataFrame, who: String,
-      offset: Long = VariantOffset): Unit = {
-    val r = docs.agg(max(col("doc_id"))).head()
-    require(r.isNullAt(0) || r.getLong(0) < offset,
-      s"$who: max doc_id ${if (r.isNullAt(0)) -1L else r.getLong(0)} " +
-        s"reaches VariantOffset $offset — planted-variant keys " +
-        "would collide with base keys; raise the offset")
-  }
+    * near-dup oracles and ScaleProbe linearity claims rest on.
+    *
+    * Round 13 (advice): checked PER ROW inside each generator's render
+    * mapPartitions instead of an eager agg(max) action — the check now
+    * rides the existing render pass (zero extra Spark jobs; the old
+    * eager scan re-evaluated the input plan inside every probe's timed
+    * window) and still fails the job loudly, as a task failure carrying
+    * this message, on the first colliding id. Noise-free next to the
+    * per-row render work it shares a loop with. */
+  @inline private[multimodal] def requireSeedBelowOffset(seed: Long,
+      who: String, offset: Long): Unit =
+    require(seed < offset,
+      s"$who: doc_id $seed reaches VariantOffset $offset — " +
+        "planted-variant keys would collide with base keys; " +
+        "raise the offset")
 
   /** [[imageCorpus]] over an arbitrary doc_id frame (ScaleProbe
     * replicates ids through here). `offset` relocates the planted
@@ -178,7 +181,6 @@ object ImageNeardup {
   def imageCorpusDf(docs: DataFrame, s: SparkSession,
       w: Int, h: Int, offset: Long = VariantOffset): DataFrame = {
     import s.implicits._
-    requireIdsBelowVariantOffset(docs, "imageCorpusDf", offset)
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
@@ -197,6 +199,7 @@ object ImageNeardup {
       .repartition(s.sparkContext.defaultParallelism, col("key"))
       .as[(Long, Long, Int)]
       .mapPartitions(_.map { case (key, seed, pi) =>
+        requireSeedBelowOffset(seed, "imageCorpusDf", offset)
         val (bytes, mime) = renderImage(key, seed, pi, w, h)
         ImageAsset(key, bytes, mime)
       })

@@ -363,6 +363,46 @@ object JpegCodec {
     br.pos
   }
 
+  /** Byte length of ONE complete JPEG stream starting at `from` (SOI
+    * through EOI inclusive) — the MJPEG splitter's segment walk
+    * ([[VideoNeardup.decodeMjpeg]] consumes a container of raw
+    * concatenated JPEG streams through this). Splitting needs each
+    * stream's TRUE end: a bare FFD9 byte pattern may legally occur
+    * inside a length-prefixed segment payload (APPn/COM carry arbitrary
+    * bytes), so naive EOI scanning would cut streams short — the walk
+    * instead skips marker segments by their declared lengths, and
+    * crosses entropy-coded data the way [[nextMarker]] does (stuffed
+    * FF00 and restart markers stay inside the scan; multi-scan
+    * progressive streams just walk scan by scan). None when the stream
+    * is structurally malformed or truncated — the codec-family
+    * contract: callers drop, never throw. */
+  def frameLength(b: Array[Byte], from: Int): Option[Int] = {
+    try {
+      var pos = from
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != 0xd8) return None
+      pos += 2
+      def seglen(): Int = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      while (pos + 2 <= b.length) {
+        if ((b(pos) & 0xff) != 0xff) return None
+        val m = b(pos + 1) & 0xff
+        if (m == 0xd9) return Some(pos + 2 - from)
+        else if (m == 0xff) pos += 1 // optional fill byte before a marker
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+        else if (m == 0xd8 || m == 0x00) return None // nested SOI / bare stuffing
+        else if (m == 0xda) {
+          if (pos + 4 > b.length) return None
+          pos += 2 + seglen() // SOS header by declared length
+          pos = nextMarker(b, pos) // entropy data: FF00/RSTn stay inside
+        } else {
+          if (pos + 4 > b.length) return None
+          pos += 2 + seglen()
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
   /** Position of the next non-RST marker at or after `from`. */
   private def nextMarker(b: Array[Byte], from: Int): Int = {
     var p = math.max(from, 0)

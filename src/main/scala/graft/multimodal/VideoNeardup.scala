@@ -19,17 +19,23 @@ import graft.operators.Tables
   * ≤ 7 comparison bits in total: pigeonhole-exact, never video×video,
   * and every component is already spec/oracle-proven.
   *
-  * Containers, TWO (round 12 added the real-world one):
+  * Containers, THREE (round 12 added the real-world lossless one,
+  * round 13 the lossy one):
   * (a) the minimal length-prefixed "GVID" container (u32 frame count,
   * then u32-length-prefixed encoded frames — each an ordinary
-  * BMP/PNG/GIF payload decoded by [[Multimodal.decodeAny]]), and
+  * BMP/PNG/GIF payload decoded by [[Multimodal.decodeAny]]),
   * (b) animated GIF89a via [[GifCodec.encodeFrames]]/
   * [[GifCodec.decodeFrames]] — a public, spec-defined multi-frame
-  * format the JDK's ImageIO independently reads back.
-  * [[fingerprintOf]] dispatches on the magic bytes, so the fingerprint
-  * contract (and therefore the oracle) is container-independent; both
-  * decoders return None on any malformed input (the codec-family
-  * contract: callers drop, never throw).
+  * format the JDK's ImageIO independently reads back, and
+  * (c) MJPEG — raw concatenated JPEG streams through the real
+  * [[JpegCodec]], the family's first LOSSY member (its corpus and
+  * oracle differ by necessity; see the MJPEG section below).
+  * [[fingerprintOf]] dispatches on the magic bytes, so one asset
+  * column may mix all three; every decoder returns None on any
+  * malformed input (the codec-family contract: callers drop, never
+  * throw). The GVID/GIF arms share one pixel contract (and oracle);
+  * the lossy arm's decoded pixels carry quantization noise, so its
+  * correctness claims rest on the no-tie margin corpus instead.
   *
   * The contract corpus ([[videoCorpus]]): one 4-frame video per
   * document; frame f renders the [[ImageNeardup.lumaGridN]] grid for
@@ -112,10 +118,6 @@ object VideoNeardup {
   def videoCorpusDf(docs: DataFrame, s: SparkSession,
       offset: Long = ImageNeardup.VariantOffset): DataFrame = {
     import s.implicits._
-    // variant keys live at doc_id + offset — see
-    // ImageNeardup.requireIdsBelowVariantOffset (round-12 guard;
-    // offset-parameterized like imageCorpusDf for big probe factors)
-    ImageNeardup.requireIdsBelowVariantOffset(docs, "videoCorpusDf", offset)
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
@@ -128,6 +130,9 @@ object VideoNeardup {
       .repartition(s.sparkContext.defaultParallelism, col("key"))
       .as[(Long, Long, Int, Int)]
       .mapPartitions(_.map { case (key, seed, pf, pi) =>
+        // per-row variant-offset guard riding the render pass — see
+        // ImageNeardup.requireSeedBelowOffset (round-13 advice form)
+        ImageNeardup.requireSeedBelowOffset(seed, "videoCorpusDf", offset)
         VideoAsset(key, renderVideo(key, seed, pf, pi), "video/x-gvid")
       })
       .toDF()
@@ -145,8 +150,6 @@ object VideoNeardup {
   def videoCorpusGifDf(docs: DataFrame, s: SparkSession,
       offset: Long = ImageNeardup.VariantOffset): DataFrame = {
     import s.implicits._
-    ImageNeardup.requireIdsBelowVariantOffset(docs, "videoCorpusGifDf",
-      offset)
     val base = docs.select(col("doc_id").as("key"),
       col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
     val variants = docs.filter(col("doc_id") % 20 === 0)
@@ -159,6 +162,8 @@ object VideoNeardup {
       .repartition(s.sparkContext.defaultParallelism, col("key"))
       .as[(Long, Long, Int, Int)]
       .mapPartitions(_.map { case (key, seed, pf, pi) =>
+        ImageNeardup.requireSeedBelowOffset(seed, "videoCorpusGifDf",
+          offset)
         val frames = (0 until FrameCount).map { f =>
           ImageNeardup.renderDecoded(seed * FrameCount + f,
             if (f == pf) pi else -1)
@@ -170,6 +175,198 @@ object VideoNeardup {
 
   def videoCorpusGif(s: SparkSession, d: String): DataFrame =
     videoCorpusGifDf(Tables.documents(s, d).select(col("doc_id")), s)
+
+  // -------------------------------------------------------------- MJPEG
+  //
+  // The LOSSY container arm (round 13): every prior near-dup member —
+  // text, embeddings, image, audio, GVID and GIF89a video — round-trips
+  // its content bit-exactly, so the family had never exercised dHash's
+  // actual real-world claim: robustness under lossy re-encode. MJPEG is
+  // the classic raw-concatenated-JPEG video stream; each frame goes
+  // through the from-scratch [[JpegCodec]] (baseline 4:4:4, quality
+  // [[MjpegQuality]]) and comes back with QUANTIZATION NOISE — decoded
+  // luma is only close to the source, never equal.
+  //
+  // What makes exact correctness claims possible on a lossy path is the
+  // corpus construction ([[mjpegGrid]]): every horizontally-adjacent
+  // cell pair differs by ≥ 32 luma (8 levels, 16+32k, no ties and never
+  // exactly 4 levels apart), so a comparison bit can only flip if the
+  // decode-side error reaches ±16 — an order of magnitude above the
+  // measured quality-100 roundtrip error (spec-pinned tolerance). The
+  // planted perturbation (+128 = +4 levels; the level set is closed
+  // under it) moves ≤ 2 comparison bits and can never create a tie, so
+  // a planted pair's fingerprint hamming is ≤ 2 DETERMINISTICALLY,
+  // noise notwithstanding, and cross-video hammings concentrate near
+  // 128. Hence: detected pairs == planted pairs EXACTLY, which is what
+  // q295/q296 assert through the round-6 invariant-oracle pattern —
+  // DuckDB cannot run a JPEG decode, but it can enumerate the planted
+  // pair set from the documents table, and any false/missed pair (a
+  // quantization bit-flip breaking the margin) diverges the result.
+
+  /** JPEG quality for the MJPEG arm: 100 → all-ones quantization
+    * tables, the codec's lowest-loss setting — roundtrip error is FDCT/
+    * IDCT rounding only (measured ≤ ~3 luma on this corpus; the margin
+    * construction tolerates ±15). Still genuinely lossy: decoded
+    * pixels differ from the source, which is the point of the arm. */
+  val MjpegQuality = 100
+  /** Luma levels per cell of the no-tie grid (values 16 + 32·k). */
+  val MjpegLevels = 8
+
+  /** The no-tie 8-level luma grid of the lossy arm: base level = md5
+    * nibble (one independent digest per 16-cell chunk — the round-11
+    * decorrelation lesson, domain-tagged "_m" so lossy-arm grids share
+    * nothing with the lossless family's), bumped +1 mod 8 while it
+    * equals the left neighbor or sits exactly 4 levels from it (≤ 2
+    * bumps terminate: 8 levels, 2 excluded). The rule guarantees, for
+    * EVERY horizontally-adjacent pair: distinct levels (≥ 32 luma
+    * apart) and never 4 apart — so the +4-level perturbation of any
+    * single cell keeps the whole row tie-free, and ≤ 2 dHash comparison
+    * bits move. Deterministic left-to-right, so base and variant grids
+    * agree on every unperturbed cell. */
+  private[multimodal] def mjpegGrid(seed: Long, perturb: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = ImageNeardup.GridW
+    val cells = w * ImageNeardup.GridH
+    val k = new Array[Int](cells)
+    var dig: Array[Byte] = null
+    var i = 0
+    while (i < cells) {
+      if (i % 16 == 0)
+        dig = md.digest(s"${seed}_m${i / 16}".getBytes("UTF-8"))
+      k(i) = dig(i % 16) & 7
+      if (i % w != 0) {
+        val left = k(i - 1)
+        while (k(i) == left || k(i) == (left + 4) % MjpegLevels)
+          k(i) = (k(i) + 1) % MjpegLevels
+      }
+      i += 1
+    }
+    if (perturb >= 0) k(perturb) = (k(perturb) + 4) % MjpegLevels
+    var j = 0
+    while (j < cells) { k(j) = 16 + 32 * k(j); j += 1 }
+    k
+  }
+
+  /** One MJPEG frame: the no-tie grid as a 9×8 grayscale raster through
+    * the real JPEG encoder. */
+  private def renderMjpegFrame(seed: Long, perturb: Int): Array[Byte] = {
+    val p = mjpegGrid(seed, perturb)
+    val w = ImageNeardup.GridW; val h = ImageNeardup.GridH
+    val bgr = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < p.length) {
+      val v = p(i).toByte
+      bgr(i * 3) = v; bgr(i * 3 + 1) = v; bgr(i * 3 + 2) = v
+      i += 1
+    }
+    JpegCodec.encode(BmpCodec.Decoded(w, h, bgr), MjpegQuality)
+  }
+
+  /** MJPEG container encode: raw concatenation of complete JPEG
+    * streams — the format's actual wire shape (no wrapper). */
+  def encodeMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Split an MJPEG byte stream back into its complete JPEG frames via
+    * [[JpegCodec.frameLength]]'s segment walk (an EOI byte pattern
+    * inside a segment payload cannot cut a frame short). None on any
+    * malformed or trailing content, and frames are capped like GVID's
+    * 65536 — callers drop, never throw. */
+  def decodeMjpeg(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    try {
+      if (!JpegCodec.isJpeg(b)) return None
+      var pos = 0
+      var n = 0
+      val frames = Seq.newBuilder[Array[Byte]]
+      while (pos < b.length) {
+        if (n >= 65536) return None
+        JpegCodec.frameLength(b, pos) match {
+          case Some(len) =>
+            frames += java.util.Arrays.copyOfRange(b, pos, pos + len)
+            pos += len
+            n += 1
+          case None => return None
+        }
+      }
+      Some(frames.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** The lossy-arm corpus: same every-20th planted-variant geometry as
+    * the GVID/GIF arms, but frames render the no-tie grid and pass
+    * through real JPEG quantization — one MJPEG stream per video. */
+  def videoCorpusMjpegDf(docs: DataFrame, s: SparkSession,
+      offset: Long = ImageNeardup.VariantOffset): DataFrame = {
+    import s.implicits._
+    val base = docs.select(col("doc_id").as("key"),
+      col("doc_id").as("seed"), lit(-1).as("pf"), lit(-1).as("pi"))
+    val variants = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(offset)).as("key"),
+        col("doc_id").as("seed"),
+        (col("doc_id") % FrameCount).cast("int").as("pf"),
+        (col("doc_id") % (ImageNeardup.GridW * ImageNeardup.GridH))
+          .cast("int").as("pi"))
+    base.unionByName(variants)
+      .repartition(s.sparkContext.defaultParallelism, col("key"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (key, seed, pf, pi) =>
+        ImageNeardup.requireSeedBelowOffset(seed, "videoCorpusMjpegDf",
+          offset)
+        val frames = (0 until FrameCount).map { f =>
+          renderMjpegFrame(seed * FrameCount + f, if (f == pf) pi else -1)
+        }
+        VideoAsset(key, encodeMjpeg(frames), "video/x-motion-jpeg")
+      })
+      .toDF()
+  }
+
+  def videoCorpusMjpeg(s: SparkSession, d: String): DataFrame =
+    videoCorpusMjpegDf(Tables.documents(s, d).select(col("doc_id")), s)
+
+  /** q295: the lossy arm's pair query — ids only. The per-pair hamming
+    * is deterministic but depends on quantization noise DuckDB cannot
+    * reproduce, while the PAIR SET is exactly the planted set by the
+    * margin construction — so the oracle enumerates planted pairs in
+    * pure SQL and any noise-induced false/missed pair fails the gate. */
+  def videoNeardupPairsMjpeg(s: SparkSession, d: String): DataFrame =
+    ImageNeardup.neardupPairsWide(fingerprints(videoCorpusMjpeg(s, d), s),
+      MaxHamming)
+      .select(col("asset_a"), col("asset_b"))
+
+  /** q296: the apply form (near-dup degree + min-id-survivor verdict)
+    * over the lossy corpus — the production operator end-to-end; the
+    * oracle derives every asset's exact expected degree and verdict
+    * from the planted geometry alone. */
+  def videoNeardupApplyMjpeg(s: SparkSession, d: String): DataFrame = {
+    val fps = fingerprints(videoCorpusMjpeg(s, d), s).localCheckpoint()
+    ImageNeardup.neardupApplyFromPairs(fps.select(col("asset_id")),
+      ImageNeardup.neardupPairsWide(fps, MaxHamming))
+  }
+
+  /** The lossy arm's oracle: DuckDB cannot decode JPEG, but the margin
+    * construction pins the detected pair set to EXACTLY the planted
+    * set, which IS pure SQL over the documents table (the round-6
+    * invariant pattern — exact oracle-computable columns instead of
+    * raster hashes). Base keys sort below variant keys (offset 10⁷),
+    * matching the operator's asset_a < asset_b orientation. */
+  val MjpegPairsOracleSql: String =
+    "SELECT doc_id AS asset_a, doc_id + 10000000 AS asset_b " +
+      "FROM documents WHERE doc_id % 20 = 0"
+
+  /** Apply-form oracle: with the pair set pinned to the planted set,
+    * every asset's degree and keep verdict follow from the geometry —
+    * a base doc with a variant has exactly one neighbor (larger id →
+    * keep), its variant has one (smaller id → drop), all others none. */
+  val MjpegApplyOracleSql: String =
+    "SELECT doc_id AS asset_id, " +
+      "CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS n_neardups, true AS keep FROM documents " +
+      "UNION ALL SELECT doc_id + 10000000 AS asset_id, " +
+      "CAST(1 AS BIGINT) AS n_neardups, false AS keep " +
+      "FROM documents WHERE doc_id % 20 = 0"
 
   /** 256-bit temporal fingerprint: decode the container (GVID or
     * animated GIF89a, dispatched on the magic bytes), dHash each of
@@ -183,6 +380,11 @@ object VideoNeardup {
       if (GifCodec.isGif(media))
         GifCodec.decodeFrames(media).filter(_.length == FrameCount)
           .map(_.map(ImageNeardup.dhashOfDecoded))
+      else if (JpegCodec.isJpeg(media))
+        // MJPEG (round 13): concatenated JPEG frames — the lossy arm
+        decodeMjpeg(media).filter(_.length == FrameCount)
+          .map(_.flatMap(f =>
+            JpegCodec.decode(f).map(ImageNeardup.dhashOfDecoded)))
       else
         decodeVideo(media).filter(_.length == FrameCount)
           .map(_.flatMap(ImageNeardup.dhashOf))

@@ -353,4 +353,33 @@ class BenchGuardSpec extends AnyFunSuite {
     assert("\\+(\\d+) more".r.findFirstMatchIn(js).get.group(1).toInt ===
       70 - kept)
   }
+
+  test("flagsJson JSON-escapes quotes and backslashes in names so one " +
+      "pathological flag cannot corrupt the one-line artifact (r12 advice)") {
+    assert(BenchGuard.flagsJson(Seq("""q1_has"quote""", """q2_has\slash""")) ===
+      """["q1_has\"quote","q2_has\\slash"]""")
+  }
+
+  test("adjudicateIsolated clears a flag only when the 3-trial isolated " +
+      "minimum sits within the query's own ratchet bound (round 13: the " +
+      "in-run form of the MiniBench protocol, so non-panel flags no " +
+      "longer dangle a full round)") {
+    val bounds = Map("q_contention" -> 2.0, "q_regressed" -> 2.0)
+    val mins = Map(
+      "q_contention" -> 1.4, // isolated at best-known → contention
+      "q_regressed" -> 3.1, // still over in isolation → a real flag
+      "q_failed" -> -1.0) // a failed trial must never clear
+    val (confirmed, cleared) = BenchGuard.adjudicateIsolated(
+      Seq("q_contention", "q_regressed", "q_failed"),
+      bounds.get, mins)
+    assert(confirmed === Seq("q_regressed", "q_failed"))
+    assert(cleared === Seq("q_contention" -> 1.4))
+    // exactly at the bound clears (the bound is inclusive, matching
+    // Bench's retry compare); no recorded bound never clears
+    val (c2, a2) = BenchGuard.adjudicateIsolated(
+      Seq("q_at_bound", "q_no_history"),
+      Map("q_at_bound" -> 2.0).get, Map("q_at_bound" -> 2.0,
+        "q_no_history" -> 0.1))
+    assert(c2 === Seq("q_no_history") && a2 === Seq("q_at_bound" -> 2.0))
+  }
 }

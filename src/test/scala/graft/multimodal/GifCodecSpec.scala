@@ -229,6 +229,24 @@ class GifCodecSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("decodeFrames refuses allocation-bomb files: a large logical " +
+      "screen plus many tiny image blocks trips the decoded-byte budget " +
+      "and returns None instead of allocating multi-GB (round-12 advice: " +
+      "the OutOfMemoryError is an Error, which would escape the 'callers " +
+      "drop, never throw' catch and kill an executor)") {
+    // 3000×3000 canvas = 27 MB per composed-frame snapshot; 12 one-pixel
+    // image blocks would compose ~324 MB of snapshots from a sub-2KB file
+    val bomb = handGif(3000, 3000,
+      (0 until 12).map(_ => (0, 0, 1, 1, Array[Byte](1), 0, -1)))
+    assert(bomb.length < 2000)
+    assert(GifCodec.decodeFrames(bomb).isEmpty)
+    // the budget is a cap, not a small-animation regression: 6 frames on
+    // the same canvas stay under it and still compose
+    val ok = handGif(3000, 3000,
+      (0 until 6).map(_ => (0, 0, 1, 1, Array[Byte](1), 0, -1)))
+    assert(GifCodec.decodeFrames(ok).exists(_.length == 6))
+  }
+
   test("decodeFrames honors GCE transparency and disposal methods 2 " +
       "and 3 per the 89a spec") {
     // logical screen 4x3 over a black background; color letters:

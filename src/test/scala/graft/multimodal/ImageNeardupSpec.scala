@@ -87,9 +87,17 @@ class ImageNeardupSpec extends SparkTestBase {
     // doc_id >= 10^7 (plausible at sf >~ 100) would alias variant keys
     // onto base keys and corrupt the planted-pair contract
     val bad = Seq(1L, 20L, ImageNeardup.VariantOffset).toDF("doc_id")
+    // round 13: the guard is per-row inside the render mapPartitions
+    // (zero extra Spark jobs — the old eager agg(max) re-evaluated the
+    // input plan inside every probe's timed window), so the loud
+    // failure now surfaces as a task failure wrapping the requirement
+    // message somewhere in the cause chain
     def mustThrow(what: String)(f: => Any): Unit = {
-      val e = intercept[IllegalArgumentException](f)
-      assert(e.getMessage.contains("VariantOffset"), s"$what: $e")
+      val e = intercept[Throwable](f)
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("VariantOffset"), s"$what: $e")
     }
     mustThrow("image") {
       ImageNeardup.imageCorpusDf(bad, spark,
