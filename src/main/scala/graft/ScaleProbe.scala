@@ -78,6 +78,43 @@ object ScaleProbe {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Box-speed reading bracketing a probe run (round 13, verdict item
+    * 6): round 12's ×64 warm minimums sat uniformly ~2× over round-11
+    * receipts purely from host state, and the attribution lived in
+    * prose. Run the first 5 MiniBench panel queries at the PROTOCOL
+    * sf0.1 dir under the isolated 3-trial-minimum protocol (one
+    * untimed warmup pass first) and take the median ratio to the
+    * recorded MiniBench best-knowns — the same BenchGuard.boxIndex
+    * number the bench artifacts carry, so probe rows are normalizable
+    * post-hoc. None when BASELINE.md has no history for the head (e.g.
+    * run outside the repo). Attribution only; never adjusts a probe
+    * row. */
+  private def boxHead(spark: SparkSession): Option[Double] = {
+    val md =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BASELINE.md"))
+      catch { case _: Throwable => "" }
+    val best = BenchGuard.miniHistory(md).map { case (q, h) => q -> h.min }
+    val head = MiniBench.Panel.take(5).filter(best.contains)
+    if (head.isEmpty) return None
+    val proto = "/root/testdata/sf0.1" // best-knowns are recorded here
+    try {
+      head.foreach { q => // untimed warmup
+        SparkEntry.queries(q)(spark, proto).count(); preTimer()
+      }
+      val res = head.map { q =>
+        val ts = (0 until 3).map { _ =>
+          preTimer()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, proto).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q -> ts.min
+      }
+      BenchGuard.boxIndex(res, best)
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val (facArgs, nameArgs) =
@@ -100,6 +137,8 @@ object ScaleProbe {
     })
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Long)]()
+
+    val boxBefore = boxHead(spark)
 
     for (n <- factors) {
       val docs = replicateDocs(
@@ -615,6 +654,61 @@ object ScaleProbe {
       results += (("video_neardup_gif", n, tVg, rVg))
       }
 
+      // MJPEG lossy video container (round 13, q295 production path):
+      // same planting and banded join as the GVID/GIF arms, but every
+      // frame passes through REAL JPEG quantization both ways (4 FDCTs
+      // + 4 Huffman encodes + the segment-walk split + 4 decodes per
+      // asset) — cost must stay linear in assets, true pairs linear
+      // via the same every-20th planting, and the no-tie margin must
+      // keep candidates = true pairs at every factor (a quantization
+      // bit-flip breaking the margin would show up as a pair-count
+      // deviation from exactly maxDoc·n/20-ish, not just as time)
+      if (want("video_neardup_mjpeg")) {
+      val (tVm, rVm) = time {
+        val keys = replicateKeyed(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", n)
+        graft.multimodal.ImageNeardup.neardupPairsWide(
+          graft.multimodal.VideoNeardup.fingerprints(
+            graft.multimodal.VideoNeardup.videoCorpusMjpegDf(keys, spark,
+              wideOffset), spark),
+          graft.multimodal.VideoNeardup.MaxHamming).count()
+      }
+      results += (("video_neardup_mjpeg", n, tVm, rVm))
+      }
+
+      // FIFO costing under a Zipfian hot-part head (round 13, q205
+      // production path — the scaladoc's "AQE handles hot parts" claim
+      // gets its recorded receipt): organic lineitem replicates ×n with
+      // DISJOINT part keys per replica, so per-part lot counts stay at
+      // the base distribution and organic cost tracks rows linearly.
+      // On top, 8 planted hot parts with a halving lot-count ladder
+      // (≈6k, 3k, … ≈47 lots at sf0.1 — Zipf-shaped, far above the
+      // ~30-lot organic median) of FIXED content across factors: the
+      // per-part interval join is quadratic in lot count BY DESIGN
+      // (that is the workload), so pinning the head constant isolates
+      // what the claim is about — growth must track the organic scan
+      // while the hot keys neither stall the stage nor blow the plan.
+      if (want("fifo_costing_skew")) {
+      val (tFc, rFc) = time {
+        val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
+          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"))
+        val organic = li
+          .withColumn("rep", explode(sequence(lit(0L), lit(n - 1L))))
+          .withColumn("l_orderkey", col("l_orderkey") * n + col("rep"))
+          .withColumn("l_partkey", col("l_partkey") * n + col("rep"))
+          .drop("rep")
+        val hot = (1 to 8).map { k =>
+          li.filter(col("l_partkey") % (100 * (1 << (k - 1))) === 0)
+            .withColumn("l_partkey", lit(-k.toLong))
+        }.reduce(_ unionAll _)
+        graft.operators.Analytics.fifoCostingDf(organic.unionAll(hot))
+          .count()
+      }
+      results += (("fifo_costing_skew", n, tFc, rFc))
+      }
+
       // shingle-containment prefix filter (round 8, q240 production
       // path): disjoint replica namespaces keep true containment pairs
       // linear, and a planted boilerplate header puts corpus-wide HOT
@@ -647,10 +741,19 @@ object ScaleProbe {
       }
     }
 
+    val boxAfter = boxHead(spark)
     val body = results.map { case (p, n, sec, rows) =>
       f"""{"probe":"$p","factor":$n,"sec":$sec%.2f,"rows":$rows}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"scale_probe","sf":"$sfDir","results":$body}""")
+    // the bracketing box readings ride the artifact so every probe row
+    // is host-state-attributable post-hoc (protocol: BASELINE.md notes)
+    val boxJs = (boxBefore, boxAfter) match {
+      case (Some(a), Some(b)) => f""","box_before":$a%.3f,"box_after":$b%.3f"""
+      case (Some(a), None) => f""","box_before":$a%.3f"""
+      case (None, Some(b)) => f""","box_after":$b%.3f"""
+      case _ => ""
+    }
+    println(s"""{"metric":"scale_probe","sf":"$sfDir"$boxJs,"results":$body}""")
     spark.stop()
   }
 }

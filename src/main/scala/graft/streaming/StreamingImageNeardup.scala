@@ -8,22 +8,11 @@ import graft.multimodal.ImageNeardup
 /** Streaming image near-dup ingest filter — [[ImageNeardup]]'s probe arm
   * run CONTINUOUSLY, mirroring [[StreamingNeardup]]'s text arm: arriving
   * image assets are decoded and dHashed per partition (stateless map
-  * work), their band keys stream-static-join the FROZEN registry's band
-  * table, and every collision exact-verifies with a bit_count on the two
-  * carried hashes. Projection + one stream-static equi-join + a filter:
-  * no state store, no watermark, no streaming aggregation — bounded
-  * memory at any stream length, the multimodal crawl-intake shape.
-  *
-  * A pair that collides in several bands emits once per colliding band
-  * (streaming `distinct` would need a state store); emissions are
-  * idempotent under the registry discipline — downstream upserts by
-  * (asset_id, match_id) or reads the distinct set, and the spec pins
-  * distinct(stream) == batch probe.
-  *
-  * Scale shape: the arriving micro-batch is small; the registry band
-  * table is touched only through its (band, bandkey) equi-key — Spark
-  * broadcasts or shuffles it as sizes dictate; nothing is quadratic in
-  * either side. */
+  * work), then probed against the frozen registry through the shared
+  * [[FrozenRegistryProbe]] kernel (its scaladoc carries the plan-shape,
+  * idempotence, and scale notes; this wrapper owns only the modality:
+  * dHash fingerprints, compact 64-bit band table, single-word
+  * bit_count verify). */
 object StreamingImageNeardup {
 
   /** Matches of an arriving (asset_id, media) frame against a frozen
@@ -32,24 +21,9 @@ object StreamingImageNeardup {
     * `maxHamming` bits. Works identically on a batch frame (the parity
     * the spec pins). */
   def matches(arriving: DataFrame, registry: DataFrame, s: SparkSession,
-      maxHamming: Int = ImageNeardup.DefaultMaxHamming): DataFrame = {
-    val reg = ImageNeardup.bandTable(
-      registry.localCheckpointIfBatch(), "match_id", maxHamming)
-      .withColumnRenamed("dhash", "r_dhash")
-    val fp = ImageNeardup.bandTable(
-      ImageNeardup.dHashes(arriving, s), "asset_id", maxHamming)
-    fp.join(reg, Seq("band", "bandkey"))
-      .withColumn("hamming",
-        bit_count(col("dhash").bitwiseXOR(col("r_dhash"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("asset_id"), col("match_id"), col("hamming"))
-  }
-
-  private implicit class BatchPin(df: DataFrame) {
-    /** localCheckpoint is illegal on a streaming frame; the registry is
-      * always static here, but guard anyway so a caller passing a
-      * stream as the registry fails with the real error, not ours. */
-    def localCheckpointIfBatch(): DataFrame =
-      if (df.isStreaming) df else df.localCheckpoint()
-  }
+      maxHamming: Int = ImageNeardup.DefaultMaxHamming): DataFrame =
+    FrozenRegistryProbe.matches(
+      ImageNeardup.dHashes(arriving, s), registry,
+      ImageNeardup.bandTable(_, _, maxHamming), "dhash",
+      (a, r) => bit_count(a.bitwiseXOR(r)), maxHamming)
 }
