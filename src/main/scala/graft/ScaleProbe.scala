@@ -694,9 +694,19 @@ object ScaleProbe {
         val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
           col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
           col("l_quantity"), col("l_extendedprice"))
+        // orderkey replicates by HIGH-bit salting (rep·10⁹ + key), NOT
+        // key·n + rep: the receipts/issues split is orderkey PARITY,
+        // which an even-n multiply erases — every organic part then
+        // holds a single parity, the interval join matches nothing
+        // organic, and the probe measures only the hot ladder (the
+        // first cut of this probe did exactly that: 8 output rows).
+        // High-bit salting preserves parity AND the per-part window
+        // order (one rep per salted part, so the rep term is constant
+        // within every window partition).
         val organic = li
           .withColumn("rep", explode(sequence(lit(0L), lit(n - 1L))))
-          .withColumn("l_orderkey", col("l_orderkey") * n + col("rep"))
+          .withColumn("l_orderkey",
+            col("rep") * lit(1000000000L) + col("l_orderkey"))
           .withColumn("l_partkey", col("l_partkey") * n + col("rep"))
           .drop("rep")
         val hot = (1 to 8).map { k =>
