@@ -149,6 +149,58 @@ class StreamingVideoNeardupSpec extends SparkTestBase {
       "restarted stream equals batch row-for-row (per-band multiset)")
   }
 
+  test("the MJPEG (lossy) container joins the stream: variants flag " +
+      "against a frozen MJPEG registry within the planted bound, an " +
+      "exact byte dup scores hamming 0, and a third container rides " +
+      "the same stream — stream equals batch on the distinct set") {
+    // the corpus generator is the only sound frame source here: the
+    // local raster() recipe has no adjacency margin, so JPEG noise
+    // could legally shift its hash — the no-tie corpus grid is what
+    // makes lossy assertions exact (MjpegNeardupSpec pins why)
+    val corpus = VideoNeardup.videoCorpusMjpegDf(
+      Seq(0L, 20L, 777L).toDF("doc_id"), spark).localCheckpoint()
+    val off = graft.multimodal.ImageNeardup.VariantOffset
+    val bases = corpus.filter($"asset_id" < off)
+    val registry = VideoNeardup.fingerprints(bases, spark)
+      .localCheckpoint()
+    val media777 = bases.filter($"asset_id" === 777L)
+      .select($"media").as[Array[Byte]].head()
+    val variants = corpus.filter($"asset_id" >= off)
+      .select($"asset_id", $"media").as[(Long, Array[Byte])].collect()
+    assert(variants.map(_._1).toSet === Set(off, off + 20L))
+    val arriving = variants.toSeq ++ Seq(
+      (200L, media777), // exact MJPEG byte dup of base 777
+      (201L, gvid(777L))) // a GVID asset in the same stream (unrelated)
+    val batchPairs = StreamingVideoNeardup.matches(
+        arriving.toDF("asset_id", "media"), registry, spark)
+      .select($"asset_id", $"match_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((off, 0L), (off + 20L, 20L), (200L, 777L)),
+      s"got $batchPairs")
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamingVideoNeardup.matches(
+        input.toDS().toDF("asset_id", "media"), registry, spark)
+      .writeStream.format("memory").queryName("svidnearmj")
+      .outputMode("append").start()
+    input.addData(arriving.take(2))
+    q.processAllAvailable()
+    input.addData(arriving.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("svidnearmj")
+      .select($"asset_id", $"match_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batchPairs,
+      "stream must equal batch on the distinct matched set")
+    val hams = spark.table("svidnearmj")
+      .select($"asset_id", $"hamming")
+      .as[(Long, Int)].collect().groupBy(_._1).map {
+        case (k, vs) => k -> vs.map(_._2).min }
+    assert(hams(200L) === 0, "exact byte dup scores hamming 0")
+    assert(hams(off) <= 2 && hams(off + 20L) <= 2,
+      "planted variants stay within the deterministic <=2-bit bound")
+  }
+
   test("the streaming probe plan is stateless (no state store nodes)") {
     val input = MemoryStream[(Long, Array[Byte])](spark)
     val registry = VideoNeardup.fingerprints(Seq(
