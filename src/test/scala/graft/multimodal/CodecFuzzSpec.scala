@@ -27,19 +27,33 @@ object CodecFuzzSpec extends Properties("CodecFuzz") {
     val img = pattern(12, 9)
     val wav = WavCodec.Wav(sampleRate = 8000, channels = 2,
       samples = Array.tabulate(64)(i => (i * 997 % 65536 - 32768).toShort))
+    // video containers fuzz through the PRODUCTION video dispatch
+    // (round 13): VideoNeardup.fingerprintOf covers the strict
+    // multi-frame GIF composition (incl. the allocation budget), the
+    // GVID walk, and the MJPEG segment-walk splitter — a corrupt video
+    // asset must drop exactly like a corrupt image
+    val frames = (0 until 4).map(_ => pattern(9, 8))
     Seq(
       "bmp" -> BmpCodec.encode(img),
       "png" -> PngCodec.encode(img),
       "gif" -> GifCodec.encode(img),
       "jpeg" -> JpegCodec.encode(img),
-      "wav" -> WavCodec.encode(wav))
+      "wav" -> WavCodec.encode(wav),
+      "gvid" -> VideoNeardup.encodeVideo(frames.map(BmpCodec.encode)),
+      "agif" -> GifCodec.encodeFrames(frames),
+      "mjpeg" -> VideoNeardup.encodeMjpeg(
+        frames.map(JpegCodec.encode(_, 100))))
   }
+
+  private val videoLabels = Set("gvid", "agif", "mjpeg")
 
   /** Decode through the PRODUCTION dispatch, mapping any throw to a
     * property failure with the codec named. */
   private def noThrow(label: String, b: Array[Byte]): Prop =
     try {
-      if (label == "wav") WavCodec.decode(b) else Multimodal.decodeAny(b)
+      if (label == "wav") WavCodec.decode(b)
+      else if (videoLabels(label)) VideoNeardup.fingerprintOf(b)
+      else Multimodal.decodeAny(b)
       Prop.passed
     } catch {
       case e: Throwable =>
