@@ -50,6 +50,22 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("wide near-dup banded join plans as SHUFFLE_HASH, never a " +
+      "broadcast: the corpus band table hides behind MapPartitions, so " +
+      "an unhinted plan auto-broadcasts a multi-million-row side (the " +
+      "round-11 driver-collect trap — at 100 TB a driver OOM)") {
+    for ((label, df) <- Seq(
+      "image_wide" ->
+        graft.multimodal.ImageNeardup.imageNeardupWide(spark, sf0001),
+      "video_mjpeg" ->
+        graft.multimodal.VideoNeardup.videoNeardupPairsMjpeg(spark, sf0001))) {
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin"), s"$label: ${p.take(2000)}")
+      assert(!p.contains("BroadcastHashJoin"), s"$label: ${p.take(2000)}")
+      assert(!p.contains("NestedLoop"), s"$label: ${p.take(2000)}")
+    }
+  }
+
   test("scan of a two-column projection reads only those columns") {
     val p = plan(Relational.scanProject(spark, sf0001))
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
