@@ -164,24 +164,27 @@ object Bench {
     // and their wall time folds into retry_sec, so "value" stays the
     // timed pass alone. The decision logic is BenchGuard's
     // (spec-pinned); this closure supplies the measurement.
-    def isolatedMin3(n: String): Double = {
-      val trials = (0 until 3).map { _ =>
-        dropCheckpoints(); System.gc()
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val t = (System.nanoTime() - t0) / 1e9
-        retrySec += t
-        if (ok) t else -1.0
-      }
-      if (trials.exists(_ < 0)) -1.0 else trials.min
+    // One isolated trial (the caller-owned protocol step): the early-
+    // stopping adjudicator below runs these one at a time and stops as
+    // soon as a reading clears — the min of k trials only improves with
+    // more trials, so further ones cannot change a clear verdict and
+    // would only burn retry_sec (round-13's contended close run spent
+    // 185 s on trials whose first reading had already cleared).
+    def isolatedTrial(n: String): Double = {
+      dropCheckpoints(); System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      retrySec += t
+      if (ok) t else -1.0
     }
-    val (over2x, isolatedClearSeq) = BenchGuard.adjudicateIsolated(
+    val (over2x, isolatedClearSeq) = BenchGuard.adjudicateIsolatedEarly(
       retrySurvivors,
       n => BenchGuard.boundFor(n,
         withRows.collectFirst { case (`n`, _, r) => r }.getOrElse(0L),
         baseline, rateBase),
-      isolatedMin3)
+      isolatedTrial)
     val isolatedClear =
       scala.collection.mutable.LinkedHashMap(isolatedClearSeq: _*)
     // Adjudicated flags get the SAME one-shot retry (round 10): direct
@@ -225,23 +228,28 @@ object Bench {
       else None
     val boxJs = boxIndex.map(b => f""","box_index":$b%.3f""").getOrElse("")
 
-    def entry(k: String, v: Double) = "\"" + k + f"""":$v%.3f"""
+    // every NAME emission routes through the same JSON escape (round-13
+    // advice: flagsJson escaped but the other builders didn't — one
+    // pathological name would still have corrupted bench_full.json)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def entry(k: String, v: Double) = "\"" + esc(k) + f"""":$v%.3f"""
     // full map → bench_full.json (judge-readable, no size limit);
     // per-query OUTPUT rows ride along so output-bound ratchets are
     // reconstructible from the artifact alone
     val fullQs = results.map((entry _).tupled).mkString("{", ",", "}")
-    val rowsJs = withRows.map { case (n, _, r) => "\"" + n + s"""":$r""" }
+    val rowsJs = withRows.map { case (n, _, r) => "\"" + esc(n) + s"""":$r""" }
       .mkString("{", ",", "}")
-    val overJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val adjJson = adjudicatedFinal.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val overJson = over2x.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val adjJson = adjudicatedFinal.map("\"" + esc(_) + "\"")
+      .mkString("[", ",", "]")
     val adjRetryJson = adjudicatedRetry
-      .map { case (n, t) => "\"" + n + f"""":$t%.3f""" }
+      .map { case (n, t) => "\"" + esc(n) + f"""":$t%.3f""" }
       .mkString("{", ",", "}")
     val retryJson = retriedClear
-      .map { case (n, t) => "\"" + n + f"""":$t%.3f""" }
+      .map { case (n, t) => "\"" + esc(n) + f"""":$t%.3f""" }
       .mkString("{", ",", "}")
     val isoJson = isolatedClear
-      .map { case (n, t) => "\"" + n + f"""":$t%.3f""" }
+      .map { case (n, t) => "\"" + esc(n) + f"""":$t%.3f""" }
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"rows":$rowsJs,"over_2x":$overJson,"adjudicated":$adjJson,"adjudicated_retry":$adjRetryJson,"retried_clear":$retryJson,"isolated_clear":$isoJson,"retry_sec":$retrySec%.3f$boxJs,"sf":"$sfDir"}"""

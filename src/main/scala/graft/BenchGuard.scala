@@ -315,6 +315,44 @@ object BenchGuard {
     (confirmed, cleared.toSeq)
   }
 
+  /** Trial-at-a-time form of the isolated 3-trial protocol (round-14,
+    * verdict item 7): the minimum of k trials can only IMPROVE on more
+    * trials, so once any single trial clears the bound the remaining
+    * trials cannot change the verdict — run them and you only burn
+    * retry_sec (round 13's contended close run spent 185 s on trials
+    * whose first reading had already cleared). `trial` runs ONE
+    * isolated measurement (checkpoints dropped + GC — the caller owns
+    * the protocol); negative = failed trial. A failed trial POISONS the
+    * query exactly as in [[graft.MiniBench]]'s protocol (the flag stays
+    * confirmed, no further trials run — a query that errors under
+    * isolation must surface, never clear); otherwise the verdict equals
+    * [[adjudicateIsolated]] over the full-trial minimum: clear iff some
+    * trial ≤ bound (⇔ min ≤ bound). */
+  def adjudicateIsolatedEarly(flags: Seq[String],
+      bound: String => Option[Double],
+      trial: String => Double, maxTrials: Int = 3)
+      : (Seq[String], Seq[(String, Double)]) = {
+    val cleared = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val confirmed = flags.filter { n =>
+      val b = bound(n)
+      var best = -1.0
+      var done = 0
+      var clear = false
+      var poisoned = false
+      while (done < maxTrials && !clear && !poisoned) {
+        val t = trial(n)
+        done += 1
+        if (t < 0) poisoned = true
+        else {
+          if (best < 0 || t < best) best = t
+          clear = b.exists(best <= _)
+        }
+      }
+      if (clear) { cleared += n -> best; false } else true
+    }
+    (confirmed, cleared.toSeq)
+  }
+
   /** [[violations]] with the current run's output row counts: a query
     * present in `rateBase` (its history carries `rows=` annotations)
     * is bounded by bestRate × its CURRENT row count instead of raw

@@ -382,4 +382,55 @@ class BenchGuardSpec extends AnyFunSuite {
         "q_no_history" -> 0.1))
     assert(c2 === Seq("q_no_history") && a2 === Seq("q_at_bound" -> 2.0))
   }
+
+  test("adjudicateIsolatedEarly short-circuits after the first clearing " +
+      "trial (round-14, verdict item 7: the min of k trials only " +
+      "improves with more trials, so later trials cannot un-clear), " +
+      "poisons on a failed trial, and matches adjudicateIsolated's " +
+      "verdicts otherwise") {
+    val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // q_fast clears on trial 1; q_slow_then_ok clears on trial 2;
+    // q_regressed never clears (3 trials); q_fails poisons on trial 1
+    val seqs = Map(
+      "q_fast" -> Seq(1.5),
+      "q_slow_then_ok" -> Seq(2.5, 1.9),
+      "q_regressed" -> Seq(3.0, 3.2, 3.1),
+      "q_fails" -> Seq(-1.0, 0.5, 0.5))
+    def trial(n: String): Double = {
+      val i = calls(n); calls(n) = i + 1; seqs(n)(i)
+    }
+    val bound = Map("q_fast" -> 2.0, "q_slow_then_ok" -> 2.0,
+      "q_regressed" -> 2.0, "q_fails" -> 2.0)
+    val (confirmed, cleared) = BenchGuard.adjudicateIsolatedEarly(
+      Seq("q_fast", "q_slow_then_ok", "q_regressed", "q_fails"),
+      bound.get, trial)
+    assert(confirmed === Seq("q_regressed", "q_fails"))
+    assert(cleared === Seq("q_fast" -> 1.5, "q_slow_then_ok" -> 1.9))
+    // the short-circuit itself: one trial for the immediate clear, two
+    // for the second-trial clear, the full three only for a confirmed
+    // flag, and exactly one for the poisoned query (never a fake clear
+    // from trials after a failure)
+    assert(calls("q_fast") === 1)
+    assert(calls("q_slow_then_ok") === 2)
+    assert(calls("q_regressed") === 3)
+    assert(calls("q_fails") === 1)
+  }
+
+  test("every declared query resolves to a guard bound at the sf0.1 " +
+      "protocol — a query can never enter the contract unridden by the " +
+      "ratchet (round-14, verdict item 1: q294's 15.28 s rode the " +
+      "round-13 bench unflagged because q293–q296 had MiniBench blocks " +
+      "but no | qNNN | sec | table row)") {
+    val md = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BASELINE.md"))
+    val base = BenchGuard.baselines(md)
+    val rateBase = BenchGuard.rateBaselines(md)
+    val unguarded = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      // rows = 1: any positive count exercises the rate-bound arm for
+      // rate-annotated queries and the wall arm for the rest
+      BenchGuard.boundFor(n, 1L, base, rateBase).isEmpty
+    }
+    assert(unguarded.isEmpty,
+      s"queries with no BASELINE.md guard row: $unguarded")
+  }
 }
