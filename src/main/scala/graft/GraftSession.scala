@@ -24,6 +24,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing keeps its defaults: an A/B at sf0.1 (round 14)
+      // measured a session-wide minPartitionSize=64k floor helping the
+      // few CPU-dense verify stages (q231 1.10 vs 4.21 s) but REGRESSING
+      // the many iterative/multi-stage queries (q124 2.5→4.5 s,
+      // q263 1.6→3.3 s — more tasks per stage × many stages). The
+      // CPU-dense spots carry an explicit repartition instead (see
+      // TextQueries.weightedJaccardPairsDf et al.).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
       // runtime row-level filtering: build a bloom filter from the small

@@ -541,31 +541,63 @@ object TextQueries {
     val wCum = Window.partitionBy(col("doc_id"))
       .orderBy(col("u"), col("word"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // materialized once: both candidate-join sides read the index, and
+    // without the pin each side re-runs the join + cumulative-mass
+    // window (exchange reuse shares only the shuffle write, not the
+    // window stage on top — guide §2.4; measured 4.26 → 3.51 s at sf0.1)
     val idx = w.join(nrm, Seq("doc_id"))
       .withColumn("u", col("w") / col("nrm"))
       .withColumn("cum", sum(col("u") * col("u")).over(wCum))
       .filter(col("cum") >= 0.159)
       .select(col("doc_id"), col("word"))
+      .localCheckpoint()
+    // distinct first (map-side partial dedup cuts the pair stream
+    // before its shuffle), then a keyed re-spread to the cluster
+    // parallelism: AQE coalesces the byte-small distinct output to 2-3
+    // partitions, serializing the CPU-dense merge-walk verify below —
+    // same fix as weightedJaccardPairsDf (explicit partition counts
+    // are exempt from AQE coalescing)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val cand = idx.select(col("doc_id").as("doc_a"), col("word"))
       .join(idx.select(col("doc_id").as("doc_b"), col("word")),
         Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact rescore: full-posting dot for the surviving pairs only —
-    // integer accumulation (Σ wiₐ·wi_b), the scale factors cancel in
-    // the cosine: Σ(wiₐ·wi_b)/√(Σwiₐ²)√(Σwi_b²) = Σ(wₐ·w_b)/(‖a‖‖b‖)
-    val dot = cand
-      .join(w.select(col("doc_id").as("doc_a"), col("word"),
-        col("wi").as("wa")), Seq("doc_a"))
-      .join(w.select(col("doc_id").as("doc_b"), col("word"),
-        col("wi").as("wb")), Seq("doc_b", "word"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("dotl"))
-    dot
-      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
+      .repartition(par, col("doc_a"))
+    // exact rescore: full-posting integer dot (Σ wiₐ·wi_b — the scale
+    // factors cancel in the cosine: Σ(wiₐ·wi_b)/√(Σwiₐ²)√(Σwi_b²) =
+    // Σ(wₐ·w_b)/(‖a‖‖b‖)) via the q134 sorted-array verify idiom
+    // (round 14, guide §2.3): each doc packs its (word, wi) postings
+    // ONCE into co-indexed sorted arrays; each candidate pair is one
+    // zero-allocation codegen merge walk (SortedKeyDotSum, overflow →
+    // loud Math.multiplyExact/addExact failure, same contract as the
+    // ANSI integer sums it replaces). The previous shape — cand ⋈ w(a)
+    // ⋈ w(b, word) + re-aggregate — materialized |cand| × |postings|
+    // rows through a shuffle. wi ≥ 1 for every posting (w > 0 since
+    // idf+1 ≥ 1 − log(N+1/df+1) can never reach −1), so dotl ≥ 1 ⟺ the
+    // pair shares a word: the dotl > 0 filter keeps the old
+    // inner-join-on-word semantics bit-for-bit. packed attaches
+    // broadcast so no array payload rides a shuffle (§8).
+    val packed = w.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("wi"))))
+        .as("p"))
+      .join(nrm.select(col("doc_id"), col("n2")), Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("transform(p, x -> x.word)").as("ks"),
+        expr("transform(p, x -> x.wi)").as("vs"),
+        col("n2"))
+      .localCheckpoint() // both verify sides read it
+    cand
+      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
+        col("ks").as("ka"), col("vs").as("va"), col("n2").as("n2a"))),
         Seq("doc_a"))
-      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
+      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
+        col("ks").as("kb"), col("vs").as("vb"), col("n2").as("n2b"))),
         Seq("doc_b"))
+      .withColumn("dotl",
+        graft.functions.SortedKeyWeightSum.sortedKeyDotSum(
+          col("ka"), col("va"), col("kb"), col("vb")))
+      .filter(col("dotl") > 0)
       .select(col("doc_a"), col("doc_b"),
         round(col("dotl").cast("double") /
           (sqrt(col("n2a").cast("double")) *
@@ -856,28 +888,63 @@ object TextQueries {
 
   def weightedJaccardPairsDf(docs: DataFrame,
       threshold: Double = 0.3): DataFrame = {
+    import graft.functions.SortedKeyWeightSum.sortedKeyMinSum
     val tf = wjTf(docs)
-      .localCheckpoint() // index build + both rescore sides + totals
-    val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("t"))
-    val idx = wjIndex(tf, threshold)
+      .localCheckpoint() // index build + packed postings + totals
+    // pinned: BOTH candidate-join sides read the index; without the pin
+    // each side re-runs the df join + cumulative-mass window (exchange
+    // reuse shares only the shuffle write, not the window stage on top)
+    val idx = wjIndex(tf, threshold).localCheckpoint()
+    // distinct FIRST (map-side partial dedup cuts the pair stream
+    // before its shuffle — a keyed repartition below the distinct
+    // measured 1-1.5 s slower for losing it), then a keyed re-spread:
+    // AQE coalesces the byte-small distinct output to 2-3 partitions,
+    // which would run the CPU-dense merge-walk verify on 2-3 cores
+    // (measured 2.2 s vs 0.65 s spread). Explicit partition counts are
+    // exempt from AQE coalescing; keying by doc_a skips the local sort
+    // a round-robin repartition pays for determinism (guide §2.5).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val cand = idx.select(col("doc_id").as("doc_a"), col("word"))
       .join(idx.select(col("doc_id").as("doc_b"), col("word")),
         Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact rescore over the full postings of the surviving pairs only
-    val inter = cand
-      .join(tf.select(col("doc_id").as("doc_a"), col("word"),
-        col("tf").as("ta")), Seq("doc_a"))
-      .join(tf.select(col("doc_id").as("doc_b"), col("word"),
-        col("tf").as("tb")), Seq("doc_b", "word"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ta"), col("tb"))).as("smin"))
-    inter
-      .join(tot.select(col("doc_id").as("doc_a"), col("t").as("tta")),
+      .repartition(par, col("doc_a"))
+    // exact rescore via the q134 sorted-array verify idiom (guide §2.3,
+    // round-14): each doc packs its postings ONCE into co-indexed
+    // (sorted words, tfs) arrays; each surviving pair is then one
+    // zero-allocation merge walk (SortedKeyMinSum, whole-stage
+    // codegen). The previous shape — candidates ⋈ tf(a) ⋈ tf(b, word)
+    // with a re-aggregate — materialized |cand| × |postings| rows
+    // through a shuffle (~100M at sf0.1 where the 0.3 threshold keeps
+    // the candidate set near all-pairs; measured 4.2 s → 1.9 s).
+    // Σmin and the totals are the same exact integers as before;
+    // smin ≥ 1 ⟺ the pair shares a word, so the smin > 0 filter keeps
+    // the old inner-join-on-word semantics bit-for-bit.
+    val packed = tf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("tf"))))
+        .as("p"), sum(col("tf")).as("t"))
+      .select(col("doc_id"),
+        expr("transform(p, x -> x.word)").as("ks"),
+        expr("transform(p, x -> x.tf)").as("vs"),
+        col("t"))
+      .localCheckpoint() // both verify sides read it
+    // packed attaches BROADCAST: letting the planner shuffle-join here
+    // would drag every pair row's array payload through the second
+    // join's exchange (the §8 trap — heavy bytes moving twice); the
+    // packed table is one row per doc (keys+tfs, ~4 KB/doc), far under
+    // the broadcast cap at any corpus the all-pairs-adjacent candidate
+    // set itself is feasible for.
+    cand
+      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
+        col("ks").as("ka"), col("vs").as("va"), col("t").as("tta"))),
         Seq("doc_a"))
-      .join(tot.select(col("doc_id").as("doc_b"), col("t").as("ttb")),
+      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
+        col("ks").as("kb"), col("vs").as("vb"), col("t").as("ttb"))),
         Seq("doc_b"))
+      .withColumn("smin",
+        sortedKeyMinSum(col("ka"), col("va"), col("kb"), col("vb")))
+      .filter(col("smin") > 0)
       .select(col("doc_a"), col("doc_b"),
         round(col("smin") /
           (col("tta") + col("ttb") - col("smin")).cast("double"), 6)
