@@ -168,8 +168,17 @@ object Dedup {
       .localCheckpoint() // the index and both verify sides read it
     val pre = ranked.select(col("doc_id"), col("sz"),
       explode(expr("slice(toks, 1, pl)")).as("rk"))
+    // keyed repartition pins the candidate join's width (round 14): AQE
+    // sizes post-shuffle partitions from the byte-small prefix streams
+    // (→ 1-4 partitions) but the join's OUTPUT is Σ df_pre(rk)² rows —
+    // the expansion, the size-ratio filter, and the distinct's map-side
+    // dedup were running on a few cores (the probe measured the cand
+    // stage at 2.0-2.7 s of the query's 2.7 s total). An explicit count
+    // is exempt from AQE coalescing and forces both sides wide.
+    val par = ranked.sparkSession.sparkContext.defaultParallelism
     val cand = pre.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         col("rk"))
+      .repartition(par, col("rk"))
       .join(pre.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
         col("rk")), Seq("rk"))
       .filter(col("doc_a") < col("doc_b") &&
@@ -177,6 +186,10 @@ object Dedup {
         col("sz_b") * 3 <= col("sz_a") * 5)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      // re-spread the byte-small distinct output so the merge-walk
+      // verify below runs at cluster width, not AQE's 4 coalesced
+      // partitions (the q231/q185 fix)
+      .repartition(par, col("doc_a"))
     cand
       .join(ranked.select(col("doc_id").as("doc_a"),
         col("toks").as("toks_a"), col("sz").as("sz_a")), Seq("doc_a"))

@@ -1564,13 +1564,23 @@ object Advanced {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    orders(s, d).filter(col("o_custkey") % 20 === 0)
+    val ch = orders(s, d).filter(col("o_custkey") % 20 === 0)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         lead(col("o_orderkey"), 1).over(w).as("next_key"),
         row_number().over(w).as("rn"))
       .localCheckpoint()
-      .createOrReplaceTempView("graft_rc_ch")
-    s.sql("""
+    ch.createOrReplaceTempView("graft_rc_ch")
+    // size-gated broadcast of the chain-edge relation (round 14): every
+    // UnionLoop iteration joins the frontier against ch, and with a
+    // checkpointed (stats-free) relation the planner sort-merge-joins —
+    // re-shuffling ch once per recursion depth (~40 iterations here:
+    // the longest per-customer chain). While ch fits, broadcast it so
+    // each step is map-side; a corpus whose sampled chain table
+    // outgrows the limit falls back to the shuffled join. The count is
+    // a cached-block read off the checkpoint.
+    val hint =
+      if (ch.count() <= 5000000L) "/*+ BROADCAST(c) */ " else ""
+    s.sql(s"""
       WITH RECURSIVE
       ch AS (SELECT * FROM graft_rc_ch),
       walk AS (
@@ -1578,7 +1588,7 @@ object Advanced {
                1 AS step, o_totalprice AS run_total
         FROM ch WHERE rn = 1
         UNION ALL
-        SELECT c.o_custkey, c.o_orderkey, c.next_key,
+        SELECT $hint c.o_custkey, c.o_orderkey, c.next_key,
                w.step + 1 AS step, w.run_total + c.o_totalprice AS run_total
         FROM walk w JOIN ch c ON c.o_orderkey = w.next_key
       )

@@ -366,11 +366,24 @@ object Graph {
     * node set — shared by the driver query and the scale probe, so what
     * the probe measures IS the production path. */
   def shortestPathsEdges(e: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, broadcastDistLimit: Long = 5000000L): DataFrame = {
     var dist = seeds.toDF("node").withColumn("dist", lit(0.0))
+      .localCheckpoint()
+    var distCount = dist.count()
     for (i <- 1 to rounds) {
+      // size-gated broadcast (round 14, the bfsReachability pattern):
+      // the distance vector is orders of magnitude smaller than the
+      // edge table, so while it fits, each relax round joins map-side
+      // and the EDGES NEVER MOVE — without the hint the planner
+      // sort-merge-joins, re-shuffling and re-sorting the edge table
+      // every round (2 exchanges × rounds). Past the limit the round
+      // falls back to the shuffled join (a billion-node distance vector
+      // has no business broadcast). The checkpoint makes the count a
+      // cached-block read, not a recompute.
+      val distSide =
+        if (distCount <= broadcastDistLimit) broadcast(dist) else dist
       dist = dist
-        .unionByName(e.join(dist, e("src") === dist("node"))
+        .unionByName(e.join(distSide, e("src") === distSide("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       // each round reads `dist` TWICE (carry-over ∪ relax) — unlike
@@ -378,7 +391,7 @@ object Graph {
       // the subplan per round (2^rounds recompute, measured 11 s at
       // sf0.1); the node-vector is tiny, so an eager per-round
       // checkpoint is the right trade everywhere above toy scale
-      if (i < rounds) dist = dist.localCheckpoint()
+      if (i < rounds) { dist = dist.localCheckpoint(); distCount = dist.count() }
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }
@@ -757,7 +770,14 @@ object Graph {
         hll_sketch_agg(col("src"))).as("hll"))
       .localCheckpoint() // referenced twice per propagation round
     for (_ <- 2 to rounds) {
+      // keyed repartition: the propagation join's inputs are byte-small
+      // (edge pairs + one sketch row per node) so AQE coalesces it to
+      // 1-2 partitions, but its output is |E| rows EACH CARRYING A
+      // 1.5 KB SKETCH and the partial hll_union_agg on top is the
+      // round's CPU — pin the width so the register merges spread
       val prop = e
+        .repartition(e.sparkSession.sparkContext.defaultParallelism,
+          col("dst"))
         .join(sk.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(hll_union_agg(col("hll")).as("nh"))
@@ -798,7 +818,17 @@ object Graph {
     val src = e.filter(col("src").endsWith("0"))
     val oneHop = src.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("n_1hop")) // edge list is already distinct
+    // keyed repartition pins the wedge join's width (round 14): AQE
+    // sizes the post-shuffle partition count from the JOIN INPUTS
+    // (byte-small edge lists → 1-3 partitions) but the wedge join's
+    // OUTPUT is Σ deg² rows — the expansion plus the distinct's
+    // map-side dedup were running on 1-3 cores. An explicit partition
+    // count is exempt from AQE coalescing and forces both join sides
+    // to the cluster parallelism (measured: the exact arm 5.2 s →
+    // 1.6 s at sf0.1).
     val twoHop = src.select(col("src").as("a"), col("dst").as("b"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
       .filter(col("a") =!= col("c"))
       .select(col("a"), col("c"))
