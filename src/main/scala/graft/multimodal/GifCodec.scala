@@ -168,6 +168,14 @@ object GifCodec {
         bg(0) = gct(bgIndex * 3 + 2); bg(1) = gct(bgIndex * 3 + 1)
         bg(2) = gct(bgIndex * 3)
       }
+      // the decoded-byte budget applies to the HEADER dimensions before
+      // the logical-screen canvas is allocated (round-13 advice): a
+      // sub-KB file declaring 64M pixels (under the pixel cap above)
+      // would otherwise force a ~192 MB canvas allocation + background
+      // fill before the per-image-block budget check ever runs. 3L·
+      // mirrors the minimum live set the block check counts (canvas +
+      // first snapshot + one disposal save).
+      if (3L * width * height * 3 > MaxDecodedBytes) return None
       val canvas = new Array[Byte](width * height * 3)
       var i = 0
       while (i < width * height) {

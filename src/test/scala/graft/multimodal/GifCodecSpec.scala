@@ -245,6 +245,15 @@ class GifCodecSpec extends AnyFunSuite {
     val ok = handGif(3000, 3000,
       (0 until 6).map(_ => (0, 0, 1, 1, Array[Byte](1), 0, -1)))
     assert(GifCodec.decodeFrames(ok).exists(_.length == 6))
+    // round-13 advice: the budget also applies to the HEADER dimensions
+    // BEFORE the canvas allocates — a sub-KB file declaring a canvas
+    // whose minimum live set (canvas + snapshot + disposal save) alone
+    // busts the budget must return None without the ~192 MB allocation
+    // + background fill the old per-block check only caught afterwards
+    val headerBomb = handGif(8000, 8000,
+      Seq((0, 0, 1, 1, Array[Byte](1), 0, -1)))
+    assert(headerBomb.length < 2000)
+    assert(GifCodec.decodeFrames(headerBomb).isEmpty)
   }
 
   test("decodeFrames honors GCE transparency and disposal methods 2 " +
