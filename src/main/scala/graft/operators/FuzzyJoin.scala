@@ -109,6 +109,12 @@ object FuzzyJoin {
       .select(least(col("name_a"), col("name_b")).as("name_a"),
         greatest(col("name_a"), col("name_b")).as("name_b"))
       .distinct()
+      // re-spread before the rescore (round 14): AQE coalesces the
+      // byte-small candidate-pair distinct to a few partitions, which
+      // would run the CPU-dense exact levenshtein on a few cores;
+      // explicit partition counts are exempt from coalescing
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("name_a"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .localCheckpoint() // consumed twice (both orientations)
