@@ -577,7 +577,9 @@ object TextQueries {
     // idf+1 ≥ 1 − log(N+1/df+1) can never reach −1), so dotl ≥ 1 ⟺ the
     // pair shares a word: the dotl > 0 filter keeps the old
     // inner-join-on-word semantics bit-for-bit. packed attaches
-    // broadcast so no array payload rides a shuffle (§8).
+    // broadcast while it fits (size-gated on the checkpointed count) so
+    // no array payload rides a shuffle (§8); past the gate the attach
+    // degrades to shuffled joins.
     val packed = w.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("word"), col("wi"))))
         .as("p"))
@@ -587,13 +589,15 @@ object TextQueries {
         expr("transform(p, x -> x.wi)").as("vs"),
         col("n2"))
       .localCheckpoint() // both verify sides read it
+    val bcastDocs = packed.count() <= 1000000L
+    def side(alias: String, ks: String, vs: String, n2: String) = {
+      val p0 = packed.select(col("doc_id").as(alias), col("ks").as(ks),
+        col("vs").as(vs), col("n2").as(n2))
+      if (bcastDocs) broadcast(p0) else p0
+    }
     cand
-      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
-        col("ks").as("ka"), col("vs").as("va"), col("n2").as("n2a"))),
-        Seq("doc_a"))
-      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
-        col("ks").as("kb"), col("vs").as("vb"), col("n2").as("n2b"))),
-        Seq("doc_b"))
+      .join(side("doc_a", "ka", "va", "n2a"), Seq("doc_a"))
+      .join(side("doc_b", "kb", "vb", "n2b"), Seq("doc_b"))
       .withColumn("dotl",
         graft.functions.SortedKeyWeightSum.sortedKeyDotSum(
           col("ka"), col("va"), col("kb"), col("vb")))
@@ -929,19 +933,23 @@ object TextQueries {
         expr("transform(p, x -> x.tf)").as("vs"),
         col("t"))
       .localCheckpoint() // both verify sides read it
-    // packed attaches BROADCAST: letting the planner shuffle-join here
-    // would drag every pair row's array payload through the second
-    // join's exchange (the §8 trap — heavy bytes moving twice); the
-    // packed table is one row per doc (keys+tfs, ~4 KB/doc), far under
-    // the broadcast cap at any corpus the all-pairs-adjacent candidate
-    // set itself is feasible for.
+    // packed attaches BROADCAST while it fits (size-gated on the
+    // checkpointed count — a metadata read): a shuffle join here would
+    // drag every pair row's array payload through the second join's
+    // exchange (the §8 trap — heavy bytes moving twice). Past the gate
+    // (a corpus too large to broadcast one row per doc) the joins fall
+    // back to shuffled attaches — the arrays then ride one exchange
+    // each, still strictly less data motion than the posting-explosion
+    // rescore this replaced.
+    val bcastDocs = packed.count() <= 1000000L
+    def side(alias: String, ks: String, vs: String, t: String) = {
+      val p0 = packed.select(col("doc_id").as(alias), col("ks").as(ks),
+        col("vs").as(vs), col("t").as(t))
+      if (bcastDocs) broadcast(p0) else p0
+    }
     cand
-      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
-        col("ks").as("ka"), col("vs").as("va"), col("t").as("tta"))),
-        Seq("doc_a"))
-      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
-        col("ks").as("kb"), col("vs").as("vb"), col("t").as("ttb"))),
-        Seq("doc_b"))
+      .join(side("doc_a", "ka", "va", "tta"), Seq("doc_a"))
+      .join(side("doc_b", "kb", "vb", "ttb"), Seq("doc_b"))
       .withColumn("smin",
         sortedKeyMinSum(col("ka"), col("va"), col("kb"), col("vb")))
       .filter(col("smin") > 0)
